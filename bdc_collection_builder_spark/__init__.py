@@ -1,0 +1,28 @@
+"""bdc_collection_builder_spark — a PySpark-native analytics engine.
+
+A brand-new engine re-expressing the query and data-processing
+capabilities of ``brazil-data-cube/bdc-collection-builder`` (a
+satellite-imagery collection builder: catalog search, download with
+provider failover, atmospheric correction, publish with band-index
+expressions, quality post-processing) on the Spark DataFrame / SQL /
+Catalyst / Structured Streaming stack.
+
+Layout
+------
+- ``session``     SparkSession factory tuned for local + cluster use
+- ``sources``     table loaders, mock remote-catalog provider source
+- ``operators``   the relational operator inventory (SURVEY.md §2)
+- ``functions``   scalar functions, the band-expression compiler,
+                  pixel kernels (quicklook, nodata-union, resample)
+- ``plans``       named query registry: Spark plan + DuckDB oracle SQL
+- ``catalog``     domain data model (collections/bands/items/activities)
+                  with deterministic fixture generation and upsert
+- ``pipeline``    download→correction→publish→post staged dataflow on
+                  DataFrames with an activity ledger
+- ``streaming``   Structured Streaming incremental ingestion wrappers
+- ``extensions``  large-scale training-data pipeline operators: dedup
+                  (exact/MinHash-LSH/SimHash/Jaccard/embedding), ANN
+                  similarity search, text analysis, multimodal columns
+"""
+
+__version__ = "0.1.0"

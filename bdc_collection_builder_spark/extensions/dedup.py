@@ -1,0 +1,230 @@
+"""Deduplication operators over a document table.
+
+Five dedup families, each with a distinct scale profile:
+
+- **exact**: hash-groupBy on the full text — one shuffle on md5(text).
+- **n-gram Jaccard (exact)**: shingle-explode → self-join on shingle →
+  per-pair intersection counts. Exact but O(pairs sharing a shingle);
+  the scale path prunes with MinHash first.
+- **MinHash + LSH**: per-doc signature (k xxhash64 seeds, min over
+  shingles), banded into b buckets; candidate pairs = docs sharing a
+  band bucket (equi-join on (band, bucket) — no cross join anywhere);
+  candidates verified with exact Jaccard. This is the 100 TB path:
+  cost is O(docs · k) + O(candidate pairs).
+- **SimHash**: 64-bit signature via per-bit majority vote of token
+  hashes; near-dups = signatures within a Hamming radius, bucketed by
+  signature quarters (any pair within radius 3 shares ≥1 of 4 exact
+  quarter-keys — pigeonhole).
+- **embedding cosine**: near-dup pairs above a cosine threshold (see
+  similarity.py for the ANN machinery).
+
+All joins are equi-joins on derived keys; nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.extensions.text import tokens
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group on content hash, keep the minimum id as the
+    canonical document, count members."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 5) -> DataFrame:
+    """Distinct k-token shingles per document (long format)."""
+    toks = tokens(F.col(text_col))
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, jaccard >= t).
+
+    Self-join on shingle → count common shingles per pair → Jaccard from
+    per-doc shingle counts. Exact baseline the LSH path is verified
+    against."""
+    sh = shingles(docs, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       n_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document: for each of n_hashes seeds, the
+    min of xxhash64(shingle, seed) over the doc's shingles. One narrow
+    pass over the shingle table; the signature rides as an array column."""
+    sh = shingles(docs, text_col, id_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"h{seed}") for seed in range(n_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5, n_hashes: int = 32,
+                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Banding: n_hashes/bands rows per band; docs sharing any band's full
+    sub-signature become candidates (equi-join on (band, band_key)).
+    With 32 hashes / 8 bands the S-curve crosses ~0.5 Jaccard — tune
+    (n_hashes, bands) for other thresholds. Candidates are then scored
+    with exact Jaccard so false positives drop out; false-negative rate
+    is the standard 1-(1-s^r)^b curve."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, n_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[F.col("signature")[band * rows_per_band + r].cast("string")
+                          for r in range(rows_per_band)],
+                    ).alias("band_key"),
+                )
+                for band in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token
+    hashes. Explode tokens → per-(doc, bit) vote sum → assemble bits.
+    Two shuffles on doc_id, both partial-aggregated map-side."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for bit in range(bits):
+        piece = F.when(F.col(f"b{bit}") > 0,
+                       F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(F.lit(0))
+        sig = piece if sig is None else sig.bitwiseOR(piece)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", radius: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius. Bucketing by the
+    4 16-bit quarters of the signature: any pair with ≤3 differing bits
+    agrees exactly on ≥1 quarter (pigeonhole), so candidates come from
+    4 equi-joins, not a cross join."""
+    sig = simhash_signatures(docs, text_col, id_col)
+    quarters = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftright(F.col("simhash"), q * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("qkey"),
+            ) for q in range(4)
+        ])).alias("qq"),
+    ).select("doc_id", "simhash", "qq.q", "qq.qkey")
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    cand = (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.qkey") == F.col("b.qkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+    )
+
+
+def embedding_near_pairs(embeddings: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95,
+                         left_stride: int = 1) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold (brute-force
+    baseline; the LSH path lives in similarity.py). ``left_stride``
+    samples the left side for bounded pair counts during verification."""
+    from bdc_collection_builder_spark.extensions.similarity import cosine
+
+    left = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    if left_stride > 1:
+        left = left.filter(F.col("id_a") % left_stride == 0)
+    right = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of every query against the
+  corpus. The join is query-broadcast × corpus-scan (no corpus shuffle);
+  ranking is a per-query window. Exact baseline + small-query-set path.
+- ``lsh_topk``: random-hyperplane (sign) LSH — corpus hashed once into
+  multi-table buckets, queries probe matching buckets only, candidates
+  re-ranked exactly. The 100 TB path: cost ∝ candidates, not corpus.
+
+Dot products use `F.aggregate`/`F.zip_with` (JVM higher-order functions,
+no Python). Hyperplanes are a deterministic seeded numpy matrix shipped
+as a broadcast literal — tiny (tables × bits × dim floats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k: broadcast the query set against the corpus scan,
+    score, rank per query. One shuffle (the per-query window) whose
+    input is already reduced to scored (query, candidate) rows."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col,
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> list[list[list[float]]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim)).astype("float32").tolist()
+
+
+def hash_buckets(vec: Column, planes: list[list[list[float]]]) -> Column:
+    """Array of per-table sign-LSH bucket keys for a vector."""
+    table_keys = []
+    for table in planes:
+        bucket = F.lit(0).cast("bigint")
+        for bit_idx, plane in enumerate(table):
+            proj = dot(vec, F.array(*[F.lit(float(w)) for w in plane]))
+            bucket = bucket + F.when(proj > 0,
+                                     F.lit(1 << bit_idx).cast("bigint")).otherwise(0)
+        table_keys.append(bucket)
+    return F.array(*table_keys)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_tables: int = 8,
+             n_bits: int = 10, dim: int = 64, seed: int = 42) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH with multi-probe by
+    table: corpus rows land in n_tables buckets; a query only scores
+    candidates sharing a (table, bucket) key. Recall rises with
+    n_tables; cost is the candidate count, not the corpus size."""
+    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+
+    def bucketize(df: DataFrame, idc: str) -> DataFrame:
+        keys = hash_buckets(F.col(vec_col), planes)
+        return (
+            df.select(F.col(idc), F.col(vec_col),
+                      F.posexplode(keys).alias("table_id", "bucket"))
+        )
+
+    c = bucketize(corpus, id_col).withColumnRenamed(vec_col, "c_vec")
+    q = bucketize(queries, query_id_col).withColumnRenamed(vec_col, "q_vec")
+    candidates = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "q_vec", "c_vec")
+        .distinct()
+    )
+    scored = candidates.select(
+        query_id_col, id_col,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators over a document table.
+
+Everything is built-in `pyspark.sql.functions` — JVM-side, codegen'd;
+no Python UDFs anywhere, so these run at full scan speed over 100 TB of
+text. Each returns a Column usable in select/filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small, fixed English stopword list (public knowledge) — used by both
+# the language heuristic and the quality score.
+STOPWORDS = (
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that",
+)
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximating token count: words, numbers, and punctuation
+    each count; long words count ~1 per 6 chars (a public rule-of-thumb
+    approximation of byte-pair-encoded lengths)."""
+    pieces = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.greatest(F.lit(1), F.ceil(F.length(p) / 6)).cast("bigint"),
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x).cast("bigint"))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language id: stopword-ratio threshold → 'en', else
+    'unknown'. (A real n-gram model slots in here; the operator shape —
+    a pure scalar column — is what matters for the pipeline.)"""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    moderate word length, penalizes punctuation soup (the standard
+    web-scrape quality heuristics, e.g. Gopher rules)."""
+    len_ok = F.when(
+        (F.length(text) >= 20) & (F.length(text) <= 20000), F.lit(0.4)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    word_ok = F.when(
+        (mean_word_length(text) >= 2) & (mean_word_length(text) <= 12), F.lit(0.1)
+    ).otherwise(F.lit(0.0))
+    return len_ok + stop_ok + punct_ok + word_ok
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial document fingerprint over tokens:
+    fold(acc*31 + (len(tok)*17 + ascii(tok[0]))) mod 1e9+7.
+    Engine-neutral arithmetic (verifiable by any SQL engine)."""
+    codes = F.transform(
+        tokens(text),
+        lambda tok: (F.length(tok) * 17 + F.ascii(tok)).cast("bigint"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % FINGERPRINT_MOD,
+    )

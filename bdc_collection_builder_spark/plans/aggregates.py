@@ -1,0 +1,186 @@
+"""Aggregation queries (SURVEY §2.4, A1-A8) + the TPC-H-style flagship.
+
+Floating-point aggregates are rounded identically on both sides so the
+order-insensitive value hash is stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+
+@query(
+    "a01_status_histogram",
+    survey=("A1",),
+    oracle="""
+        SELECT o_orderstatus AS status, count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a01_status_histogram(spark, sf_dir):
+    """A1 — COUNT(*) GROUP BY status (controller.py:426-445). Partial
+    (map-side) aggregation is built in — the shuffle carries one row per
+    status per partition, not the fact table."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a02_daily_status_histogram",
+    survey=("A2", "T3", "X7"),
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+               o_orderstatus AS status, count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    """,
+)
+def a02_daily_status_histogram(spark, sf_dir):
+    """A2 — COUNT(*) GROUP BY day, status (controller.py:447-468)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1997-01-01")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a03_latest_attempt_per_scene",
+    survey=("A3",),
+    oracle="""
+        SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+)
+def a03_latest_attempt_per_scene(spark, sf_dir):
+    """A3 — MAX(start) GROUP BY sceneid (controller.py:481-486)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"), F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "a04_distinct_collections",
+    survey=("A4",),
+    oracle="SELECT DISTINCT c_mktsegment AS collection FROM customer",
+)
+def a04_distinct_collections(spark, sf_dir):
+    """A4 — DISTINCT collection_id having activities
+    (controller.py:470-474)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("collection"))
+        .distinct()
+    )
+
+
+@query(
+    "a05_missing_per_collection",
+    survey=("A5", "U2"),
+    oracle="""
+        SELECT n_name AS collection, count(*) AS total_missing
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+        )
+        GROUP BY n_name
+    """,
+)
+def a05_missing_per_collection(spark, sf_dir):
+    """A5 — per-collection missing-scene totals (controller.py:604-618):
+    anti-join then count per dimension."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    nation = t(spark, sf_dir, "nation")
+    missing = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    return (
+        missing.join(F.broadcast(nation), missing["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("collection"))
+        .agg(F.count("*").alias("total_missing"))
+    )
+
+
+@query(
+    "a07_result_count",
+    survey=("A7",),
+    oracle="SELECT count(*) AS results FROM lineitem WHERE l_discount > 0.05",
+)
+def a07_result_count(spark, sf_dir):
+    """A7 — result-set cardinality (views.py:74-77)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .agg(F.count("*").alias("results"))
+    )
+
+
+@query(
+    "a08_band_min_max",
+    survey=("A8",),
+    oracle="""
+        SELECT l_returnflag AS band,
+               round(min(l_quantity), 2) AS min_value,
+               round(max(l_quantity), 2) AS max_value
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a08_band_min_max(spark, sf_dir):
+    """A8 — per-band min/max reduce (publish.py:85)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("band"))
+        .agg(
+            F.round(F.min("l_quantity"), 2).alias("min_value"),
+            F.round(F.max("l_quantity"), 2).alias("max_value"),
+        )
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    survey=("A1", "A8", "T3"),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship aggregate (TPC-H Q1 shape): multi-measure hash aggregate
+    with map-side partial aggregation — the canonical 100 TB-safe
+    reduction (shuffle carries #groups × #partitions rows only)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )

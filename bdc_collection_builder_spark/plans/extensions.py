@@ -1,0 +1,358 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis (SURVEY §7.1 item 7 / BASELINE north star).
+
+The documents table has no natural duplicates, so dedup queries augment
+the corpus with deterministic mutated/exact copies (same derivation on
+both engines) — the operators then provably find exactly those.
+Hash-based operators (MinHash-LSH, SimHash, hyperplane LSH) have no
+cross-engine oracle (xxhash64 is Spark-specific); they are registered
+rows-only and verified in tests against the exact operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+# Tokenization shared by the DuckDB oracles (identical semantics to
+# extensions.text.tokens).
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_STOP_SQL = ("['the','a','an','of','to','in','and','or','is','are','was',"
+             "'for','on','with','as','at','by','it','this','that']")
+
+
+@query(
+    "dd_exact_duplicates",
+    survey=("DD-exact", "F10"),
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+               count(*) AS n_docs
+        FROM corpus GROUP BY md5(text)
+    """,
+)
+def dd_exact_duplicates(spark, sf_dir):
+    """Exact dedup: content-hash groupBy; every 10th doc gets an exact
+    copy so duplicate groups exist on both engines."""
+    from bdc_collection_builder_spark.extensions.dedup import exact_duplicates
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_duplicates(docs.unionByName(copies))
+
+
+_AUG_SQL = """
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' xy zz wq' AS text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@query(
+    "dd_ngram_jaccard_pairs",
+    survey=("DD-jaccard",),
+    oracle=f"""
+        WITH corpus AS ({_AUG_SQL}),
+        shingled AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       array_to_string(toks[i + 1 : i + 5], ' ') AS sh
+                FROM (
+                    SELECT doc_id, {_TOKS} AS toks FROM corpus
+                ), UNNEST(generate_series(0, len(toks) - 5)) AS u(i)
+                WHERE len(toks) >= 5
+            )
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shingled a JOIN shingled b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+                 AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def dd_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 5-gram Jaccard near-dup pairs over an augmented corpus
+    (every 20th doc gets a slightly-extended copy → true near-dups)."""
+    from bdc_collection_builder_spark.extensions.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    return ngram_jaccard_pairs(docs.unionByName(near), threshold=0.5)
+
+
+@query(
+    "dd_minhash_lsh_pairs",
+    survey=("DD-minhash",),
+    oracle=None,  # xxhash64 signatures have no cross-engine oracle;
+                  # verified against dd_ngram_jaccard_pairs in tests
+)
+def dd_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (the 100 TB dedup path): banded
+    signature equi-join prunes candidates, exact Jaccard verifies."""
+    from bdc_collection_builder_spark.extensions.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    return minhash_lsh_pairs(docs.unionByName(near), threshold=0.5)
+
+
+@query(
+    "dd_simhash_pairs",
+    survey=("DD-simhash",),
+    oracle=None,  # xxhash64-based; verified in tests
+)
+def dd_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming radius 3, quarter-bucketed."""
+    from bdc_collection_builder_spark.extensions.dedup import simhash_near_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    return simhash_near_pairs(docs.unionByName(near), radius=3)
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "dd_embedding_near_pairs",
+    survey=("DD-embed",),
+    oracle=f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+            FROM embeddings WHERE vec_id % 25 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                     / (sqrt({_DOT_SQL.format(a="a.embedding", b="a.embedding")})
+                        * sqrt({_DOT_SQL.format(a="b.embedding", b="b.embedding")})),
+                     4) AS cosine
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % 4 = 0
+          AND round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                    / (sqrt({_DOT_SQL.format(a="a.embedding", b="a.embedding")})
+                       * sqrt({_DOT_SQL.format(a="b.embedding", b="b.embedding")})),
+                    4) >= 0.95
+    """,
+)
+def dd_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.95 over a corpus augmented
+    with scaled copies (cosine 1.0 by construction). Left side strided
+    4x to bound the brute-force pair count."""
+    from bdc_collection_builder_spark.extensions.dedup import embedding_near_pairs
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: (x * 1.01).cast("float")).alias("embedding"),
+        )
+    )
+    return embedding_near_pairs(emb.unionByName(scaled), threshold=0.95,
+                                left_stride=4)
+
+
+@query(
+    "ss_brute_force_topk",
+    survey=("SS-brute",),
+    oracle=f"""
+        WITH queries AS (
+            SELECT vec_id AS query_id, embedding AS q FROM embeddings
+            WHERE vec_id < 8
+        ), scored AS (
+            SELECT query_id, vec_id,
+                   round({_DOT_SQL.format(a="q", b="embedding")}
+                         / (sqrt({_DOT_SQL.format(a="q", b="q")})
+                            * sqrt({_DOT_SQL.format(a="embedding", b="embedding")})),
+                         6) AS cosine
+            FROM embeddings CROSS JOIN queries
+            WHERE vec_id <> query_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+)
+def ss_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-5 for 8 query vectors against the corpus —
+    the ANN baseline (broadcast queries × corpus scan, no corpus
+    shuffle)."""
+    from bdc_collection_builder_spark.extensions.similarity import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(emb, queries, k=5)
+
+
+@query(
+    "ss_lsh_topk",
+    survey=("SS-lsh",),
+    oracle=None,  # recall vs the exact baseline is asserted in tests
+)
+def ss_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH top-k (the corpus-scale ANN path)."""
+    from bdc_collection_builder_spark.extensions.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, queries, k=5)
+
+
+@query(
+    "tx_text_stats",
+    survey=("TX-stats",),
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               CAST(coalesce(list_sum(list_transform(
+                   regexp_extract_all(lower(text),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                   p -> greatest(1, CAST(ceil(len(p) / 6) AS BIGINT)))), 0)
+                 AS BIGINT) AS n_bpe_tokens,
+               round(CAST(len(list_filter({_TOKS},
+                   x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                   / len({_TOKS}), 4) AS stop_ratio,
+               round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   AS DOUBLE) / len(text), 4) AS punct_ratio
+        FROM documents
+    """,
+)
+def tx_text_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish), stopword ratio, and
+    punctuation ratio — all JVM-side built-ins, no Python."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(text).alias("n_tokens"),
+        tx.bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        F.round(tx.stopword_ratio(text), 4).alias("stop_ratio"),
+        F.round(tx.punct_ratio(text), 4).alias("punct_ratio"),
+    )
+
+
+@query(
+    "tx_language_id",
+    survey=("TX-langid",),
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN CAST(len(list_filter({_TOKS},
+                        x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                        / len({_TOKS}) >= 0.08
+                    THEN 'en' ELSE 'unknown' END AS lang_pred
+        FROM documents
+    """,
+)
+def tx_language_id(spark, sf_dir):
+    """Heuristic language identification (stopword-ratio n-gram proxy)."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.language_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "tx_quality_score",
+    survey=("TX-quality",),
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, len(text) AS n_chars,
+                   CAST(len(list_filter({_TOKS},
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / len({_TOKS}) AS stop_r,
+                   CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       AS DOUBLE) / len(text) AS punct_r,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x)))
+                       AS DOUBLE) / len({_TOKS}) AS mwl
+            FROM documents
+        )
+        SELECT doc_id,
+               round((CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN stop_r >= 0.05 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN punct_r <= 0.2 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN mwl BETWEEN 2 AND 12 THEN 0.1 ELSE 0.0 END),
+                   2) AS quality
+        FROM feats
+    """,
+)
+def tx_quality_score(spark, sf_dir):
+    """Composite document quality score (Gopher-style rules)."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 2).alias("quality"))
+
+
+@query(
+    "tx_fingerprint",
+    survey=("TX-fingerprint",),
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) = 0 THEN 0
+                    ELSE list_reduce(
+                        list_transform({_TOKS},
+                            tok -> CAST(len(tok) * 17 + ascii(tok) AS BIGINT)),
+                        (acc, c) -> (acc * 31 + c) % 1000000007)
+               END AS fp
+        FROM documents
+    """,
+)
+def tx_fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint (engine-neutral
+    arithmetic, hash-checkable across engines)."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))

@@ -1,0 +1,298 @@
+"""Filter/predicate queries (SURVEY §2.2, F1-F11) over the test tables.
+
+Each query re-expresses one reference predicate on the synthetic data:
+``events.value`` stands in for cloud cover, customer keys derive scene
+bounding boxes deterministically, orders are the activity/scene ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.operators.filters import (
+    bbox_intersects,
+    cloud_cover_filter,
+    temporal_overlap,
+)
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+
+@query(
+    "f01_cloud_cover_filter",
+    survey=("F1",),
+    oracle="""
+        SELECT event_id, value AS cloud_cover
+        FROM events WHERE value <= 50.0
+    """,
+)
+def f01_cloud_cover_filter(spark, sf_dir):
+    """F1 — cloud_cover <= threshold, pushed to the scan
+    (controller.py:230-232)."""
+    events = t(spark, sf_dir, "events").withColumnRenamed("value", "cloud_cover")
+    return cloud_cover_filter(events, 50.0).select("event_id", "cloud_cover")
+
+
+# Deterministic scene-bbox derivation shared by Spark and the oracle:
+# integer arithmetic only, so both engines agree bit-for-bit.
+_BBOX_SQL = """
+    SELECT c_custkey,
+           CAST((c_custkey * 7) % 340 AS DOUBLE) / 2.0 - 85.0 AS xmin,
+           CAST((c_custkey * 13) % 160 AS DOUBLE) / 2.0 - 40.0 AS ymin,
+           CAST((c_custkey * 7) % 340 AS DOUBLE) / 2.0 - 85.0
+             + 3.0 + CAST(c_custkey % 5 AS DOUBLE) AS xmax,
+           CAST((c_custkey * 13) % 160 AS DOUBLE) / 2.0 - 40.0
+             + 2.0 + CAST(c_custkey % 3 AS DOUBLE) AS ymax
+    FROM customer
+"""
+
+
+def _scene_bboxes(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    xmin = ((F.col("c_custkey") * 7) % 340).cast("double") / 2.0 - 85.0
+    ymin = ((F.col("c_custkey") * 13) % 160).cast("double") / 2.0 - 40.0
+    return c.select(
+        "c_custkey",
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 3.0 + (F.col("c_custkey") % 5).cast("double")).alias("xmax"),
+        (ymin + 2.0 + (F.col("c_custkey") % 3).cast("double")).alias("ymax"),
+    )
+
+
+@query(
+    "f02_bbox_intersects",
+    survey=("F2", "X16"),
+    oracle=f"""
+        WITH scenes AS ({_BBOX_SQL})
+        SELECT c_custkey, xmin, ymin, xmax, ymax
+        FROM scenes
+        WHERE NOT (xmax < -30.0 OR xmin > 10.0 OR ymax < -20.0 OR ymin > 10.0)
+    """,
+)
+def f02_bbox_intersects(spark, sf_dir):
+    """F2 — envelope-overlap predicate on bbox structs: the bbox-column
+    form of ST_Intersects(ST_MakeEnvelope(w,s,e,n), geom)
+    (controller.py:563-569)."""
+    scenes = _scene_bboxes(spark, sf_dir)
+    pred = bbox_intersects(
+        -30.0, -20.0, 10.0, 10.0,
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+    )
+    return scenes.filter(pred)
+
+
+@query(
+    "f03_temporal_overlap",
+    survey=("F3",),
+    oracle="""
+        SELECT o_orderkey,
+               o_orderdate AS start_date,
+               o_orderdate + INTERVAL 30 DAY AS end_date
+        FROM orders
+        WHERE o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+          AND o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def f03_temporal_overlap(spark, sf_dir):
+    """F3 — interval-overlap truth table (controller.py:571-575):
+    3-way OR collapses to (start <= p_end) AND (end >= p_start)."""
+    orders = t(spark, sf_dir, "orders")
+    start = F.col("o_orderdate")
+    end = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    return (
+        orders
+        .withColumn("start_date", start)
+        .withColumn("end_date", end)
+        .filter(temporal_overlap(
+            F.col("start_date"), F.col("end_date"),
+            "1996-01-01 00:00:00", "1996-12-31 23:59:59"))
+        .select("o_orderkey", "start_date", "end_date")
+    )
+
+
+@query(
+    "f04_restart_filters",
+    survey=("F4",),
+    oracle="""
+        SELECT o_orderkey AS activity_id, o_custkey AS scene_key,
+               o_orderstatus AS status, o_orderpriority AS activity_type
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_custkey % 7 = 0
+    """,
+)
+def f04_restart_filters(spark, sf_dir):
+    """F4 — activity-restart predicate set: equality + IN-list + key
+    subset (controller.py:86-108)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderstatus") == "F")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_custkey") % 7 == 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("activity_id"),
+            F.col("o_custkey").alias("scene_key"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("activity_type"),
+        )
+    )
+
+
+@query(
+    "f05_activity_list_filters",
+    survey=("F5",),
+    oracle="""
+        SELECT event_id, user_id, event_type, ts
+        FROM events
+        WHERE event_type LIKE '%ick%'
+          AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                     AND TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def f05_activity_list_filters(spark, sf_dir):
+    """F5 — contains() on type + BETWEEN on history.start
+    (controller.py:406-420)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.filter(
+            F.col("event_type").contains("ick")
+            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "f06_skip_published",
+    survey=("F6", "J4"),
+    oracle="""
+        WITH candidates AS (
+            SELECT DISTINCT o_custkey AS scene_key FROM orders
+            WHERE o_orderstatus = 'O'
+        ), published AS (
+            SELECT DISTINCT o_custkey AS scene_key FROM orders
+            WHERE o_orderstatus = 'F'
+        )
+        SELECT scene_key FROM candidates
+        WHERE scene_key NOT IN (SELECT scene_key FROM published)
+    """,
+)
+def f06_skip_published(spark, sf_dir):
+    """F6/J4 — skip-already-published left-anti join
+    (controller.py:298-316, 332-337)."""
+    from bdc_collection_builder_spark.operators.joins import skip_published
+
+    orders = t(spark, sf_dir, "orders")
+    candidates = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("scene_key")).distinct()
+    )
+    published = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("scene_key"))
+    return skip_published(candidates, published, ["scene_key"])
+
+
+_ASSET_BANDS = ["B04", "B08", "SCL", "thumbnail", "NDVI", "EVI", "Fmask4"]
+
+
+def _scene_assets(spark, sf_dir):
+    """Asset map exploded to (scene, band, href) rows — the DataFrame
+    form of the published item assets JSON (publish.py:450-464)."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    bands = F.array(*[F.lit(b) for b in _ASSET_BANDS])
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("scene"),
+            F.explode(bands).alias("band"),
+        )
+        .withColumn("href", F.concat(
+            F.lit("s3://scenes/"), F.col("scene"), F.lit("_"),
+            F.col("band"), F.lit(".tif")))
+    )
+
+
+_ASSET_SQL = """
+    SELECT o_orderkey AS scene, band,
+           's3://scenes/' || o_orderkey || '_' || band || '.tif' AS href
+    FROM orders, (
+        VALUES ('B04'), ('B08'), ('SCL'), ('thumbnail'), ('NDVI'),
+               ('EVI'), ('Fmask4')
+    ) AS b(band)
+    WHERE o_orderkey % 100 = 0
+"""
+
+
+@query(
+    "f07_asset_projection",
+    survey=("F7",),
+    oracle=f"""
+        WITH assets AS ({_ASSET_SQL})
+        SELECT scene, band, href FROM assets
+        WHERE lower(band) NOT IN ('thumbnail', 'ndvi', 'evi')
+    """,
+)
+def f07_asset_projection(spark, sf_dir):
+    """F7 — drop thumbnail/ndvi/evi assets before post-processing
+    (tasks.py:411-419): explode the asset map, filter on key."""
+    assets = _scene_assets(spark, sf_dir)
+    return assets.filter(~F.lower(F.col("band")).isin("thumbnail", "ndvi", "evi"))
+
+
+@query(
+    "f09_value_clamp",
+    survey=("F9", "X11"),
+    oracle="""
+        SELECT event_id,
+               GREATEST(LEAST(value * 400.0 - 5000.0, 10000.0), -10000.0)
+                 AS clamped
+        FROM events
+    """,
+)
+def f09_value_clamp(spark, sf_dir):
+    """F9 — clamp expression output to the dtype range
+    (index_generator.py:107-136)."""
+    from bdc_collection_builder_spark.operators.filters import clamp
+
+    events = t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        clamp(F.col("value") * 400.0 - 5000.0, -10000.0, 10000.0).alias("clamped"),
+    )
+
+
+@query(
+    "f10_dedup_scenes",
+    survey=("F10",),
+    oracle="SELECT DISTINCT l_partkey AS scene_key FROM lineitem",
+)
+def f10_dedup_scenes(spark, sf_dir):
+    """F10 — unique requested scenes (controller.py:266-268)."""
+    from bdc_collection_builder_spark.operators.filters import dedup_scenes
+
+    li = t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "scene_key")
+    return dedup_scenes(li, ["scene_key"])
+
+
+@query(
+    "f11_cog_skip_predicate",
+    survey=("F11",),
+    oracle=f"""
+        WITH assets AS ({_ASSET_SQL})
+        SELECT scene, band,
+               CASE WHEN band IN ('AOT', 'WVP', 'thumbnail') THEN FALSE
+                    ELSE TRUE END AS generate_cog
+        FROM assets
+    """,
+)
+def f11_cog_skip_predicate(spark, sf_dir):
+    """F11 — AOT/WVP/quicklook bands skip COG generation
+    (publish.py:419-431)."""
+    assets = _scene_assets(spark, sf_dir)
+    return assets.select(
+        "scene", "band",
+        (~F.col("band").isin("AOT", "WVP", "thumbnail")).alias("generate_cog"),
+    )

@@ -1,0 +1,275 @@
+"""Join queries (SURVEY §2.3, J1-J9) over the test tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+
+@query(
+    "j01_three_way_status_counts",
+    survey=("J1", "A1"),
+    oracle="""
+        SELECT c_mktsegment, o_orderstatus AS status,
+               count(*) AS n
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_quantity > 10
+        GROUP BY c_mktsegment, o_orderstatus
+    """,
+)
+def j01_three_way_status_counts(spark, sf_dir):
+    """J1 — 3-way equi inner join + filters + status histogram
+    (controller.py:438-443): Task ⋈ ActivityHistory ⋈ Activity.
+    Catalyst broadcasts the small dims; the fact side shuffles once."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10)
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "j02_collection_tiles_distinct",
+    survey=("J2",),
+    oracle="""
+        SELECT DISTINCT n_name AS tile_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    """,
+)
+def j02_collection_tiles_distinct(spark, sf_dir):
+    """J2 — Tile ⋈ Item DISTINCT name for one collection
+    (controller.py:683-690)."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        nation.join(F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"])
+        .select(F.col("n_name").alias("tile_name"))
+        .distinct()
+    )
+
+
+@query(
+    "j03_provider_priority_order",
+    survey=("J3", "S3", "T1"),
+    oracle="""
+        SELECT s_suppkey AS provider_id, s_name AS provider_name,
+               n_name AS region,
+               row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey)
+                 AS priority
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal > 0
+    """,
+)
+def j03_provider_priority_order(spark, sf_dir):
+    """J3/S3 — provider failover order: join settings, filter active,
+    order by priority (collect.py:104-120). The rank column makes the
+    sort order part of the hashed values."""
+    sup = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    nation = t(spark, sf_dir, "nation")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        sup.join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("s_suppkey").alias("provider_id"),
+            F.col("s_name").alias("provider_name"),
+            F.col("n_name").alias("region"),
+            F.row_number().over(w).alias("priority"),
+        )
+    )
+
+
+@query(
+    "j04_unpublished_anti_join",
+    survey=("J4",),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        )
+    """,
+)
+def j04_unpublished_anti_join(spark, sf_dir):
+    """J4 — candidates with no published item: left-anti join
+    (controller.py:298-316). 'Published' = has a finished order."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "j05_latest_failed_per_scene",
+    survey=("J5", "W2", "A3"),
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        )
+        SELECT c_mktsegment, count(*) AS n_failed
+        FROM ranked JOIN customer ON o_custkey = c_custkey
+        WHERE rn = 1 AND o_orderstatus <> 'O'
+        GROUP BY c_mktsegment
+    """,
+)
+def j05_latest_failed_per_scene(spark, sf_dir):
+    """J5/W2 — greatest-per-group + status check, replacing the
+    reference's hand-written MAX+join-back CTE (controller.py:479-495)
+    with a single ranking window (one shuffle instead of two scans)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("o_orderstatus") != "O"))
+    )
+    return (
+        latest.join(F.broadcast(cust), latest["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_failed"))
+    )
+
+
+@query(
+    "j06_fk_broadcast_lookup",
+    survey=("J6",),
+    oracle="""
+        SELECT l_orderkey, l_linenumber, p_brand, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+    """,
+)
+def j06_fk_broadcast_lookup(spark, sf_dir):
+    """J6 — FK dimension lookup as an explicit broadcast hash join
+    (models.py:53-58): the 100 TB fact side never shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
+    )
+
+
+@query(
+    "j07_band_file_join",
+    survey=("J7",),
+    oracle="""
+        WITH files AS (
+            SELECT o_orderkey AS scene, band,
+                   's3://scenes/' || o_orderkey || '_' || band || '.tif' AS href
+            FROM orders, (
+                VALUES ('B04'), ('B08'), ('SCL'), ('thumbnail'), ('NDVI'),
+                       ('EVI'), ('Fmask4')
+            ) AS b(band)
+            WHERE o_orderkey % 100 = 0
+        ), bands AS (
+            SELECT * FROM (
+                VALUES ('B04', 'red', 10.0), ('B08', 'nir', 10.0),
+                       ('SCL', 'quality', 20.0), ('Fmask4', 'quality', 30.0)
+            ) AS t(band, common_name, resolution)
+        )
+        SELECT scene, f.band AS band, href, common_name, resolution
+        FROM files f JOIN bands USING (band)
+    """,
+)
+def j07_band_file_join(spark, sf_dir):
+    """J7 — discovered files ⋈ band catalog (publish.py:400-464): the
+    reference's in-memory dict lookup becomes a broadcast join against
+    the band dimension."""
+    from bdc_collection_builder_spark.plans.filters import _scene_assets
+
+    files = _scene_assets(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("B04", "red", 10.0), ("B08", "nir", 10.0),
+         ("SCL", "quality", 20.0), ("Fmask4", "quality", 30.0)],
+        "band string, common_name string, resolution double",
+    )
+    return files.join(F.broadcast(bands), "band").select(
+        "scene", "band", "href", "common_name", "resolution")
+
+
+@query(
+    "j08_tile_bbox_projection",
+    survey=("J8", "X17"),
+    oracle="""
+        SELECT n_name AS tile,
+               CAST((n_nationkey * 11) % 340 AS DOUBLE) / 2.0 - 85.0 AS xmin,
+               CAST((n_nationkey * 17) % 160 AS DOUBLE) / 2.0 - 40.0 AS ymin,
+               CAST((n_nationkey * 11) % 340 AS DOUBLE) / 2.0 - 85.0 + 5.0 AS xmax,
+               CAST((n_nationkey * 17) % 160 AS DOUBLE) / 2.0 - 40.0 + 5.0 AS ymax
+        FROM nation WHERE n_regionkey IN (0, 1)
+    """,
+)
+def j08_tile_bbox_projection(spark, sf_dir):
+    """J8 — grid-tile bbox resolution (controller.py:504-515): with
+    tile bboxes precomputed as columns, ST_Xmin/Ymin/Xmax/Ymax becomes a
+    plain projection — no geometry engine in the hot path."""
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_regionkey").isin(0, 1))
+    xmin = ((F.col("n_nationkey") * 11) % 340).cast("double") / 2.0 - 85.0
+    ymin = ((F.col("n_nationkey") * 17) % 160).cast("double") / 2.0 - 40.0
+    return nation.select(
+        F.col("n_name").alias("tile"),
+        xmin.alias("xmin"), ymin.alias("ymin"),
+        (xmin + 5.0).alias("xmax"), (ymin + 5.0).alias("ymax"),
+    )
+
+
+@query(
+    "j09_lineage_traversal",
+    survey=("J9",),
+    oracle="""
+        SELECT 1 AS level, CAST(n_nationkey AS BIGINT) AS descendant_id
+        FROM nation WHERE n_regionkey = 0
+        UNION ALL
+        SELECT 2 AS level, c_custkey AS descendant_id
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 0
+    """,
+)
+def j09_lineage_traversal(spark, sf_dir):
+    """J9 — bounded-depth lineage traversal over edge tables
+    (models.py:66-87): iterative frontier joins, one level per join,
+    union'd with level tags. Region→nation→customer is the 2-level
+    hierarchy standing in for download→publish→post chains."""
+    from bdc_collection_builder_spark.operators.joins import lineage_descendants
+
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    roots = t(spark, sf_dir, "region").filter(F.col("r_regionkey") == 0)
+    edges_l1 = nation.select(
+        F.col("n_regionkey").cast("bigint").alias("parent_id"),
+        F.col("n_nationkey").cast("bigint").alias("child_id"))
+    edges_l2 = cust.select(
+        F.col("c_nationkey").cast("bigint").alias("parent_id"),
+        F.col("c_custkey").cast("bigint").alias("child_id"))
+    # Level-tagged edge set: nation ids and customer ids are disjoint
+    # namespaces here only because customer keys exceed nation keys —
+    # offset nation child ids into their own range like the reference's
+    # activity-id space. Simpler: traverse the two edge sets directly.
+    lvl1 = lineage_descendants(edges_l1, roots.select(F.col("r_regionkey").alias("id")),
+                               max_depth=1)
+    lvl2 = (
+        lvl1.join(edges_l2, lvl1["descendant_id"] == edges_l2["parent_id"])
+        .select(F.lit(2).alias("level"), F.col("child_id").alias("descendant_id"))
+        .distinct()
+    )
+    return lvl1.unionByName(lvl2)

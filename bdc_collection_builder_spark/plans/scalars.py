@@ -1,0 +1,381 @@
+"""Scalar-function queries (SURVEY §2.8, X1-X21) and the event-window
+queries that batch-mirror the streaming semantics (§2.9).
+
+Scene identifiers are synthesized deterministically from order rows in
+the Sentinel-2 naming grammar, then parsed back — exercising the same
+split/regexp/date functions the reference applies to real scene ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+# Sentinel-2-style scene id synthesized from an order row; identical
+# string grammar on both engines.
+_SCENE_SQL = """
+    SELECT o_orderkey,
+           'S2A_MSIL1C_' || strftime(o_orderdate, '%Y%m%d') || 'T103021_N0204_R'
+             || lpad(CAST(o_orderkey % 175 AS VARCHAR), 3, '0') || '_T'
+             || lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0') || 'LLF_20240101T120000'
+             AS scene_id
+    FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+def _scene_ids(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("S2A_MSIL1C_"),
+            F.date_format("o_orderdate", "yyyyMMdd"),
+            F.lit("T103021_N0204_R"),
+            F.lpad((F.col("o_orderkey") % 175).cast("string"), 3, "0"),
+            F.lit("_T"),
+            F.lpad((F.col("o_custkey") % 60).cast("string"), 2, "0"),
+            F.lit("LLF_20240101T120000"),
+        ).alias("scene_id"),
+    )
+
+
+@query(
+    "x01_scene_id_parsing",
+    survey=("X1", "X3"),
+    oracle=f"""
+        WITH scenes AS ({_SCENE_SQL})
+        SELECT o_orderkey, scene_id,
+               split_part(scene_id, '_', 6) AS tile,
+               strftime(strptime(substr(split_part(scene_id, '_', 3), 1, 8),
+                                 '%Y%m%d'), '%Y-%m-%d') AS sensing_date,
+               starts_with(scene_id, 'S2') AS is_sentinel2
+        FROM scenes
+    """,
+)
+def x01_scene_id_parsing(spark, sf_dir):
+    """X1 — scene-id fragment parsing (tasks.py:283-285,
+    publish.py:284-291): tile = frag[5], sensing date = frag[2]."""
+    from bdc_collection_builder_spark.functions.scalar import (
+        scene_sensing_date,
+        scene_tile,
+    )
+
+    scenes = _scene_ids(spark, sf_dir)
+    return scenes.select(
+        "o_orderkey", "scene_id",
+        scene_tile(F.col("scene_id")).alias("tile"),
+        F.date_format(scene_sensing_date(F.col("scene_id")), "yyyy-MM-dd")
+         .alias("sensing_date"),
+        F.col("scene_id").startswith("S2").alias("is_sentinel2"),
+    )
+
+
+@query(
+    "x02_output_name_rewrite",
+    survey=("X2",),
+    oracle=f"""
+        WITH scenes AS ({_SCENE_SQL})
+        SELECT o_orderkey,
+               regexp_replace(scene_id, 'MSIL1C|MSIL2A', 'B04') AS band_file
+        FROM scenes
+    """,
+)
+def x02_output_name_rewrite(spark, sf_dir):
+    """X2 — output-name pattern rewrite (publish.py:411-417):
+    re.subn('(MSIL1C|MSIL2A)', band_name, name)."""
+    scenes = _scene_ids(spark, sf_dir)
+    return scenes.select(
+        "o_orderkey",
+        F.regexp_replace("scene_id", "MSIL1C|MSIL2A", "B04").alias("band_file"),
+    )
+
+
+@query(
+    "x03_dispatch_predicates",
+    survey=("X3",),
+    oracle="""
+        SELECT p_partkey,
+               starts_with(p_type, 'PROMO') AS is_promo,
+               p_type LIKE '%BRASS' AS is_brass,
+               contains(p_name, 'green') AS has_green
+        FROM part
+    """,
+)
+def x03_dispatch_predicates(spark, sf_dir):
+    """X3 — startswith/endswith/contains dispatch predicates
+    (publish.py:262-297, tasks.py:268-271)."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+        F.col("p_type").endswith("BRASS").alias("is_brass"),
+        F.col("p_name").contains("green").alias("has_green"),
+    )
+
+
+@query(
+    "x04_mime_guess",
+    survey=("X4",),
+    oracle="""
+        WITH files AS (
+            SELECT o_orderkey,
+                   CASE o_orderkey % 4 WHEN 0 THEN 'scene.tif'
+                        WHEN 1 THEN 'quick.png' WHEN 2 THEN 'meta.xml'
+                        ELSE 'band.jp2' END AS filename
+            FROM orders WHERE o_orderkey % 25 = 0
+        )
+        SELECT o_orderkey, filename,
+               CASE WHEN filename LIKE '%.tif' THEN 'image/tiff; application=geotiff'
+                    WHEN filename LIKE '%.png' THEN 'image/png'
+                    WHEN filename LIKE '%.jp2' THEN 'image/jp2'
+                    WHEN filename LIKE '%.xml' THEN 'application/xml'
+                    ELSE 'application/octet-stream' END AS mime
+        FROM files
+    """,
+)
+def x04_mime_guess(spark, sf_dir):
+    """X4 — extension → MIME lookup (publish.py:49-56)."""
+    from bdc_collection_builder_spark.functions.scalar import guess_mime
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    filename = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("scene.tif"))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("quick.png"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("meta.xml"))
+        .otherwise(F.lit("band.jp2"))
+    )
+    files = orders.select("o_orderkey", filename.alias("filename"))
+    return files.withColumn("mime", guess_mime(F.col("filename")))
+
+
+@query(
+    "x05_period_generation",
+    survey=("X5",),
+    oracle="""
+        WITH months AS (
+            SELECT unnest(generate_series(
+                DATE '1996-01-01', DATE '1996-12-01', INTERVAL 1 MONTH
+            )) AS m
+        )
+        SELECT strftime(m, '%Y-%m-%d') AS period_start,
+               strftime(last_day(CAST(m AS DATE)), '%Y-%m-%d') AS period_end
+        FROM months
+    """,
+)
+def x05_period_generation(spark, sf_dir):
+    """X5 — month-aligned period generation (controller.py:45-68):
+    sequence + last_day replaces the driver-side relativedelta loop."""
+    from bdc_collection_builder_spark.functions.scalar import generate_month_periods
+
+    bounds = spark.createDataFrame(
+        [("1996-01-01 00:00:00", "1996-12-31 00:00:00")], "s string, e string"
+    ).select(F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    periods = generate_month_periods(bounds, "s", "e")
+    return periods.select(
+        F.date_format("period_start", "yyyy-MM-dd").alias("period_start"),
+        F.date_format("period_end", "yyyy-MM-dd").alias("period_end"),
+    )
+
+
+@query(
+    "x06_composite_end_date",
+    survey=("X6", "X7"),
+    oracle="""
+        SELECT o_orderkey,
+               strftime(CAST(o_orderdate AS DATE) + 15,
+                        '%Y-%m-%d') || ' 23:59:59' AS composite_end
+        FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def x06_composite_end_date(spark, sf_dir):
+    """X6 — cube composite end = start + (step-1) days @ 23:59:59
+    (publish.py:321-330)."""
+    from bdc_collection_builder_spark.functions.scalar import composite_end
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.date_format(composite_end(F.col("o_orderdate"), 16),
+                      "yyyy-MM-dd HH:mm:ss").alias("composite_end"),
+    )
+
+
+@query(
+    "x18_json_args_merge",
+    survey=("X18", "X19"),
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               'download' AS stage, 1 AS attempt
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def x18_json_args_merge(spark, sf_dir):
+    """X18/X19 — JSON args decode + shallow merge across task hops
+    (tasks.py:86-89): from_json → map_concat → project merged fields."""
+    from bdc_collection_builder_spark.functions.scalar import merge_args
+
+    events = t(spark, sf_dir, "events")
+    merged = events.withColumn(
+        "args", merge_args(F.col("props"), {"stage": "download", "attempt": "1"}))
+    parsed = F.from_json(F.col("args"), "map<string,string>")
+    return (
+        merged.select(
+            "event_id",
+            parsed.getItem("k").cast("bigint").alias("k"),
+            parsed.getItem("stage").alias("stage"),
+            parsed.getItem("attempt").cast("int").alias("attempt"),
+        )
+        .filter(F.col("k") > 50)
+    )
+
+
+@query(
+    "x20_asset_href_math",
+    survey=("X20",),
+    oracle=f"""
+        WITH scenes AS ({_SCENE_SQL})
+        SELECT o_orderkey,
+               regexp_replace('/archive/repository/' || scene_id || '.zip',
+                              '^/archive/repository/', 's3://bdc-data/')
+                 AS href
+        FROM scenes
+    """,
+)
+def x20_asset_href_math(spark, sf_dir):
+    """X20 — asset href prefix rewrite (publish.py:131-156)."""
+    from bdc_collection_builder_spark.functions.scalar import relativize_href
+
+    scenes = _scene_ids(spark, sf_dir)
+    path = F.concat(F.lit("/archive/repository/"), F.col("scene_id"), F.lit(".zip"))
+    return scenes.select(
+        "o_orderkey",
+        relativize_href(path, "/archive/repository/", "s3://bdc-data/").alias("href"),
+    )
+
+
+@query(
+    "x21_collection_identifier",
+    survey=("X21",),
+    oracle="""
+        SELECT n_nationkey, n_name || '-' || CAST(n_regionkey AS VARCHAR)
+               AS identifier
+        FROM nation
+    """,
+)
+def x21_collection_identifier(spark, sf_dir):
+    """X21 — '{name}-{version}' identifier build (controller.py:236-238)."""
+    from bdc_collection_builder_spark.functions.scalar import collection_identifier
+
+    nation = t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        collection_identifier(F.col("n_name"), F.col("n_regionkey")).alias("identifier"),
+    )
+
+
+# --- §2.9 streaming semantics, batch-mirrored on the events table --------
+
+@query(
+    "y01_tumbling_window",
+    survey=("Y1",),
+    oracle="""
+        SELECT to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT))
+                 AT TIME ZONE 'UTC' AS window_start,
+               event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def y01_tumbling_window(spark, sf_dir):
+    """Y1 — 10-minute tumbling window aggregate: the batch shape of the
+    per-stage queue throughput rollup. Uses the engine's native
+    F.window; the oracle reproduces the epoch-aligned bucketing."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@query(
+    "y02_sliding_window",
+    survey=("Y2",),
+    oracle="""
+        WITH shifted AS (
+            SELECT ts, value,
+                   to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
+                     AT TIME ZONE 'UTC' - o * INTERVAL 5 MINUTE AS window_start
+            FROM events, (VALUES (0), (1)) AS t(o)
+        )
+        SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM shifted
+        WHERE ts < window_start + INTERVAL 10 MINUTE
+        GROUP BY window_start
+    """,
+)
+def y02_sliding_window(spark, sf_dir):
+    """Y2-adjacent — 10-minute window sliding by 5: each event lands in
+    two windows (the retry-horizon rollup shape)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "y05_session_window",
+    survey=("Y5", "Y6"),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_no
+            FROM flagged
+        )
+        SELECT user_id, session_no, count(*) AS n_events,
+               min(ts) AS session_start
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+)
+def y05_session_window(spark, sf_dir):
+    """Sessionization with a 30-minute gap — lag + cumulative-sum
+    (identical semantics to streaming session_window for batch data;
+    the oracle uses the same formulation)."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = F.lag("ts").over(w)
+    new_session = F.when(
+        lagged.isNull()
+        | (F.col("ts").cast("double") - lagged.cast("double") > 1800), 1
+    ).otherwise(0)
+    numbered = events.withColumn("new_session", new_session).withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+    )

@@ -1,0 +1,81 @@
+"""Set-operation queries (SURVEY §2.7, U1-U3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+
+@query(
+    "u01_union_scene_sets",
+    survey=("U1",),
+    oracle="""
+        SELECT o_custkey AS scene_key FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        UNION
+        SELECT o_custkey FROM orders
+        WHERE o_orderstatus = 'P'
+    """,
+)
+def u01_union_scene_sets(spark, sf_dir):
+    """U1 — union of provider scene sets across periods + cache hits
+    (controller.py:595, 602)."""
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderdate") < "1996-01-01").select(
+        F.col("o_custkey").alias("scene_key"))
+    b = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("scene_key"))
+    return a.union(b).distinct()
+
+
+@query(
+    "u02_missing_scenes_difference",
+    survey=("U2",),
+    oracle="""
+        SELECT c_custkey AS scene_key FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def u02_missing_scenes_difference(spark, sf_dir):
+    """U2 — external − internal missing-scene difference
+    (controller.py:606-618)."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("scene_key"))
+    have = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1996-01-01"))
+        .select(F.col("o_custkey").alias("scene_key"))
+    )
+    return cust.subtract(have)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "u03_sorted_union_array",
+    survey=("U3", "A6"),
+    oracle="""
+        SELECT n_nationkey,
+               array_to_string(
+                   list_sort(list_distinct(
+                       [n_nationkey % 5, n_regionkey, n_regionkey + 2, 7]
+                   )), ','
+               ) AS merged_positions
+        FROM nation
+    """,
+)
+def u03_sorted_union_array(spark, sf_dir):
+    """U3 — numpy.union1d semantics (utils.py:369): sorted distinct
+    union of index arrays, serialized for engine-neutral hashing."""
+    nation = t(spark, sf_dir, "nation")
+    arr_a = F.array(F.col("n_nationkey") % 5, F.col("n_regionkey"))
+    arr_b = F.array(F.col("n_regionkey") + 2, F.lit(7))
+    return nation.select(
+        "n_nationkey",
+        F.concat_ws(",", F.array_sort(F.array_union(arr_a, arr_b)))
+         .alias("merged_positions"),
+    )

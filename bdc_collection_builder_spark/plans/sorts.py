@@ -1,0 +1,70 @@
+"""Sort / limit / top-k queries (SURVEY §2.6, T1-T5).
+
+The value hash is order-insensitive, so every sort query materializes
+its order as a rank column (or uses a unique-keyed LIMIT) to make the
+ordering verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+
+@query(
+    "t02_ordered_catalog",
+    survey=("T2",),
+    oracle="""
+        SELECT r_regionkey, r_name,
+               row_number() OVER (ORDER BY r_regionkey) AS position
+        FROM region
+    """,
+)
+def t02_ordered_catalog(spark, sf_dir):
+    """T2 — ORDER BY id catalog listings (controller.py:625-628)."""
+    region = t(spark, sf_dir, "region")
+    w = Window.orderBy("r_regionkey")
+    return region.select(
+        "r_regionkey", "r_name", F.row_number().over(w).alias("position"))
+
+
+@query(
+    "t04_first_element",
+    survey=("T4",),
+    oracle="""
+        SELECT user_id, min(ts) AS first_ts
+        FROM events GROUP BY user_id
+    """,
+)
+def t04_first_element(spark, sf_dir):
+    """T4 — first-element top-1 per key (forms.py:117, tasks.py:329)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+
+
+@query(
+    "t05_top_k",
+    survey=("T5", "T1"),
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def t05_top_k(spark, sf_dir):
+    """T5 — top-k with a deterministic tiebreaker. Spark runs this as a
+    per-partition top-k + single-reduce (TakeOrderedAndProject), never a
+    global sort — the 100 TB-safe form of LIMIT."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -1,0 +1,63 @@
+"""Parquet table loaders for the synthetic test tables.
+
+At 100 TB these reads come from an object store; everything here keeps
+the scan declarative (``spark.read.parquet``) so Catalyst applies column
+pruning and predicate pushdown — never pre-materialize or collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Plain declarative parquet scan → pushdown-friendly.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as int64 nanos and convert to a
+    microsecond timestamp (integer division — never float, nano epochs
+    exceed 2^53).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The nanos→timestamp conversion below yields an instant; pin the
+        # session to UTC so its rendering (and pandas conversion) matches
+        # the UTC-naive external oracles regardless of host timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view; return the DataFrames.
+
+    Registering views lets operators be expressed in either the DataFrame
+    API or ``spark.sql`` — both compile to the same Catalyst plan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

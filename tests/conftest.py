@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from bdc_collection_builder_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    from bdc_collection_builder_spark.sources.tables import TABLES
+
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
