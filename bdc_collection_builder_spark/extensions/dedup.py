@@ -44,7 +44,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              k: int = 5) -> DataFrame:
     """Distinct k-token shingles per document (long format)."""
-    toks = tokens(F.col(text_col))
+    # Materialize the token array in its own projection first: lambda
+    # bodies re-evaluate captured expressions per element, so an inline
+    # tokens() would recompute the regex split once per shingle index
+    # (O(tokens²) per document).
+    tok_df = docs.select(F.col(id_col).alias("doc_id"),
+                         tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     sh = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -52,10 +58,7 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return tok_df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -86,13 +89,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", k: int = 5,
-                       n_hashes: int = 32) -> DataFrame:
-    """MinHash signature per document: for each of n_hashes seeds, the
-    min of xxhash64(shingle, seed) over the doc's shingles. One narrow
-    pass over the shingle table; the signature rides as an array column."""
-    sh = shingles(docs, text_col, id_col, k)
+def minhash_signatures_from_shingles(sh: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """MinHash signatures from a (doc_id, shingle) table: for each of
+    n_hashes seeds, the min of xxhash64(shingle, seed). One map-side-
+    combined aggregation; the signature rides as an array column."""
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
         for seed in range(n_hashes)
@@ -102,6 +102,15 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         "doc_id",
         F.array(*[F.col(f"h{seed}") for seed in range(n_hashes)]).alias("signature"),
     )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       n_hashes: int = 32) -> DataFrame:
+    """MinHash signature per document (see
+    :func:`minhash_signatures_from_shingles`)."""
+    return minhash_signatures_from_shingles(
+        shingles(docs, text_col, id_col, k), n_hashes)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -114,9 +123,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     With 32 hashes / 8 bands the S-curve crosses ~0.5 Jaccard — tune
     (n_hashes, bands) for other thresholds. Candidates are then scored
     with exact Jaccard so false positives drop out; false-negative rate
-    is the standard 1-(1-s^r)^b curve."""
+    is the standard 1-(1-s^r)^b curve.
+
+    The shingle table is computed once and persisted — it feeds the
+    signatures AND both sides of the verification join; without the
+    persist the whole explode recomputes per plan branch."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, k, n_hashes)
+    sh = shingles(docs, text_col, id_col, k).persist()
+    sig = minhash_signatures_from_shingles(sh, n_hashes)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -142,11 +156,25 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold=0.0)
+    # Exact-Jaccard verification restricted to the candidate pairs —
+    # never all-pairs: two equi-joins against the shingle table, keyed
+    # (doc, shingle), so cost scales with candidates, not corpus².
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
