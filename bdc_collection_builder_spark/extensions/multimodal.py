@@ -1,0 +1,108 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched pandas UDFs over ``mapInPandas``.
+
+The Spark-side design is real and tested: schemas, partition-parallel
+batch iteration, and the UDF signatures match what a decode/resize/
+frame-sample pipeline needs at 100 TB (binary payloads never leave the
+executor; only derived features shuffle). The *codec* itself is stubbed
+deterministically because image/audio libraries are not in this
+container — `decode_image_features(..., codec="stub")` documents the
+seam where Pillow/libav plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),        # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),      # opaque bytes
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, sha256 string, "
+    "mean_byte double, feature array<float>"
+)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media rows (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        rows.append((i, kind, bytearray(payload), f"application/x-{kind}",
+                     64 + i % 32 if kind != "audio" else None,
+                     64 + i % 16 if kind != "audio" else None,
+                     1000 * (i % 30) if kind != "image" else None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image_features(media: DataFrame, codec: str = "stub",
+                          feature_dim: int = 8) -> DataFrame:
+    """Decode + feature-extract over binary payloads.
+
+    ``mapInPandas`` keeps whole Arrow batches in the worker: payload
+    bytes stay executor-local and only the fixed-size feature vector
+    comes back — the shape a real CLIP/embedding extraction stage has.
+    With ``codec='stub'`` features are a deterministic byte-histogram
+    projection; a real codec (Pillow/torchvision) drops into `_decode`.
+    """
+    if codec != "stub":
+        raise NotImplementedError(
+            f"codec {codec!r}: real decoders are not available in this "
+            "environment; the stub documents the seam")
+
+    def _decode(payload: bytes) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        # byte-histogram projection → fixed-dim feature (deterministic)
+        hist = np.bincount(arr.astype(np.int64) % feature_dim,
+                           weights=arr, minlength=feature_dim)
+        norm = np.linalg.norm(hist)
+        return (hist / norm if norm else hist).astype(np.float32)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            features = [
+                _decode(p) if p is not None else np.zeros(feature_dim, np.float32)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "sha256": [hashlib.sha256(p).hexdigest() if p is not None else None
+                           for p in pdf["payload"]],
+                "mean_byte": [
+                    float(np.frombuffer(p, dtype=np.uint8).mean())
+                    if p else None for p in pdf["payload"]],
+                "feature": [f.tolist() for f in features],
+            })
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: explode each video row into the frame
+    timestamps a decoder would extract — pure Catalyst (sequence +
+    explode), so the expensive decode fan-out is a narrow operation
+    partitioned by media_id."""
+    videos = media.filter(F.col("kind") == "video")
+    return videos.select(
+        "media_id",
+        F.explode(F.sequence(
+            F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+            F.lit(every_ms))).alias("frame_ts_ms"),
+    )

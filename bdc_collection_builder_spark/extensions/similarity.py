@@ -80,12 +80,18 @@ def hash_buckets(vec: Column, planes: list[list[list[float]]]) -> Column:
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id", n_tables: int = 8,
-             n_bits: int = 10, dim: int = 64, seed: int = 42) -> DataFrame:
+             query_id_col: str = "query_id", n_tables: int = 24,
+             n_bits: int = 5, dim: int = 64, seed: int = 42) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with multi-probe by
     table: corpus rows land in n_tables buckets; a query only scores
     candidates sharing a (table, bucket) key. Recall rises with
-    n_tables; cost is the candidate count, not the corpus size."""
+    n_tables; cost is the candidate count, not the corpus size.
+
+    Defaults sized for weakly-similar neighbors (top-1 cosine ~0.35,
+    per-bit collision ~0.6): 5 bits -> ~8% per-table collision, 24
+    tables -> ~85-95% expected top-1 recall. For strongly-similar
+    corpora (dedup-grade, cosine > 0.8) raise n_bits to 12-16 to shrink
+    buckets; bucket size scales as corpus/2^bits per table."""
     planes = _hyperplanes(n_tables, n_bits, dim, seed)
 
     def bucketize(df: DataFrame, idc: str) -> DataFrame:

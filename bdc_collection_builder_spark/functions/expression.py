@@ -90,6 +90,56 @@ def validate_expression(expression: str, allowed_bands: set[str] | frozenset[str
     return body
 
 
+_CMP_OPS = {
+    ast.Lt: "<", ast.LtE: "<=", ast.Gt: ">", ast.GtE: ">=",
+    ast.Eq: "=", ast.NotEq: "<>",
+}
+_BIN_OPS = {ast.Add: "+", ast.Sub: "-", ast.Mult: "*", ast.Mod: "%"}
+
+
+def _emit_sql(node: ast.AST) -> str:
+    """Emit ANSI-safe Spark SQL from a validated expression AST.
+
+    Division becomes ``try_divide`` so 0/0 yields NULL (→ nodata after
+    coalesce) instead of an ANSI runtime error — this matches the
+    reference's numpy masked-array behavior where a zero denominator
+    produces a masked pixel filled with nodata
+    (index_generator.py:107-136).
+    """
+    if isinstance(node, ast.Expression):
+        return _emit_sql(node.body)
+    if isinstance(node, ast.Name):
+        return node.id
+    if isinstance(node, ast.Constant):
+        return repr(node.value)
+    if isinstance(node, ast.UnaryOp):
+        sign = "-" if isinstance(node.op, ast.USub) else "+"
+        return f"({sign}{_emit_sql(node.operand)})"
+    if isinstance(node, ast.BinOp):
+        left, right = _emit_sql(node.left), _emit_sql(node.right)
+        if isinstance(node.op, ast.Div):
+            return f"try_divide({left}, {right})"
+        if isinstance(node.op, ast.Pow):
+            return f"power({left}, {right})"
+        return f"({left} {_BIN_OPS[type(node.op)]} {right})"
+    if isinstance(node, ast.Compare):
+        left = _emit_sql(node.left)
+        parts = [
+            f"{left} {_CMP_OPS[type(op)]} {_emit_sql(cmp)}"
+            for op, cmp in zip(node.ops, node.comparators)
+        ]
+        return "(" + " AND ".join(parts) + ")"
+    if isinstance(node, ast.IfExp):
+        return (
+            f"(CASE WHEN {_emit_sql(node.test)} THEN {_emit_sql(node.body)}"
+            f" ELSE {_emit_sql(node.orelse)} END)"
+        )
+    if isinstance(node, ast.Call):
+        args = ", ".join(_emit_sql(a) for a in node.args)
+        return f"{node.func.id.lower()}({args})"
+    raise BandExpressionError(f"cannot emit {type(node).__name__}")
+
+
 def compile_band_expression(
     expression: str,
     allowed_bands: set[str] | frozenset[str],
@@ -105,12 +155,16 @@ def compile_band_expression(
     NULL (masked) pixels with ``nodata``.
     """
     body = validate_expression(expression, allowed_bands)
-    col = F.expr(body)
+    col = F.expr(_emit_sql(ast.parse(body, mode="eval")))
     if scale is not None:
         col = col * F.lit(scale)
     lo, hi = DTYPE_RANGES.get(dtype, DTYPE_RANGES["float32"])
     if lo != float("-inf"):
-        col = F.greatest(F.least(col, F.lit(float(hi))), F.lit(float(lo)))
+        # least/greatest skip NULL args, which would turn a masked pixel
+        # into the dtype bound — clamp only non-NULL values so masked
+        # pixels fall through to the nodata fill.
+        clamped = F.greatest(F.least(col, F.lit(float(hi))), F.lit(float(lo)))
+        col = F.when(col.isNotNull(), clamped)
     if nodata is not None:
         col = F.coalesce(col, F.lit(float(nodata)))
     return col

@@ -1,0 +1,81 @@
+"""Incremental ingestion on Structured Streaming (SURVEY §2.9).
+
+The reference's Celery topology is continuous arrival on per-stage
+queues with at-least-once delivery and idempotent publish (Y1-Y6).
+Spark mapping:
+
+- arrival: a file/Delta streaming source per stage directory
+- exactly-once-ish publish: ``foreachBatch`` + keyed MERGE into the
+  items table (idempotent on (name, collection_id)) — re-delivered
+  batches collapse (Y3/Y4)
+- in-batch dedup: dropDuplicates on the merge key (Y5)
+- bounded catch-up runs: ``Trigger.AvailableNow`` processes the
+  backlog then stops — the batch-mode analog of the always-on workers
+- windowed monitoring: watermarked event-time aggregation (Y6)
+
+Late-data retry state (Y2) deliberately does NOT live in streaming
+state: it's the persisted ledger (pipeline/ledger.due_retries), so a
+restart loses nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.catalog.schemas import SCHEMAS
+from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+
+def incremental_publish(spark: SparkSession, incoming_dir: str,
+                        store: CatalogStore, checkpoint_dir: str):
+    """Continuously MERGE arriving item rows (parquet files dropped into
+    ``incoming_dir``) into the catalog. Returns the started query;
+    callers use ``awaitTermination`` (AvailableNow stops at backlog
+    end). Safe under re-delivery: the MERGE key makes re-processing a
+    no-op row replacement."""
+    stream = (
+        spark.readStream.schema(SCHEMAS["items"]).parquet(incoming_dir)
+    )
+
+    def publish_batch(batch: DataFrame, epoch_id: int) -> None:
+        store.merge_upsert(
+            "items", batch.dropDuplicates(["name", "collection_id"]))
+
+    return (
+        stream.writeStream
+        .foreachBatch(publish_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_status_counts(spark: SparkSession, events_dir: str,
+                            checkpoint_dir: str, gap: str = "10 minutes"):
+    """Y6 — live per-window per-type counts: the streaming form of the
+    monitoring plane's A2 histogram.
+
+    Complete output mode so every window (including those newer than
+    any watermark at end-of-input) is visible to the dashboard — the
+    state here is one row per (10-min window, event_type), tiny even at
+    100 TB of events. For an append-mode sink (e.g. files), add
+    ``withWatermark("ts", "30 minutes")`` to bound state and accept
+    that the trailing windows emit only on the next trigger — the
+    bounded-state analog of the reference's 72x900s retry horizon."""
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        stream
+        .groupBy(F.window("ts", gap), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("status_counts")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

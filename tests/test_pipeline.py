@@ -1,0 +1,193 @@
+"""End-to-end pipeline tests: radcor search→prune→dispatch→stages over
+the domain fixtures, ledger semantics (idempotent dispatch, retry
+horizon), store upsert, streaming incremental publish."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+from bdc_collection_builder_spark.catalog.store import CatalogStore
+from bdc_collection_builder_spark.pipeline.ledger import (
+    due_retries,
+    failed_latest,
+    record_attempts,
+)
+from bdc_collection_builder_spark.pipeline.radcor import (
+    RadcorQuery,
+    check_scenes,
+    count_activities,
+    radcor_dispatch,
+    radcor_preview,
+    search,
+)
+from bdc_collection_builder_spark.pipeline.stages import (
+    correction_stage,
+    download_stage,
+    post_stage,
+    publish_stage,
+)
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    return make_fixtures(spark, n_scenes=60, n_tiles=6)
+
+
+@pytest.fixture()
+def store(spark, tmp_path, fixtures):
+    s = CatalogStore(spark, str(tmp_path / "catalog"))
+    for name in ("items", "activities", "activity_history", "tasks",
+                 "activity_src"):
+        s.overwrite(name, fixtures[name])
+    return s
+
+
+def _query(**kw):
+    defaults = dict(collection_id=1, dataset="S2MSI2A",
+                    start_date="2024-01-01", end_date="2024-12-31",
+                    bbox=(-180.0, -90.0, 180.0, 90.0))
+    defaults.update(kw)
+    return RadcorQuery(**defaults)
+
+
+def test_query_validation():
+    with pytest.raises(ValueError):
+        RadcorQuery(collection_id=1, dataset="d", start_date="2024-01-01",
+                    end_date="2024-02-01")         # none of bbox/scenes/tiles
+    with pytest.raises(ValueError):
+        RadcorQuery(collection_id=1, dataset="d", start_date="2024-01-01",
+                    end_date="2024-02-01", bbox=(0, 0, 1, 1), scenes=["a"])
+
+
+def test_search_pushdown_filters(spark, fixtures):
+    q = _query(cloud=30.0)
+    found = search(fixtures["scenes_remote"], q)
+    rows = found.collect()
+    assert rows, "search should return scenes"
+    assert all(r.cloud_cover <= 30.0 for r in rows)
+    assert all(r.dataset == "S2MSI2A" for r in rows)
+
+
+def test_preview_skips_published(spark, fixtures, store):
+    preview = radcor_preview(store, fixtures["scenes_remote"], _query())
+    names = {r.scene_id for r in preview.collect()}
+    published = {r.name for r in store.read("items")
+                 .filter(F.col("collection_id") == 1).collect()}
+    assert names, "preview should propose unpublished scenes"
+    assert not names & published, "published scenes must be pruned (J4)"
+    # force=True re-proposes everything the search matched
+    forced = radcor_preview(store, fixtures["scenes_remote"], _query(force=True))
+    assert forced.count() > preview.count()
+
+
+def test_dispatch_idempotent(spark, fixtures, store):
+    q = _query()
+    before = store.read("activities").count()
+    radcor_dispatch(store, fixtures["scenes_remote"], q)
+    after_first = store.read("activities").count()
+    radcor_dispatch(store, fixtures["scenes_remote"], q)
+    after_second = store.read("activities").count()
+    assert after_first > before
+    assert after_second == after_first, "re-dispatch must be a no-op (Y5)"
+    # unique constraint holds
+    dup = (store.read("activities")
+           .groupBy("collection_id", "activity_type", "sceneid")
+           .count().filter(F.col("count") > 1).count())
+    assert dup == 0
+    # lineage edges exist for chained stages (J9 source data)
+    assert store.read("activity_src").count() > 0
+
+
+def test_stage_flow_end_to_end(spark, fixtures, store):
+    """download → correction → publish → post over previewed scenes."""
+    q = _query()
+    scenes = (radcor_preview(store, fixtures["scenes_remote"], q)
+              .withColumn("collection_id", F.lit(1)))
+    scenes_meta = fixtures["scenes_remote"].withColumnRenamed(
+        "sensing_date", "sensing_date")
+    downloaded = download_stage(scenes, ["ESA-SciHub", "CREODIAS", "GCS"])
+    dl = downloaded.collect()
+    assert dl
+    assert all(r.status == "SUCCESS" or r.provider_used is None for r in dl)
+    assert any(r.attempts > 1 for r in dl), "failover path must exercise"
+
+    corrected = correction_stage(downloaded, fixtures["collections"])
+    cr = corrected.collect()
+    assert cr and all(r.processor == "sen2cor" for r in cr)
+
+    published = publish_stage(
+        corrected, scenes_meta.withColumn("collection_id", F.lit(1)),
+        fixtures["bands"], fixtures["tiles"], store)
+    pub = published.collect()
+    assert pub
+    sample_assets = pub[0].assets
+    assert "B04" in sample_assets and "NDVI" in sample_assets
+    # idempotent re-publish (Y3): same keys, items count stable
+    n_items = store.read("items").count()
+    publish_stage(corrected, scenes_meta.withColumn("collection_id", F.lit(1)),
+                  fixtures["bands"], fixtures["tiles"], store)
+    assert store.read("items").count() == n_items
+
+    from bdc_collection_builder_spark.functions.pixel import synthetic_pixels
+
+    px = synthetic_pixels(spark, n_scenes=4, height=8, width=8)
+    name_map = published.select("name").limit(4).withColumn(
+        "pxid", F.row_number().over(
+            __import__("pyspark.sql", fromlist=["Window"]).Window
+            .orderBy("name")) - 1)
+    px_named = px.join(name_map, px["scene_id"] == name_map["pxid"]) \
+        .drop("scene_id", "pxid").withColumnRenamed("name", "scene_id")
+    quality = post_stage(store.read("items").limit(50), px_named)
+    assert quality.filter(F.col("n_invalid").isNotNull()).count() > 0
+
+
+def test_ledger_failed_latest_and_retries(spark, fixtures, store):
+    failed = failed_latest(store)
+    rows = failed.collect()
+    assert rows, "fixtures plant scenes whose latest attempt failed"
+    assert all(r.status == "FAILURE" for r in rows)
+    # retry horizon: everything is long past due relative to 'now'
+    due = due_retries(store, dt.datetime(2024, 12, 31))
+    assert 0 < due.count() <= len(rows)
+    # nothing is due immediately after the attempt
+    not_due = due_retries(store, dt.datetime(2024, 1, 1, 0, 0, 1))
+    assert not_due.count() < due.count() or due.count() == 0
+
+
+def test_record_attempts_appends(spark, store):
+    acts = store.read("activities").limit(3).select(
+        F.col("id").alias("activity_id"),
+        F.lit("STARTED").alias("status"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"))
+    before_h = store.read("activity_history").count()
+    before_t = store.read("tasks").count()
+    record_attempts(store, acts)
+    assert store.read("activity_history").count() == before_h + 3
+    assert store.read("tasks").count() == before_t + 3
+
+
+def test_check_scenes_and_counts(spark, fixtures, store):
+    report = check_scenes(store, fixtures["scenes_remote"], _query()).collect()[0]
+    assert report.total_external > 0
+    assert report.missing_in_catalog > 0      # unpublished + S2B extras
+    counts = {r.status: r.n for r in count_activities(store).collect()}
+    assert counts.get("SUCCESS", 0) > 0 and counts.get("FAILURE", 0) > 0
+
+
+def test_store_merge_upsert_replaces(spark, tmp_path, fixtures):
+    s = CatalogStore(spark, str(tmp_path / "c2"))
+    s.overwrite("items", fixtures["items"])
+    one = s.read("items").limit(1)
+    updated = one.withColumn("cloud_cover", F.lit(99.5))
+    n = s.read("items").count()
+    s.merge_upsert("items", updated)
+    assert s.read("items").count() == n
+    key = one.collect()[0]
+    got = s.read("items").filter(
+        (F.col("name") == key.name)
+        & (F.col("collection_id") == key.collection_id)).collect()[0]
+    assert got.cloud_cover == 99.5

@@ -1,0 +1,53 @@
+"""Structured Streaming: incremental publish idempotence + windowed
+monitoring with watermarks (SURVEY §2.9 Y1-Y6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+from bdc_collection_builder_spark.catalog.store import CatalogStore
+from bdc_collection_builder_spark.streaming.incremental import (
+    incremental_publish,
+    streaming_status_counts,
+)
+
+
+def test_incremental_publish_merges_idempotently(spark, tmp_path):
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    store = CatalogStore(spark, str(tmp_path / "cat"))
+    store.overwrite("items", fx["items"].limit(10))
+    incoming = str(tmp_path / "incoming")
+    checkpoint = str(tmp_path / "ckpt")
+
+    # Drop the full item set (overlapping the 10 existing) as a backlog.
+    fx["items"].write.mode("overwrite").parquet(incoming)
+    q = incremental_publish(spark, incoming, store, checkpoint)
+    q.awaitTermination(120)
+    n_after_first = store.read("items").count()
+    assert n_after_first == fx["items"].count(), "all items merged once"
+
+    # Re-deliver the same files under a fresh checkpoint (simulated
+    # at-least-once re-delivery): MERGE keys keep the table stable.
+    q2 = incremental_publish(spark, incoming, store, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert store.read("items").count() == n_after_first
+
+
+def test_streaming_windowed_counts(spark, tmp_path, sf_dir):
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    events_dir = str(tmp_path / "events")
+    (load_table(spark, sf_dir, "events")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .write.mode("overwrite").parquet(events_dir))
+    q = streaming_status_counts(spark, events_dir, str(tmp_path / "ckpt3"))
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM status_counts")
+    batch = (load_table(spark, sf_dir, "events")
+             .groupBy(F.window("ts", "10 minutes"), "event_type")
+             .agg(F.count("*").alias("n")))
+    # The streaming aggregation over the same bounded input must agree
+    # with the batch plan (watermark drops nothing on ordered replay).
+    assert out.agg(F.sum("n")).collect()[0][0] == \
+        batch.agg(F.sum("n")).collect()[0][0]
