@@ -63,6 +63,7 @@ def _load_all() -> None:
         scalars,
         setops,
         sorts,
+        sources,
         windows,
     )
 

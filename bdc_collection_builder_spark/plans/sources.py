@@ -1,0 +1,658 @@
+"""Source/sink operator queries (SURVEY §2.1) plus the remaining
+scalar/geometry/UDF-surface items (X8, X13-X15, Y3/Y4, Z2/Z3).
+
+Side-effecting IO (network download, Docker processors, rasterio) has
+no place in a correctness query, so each sink/stage is represented by
+the **deterministic dataflow it plans**: the per-band output manifest a
+COG sink would write, the member rows an archive extraction yields, the
+failover outcome of the download loop. Where the dataflow is pure
+relational algebra it carries a DuckDB oracle; genuinely UDF-bound
+plumbing (mapInPandas stages, convex hulls) is rows-only — exactly the
+split the driver's correctness harness expects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.functions.pixel import synthetic_pixels_oracle
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+_PIXELS = synthetic_pixels_oracle(n_scenes=4, height=16, width=16)
+
+
+def _scenes(spark, sf_dir):
+    """Scene rows derived from orders: deterministic scene ids so UDF
+    stages are oracle-regenerable."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.concat(F.lit("S2A_MSIL1C_"),
+                     F.col("o_orderkey").cast("string")).alias("scene_id"),
+            (F.col("o_orderkey") % 3 + 1).cast("int").alias("collection_id"),
+            F.col("o_orderdate").alias("sensing_date"),
+        )
+    )
+
+
+@query(
+    "s01_remote_search_pushdown",
+    survey=("S1",),
+    oracle="""
+        SELECT o_orderkey AS scene_key, o_orderdate AS sensing_date,
+               o_totalprice * 0.0001 AS cloud_cover
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+          AND o_totalprice * 0.0001 <= 30.0
+    """,
+)
+def s01_remote_search_pushdown(spark, sf_dir):
+    """S1 — remote catalog search with bbox/time/cloud predicates pushed
+    into the source (controller.py:269-295; collect.py:80-83). On
+    parquet the same predicates reach the scan as PushedFilters; a
+    provider-API source applies them in its request — same contract as
+    DSv2 SupportsPushDownFilters."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders
+        .filter(F.col("o_orderstatus") == "O")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1996-12-31"))
+        .select(
+            F.col("o_orderkey").alias("scene_key"),
+            F.col("o_orderdate").alias("sensing_date"),
+            (F.col("o_totalprice") * 0.0001).alias("cloud_cover"),
+        )
+        .filter(F.col("cloud_cover") <= 30.0)
+    )
+
+
+@query(
+    "s02_download_failover",
+    survey=("S2", "Z2"),
+)
+def s02_download_failover(spark, sf_dir):
+    """S2/Z2 — the download-with-failover and external-processor stages
+    (tasks.py:129-240, processor.py:27-101) as mapInPandas over scene
+    partitions with a deterministic IO simulator. Rows-only: the
+    failover loop is imperative per-row control flow, the exact case
+    Spark reserves for UDF stages. Partitioning = scene batches; no
+    shuffle enters either stage."""
+    from bdc_collection_builder_spark.pipeline.stages import (
+        correction_stage,
+        download_stage,
+    )
+
+    scenes = _scenes(spark, sf_dir)
+    downloaded = download_stage(scenes, ["usgs", "scihub", "creodias"])
+    collections = spark.createDataFrame(
+        [(i, '{"processors":[{"name":"sen2cor"}]}') for i in (1, 2, 3)],
+        "id int, metadata string")
+    corrected = correction_stage(downloaded, collections)
+    return corrected.orderBy("scene_id")
+
+
+@query(
+    "s04_archive_validation",
+    survey=("S4",),
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS checksum,
+               substr(md5(text), 1, 1) <> 'f' AS is_valid
+        FROM documents
+        WHERE doc_id % 7 = 0
+    """,
+)
+def s04_archive_validation(spark, sf_dir):
+    """S4 — archive integrity validation (utils.py:404-436): a checksum
+    column plus a validity predicate; corrupt rows are filterable
+    before any expensive stage. md5 runs JVM-side on both engines."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("checksum"),
+        (F.substring(F.md5("text"), 1, 1) != "f").alias("is_valid"),
+    )
+
+
+@query(
+    "s05_archive_extract",
+    survey=("S5",),
+    oracle="""
+        SELECT o_orderkey AS scene_key,
+               concat('S2A_MSIL1C_', o_orderkey, '.zip') AS archive,
+               member
+        FROM orders
+        CROSS JOIN (VALUES ('MTD_MSIL2A.xml'), ('B04_10m.jp2'),
+                           ('B08_10m.jp2'), ('SCL_20m.jp2')) AS m(member)
+        WHERE o_orderkey % 100 = 0
+    """,
+)
+def s05_archive_extract(spark, sf_dir):
+    """S5 — archive extraction (utils.py:94-101, publish.py:248-251):
+    one archive row explodes into member-file rows. The real extractall
+    is a scratch-dir side effect inside the stage UDF; the dataflow —
+    1 row in, N member rows out — is this explode."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    members = F.array(
+        F.lit("MTD_MSIL2A.xml"), F.lit("B04_10m.jp2"),
+        F.lit("B08_10m.jp2"), F.lit("SCL_20m.jp2"))
+    return orders.select(
+        F.col("o_orderkey").alias("scene_key"),
+        F.concat(F.lit("S2A_MSIL1C_"), F.col("o_orderkey").cast("string"),
+                 F.lit(".zip")).alias("archive"),
+        F.explode(members).alias("member"),
+    )
+
+
+@query(
+    "s06_windowed_raster_scan",
+    survey=("S6",),
+    oracle=f"""
+        WITH px AS ({_PIXELS})
+        SELECT scene_id,
+               CAST(floor(y / 8) * 2 + floor(x / 8) AS BIGINT) AS window_id,
+               count(*) AS n_px,
+               round(avg(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END), 4)
+                   AS mean_b04
+        FROM px
+        GROUP BY 1, 2
+    """,
+)
+def s06_windowed_raster_scan(spark, sf_dir):
+    """S6 — block-windowed raster scan (index_generator.py:120-124,
+    utils.py:350-365): pixels carry a window_id; every kernel groups by
+    (scene, window) so work is bounded-memory and partition-parallel —
+    the Spark analog of rasterio block windows."""
+    from bdc_collection_builder_spark.functions.pixel import (
+        mask_nodata,
+        synthetic_pixels,
+    )
+
+    px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+    return (
+        px.withColumn(
+            "window_id",
+            (F.floor(F.col("y") / 8) * 2 + F.floor(F.col("x") / 8)).cast("bigint"))
+        .groupBy("scene_id", "window_id")
+        .agg(
+            F.count("*").alias("n_px"),
+            F.round(F.avg(mask_nodata(F.col("B04"))), 4).alias("mean_b04"),
+        )
+    )
+
+
+@query(
+    "s07_hdf_subdataset_scan",
+    survey=("S7",),
+)
+def s07_hdf_subdataset_scan(spark, sf_dir):
+    """S7 — HDF subdataset scan → per-band outputs + cloud metadata
+    (hdf.py:38-108). One file row expands to per-subdataset band rows
+    with an extracted cloud_cover column. The GDAL decode is stubbed
+    deterministically (no GDAL in this environment); the Spark plumbing
+    — mapInPandas over binary-file rows, 1→N row expansion, typed
+    output schema — is the real design. Rows-only."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    scenes = _scenes(spark, sf_dir).limit(40)
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bands = ["sur_refl_b01", "sur_refl_b02", "QA"]
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                digest = hashlib.md5(row.scene_id.encode()).hexdigest()
+                cloud = int(digest[:4], 16) % 10000 / 100.0
+                for band in bands:
+                    out.append((row.scene_id, band,
+                                f"/archive/{row.scene_id}/{band}.tif", cloud))
+            yield pd.DataFrame(out, columns=[
+                "scene_id", "band", "dest", "cloud_cover"])
+
+    return scenes.select("scene_id").mapInPandas(
+        expand, "scene_id string, band string, dest string, cloud_cover double"
+    ).orderBy("scene_id", "band")
+
+
+@query(
+    "s08_xml_metadata_scan",
+    survey=("S8", "X16"),
+    oracle="""
+        WITH mtd AS (
+            SELECT n_nationkey,
+                   concat('<EXT_POS_LIST>', n_nationkey * 2, ' ',
+                          n_nationkey * 3, '</EXT_POS_LIST>') AS xml
+            FROM nation
+        )
+        SELECT n_nationkey,
+               regexp_extract(xml, '<EXT_POS_LIST>([^<]*)</EXT_POS_LIST>', 1)
+                   AS pos_list
+        FROM mtd
+    """,
+)
+def s08_xml_metadata_scan(spark, sf_dir):
+    """S8 — XML metadata scan: the Sentinel footprint comes from the
+    EXT_POS_LIST element of MTD_MSIL2A.xml (publish.py:159-174). Element
+    extraction from an XML string column via regexp (xpath_string is
+    also available JVM-side)."""
+    nation = t(spark, sf_dir, "nation")
+    mtd = nation.select(
+        "n_nationkey",
+        F.concat(
+            F.lit("<EXT_POS_LIST>"), (F.col("n_nationkey") * 2).cast("string"),
+            F.lit(" "), (F.col("n_nationkey") * 3).cast("string"),
+            F.lit("</EXT_POS_LIST>")).alias("xml"),
+    )
+    return mtd.select(
+        "n_nationkey",
+        F.regexp_extract("xml", "<EXT_POS_LIST>([^<]*)</EXT_POS_LIST>", 1)
+        .alias("pos_list"),
+    )
+
+
+@query(
+    "s09_glob_discovery",
+    survey=("S9",),
+)
+def s09_glob_discovery(spark, sf_dir):
+    """S9 — glob-pattern file discovery (publish.py:263-270, 374):
+    the binaryFile source with pathGlobFilter lists matching files as a
+    DataFrame — distributed listing, no driver-side rglob. Rows-only
+    (paths are environment-specific)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("size_bytes"),
+        )
+        .orderBy("file_name")
+    )
+
+
+@query(
+    "s10_search_memo_cache",
+    survey=("S10",),
+    oracle="""
+        WITH requested AS (
+            SELECT DISTINCT date_trunc('month', ts) AS period FROM events
+        ), cached AS (
+            SELECT DISTINCT date_trunc('month', ts) AS period FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT r.period,
+               (c.period IS NOT NULL) AS cache_hit
+        FROM requested r LEFT JOIN cached c USING (period)
+    """,
+)
+def s10_search_memo_cache(spark, sf_dir):
+    """S10 — search-result memo cache keyed by period
+    (controller.py:584-602): requested periods split into cache hits
+    (semi) and misses (anti) against the ingest log — the Delta-table
+    replacement for the Redis memo."""
+    events = t(spark, sf_dir, "events")
+    requested = events.select(
+        F.date_trunc("month", "ts").alias("period")).distinct()
+    cached = events.filter(F.col("event_type") == "click").select(
+        F.date_trunc("month", "ts").alias("period")).distinct()
+    return requested.join(
+        cached.withColumn("cache_hit", F.lit(True)), "period", "left"
+    ).select("period", F.coalesce("cache_hit", F.lit(False)).alias("cache_hit"))
+
+
+@query(
+    "s11_cog_sink_manifest",
+    survey=("S11", "S12", "S13", "F11"),
+    oracle="""
+        WITH bands AS (
+            SELECT p_partkey % 8 AS band_idx,
+                   CASE p_partkey % 8
+                        WHEN 0 THEN 'B02' WHEN 1 THEN 'B03' WHEN 2 THEN 'B04'
+                        WHEN 3 THEN 'B08' WHEN 4 THEN 'AOT' WHEN 5 THEN 'WVP'
+                        WHEN 6 THEN 'SCL' ELSE 'TCI' END AS band
+            FROM part WHERE p_partkey <= 8
+        )
+        SELECT DISTINCT band,
+               band NOT IN ('AOT', 'WVP') AS generate_cog,
+               'deflate' AS compression,
+               '2,4,8,16,32,64' AS overview_levels,
+               'IF_SAFER' AS bigtiff
+        FROM bands
+    """,
+)
+def s11_cog_sink_manifest(spark, sf_dir):
+    """S11/S12/S13 — COG sink plan: per-band output profile (deflate
+    recompression, overview pyramid 2..64 nearest, BIGTIFF IF_SAFER)
+    with the AOT/WVP skip predicate F11 (utils.py:113-154, 381-401;
+    publish.py:94-111, 419-431). The rio-cogeo write is a UDF side
+    effect; the engine's contract is this manifest, which the write
+    stage consumes partition-parallel."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 8)
+    band = (
+        F.when(F.col("p_partkey") % 8 == 0, "B02")
+        .when(F.col("p_partkey") % 8 == 1, "B03")
+        .when(F.col("p_partkey") % 8 == 2, "B04")
+        .when(F.col("p_partkey") % 8 == 3, "B08")
+        .when(F.col("p_partkey") % 8 == 4, "AOT")
+        .when(F.col("p_partkey") % 8 == 5, "WVP")
+        .when(F.col("p_partkey") % 8 == 6, "SCL")
+        .otherwise("TCI")
+    )
+    return (
+        part.select(band.alias("band"))
+        .distinct()
+        .select(
+            "band",
+            (~F.col("band").isin("AOT", "WVP")).alias("generate_cog"),
+            F.lit("deflate").alias("compression"),
+            F.lit("2,4,8,16,32,64").alias("overview_levels"),
+            F.lit("IF_SAFER").alias("bigtiff"),
+        )
+    )
+
+
+@query(
+    "s15_merge_upsert",
+    survey=("S15", "Y3", "Y4", "Y5"),
+    oracle="""
+        WITH current_items AS (
+            SELECT o_orderkey AS item_key, o_totalprice AS payload
+            FROM orders WHERE o_orderkey % 10 = 0
+        ), incoming_once AS (
+            SELECT o_orderkey AS item_key, o_totalprice + 1.0 AS payload
+            FROM orders WHERE o_orderkey % 20 = 0
+        ), incoming AS (  -- redelivered batch (Y4): duplicates collapse
+            SELECT DISTINCT item_key, payload FROM (
+                SELECT * FROM incoming_once
+                UNION ALL SELECT * FROM incoming_once)
+        )
+        SELECT item_key, payload FROM incoming
+        UNION ALL
+        SELECT item_key, payload FROM current_items
+        WHERE item_key NOT IN (SELECT item_key FROM incoming)
+    """,
+)
+def s15_merge_upsert(spark, sf_dir):
+    """S15/Y3/Y4/Y5 — idempotent keyed MERGE as pure dataflow: incoming
+    rows replace matched current rows, unmatched current rows survive,
+    and a redelivered (at-least-once) batch collapses via key dedup —
+    publish.py:575-605 / utils.py:64-91 semantics, the same plan
+    CatalogStore.merge_upsert materializes (Delta MERGE INTO when
+    available)."""
+    orders = t(spark, sf_dir, "orders")
+    current = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("item_key"),
+        F.col("o_totalprice").alias("payload"))
+    once = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_orderkey").alias("item_key"),
+        (F.col("o_totalprice") + 1.0).alias("payload"))
+    incoming = once.unionAll(once).dropDuplicates(["item_key"])
+    kept = current.join(incoming.select("item_key"), "item_key", "left_anti")
+    return incoming.unionByName(kept)
+
+
+@query(
+    "s16_sync_diff",
+    survey=("S16",),
+    oracle="""
+        WITH local_m AS (
+            SELECT concat('docs/', doc_id, '.txt') AS path, md5(text) AS checksum
+            FROM documents WHERE doc_id % 2 = 0
+        ), remote_m AS (
+            SELECT concat('docs/', doc_id, '.txt') AS path, md5(text) AS checksum
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT coalesce(l.path, r.path) AS path,
+               CASE WHEN r.path IS NULL THEN 'upload'
+                    WHEN l.path IS NULL THEN 'delete'
+                    ELSE 'in_sync' END AS action
+        FROM local_m l FULL OUTER JOIN remote_m r ON l.path = r.path
+    """,
+)
+def s16_sync_diff(spark, sf_dir):
+    """S16 — object-store sync plan (sync.py:44-164 check_data/
+    sync_data/remove_data): full-outer manifest diff on path+checksum
+    classifying each object upload / delete / in-sync. On a shared
+    object store this whole operator disappears — that is the point of
+    the Spark design — but the reconciliation query remains useful for
+    audits."""
+    docs = t(spark, sf_dir, "documents")
+    path = F.concat(F.lit("docs/"), F.col("doc_id"), F.lit(".txt")).alias("path")
+    local = docs.filter(F.col("doc_id") % 2 == 0).select(
+        path, F.md5("text").alias("checksum"))
+    remote = docs.filter(F.col("doc_id") % 3 == 0).select(
+        path, F.md5("text").alias("checksum"))
+    joined = local.alias("l").join(
+        remote.alias("r"), F.col("l.path") == F.col("r.path"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("l.path"), F.col("r.path")).alias("path"),
+        F.when(F.col("r.path").isNull(), "upload")
+        .when(F.col("l.path").isNull(), "delete")
+        .otherwise("in_sync").alias("action"),
+    )
+
+
+@query(
+    "s17_symlink_alias",
+    survey=("S17", "X2"),
+    oracle="""
+        WITH files AS (
+            SELECT concat('T23LLF_B0', n_nationkey % 9, '_',
+                          CASE n_nationkey % 3 WHEN 0 THEN '10m'
+                               WHEN 1 THEN '20m' ELSE '60m' END,
+                          '.jp2') AS file_name
+            FROM nation
+        )
+        SELECT file_name,
+               regexp_replace(file_name, '_(10m|20m|60m)', '') AS alias_name
+        FROM files
+    """,
+)
+def s17_symlink_alias(spark, sf_dir):
+    """S17 — resolution-suffix aliasing (publish.py:436-448): strip
+    _10m/_20m/_60m from asset names; the symlink side effect becomes a
+    canonical-name column in the asset map."""
+    nation = t(spark, sf_dir, "nation")
+    res = (
+        F.when(F.col("n_nationkey") % 3 == 0, "10m")
+        .when(F.col("n_nationkey") % 3 == 1, "20m").otherwise("60m"))
+    files = nation.select(F.concat(
+        F.lit("T23LLF_B0"), (F.col("n_nationkey") % 9).cast("string"),
+        F.lit("_"), res, F.lit(".jp2")).alias("file_name"))
+    return files.select(
+        "file_name",
+        F.regexp_replace("file_name", "_(10m|20m|60m)", "").alias("alias_name"),
+    )
+
+
+@query(
+    "x08_now_stamps",
+    survey=("X8",),
+    oracle="""
+        SELECT event_id,
+               (current_timestamp >= ts) AS stamped_after_event
+        FROM events WHERE event_id % 97 = 0
+    """,
+)
+def x08_now_stamps(spark, sf_dir):
+    """X8 — now() stamps (tasks.py:84; publish.py:585, 596): activity
+    start / item updated timestamps come from the engine clock. The
+    deterministic assertion (now >= every historical event time) keeps
+    the query oracle-checkable while exercising current_timestamp."""
+    events = t(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    return events.select(
+        "event_id",
+        (F.current_timestamp() >= F.col("ts")).alias("stamped_after_event"),
+    )
+
+
+@query(
+    "x13_extent_to_wgs84",
+    survey=("X13", "X16", "X17"),
+    oracle="""
+        WITH extents AS (
+            SELECT n_nationkey AS scene_key,
+                   500000.0 + n_nationkey * 1000 AS x0,
+                   8000000.0 - n_nationkey * 1000 AS y1,
+                   10.0 AS res
+            FROM nation
+        ), bounds AS (
+            SELECT scene_key, x0 AS xmin, y1 - 256 * res AS ymin,
+                   x0 + 256 * res AS xmax, y1 AS ymax
+            FROM extents
+        )
+        SELECT scene_key,
+               round(xmin / 111320.0, 6) AS lon_min,
+               round(ymin / 111320.0, 6) AS lat_min,
+               round(xmax / 111320.0, 6) AS lon_max,
+               round(ymax / 111320.0, 6) AS lat_max,
+               concat('POLYGON((',
+                      round(xmin / 111320.0, 6), ' ', round(ymin / 111320.0, 6), ',',
+                      round(xmax / 111320.0, 6), ' ', round(ymin / 111320.0, 6), ',',
+                      round(xmax / 111320.0, 6), ' ', round(ymax / 111320.0, 6), ',',
+                      round(xmin / 111320.0, 6), ' ', round(ymax / 111320.0, 6), ',',
+                      round(xmin / 111320.0, 6), ' ', round(ymin / 111320.0, 6),
+                      '))') AS footprint_wkt
+        FROM bounds
+    """,
+)
+def x13_extent_to_wgs84(spark, sf_dir):
+    """X13/X16/X17 — raster extent → WGS84 envelope polygon
+    (utils.py:223-237): dataset bounds from the geotransform, reproject,
+    emit bbox struct + WKT. The reprojection here is the equirectangular
+    approximation (x/111320); an exact transform is a pyproj pandas UDF
+    gated behind an import-try, and Sedona ST_Transform when adopted —
+    the envelope algebra (X17's ST_Xmin..ST_Ymax) is this projection."""
+    nation = t(spark, sf_dir, "nation")
+    ext = nation.select(
+        F.col("n_nationkey").alias("scene_key"),
+        (500000.0 + F.col("n_nationkey") * 1000).alias("x0"),
+        (8000000.0 - F.col("n_nationkey") * 1000).alias("y1"),
+        F.lit(10.0).alias("res"),
+    )
+    b = ext.select(
+        "scene_key",
+        F.col("x0").alias("xmin"),
+        (F.col("y1") - 256 * F.col("res")).alias("ymin"),
+        (F.col("x0") + 256 * F.col("res")).alias("xmax"),
+        F.col("y1").alias("ymax"),
+    )
+    lon_min = F.round(F.col("xmin") / 111320.0, 6)
+    lat_min = F.round(F.col("ymin") / 111320.0, 6)
+    lon_max = F.round(F.col("xmax") / 111320.0, 6)
+    lat_max = F.round(F.col("ymax") / 111320.0, 6)
+    return b.select(
+        "scene_key",
+        lon_min.alias("lon_min"), lat_min.alias("lat_min"),
+        lon_max.alias("lon_max"), lat_max.alias("lat_max"),
+        F.concat(
+            F.lit("POLYGON(("),
+            lon_min, F.lit(" "), lat_min, F.lit(","),
+            lon_max, F.lit(" "), lat_min, F.lit(","),
+            lon_max, F.lit(" "), lat_max, F.lit(","),
+            lon_min, F.lit(" "), lat_max, F.lit(","),
+            lon_min, F.lit(" "), lat_min,
+            F.lit("))"),
+        ).alias("footprint_wkt"),
+    )
+
+
+@query(
+    "x14_footprint_hull",
+    survey=("X14", "Z3"),
+)
+def x14_footprint_hull(spark, sf_dir):
+    """X14/Z3 — valid-pixel convex-hull footprint (utils.py:240-274) as
+    a per-scene applyInPandas group kernel (the reference's per-scene
+    publish loop, publish.py:184-617, is exactly this grouping). The
+    hull is a monotone-chain over valid pixel coordinates — numpy-only,
+    no shapely needed. Rows-only (hulls aren't SQL)."""
+    import numpy as np
+    import pandas as pd
+
+    from bdc_collection_builder_spark.functions.pixel import (
+        NODATA_SENTINEL,
+        synthetic_pixels,
+    )
+
+    px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+    valid = px.filter(F.col("B04") != NODATA_SENTINEL).select("scene_id", "y", "x")
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = np.unique(pdf[["x", "y"]].to_numpy(), axis=0)
+        pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+        def half(points):
+            out: list[np.ndarray] = []
+            for p in points:
+                while len(out) >= 2:
+                    a, b = out[-1] - out[-2], p - out[-2]
+                    if a[0] * b[1] - a[1] * b[0] <= 0:
+                        out.pop()
+                    else:
+                        break
+                out.append(p)
+            return out
+
+        chain = half(pts)[:-1] + half(pts[::-1])[:-1]
+        wkt = "POLYGON((" + ",".join(
+            f"{int(p[0])} {int(p[1])}" for p in chain + chain[:1]) + "))"
+        return pd.DataFrame({
+            "scene_id": [int(pdf["scene_id"].iloc[0])],
+            "hull_vertices": [len(chain)],
+            "footprint_wkt": [wkt],
+        })
+
+    return (
+        valid.groupBy("scene_id")
+        .applyInPandas(hull, "scene_id long, hull_vertices int, footprint_wkt string")
+        .orderBy("scene_id")
+    )
+
+
+@query(
+    "x15_epsg_detect",
+    survey=("X15",),
+    oracle="""
+        WITH rasters AS (
+            SELECT n_nationkey AS scene_key,
+                   CASE n_nationkey % 4
+                        WHEN 0 THEN 'EPSG:32723' WHEN 1 THEN 'EPSG:4326'
+                        WHEN 2 THEN 'PROJCS[SIRGAS 2000 / UTM 23S]'
+                        ELSE NULL END AS crs
+            FROM nation
+        )
+        SELECT scene_key,
+               CASE WHEN crs LIKE 'EPSG:%'
+                         THEN CAST(substr(crs, 6) AS INTEGER)
+                    WHEN crs LIKE '%UTM 23S%' THEN 31983
+                    ELSE 4326 END AS srid
+        FROM rasters
+    """,
+)
+def x15_epsg_detect(spark, sf_dir):
+    """X15 — EPSG/SRID detection (utils.py:486-522): authority-code
+    parse, WKT-lookup fallback, default-SRID fallback — the reference's
+    rasterio→osr→DB chain as one CASE cascade."""
+    nation = t(spark, sf_dir, "nation")
+    crs = (
+        F.when(F.col("n_nationkey") % 4 == 0, "EPSG:32723")
+        .when(F.col("n_nationkey") % 4 == 1, "EPSG:4326")
+        .when(F.col("n_nationkey") % 4 == 2, "PROJCS[SIRGAS 2000 / UTM 23S]")
+        .otherwise(F.lit(None).cast("string")))
+    rasters = nation.select(F.col("n_nationkey").alias("scene_key"),
+                            crs.alias("crs"))
+    return rasters.select(
+        "scene_key",
+        F.when(F.col("crs").startswith("EPSG:"),
+               F.substring("crs", 6, 10).cast("int"))
+        .when(F.col("crs").contains("UTM 23S"), 31983)
+        .otherwise(4326).alias("srid"),
+    )
