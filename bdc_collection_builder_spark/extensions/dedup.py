@@ -58,7 +58,12 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return tok_df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    # array_distinct dedupes within the document BEFORE the explode —
+    # the same result as .distinct() on (doc_id, shingle) rows but with
+    # no shuffle at all (per-doc arrays are small; the old Exchange
+    # moved every shingle string across the cluster).
+    return tok_df.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -89,18 +94,38 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+_MERSENNE_31 = 2147483647  # 2^31 - 1
+
+
+def _hash_family(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Carter-Wegman (a, b) pairs over GF(2^31 - 1)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+            for _ in range(n_hashes)]
+
+
 def minhash_signatures_from_shingles(sh: DataFrame, n_hashes: int = 32) -> DataFrame:
-    """MinHash signatures from a (doc_id, shingle) table: for each of
-    n_hashes seeds, the min of xxhash64(shingle, seed). One map-side-
+    """MinHash signatures from a (doc_id, shingle) table.
+
+    The shingle string is hashed ONCE (xxhash64); the n_hashes family
+    members are universal-hash rewrites of that value,
+    ``(a_i * h + b_i) mod (2^31 - 1)`` — 1 string hash + n multiply-adds
+    per row instead of n string hashes (~n x cheaper map side). Operands
+    stay < 2^62 so the arithmetic is ANSI-overflow-safe. One map-side-
     combined aggregation; the signature rides as an array column."""
+    fam = _hash_family(n_hashes)
+    base = sh.withColumn(
+        "__h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31)))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(n_hashes)
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % _MERSENNE_31).alias(f"h{i}")
+        for i, (a, b) in enumerate(fam)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = base.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id",
-        F.array(*[F.col(f"h{seed}") for seed in range(n_hashes)]).alias("signature"),
+        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature"),
     )
 
 
@@ -137,9 +162,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             F.array(*[
                 F.struct(
                     F.lit(band).alias("band"),
-                    F.concat_ws(
-                        "|",
-                        *[F.col("signature")[band * rows_per_band + r].cast("string")
+                    # 8-byte join key instead of a concat'd string: the
+                    # band's sub-signature collapses through one xxhash64
+                    F.xxhash64(
+                        *[F.col("signature")[band * rows_per_band + r]
                           for r in range(rows_per_band)],
                     ).alias("band_key"),
                 )

@@ -356,3 +356,57 @@ def tx_fingerprint(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "mm_decode_features",
+    survey=("MM-decode",),
+)
+def mm_decode_features(spark, sf_dir):
+    """Multimodal decode + feature extraction: binary payloads stay
+    executor-local inside an Arrow-batched mapInPandas; only the
+    fixed-dim feature vector (plus size/hash stats) shuffles. The codec
+    is a deterministic stub (no image libs in this container); the
+    schemas, batch shapes, and partitioning are the production design.
+    Rows-only (binary UDF plumbing)."""
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        decode_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64)
+    return (
+        decode_image_features(media)
+        .select("media_id", "kind", "n_bytes", "sha256",
+                F.round("mean_byte", 4).alias("mean_byte"))
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_frame_sample",
+    survey=("MM-frames",),
+    oracle="""
+        WITH media AS (
+            SELECT i AS media_id, CAST(1000 * (i % 30) AS INT) AS duration_ms
+            FROM range(0, 64) t(i) WHERE i % 3 = 2
+        )
+        SELECT media_id, frame_ts_ms
+        FROM media,
+             unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000))
+                 AS u(frame_ts_ms)
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: each video row explodes into the
+    frame timestamps a decoder would extract — pure Catalyst
+    (sequence + explode), narrow per media_id, so the expensive decode
+    fan-out adds no shuffle."""
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64)
+    return frame_sample_plan(media).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
