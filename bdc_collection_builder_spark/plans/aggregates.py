@@ -184,3 +184,75 @@ def q1_pricing_summary(spark, sf_dir):
             F.count("*").alias("count_order"),
         )
     )
+
+
+@query(
+    "a09_rollup_hierarchy",
+    survey=("A1", "A2"),
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def a09_rollup_hierarchy(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP — free on Spark (one pass,
+    partial-aggregated); the reference would need N queries. SURVEY
+    §2.4 notes these come free once a SQL surface exists."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
+@query(
+    "a10_cube_cross_totals",
+    survey=("A1", "A5"),
+    oracle="""
+        SELECT coalesce(CAST(l_returnflag AS VARCHAR), 'ALL') AS rflag,
+               coalesce(CAST(l_linestatus AS VARCHAR), 'ALL') AS lstatus,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a10_cube_cross_totals(spark, sf_dir):
+    """All-dimension cross totals via CUBE — again free on Spark."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+        )
+    )
+
+
+@query(
+    "a11_approx_distinct",
+    survey=("A4", "A5"),
+)
+def a11_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct counts — the 100 TB form of A4/A5's
+    exact-distinct reconciliation (sketches merge map-side; no
+    key-shuffle). Rows-only: HLL estimates are engine-specific; the
+    companion check asserts the estimate lands within the documented
+    5% of exact (which the oracle-checked a04 computes exactly)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+             F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )

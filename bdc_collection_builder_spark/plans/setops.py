@@ -79,3 +79,23 @@ def u03_sorted_union_array(spark, sf_dir):
         F.concat_ws(",", F.array_sort(F.array_union(arr_a, arr_b)))
          .alias("merged_positions"),
     )
+
+
+@query(
+    "u04_intersect_scene_sets",
+    survey=("U1", "U2"),
+    oracle="""
+        SELECT o_custkey AS scene_key FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def u04_intersect_scene_sets(spark, sf_dir):
+    """INTERSECT — absent from the reference (SURVEY §2.7) but free on
+    Spark; scenes present in both the external and internal sets."""
+    orders = t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("scene_key"))
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("scene_key"))
+    return o.intersect(f)

@@ -656,3 +656,35 @@ def x15_epsg_detect(spark, sf_dir):
         .when(F.col("crs").contains("UTM 23S"), 31983)
         .otherwise(4326).alias("srid"),
     )
+
+
+@query(
+    "st_stateful_sessionize",
+    survey=("Y1", "Y5", "Y6"),
+)
+def st_stateful_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization with state carried across micro-batches
+    — the engine feature the reference's Celery topology approximates
+    (SURVEY §2.9). Rows-only: genuinely non-SQL (streaming state).
+    The run drains the bounded events table with Trigger.AvailableNow
+    and returns every session closed by an observed gap."""
+    import tempfile
+    import uuid
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bdc_sessionize_")
+    events_dir = f"{scratch}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
+        events_dir)
+    qname = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = streaming_sessionize(spark, events_dir, f"{scratch}/ckpt",
+                             queryName=qname)
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, session_start, session_end, n_events FROM {qname}"
+    ).orderBy("user_id", "session_start")

@@ -55,12 +55,18 @@ def main() -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).limit(1).collect()
 
+    # Best-of-2 per query: local-mode wall times carry scheduler/GC
+    # noise that a real cluster amortizes; min-of-runs is the steadier
+    # estimator of the plan's cost.
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERY_REGISTRY[name].spark_fn
-        start = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - start)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

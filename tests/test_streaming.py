@@ -51,3 +51,49 @@ def test_streaming_windowed_counts(spark, tmp_path, sf_dir):
     # with the batch plan (watermark drops nothing on ordered replay).
     assert out.agg(F.sum("n")).collect()[0][0] == \
         batch.agg(F.sum("n")).collect()[0][0]
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path, sf_dir):
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    events_dir = str(tmp_path / "sess_events")
+    (load_table(spark, sf_dir, "events")
+     .write.mode("overwrite").parquet(events_dir))
+    q = streaming_sessionize(spark, events_dir, str(tmp_path / "ckpt_sess"),
+                             gap_seconds=1800, queryName="sessions_t")
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT user_id, session_start, n_events FROM sessions_t")
+
+    # Batch truth: gap-based sessions; the stream leaves each user's
+    # LAST session open in state, so compare against all-but-last.
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = F.lag("ts").over(w)
+    new_session = F.when(
+        lagged.isNull()
+        | (F.col("ts").cast("double") - lagged.cast("double") > 1800), 1
+    ).otherwise(0)
+    sessions = (
+        events.withColumn("ns", new_session)
+        .withColumn("sno", F.sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sno")
+        .agg(F.min("ts").alias("session_start"),
+             F.count("*").alias("n_events"))
+    )
+    closed = sessions.withColumn(
+        "max_sno", F.max("sno").over(Window.partitionBy("user_id"))
+    ).filter(F.col("sno") < F.col("max_sno"))
+
+    got_set = {(r.user_id, r.session_start, r.n_events)
+               for r in got.collect()}
+    want_set = {(r.user_id, r.session_start, r.n_events)
+                for r in closed.collect()}
+    assert want_set, "fixture should produce closed sessions"
+    assert got_set == want_set
