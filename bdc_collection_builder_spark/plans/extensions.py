@@ -410,3 +410,21 @@ def mm_frame_sample(spark, sf_dir):
     media = synthetic_media(spark, n=64)
     return frame_sample_plan(media).select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
+@query(
+    "ss_ivf_topk",
+    survey=("SS-ivf",),
+)
+def ss_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate nearest neighbors: coarse k-means quantizer
+    (trained on a driver-side sample), corpus bucketed by nearest
+    centroid, queries probe nprobe buckets and re-rank exactly. The
+    third point on the exact→LSH→IVF cost/recall curve. Rows-only
+    (approximate result set is engine-specific)."""
+    from bdc_collection_builder_spark.extensions.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=5)

@@ -128,3 +128,23 @@ def test_quicklook_and_resample_kernels(spark):
     assert all(0 <= r.v <= 255 for r in ql)
     small = resample_nearest(px, 2, ["B04"]).collect()
     assert len(small) == 2 * 4 * 4
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    from bdc_collection_builder_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    exact_top1 = {r.query_id: r.vec_id for r in exact if r.rank == 1}
+    approx_hits = {(r.query_id, r.vec_id) for r in approx}
+    top1_recall = sum(
+        1 for q, v in exact_top1.items() if (q, v) in approx_hits
+    ) / len(exact_top1)
+    assert top1_recall >= 0.5, f"IVF top-1 recall too low: {top1_recall}"

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): the band-expression compiler vs a
+numpy masked-array reference implementation — the exact semantics of the
+reference's block-window evaluator (index_generator.py:99-141 driving
+interpreter.py:28-58): masked inputs propagate, division by zero masks,
+output clamps to the dtype range, masked results fill with nodata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bdc_collection_builder_spark.functions.expression import (
+    compile_band_expression,
+)
+
+NODATA = -9999.0
+BANDS = ("B04", "B08")
+
+
+@st.composite
+def expressions(draw, depth=2):
+    """Random arithmetic trees over B04/B08 and bounded constants."""
+    if depth == 0:
+        leaf = draw(st.sampled_from(["B04", "B08", "const"]))
+        if leaf == "const":
+            c = draw(st.floats(min_value=-50, max_value=50,
+                               allow_nan=False, allow_infinity=False))
+            # keep constants away from 0 so x/c stays bounded
+            return f"{(c if abs(c) > 1 else c + 2.0):.4f}"
+        return leaf
+    op = draw(st.sampled_from(["+", "-", "*", "/", "abs"]))
+    left = draw(expressions(depth=depth - 1))
+    if op == "abs":
+        return f"abs({left})"
+    right = draw(expressions(depth=depth - 1))
+    return f"({left} {op} {right})"
+
+
+def numpy_reference(expr: str, b04: np.ma.MaskedArray,
+                    b08: np.ma.MaskedArray, scale: float) -> np.ndarray:
+    """The reference's evaluator: numpy.ma arithmetic (invalid ops and
+    zero-division mask), int16 clamp, nodata fill."""
+    with np.errstate(all="ignore"):
+        result = eval(  # noqa: S307 - test-only, generated input
+            expr, {"__builtins__": {}},
+            {"B04": b04, "B08": b08, "abs": np.ma.abs})
+        if not isinstance(result, np.ma.MaskedArray):
+            result = np.ma.masked_array(
+                np.broadcast_to(np.asarray(result, dtype=np.float64),
+                                b04.shape).copy())
+        result = result.astype(np.float64) * scale
+        result = np.ma.masked_invalid(result)
+        clipped = np.ma.clip(result, -32768.0, 32767.0)
+    return clipped.filled(NODATA)
+
+
+@settings(max_examples=25, deadline=None)
+@given(expressions())
+def test_expression_compiler_matches_numpy_reference(shared_spark, expr):
+    rng = np.random.default_rng(7)
+    n = 64
+    b04 = rng.integers(0, 10000, n).astype(np.float64)
+    b08 = rng.integers(0, 10000, n).astype(np.float64)
+    mask04 = rng.random(n) < 0.1
+    mask08 = rng.random(n) < 0.1
+    # force interesting cases: a zero row and a masked row
+    b04[0], b08[0] = 0.0, 0.0
+    mask04[1] = True
+
+    ma04 = np.ma.masked_array(b04, mask=mask04)
+    ma08 = np.ma.masked_array(b08, mask=mask08)
+    want = numpy_reference(expr, ma04, ma08, scale=10.0)
+
+    rows = [
+        (None if mask04[i] else float(b04[i]),
+         None if mask08[i] else float(b08[i]))
+        for i in range(n)
+    ]
+    df = shared_spark.createDataFrame(rows, "B04 double, B08 double")
+    col = compile_band_expression(
+        expr, set(BANDS), dtype="int16", nodata=NODATA, scale=10.0)
+    got = np.array([r[0] for r in df.select(col).collect()], dtype=np.float64)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def shared_spark(spark):
+    return spark
