@@ -68,6 +68,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         times[name] = round(best, 3)
 
+    # BASELINE.md §4 proxies: band-expression pixel throughput, scene
+    # pipeline throughput, incremental merge cost.
+    times["proxy_px_expression_2m"] = _px_expression_proxy(spark)
+    times["proxy_pipeline_scenes"] = _pipeline_proxy(spark, sf_dir)
+    times["proxy_merge_batch"] = _merge_proxy(spark, sf_dir)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_query_suite_wall",
@@ -77,6 +83,79 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
+
+
+def _px_expression_proxy(spark) -> float:
+    """NDVI band expression over ~2M pixels (8 scenes x 512x512) —
+    pixels/s for the X9 engine; whole-stage codegen, no Python."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.functions.expression import (
+        compile_band_expression,
+    )
+    from bdc_collection_builder_spark.functions.pixel import synthetic_pixels
+
+    px = synthetic_pixels(spark, n_scenes=8, height=512, width=512)
+    ndvi = compile_band_expression(
+        "NDVI = (B08 - B04) / (B08 + B04)", {"B04", "B08"},
+        dtype="int16", nodata=-9999.0, scale=10000.0)
+    start = time.perf_counter()
+    materialize(px.select("scene_id", "y", "x", ndvi.alias("ndvi")))
+    return round(time.perf_counter() - start, 3)
+
+
+def _pipeline_proxy(spark, sf_dir: str) -> float:
+    """Scene-pipeline throughput: search-shaped scenes through the
+    download-failover + processor stages (deterministic simulators —
+    measures the Spark plumbing, not network)."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.pipeline.stages import (
+        correction_stage,
+        download_stage,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    scenes = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.concat(F.lit("S2A_"), F.col("o_orderkey").cast("string"))
+            .alias("scene_id"),
+            (F.col("o_orderkey") % 3 + 1).cast("int").alias("collection_id"),
+        )
+    )
+    collections = spark.createDataFrame(
+        [(i, '{"processors":[{"name":"sen2cor"}]}') for i in (1, 2, 3)],
+        "id int, metadata string")
+    start = time.perf_counter()
+    materialize(correction_stage(
+        download_stage(scenes, ["usgs", "scihub", "creodias"]), collections))
+    return round(time.perf_counter() - start, 3)
+
+
+def _merge_proxy(spark, sf_dir: str) -> float:
+    """Idempotent MERGE batch cost (Y3): upsert 1k item rows into a
+    10k-row catalog on a scratch store."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    scratch = tempfile.mkdtemp(prefix="bdc_bench_merge_")
+    try:
+        store = CatalogStore(spark, scratch)
+        items = make_fixtures(spark, n_scenes=10000, n_tiles=32)["items"]
+        store.overwrite("items", items)
+        batch = store.read("items").limit(1000).withColumn(
+            "cloud_cover", F.lit(42.0))
+        start = time.perf_counter()
+        store.merge_upsert("items", batch)
+        return round(time.perf_counter() - start, 3)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":
