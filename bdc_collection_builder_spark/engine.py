@@ -1,0 +1,209 @@
+"""CollectionBuilderEngine — the user-facing façade.
+
+One class binding a SparkSession + CatalogStore with a method per
+reference entry point (views.py routes / RadcorBusiness methods,
+SURVEY §3), so a user of the reference can switch by calling the same
+operations on DataFrames instead of HTTP:
+
+| reference                                   | engine method |
+|---------------------------------------------|---------------|
+| POST /api/radcor (action=preview)           | ``radcor_preview`` |
+| POST /api/radcor (action=start)             | ``radcor_start`` |
+| GET  /api/activities (paginated)            | ``list_activities`` |
+| GET  /api/utils/count-activities            | ``count_activities`` |
+| GET  /api/utils/count-activities-date       | ``count_activities_with_date`` |
+| GET  /api/utils/count-tasks                 | ``count_failed_activities`` |
+| POST /api/check-scenes                      | ``check_scenes`` |
+| GET  /api/utils/collections                 | ``list_collections`` |
+| GET  /api/utils/collections/<id>/tiles      | ``list_collection_tiles`` |
+| GET  /api/utils/providers                   | ``list_providers`` |
+| POST /api/restart                           | ``restart_activities`` |
+| (worker chain download→…→post)              | ``run_pipeline`` |
+
+All methods return DataFrames (the caller decides when to collect);
+nothing in the façade materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.catalog.store import CatalogStore
+from bdc_collection_builder_spark.operators.joins import provider_order
+from bdc_collection_builder_spark.operators.windows import (
+    latest_per_group,
+    paginate,
+)
+from bdc_collection_builder_spark.pipeline import radcor as _radcor
+from bdc_collection_builder_spark.pipeline.ledger import (
+    due_retries,
+    failed_latest,
+)
+from bdc_collection_builder_spark.pipeline.radcor import RadcorQuery
+from bdc_collection_builder_spark.pipeline.stages import (
+    correction_stage,
+    download_stage,
+    post_stage,
+    publish_stage,
+)
+
+
+class CollectionBuilderEngine:
+    """The reference's REST + worker surface over a catalog store."""
+
+    def __init__(self, spark: SparkSession, store: CatalogStore,
+                 remote: DataFrame | None = None):
+        self.spark = spark
+        self.store = store
+        #: provider catalog source (S1) — a DataFrame-backed simulator in
+        #: tests, a pushdown API source in production.
+        self.remote = remote
+
+    # -- search & dispatch plane (§3.1) ---------------------------------
+
+    def radcor_preview(self, query: RadcorQuery) -> DataFrame:
+        return _radcor.radcor_preview(self.store, self.remote, query)
+
+    def radcor_start(self, query: RadcorQuery,
+                     stages: list[str] = ("download", "publish", "post"),
+                     ) -> DataFrame:
+        return _radcor.radcor_dispatch(self.store, self.remote, query, stages)
+
+    # -- monitoring/analytics plane (§3.3) ------------------------------
+
+    def list_activities(self, page: int = 1, per_page: int = 10,
+                        collection_id: int | None = None,
+                        activity_type_contains: str | None = None,
+                        ) -> DataFrame:
+        """F5 filters + W3 pagination + W1 latest-execution join."""
+        acts = self.store.read("activities")
+        if collection_id is not None:
+            acts = acts.filter(F.col("collection_id") == collection_id)
+        if activity_type_contains:
+            acts = acts.filter(
+                F.col("activity_type").contains(activity_type_contains))
+        hist = latest_per_group(
+            self.store.read("activity_history"), ["activity_id"], "start")
+        enriched = acts.join(
+            hist.select("activity_id", F.col("start").alias("last_execution")),
+            acts["id"] == F.col("activity_id"), "left").drop("activity_id")
+        return paginate(enriched, ["id"], page, per_page)
+
+    def count_activities(self) -> DataFrame:
+        return _radcor.count_activities(self.store)
+
+    def count_activities_with_date(self) -> DataFrame:
+        """A2 — per-day per-status histogram."""
+        hist = self.store.read("activity_history")
+        tasks = self.store.read("tasks")
+        return (
+            hist.join(tasks, hist["task_id"] == tasks["id"])
+            .groupBy(F.to_date("start").alias("date"), "status")
+            .agg(F.count("*").alias("n"))
+            .orderBy("date")
+        )
+
+    def count_failed_activities(self) -> DataFrame:
+        """J5/W2 — latest attempt per scene with status != SUCCESS."""
+        return failed_latest(self.store)
+
+    def check_scenes(self, query: RadcorQuery) -> DataFrame:
+        return _radcor.check_scenes(self.store, self.remote, query)
+
+    def list_collections(self) -> DataFrame:
+        """T2 — ordered collection catalog (controller.py:625-628)."""
+        return self.store.read("collections").orderBy("id")
+
+    def list_collection_tiles(self, collection_id: int) -> DataFrame:
+        """J2 — distinct tiles having items (controller.py:683-690)."""
+        tiles = self.store.read("tiles")
+        items = self.store.read("items").filter(
+            F.col("collection_id") == collection_id)
+        return (
+            tiles.join(items, tiles["id"] == items["tile_id"])
+            .select(tiles["name"]).distinct().orderBy("name")
+        )
+
+    def list_providers(self) -> DataFrame:
+        return self.store.read("providers").orderBy("id")
+
+    def provider_order(self, collection_id: int) -> DataFrame:
+        """J3/S3 — active providers by priority (collect.py:86-137)."""
+        return provider_order(
+            self.store.read("providers"),
+            self.store.read("collection_providers"), collection_id)
+
+    def restart_activities(self, ids: list[int] | None = None,
+                           status: str | None = None,
+                           activity_type: str | None = None,
+                           collection_id: int | None = None) -> DataFrame:
+        """F4 — restart filters (controller.py:86-108); returns the
+        activities that would be re-dispatched."""
+        acts = self.store.read("activities")
+        if ids:
+            acts = acts.filter(F.col("id").isin(*ids))
+        if activity_type:
+            acts = acts.filter(F.col("activity_type") == activity_type)
+        if collection_id is not None:
+            acts = acts.filter(F.col("collection_id") == collection_id)
+        if status:
+            latest = latest_per_group(
+                self.store.read("activity_history"), ["activity_id"], "start")
+            tasks = self.store.read("tasks").select(
+                F.col("id").alias("task_id"), "status")
+            with_status = latest.join(tasks, "task_id").filter(
+                F.col("status") == status).select("activity_id")
+            acts = acts.join(
+                with_status, acts["id"] == F.col("activity_id"), "left_semi")
+        return acts
+
+    def due_retries(self, now: dt.datetime | None = None) -> DataFrame:
+        """Y2 — ledger rows whose next attempt is due (the persisted
+        form of the 72x900s Celery retry horizon)."""
+        return due_retries(self.store, now or dt.datetime.now(dt.timezone.utc))
+
+    # -- data plane (§3.2) ----------------------------------------------
+
+    def run_pipeline(self, scenes: DataFrame,
+                     provider_names: list[str] | None = None) -> DataFrame:
+        """download → correction → publish → post over scene rows.
+
+        Side-effecting stages run their deterministic simulators here
+        (no network/Docker in this environment); each stage is the real
+        Spark plumbing and the publish MERGE is the real store write.
+        The post stage runs on a deterministic pixel grid per published
+        scene (the raster read is the documented rasterio seam)."""
+        providers = provider_names or [
+            r.driver_name for r in
+            self.store.read("providers").orderBy("id")
+            .select("driver_name").collect()
+        ] or ["usgs", "scihub"]
+        downloaded = download_stage(scenes, providers)
+        corrected = correction_stage(downloaded,
+                                     self.store.read("collections"))
+        published = publish_stage(
+            corrected, scenes, self.store.read("bands"),
+            self.store.read("tiles"), self.store)
+        pixels = self._pixels_for(published)
+        return post_stage(published, pixels)
+
+    def _pixels_for(self, published: DataFrame, side: int = 8) -> DataFrame:
+        """Deterministic per-scene pixel grid for the post stage (the
+        rasterio windowed read plugs in here on a real deployment)."""
+        from bdc_collection_builder_spark.functions.pixel import (
+            synthetic_pixels,
+        )
+
+        names = published.select(F.col("name").alias("scene_name")).distinct()
+        n = max(names.count(), 1)
+        px = synthetic_pixels(self.spark, n_scenes=n, height=side, width=side)
+        indexed = names.withColumn(
+            "scene_id",
+            F.row_number().over(Window.orderBy("scene_name")) - 1)
+        return (
+            px.join(indexed, "scene_id")
+            .drop("scene_id").withColumnRenamed("scene_name", "scene_id")
+        )

@@ -12,6 +12,8 @@ def latest_per_group(df: DataFrame, partition_cols: list[str],
     controller.py:481-486 CTE). ``order_cols`` should end with a unique
     tiebreaker for determinism. Single hash-shuffle on the partition
     keys; with AQE, skewed scene keys are split automatically."""
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
     w = Window.partitionBy(*partition_cols).orderBy(
         *[F.col(c).desc() for c in order_cols])
     return (

@@ -1,0 +1,103 @@
+"""Façade tests: CollectionBuilderEngine wires the whole reference API
+surface (SURVEY §3) over one store — the switch-over path for a
+reference user."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+from bdc_collection_builder_spark.catalog.store import CatalogStore
+from bdc_collection_builder_spark.engine import CollectionBuilderEngine
+from bdc_collection_builder_spark.pipeline.radcor import RadcorQuery
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    fixtures = make_fixtures(spark, n_scenes=60, n_tiles=6)
+    store = CatalogStore(spark, str(tmp_path_factory.mktemp("engine_catalog")))
+    for name in ("collections", "bands", "providers", "collection_providers",
+                 "tiles", "items", "activities", "activity_history", "tasks",
+                 "activity_src"):
+        store.overwrite(name, fixtures[name])
+    return CollectionBuilderEngine(spark, store,
+                                   remote=fixtures["scenes_remote"])
+
+
+def _query(**kw):
+    defaults = dict(collection_id=1, dataset="S2MSI2A",
+                    start_date="2024-01-01", end_date="2024-12-31",
+                    bbox=(-180.0, -90.0, 180.0, 90.0))
+    defaults.update(kw)
+    return RadcorQuery(**defaults)
+
+
+def test_monitoring_plane(engine):
+    page = engine.list_activities(page=1, per_page=5).collect()
+    assert 0 < len(page) <= 5
+    assert engine.count_activities().collect()
+    assert engine.count_activities_with_date().collect()
+    engine.count_failed_activities().collect()          # may be empty
+    cols = engine.list_collections().collect()
+    assert [c.id for c in cols] == sorted(c.id for c in cols)
+    assert engine.list_collection_tiles(1).count() > 0
+    assert engine.list_providers().count() > 0
+    order = engine.provider_order(1).collect()
+    priorities = [r.priority for r in order]
+    assert priorities == sorted(priorities)
+
+
+def test_restart_filters(engine):
+    sub = engine.restart_activities(activity_type="download",
+                                    collection_id=1).collect()
+    assert all(r.activity_type == "download" and r.collection_id == 1
+               for r in sub)
+
+
+def test_preview_and_check(engine):
+    preview = engine.radcor_preview(_query()).collect()
+    assert preview
+    report = engine.check_scenes(_query()).collect()[0]
+    assert report.total_external >= report.missing_in_catalog
+
+
+def test_full_pipeline_via_engine(engine, spark):
+    q = _query()
+    scenes = (
+        engine.radcor_preview(q)
+        .withColumn("collection_id", F.lit(1))
+    )
+    quality = engine.run_pipeline(scenes).collect()
+    assert quality
+    assert all(r.n_pixels and r.n_pixels > 0 for r in quality
+               if r.n_pixels is not None)
+    # published items landed in the store with assets
+    items = engine.store.read("items").filter(
+        F.col("collection_id") == 1).collect()
+    assert any("NDVI" in (r.assets or "") for r in items)
+
+
+def test_salted_join_matches_plain(spark):
+    from bdc_collection_builder_spark.operators.skew import (
+        salted_agg_count,
+        salted_join,
+    )
+
+    # 90% of rows share one hot key
+    big = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100)
+        .alias("k"), F.col("id").alias("v"))
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = big.join(small, "k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")).collect()[0]
+    salted = salted_join(big, small, ["k"], n_salts=8).agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+    plain_counts = {(r.k): r["count"] for r in
+                    big.groupBy("k").count().collect()}
+    salted_counts = {(r.k): r.n for r in
+                     salted_agg_count(big, ["k"], n_salts=8).collect()}
+    assert plain_counts == salted_counts
