@@ -61,3 +61,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   n_buckets: int = 8) -> None:
+    """Persist a table bucketed (and sorted) on its join key.
+
+    Both sides of a repeated big⋈big equi-join bucketed on the same key
+    with the same bucket count join with NO Exchange — the shuffle is
+    paid once at write time instead of per query. This is the parquet
+    analog of the co-location the reference gets implicitly from
+    per-scene file locality (sync.py:63-105); at 100 TB it is the main
+    lever for iterative catalog⋈ledger work. Requires a warehouse
+    (saveAsTable); plain path-based parquet cannot carry bucket specs.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

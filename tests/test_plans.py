@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on at scale must be visible in the executed plan — predicate pushdown
+reaching the parquet scan, dimension joins broadcasting, pixel kernels
+staying inside whole-stage codegen, and no cartesian products sneaking
+into the dedup/ANN candidate generation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bdc_collection_builder_spark.plans.registry import (
+    QUERY_REGISTRY,
+    all_queries,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    all_queries()
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = QUERY_REGISTRY[name].spark_fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_search_predicates_reach_scan(spark, sf_dir):
+    plan = plan_of(spark, "s01_remote_search_pushdown", sf_dir)
+    assert "PushedFilters:" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # 6 needed columns, not all 16 of lineitem
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("j06_fk_broadcast_lookup", "j01_three_way_status_counts",
+                 "f06_skip_published"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_pixel_kernel_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, "px_x9_band_expression_ndvi", sf_dir)
+    # formatted mode marks whole-stage-codegen'd operators with '*'
+    assert "* Project" in plan or "* Filter" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python in the pixel hot path: {marker}"
+
+
+def test_no_cartesian_in_candidate_generation(spark, sf_dir):
+    for name in ("dd_minhash_lsh_pairs", "dd_simhash_pairs", "ss_lsh_topk"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_single_shuffle_aggregate(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    n_exchanges = plan.count("Arguments: hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.sources.tables import (
+        load_table,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], n_buckets=8)
+    try:
+        joined = (
+            spark.table("b_orders").hint("merge")
+            .join(spark.table("b_lineitem"), "o_orderkey")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan
+        assert "Arguments: hashpartitioning" not in plan, \
+            "bucketed join must not shuffle"
+        # result parity with the unbucketed plan
+        want = (
+            orders.join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "o_orderkey")
+            .groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q"))
+        )
+        assert joined.orderBy("o_orderkey").limit(50).collect() == \
+            want.orderBy("o_orderkey").limit(50).collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
