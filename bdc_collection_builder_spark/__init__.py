@@ -26,3 +26,35 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    """Lazy top-level exports (keep ``import bdc_collection_builder_spark``
+    free of a JVM dependency until something Spark-backed is touched)."""
+    if name == "CollectionBuilderEngine":
+        from bdc_collection_builder_spark.engine import CollectionBuilderEngine
+        return CollectionBuilderEngine
+    if name == "CatalogStore":
+        from bdc_collection_builder_spark.catalog.store import CatalogStore
+        return CatalogStore
+    if name == "PartitionedCatalogStore":
+        from bdc_collection_builder_spark.catalog.store import (
+            PartitionedCatalogStore,
+        )
+        return PartitionedCatalogStore
+    if name == "RadcorQuery":
+        from bdc_collection_builder_spark.pipeline.radcor import RadcorQuery
+        return RadcorQuery
+    if name == "get_spark":
+        from bdc_collection_builder_spark.session import get_spark
+        return get_spark
+    raise AttributeError(name)
+
+
+__all__ = [
+    "CatalogStore",
+    "CollectionBuilderEngine",
+    "PartitionedCatalogStore",
+    "RadcorQuery",
+    "get_spark",
+]

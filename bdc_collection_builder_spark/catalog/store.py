@@ -17,10 +17,15 @@ created before an upsert keep reading their snapshot (the same
 isolation Delta gives readers), then garbage-collected.
 
 Single-writer assumption matches the reference's per-scene task
-serialization via unique constraints (models.py:60-63). At 100 TB the
-rewrite cost is bounded by partitioning the table on a prefix of the
-merge key (only matched partitions differ); with Delta available,
-``merge_upsert`` maps 1:1 onto MERGE INTO.
+serialization via unique constraints (models.py:60-63). With Delta
+available, ``merge_upsert`` maps 1:1 onto MERGE INTO.
+
+At 100 TB use :class:`PartitionedCatalogStore`: data lives under
+``table/<pcol>=<value>/gen-*`` with a per-partition pointer, and a merge
+rewrites ONLY the partitions its incoming keys touch — every other
+partition's files are physically untouched (same inodes). The partition
+column must be a prefix of (or functionally determined by) the merge
+key, exactly Delta's partition-pruned MERGE.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.catalog.schemas import MERGE_KEYS, SCHEMAS
 
@@ -115,3 +121,91 @@ class CatalogStore:
             if stale != keep:
                 shutil.rmtree(os.path.join(self.path(table), stale),
                               ignore_errors=True)
+
+
+class PartitionedCatalogStore(CatalogStore):
+    """Catalog store with partition-scoped commits.
+
+    Each partition value is an independent MVCC table
+    (``table/<pcol>=<value>/gen-*`` + pointer): a merge lists the
+    incoming partition values (dimension-sized collect — partition
+    columns are collection ids, never scene-cardinality), and commits
+    only those partitions. Reads union the current generation of every
+    partition — a driver-side listing of O(#partitions) directories,
+    each read remaining a pushdown-friendly parquet scan.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 partition_cols: dict[str, str] | None = None):
+        super().__init__(spark, root)
+        #: table -> partition column (defaults to collection_id where present)
+        self.partition_cols = partition_cols or {
+            t: "collection_id"
+            for t, schema in SCHEMAS.items()
+            if "collection_id" in [f.name for f in schema.fields]
+        }
+
+    def _pdir(self, table: str, value) -> str:
+        pcol = self.partition_cols[table]
+        return os.path.join(self.path(table), f"{pcol}={value}")
+
+    def _partition_values(self, table: str) -> list[str]:
+        tdir = self.path(table)
+        if not os.path.isdir(tdir):
+            return []
+        pcol = self.partition_cols.get(table)
+        return sorted(
+            d.split("=", 1)[1] for d in os.listdir(tdir)
+            if d.startswith(f"{pcol}=")
+        )
+
+    def _sub(self, table: str, value) -> CatalogStore:
+        sub = CatalogStore.__new__(CatalogStore)
+        sub.spark, sub.root = self.spark, self._pdir(table, value)
+        os.makedirs(sub.root, exist_ok=True)
+        return sub
+
+    def exists(self, table: str) -> bool:
+        if table not in self.partition_cols:
+            return super().exists(table)
+        return bool(self._partition_values(table))
+
+    def read(self, table: str) -> DataFrame:
+        if table not in self.partition_cols:
+            return super().read(table)
+        paths = []
+        for value in self._partition_values(table):
+            data = self._sub(table, value).data_path(table)
+            if data is not None:
+                paths.append(data)
+        if not paths:
+            return self.spark.createDataFrame([], SCHEMAS[table])
+        return self.spark.read.schema(SCHEMAS[table]).parquet(*paths)
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        if table not in self.partition_cols:
+            return super().overwrite(table, df)
+        pcol = self.partition_cols[table]
+        values = [r[0] for r in df.select(pcol).distinct().collect()]
+        for value in values:
+            self._sub(table, value)._commit(
+                table, df.filter(F.col(pcol) == value))
+
+    def merge_upsert(self, table: str, incoming: DataFrame,
+                     keys: list[str] | None = None) -> None:
+        """Partition-pruned MERGE: only partitions present in the
+        incoming batch are rewritten; all others keep their files."""
+        if table not in self.partition_cols:
+            return super().merge_upsert(table, incoming, keys)
+        pcol = self.partition_cols[table]
+        keys = keys or MERGE_KEYS[table]
+        cols = [f.name for f in SCHEMAS[table].fields]
+        incoming = incoming.select(*cols)
+        touched = [r[0] for r in incoming.select(pcol).distinct().collect()]
+        for value in touched:
+            sub = self._sub(table, value)
+            part_incoming = incoming.filter(F.col(pcol) == value)
+            current = sub.read(table)
+            kept = current.join(
+                part_incoming.select(*keys).distinct(), keys, "left_anti")
+            sub._commit(table, kept.unionByName(part_incoming))

@@ -111,6 +111,12 @@ def _emit_sql(node: ast.AST) -> str:
     if isinstance(node, ast.Name):
         return node.id
     if isinstance(node, ast.Constant):
+        # Float literals must carry the D suffix: Spark SQL parses a bare
+        # `2.0` as DECIMAL(2,1), and decimal division truncates to 6
+        # fractional digits — diverging from the reference's float64
+        # numpy arithmetic (interpreter.py:28-58). `2.0D` is a DOUBLE.
+        if isinstance(node.value, float):
+            return f"{node.value!r}D"
         return repr(node.value)
     if isinstance(node, ast.UnaryOp):
         sign = "-" if isinstance(node.op, ast.USub) else "+"

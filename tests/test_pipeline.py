@@ -191,3 +191,43 @@ def test_store_merge_upsert_replaces(spark, tmp_path, fixtures):
         (F.col("name") == key.name)
         & (F.col("collection_id") == key.collection_id)).collect()[0]
     assert got.cloud_cover == 99.5
+
+
+def test_partitioned_store_prunes_merge(spark, tmp_path, fixtures):
+    """A merge touching one collection must leave every other
+    collection's files physically untouched (partition-pruned MERGE)."""
+    import glob
+    import os
+
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "pstore"))
+    s.overwrite("items", fixtures["items"])
+    total = s.read("items").count()
+    assert total == fixtures["items"].count()
+
+    def files_of(cid):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(
+                str(tmp_path / "pstore" / "items" / f"collection_id={cid}"
+                    ) + "/**/*.parquet", recursive=True)
+        }
+
+    before_c2 = files_of(2)
+    assert before_c2, "fixture must populate collection 2"
+
+    names = [r.name for r in
+             s.read("items").filter(F.col("collection_id") == 1)
+             .orderBy("name").limit(5).collect()]
+    batch = (s.read("items")
+             .filter((F.col("collection_id") == 1) & F.col("name").isin(names))
+             .withColumn("cloud_cover", F.lit(-77.0)))
+    s.merge_upsert("items", batch)
+
+    assert files_of(2) == before_c2, "untouched partition was rewritten"
+    assert s.read("items").count() == total
+    got = s.read("items").filter(F.col("cloud_cover") == -77.0)
+    assert {r.name for r in got.collect()} == set(names)
