@@ -96,7 +96,11 @@ class CatalogStore:
         cols = [f.name for f in SCHEMAS[table].fields]
         incoming = incoming.select(*cols)
         current = self.read(table)
-        kept = current.join(incoming.select(*keys).distinct(), keys, "left_anti")
+        # Broadcast the incoming keys: a merge batch is one publish run
+        # (bounded), while `current` is the whole catalog — a broadcast
+        # anti-join streams the catalog through without shuffling it.
+        kept = current.join(
+            F.broadcast(incoming.select(*keys).distinct()), keys, "left_anti")
         self._commit(table, kept.unionByName(incoming))
 
     def _commit(self, table: str, df: DataFrame) -> None:
@@ -207,5 +211,6 @@ class PartitionedCatalogStore(CatalogStore):
             part_incoming = incoming.filter(F.col(pcol) == value)
             current = sub.read(table)
             kept = current.join(
-                part_incoming.select(*keys).distinct(), keys, "left_anti")
+                F.broadcast(part_incoming.select(*keys).distinct()),
+                keys, "left_anti")
             sub._commit(table, kept.unionByName(part_incoming))

@@ -51,7 +51,11 @@ def download_stage(scenes: DataFrame, provider_names: list[str],
     is closed over by the UDF; each scene tries providers in order,
     falling through on offline/checksum errors exactly like
     tasks.py:205-236. Scene rows are processed per-partition — the
-    stage parallelism IS partition parallelism."""
+    stage parallelism IS partition parallelism, so the input is
+    repartitioned by scene_id first: scene lists typically arrive as a
+    handful of catalog-search result files, and an IO-bound stage
+    running on one partition would serialize the whole fleet (at 100 TB
+    the partition count bounds concurrent provider connections)."""
     if not io_simulate:
         raise NotImplementedError(
             "real provider IO requires network credentials; run with "
@@ -77,8 +81,12 @@ def download_stage(scenes: DataFrame, provider_names: list[str],
                 "scene_id", "collection_id", "provider_used", "attempts",
                 "compressed_file", "checksum", "status"])
 
-    return scenes.select("scene_id", "collection_id").mapInPandas(
-        run, DOWNLOAD_SCHEMA)
+    parallelism = scenes.sparkSession.sparkContext.defaultParallelism
+    return (
+        scenes.select("scene_id", "collection_id")
+        .repartition(parallelism, "scene_id")
+        .mapInPandas(run, DOWNLOAD_SCHEMA)
+    )
 
 
 CORRECTION_SCHEMA = (

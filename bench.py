@@ -69,10 +69,14 @@ def main() -> None:
         times[name] = round(best, 3)
 
     # BASELINE.md §4 proxies: band-expression pixel throughput, scene
-    # pipeline throughput, incremental merge cost.
-    times["proxy_px_expression_2m"] = _px_expression_proxy(spark)
-    times["proxy_pipeline_scenes"] = _pipeline_proxy(spark, sf_dir)
-    times["proxy_merge_batch"] = _merge_proxy(spark, sf_dir)
+    # pipeline throughput, incremental merge cost. Best-of-2 like the
+    # queries — the first run pays Python-worker spawn + codegen.
+    for key, proxy in [
+        ("proxy_px_expression_2m", lambda: _px_expression_proxy(spark)),
+        ("proxy_pipeline_scenes", lambda: _pipeline_proxy(spark, sf_dir)),
+        ("proxy_merge_batch", lambda: _merge_proxy(spark, sf_dir)),
+    ]:
+        times[key] = min(proxy(), proxy())
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
