@@ -256,3 +256,31 @@ def a11_approx_distinct(spark, sf_dir):
              F.count("*").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "a12_group_percentiles",
+    survey=("A8",),
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90,
+               quantile_disc(l_extendedprice, 0.5) AS p50_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def a12_group_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (continuous + discrete) — the
+    distribution-summary form of A8's min/max reduce. Spark's
+    `percentile` matches DuckDB's `quantile_cont` bit-for-bit (both
+    linear-interpolate on the sorted group); the 100 TB path swaps in
+    `approx_percentile` (t-digest sketch, map-side mergeable, no
+    full-group sort) — same plan shape, bounded memory."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+         .alias("p50_disc"),
+    )
