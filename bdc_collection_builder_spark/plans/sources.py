@@ -72,14 +72,56 @@ def s01_remote_search_pushdown(spark, sf_dir):
 @query(
     "s02_download_failover",
     survey=("S2", "Z2"),
+    oracle="""
+        WITH scenes AS (
+            SELECT 'S2A_MSIL1C_' || CAST(o_orderkey AS VARCHAR) AS scene_id,
+                   CAST(o_orderkey % 3 + 1 AS INT) AS collection_id
+            FROM orders WHERE o_orderkey % 50 = 0
+        ),
+        hashed AS (
+            SELECT scene_id, collection_id,
+                   md5(scene_id || ':usgs') AS h1,
+                   md5(scene_id || ':scihub') AS h2,
+                   md5(scene_id || ':creodias') AS h3,
+                   md5(scene_id || ':sen2cor:2.11.0') AS w1,
+                   md5(scene_id || ':sen2cor:2.10.0') AS w2,
+                   md5(scene_id || ':sen2cor:2.5.5') AS w3
+            FROM scenes
+        ),
+        decoded AS (
+            SELECT scene_id, collection_id,
+                   ((strpos('0123456789abcdef', substr(h1,1,1))-1)*16
+                     + strpos('0123456789abcdef', substr(h1,2,1))-1) % 5 = 0 AS off1,
+                   ((strpos('0123456789abcdef', substr(h2,1,1))-1)*16
+                     + strpos('0123456789abcdef', substr(h2,2,1))-1) % 5 = 0 AS off2,
+                   ((strpos('0123456789abcdef', substr(h3,1,1))-1)*16
+                     + strpos('0123456789abcdef', substr(h3,2,1))-1) % 5 = 0 AS off3,
+                   ((strpos('0123456789abcdef', substr(w1,1,1))-1)*16
+                     + strpos('0123456789abcdef', substr(w1,2,1))-1) % 7 <> 0 AS ok1,
+                   ((strpos('0123456789abcdef', substr(w2,1,1))-1)*16
+                     + strpos('0123456789abcdef', substr(w2,2,1))-1) % 7 <> 0 AS ok2,
+                   ((strpos('0123456789abcdef', substr(w3,1,1))-1)*16
+                     + strpos('0123456789abcdef', substr(w3,2,1))-1) % 7 <> 0 AS ok3
+            FROM hashed
+        )
+        SELECT scene_id, collection_id,
+               'sen2cor' AS processor,
+               CASE WHEN ok1 THEN '2.11.0' WHEN ok2 THEN '2.10.0'
+                    WHEN ok3 THEN '2.5.5' END AS processor_version,
+               CASE WHEN ok1 OR ok2 OR ok3
+                    THEN '/archive/corrected/' || scene_id END AS output_file,
+               CASE WHEN ok1 OR ok2 OR ok3 THEN 0 ELSE 1 END AS returncode
+        FROM decoded
+        WHERE NOT (off1 AND off2 AND off3)
+    """,
 )
 def s02_download_failover(spark, sf_dir):
     """S2/Z2 — the download-with-failover and external-processor stages
     (tasks.py:129-240, processor.py:27-101) as mapInPandas over scene
-    partitions with a deterministic IO simulator. Rows-only: the
-    failover loop is imperative per-row control flow, the exact case
-    Spark reserves for UDF stages. Partitioning = scene batches; no
-    shuffle enters either stage."""
+    partitions with a deterministic IO simulator. The simulator's md5
+    decision chain is re-expressed in the oracle SQL, so this UDF stage
+    is value-checked end-to-end, not rows-only. Partitioning = scene
+    batches; no shuffle enters either stage."""
     from bdc_collection_builder_spark.pipeline.stages import (
         correction_stage,
         download_stage,
@@ -187,6 +229,28 @@ def s06_windowed_raster_scan(spark, sf_dir):
 @query(
     "s07_hdf_subdataset_scan",
     survey=("S7",),
+    oracle="""
+        WITH scenes AS (
+            SELECT 'S2A_MSIL1C_' || CAST(o_orderkey AS VARCHAR) AS scene_id
+            FROM orders WHERE o_orderkey % 50 = 0
+            ORDER BY scene_id LIMIT 40
+        ),
+        clouded AS (
+            SELECT scene_id,
+                   ((((strpos('0123456789abcdef', substr(md5(scene_id),1,1))-1)*16
+                     + strpos('0123456789abcdef', substr(md5(scene_id),2,1))-1)*16
+                     + strpos('0123456789abcdef', substr(md5(scene_id),3,1))-1)*16
+                     + strpos('0123456789abcdef', substr(md5(scene_id),4,1))-1)
+                   % 10000 / 100.0 AS cloud_cover
+            FROM scenes
+        )
+        SELECT scene_id, band,
+               '/archive/' || scene_id || '/' || band || '.tif' AS dest,
+               cloud_cover
+        FROM clouded
+        CROSS JOIN (VALUES ('sur_refl_b01'), ('sur_refl_b02'),
+                           ('QA')) AS b(band)
+    """,
 )
 def s07_hdf_subdataset_scan(spark, sf_dir):
     """S7 — HDF subdataset scan → per-band outputs + cloud metadata
@@ -194,13 +258,14 @@ def s07_hdf_subdataset_scan(spark, sf_dir):
     with an extracted cloud_cover column. The GDAL decode is stubbed
     deterministically (no GDAL in this environment); the Spark plumbing
     — mapInPandas over binary-file rows, 1→N row expansion, typed
-    output schema — is the real design. Rows-only."""
+    output schema — is the real design; the stub's md5 chain is
+    re-expressed in the oracle so the expansion is value-checked."""
     import hashlib
     from collections.abc import Iterator
 
     import pandas as pd
 
-    scenes = _scenes(spark, sf_dir).limit(40)
+    scenes = _scenes(spark, sf_dir).orderBy("scene_id").limit(40)
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bands = ["sur_refl_b01", "sur_refl_b02", "QA"]

@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "w01_latest_execution",      # latest-per-key window
     "y01_tumbling_window",       # event-time window aggregate
     "y05_session_window",        # sessionization (lag + cumsum)
+    "tj_asof_purchase_attribution",  # as-of join (union + carry-forward)
+    "a12_group_percentiles",     # full-sort percentiles per group
     "px_x9_band_expression_ndvi",   # band-expression engine
     "dd_minhash_lsh_pairs",      # MinHash+LSH dedup (shuffle-heavy)
     "ss_brute_force_topk",       # cosine top-k
