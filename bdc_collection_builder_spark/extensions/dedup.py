@@ -270,14 +270,20 @@ def embedding_near_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     """Embedding-cosine near-dup pairs above a threshold (brute-force
     baseline; the LSH path lives in similarity.py). ``left_stride``
     samples the left side for bounded pair counts during verification."""
-    from bdc_collection_builder_spark.extensions.similarity import cosine
+    from bdc_collection_builder_spark.extensions.similarity import dot, norm
 
-    left = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    # Norms computed once per side, not inside every pair's cosine —
+    # identical arithmetic, ~3x less higher-order-function work.
+    left = embeddings.select(F.col(id_col).alias("id_a"),
+                             F.col(vec_col).alias("v_a"),
+                             norm(F.col(vec_col)).alias("n_a"))
     if left_stride > 1:
         left = left.filter(F.col("id_a") % left_stride == 0)
-    right = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    right = embeddings.select(F.col(id_col).alias("id_b"),
+                              F.col(vec_col).alias("v_b"),
+                              norm(F.col(vec_col)).alias("n_b"))
     pairs = left.join(right, F.col("id_a") < F.col("id_b"))
-    sim = cosine(F.col("v_a"), F.col("v_b"))
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)

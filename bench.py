@@ -68,6 +68,9 @@ def main() -> None:
             start = time.perf_counter()
             materialize(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - start)
+        # Queries that persist() intermediates (dedup paths) would
+        # otherwise leak cache blocks into every later measurement.
+        spark.catalog.clearCache()
         times[name] = round(best, 3)
 
     # BASELINE.md §4 proxies: band-expression pixel throughput, scene
