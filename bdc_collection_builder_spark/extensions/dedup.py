@@ -106,18 +106,33 @@ def _hash_family(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
             for _ in range(n_hashes)]
 
 
-def minhash_signatures_from_shingles(sh: DataFrame, n_hashes: int = 32) -> DataFrame:
+def md5_hash60(col) -> "F.Column":
+    """First 60 bits of md5 as a non-negative bigint — the
+    engine-neutral base hash (DuckDB: CAST('0x'||substr(md5(x),1,15) AS
+    BIGINT) produces the identical value, so hash-driven operators
+    become oracle-checkable end-to-end). xxhash64 stays the production
+    default: one JVM intrinsic vs md5's full digest."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signatures_from_shingles(sh: DataFrame, n_hashes: int = 32,
+                                     base_hash: str = "xxhash64") -> DataFrame:
     """MinHash signatures from a (doc_id, shingle) table.
 
-    The shingle string is hashed ONCE (xxhash64); the n_hashes family
-    members are universal-hash rewrites of that value,
+    The shingle string is hashed ONCE (xxhash64, or md5-60bit when
+    ``base_hash='md5'`` for cross-engine verification); the n_hashes
+    family members are universal-hash rewrites of that value,
     ``(a_i * h + b_i) mod (2^31 - 1)`` — 1 string hash + n multiply-adds
     per row instead of n string hashes (~n x cheaper map side). Operands
     stay < 2^62 so the arithmetic is ANSI-overflow-safe. One map-side-
     combined aggregation; the signature rides as an array column."""
     fam = _hash_family(n_hashes)
-    base = sh.withColumn(
-        "__h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31)))
+    if base_hash == "md5":
+        base = sh.withColumn(
+            "__h", md5_hash60(F.col("shingle")) % _MERSENNE_31)
+    else:
+        base = sh.withColumn(
+            "__h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31)))
     mins = [
         F.min((F.col("__h") * F.lit(a) + F.lit(b)) % _MERSENNE_31).alias(f"h{i}")
         for i, (a, b) in enumerate(fam)
@@ -131,16 +146,18 @@ def minhash_signatures_from_shingles(sh: DataFrame, n_hashes: int = 32) -> DataF
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 5,
-                       n_hashes: int = 32) -> DataFrame:
+                       n_hashes: int = 32,
+                       base_hash: str = "xxhash64") -> DataFrame:
     """MinHash signature per document (see
     :func:`minhash_signatures_from_shingles`)."""
     return minhash_signatures_from_shingles(
-        shingles(docs, text_col, id_col, k), n_hashes)
+        shingles(docs, text_col, id_col, k), n_hashes, base_hash)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5, n_hashes: int = 32,
-                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 8, threshold: float = 0.5,
+                      engine_neutral: bool = False) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
     Banding: n_hashes/bands rows per band; docs sharing any band's full
@@ -152,23 +169,33 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
     The shingle table is computed once and persisted — it feeds the
     signatures AND both sides of the verification join; without the
-    persist the whole explode recomputes per plan branch."""
+    persist the whole explode recomputes per plan branch.
+
+    ``engine_neutral=True`` swaps xxhash64 for md5-60bit as the base
+    hash and joins bands on the raw sub-signature string instead of its
+    xxhash64 — identical algorithm, every intermediate reproducible in
+    ANSI SQL (the dd_minhash_lsh_md5 oracle recomputes the whole thing
+    in DuckDB)."""
     rows_per_band = n_hashes // bands
     sh = shingles(docs, text_col, id_col, k).persist()
-    sig = minhash_signatures_from_shingles(sh, n_hashes)
+    sig = minhash_signatures_from_shingles(
+        sh, n_hashes, "md5" if engine_neutral else "xxhash64")
+
+    def band_key(band: int):
+        cols = [F.col("signature")[band * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if engine_neutral:
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        # 8-byte join key instead of a concat'd string: the band's
+        # sub-signature collapses through one xxhash64
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(band).alias("band"),
-                    # 8-byte join key instead of a concat'd string: the
-                    # band's sub-signature collapses through one xxhash64
-                    F.xxhash64(
-                        *[F.col("signature")[band * rows_per_band + r]
-                          for r in range(rows_per_band)],
-                    ).alias("band_key"),
-                )
+                F.struct(F.lit(band).alias("band"),
+                         band_key(band).alias("band_key"))
                 for band in range(bands)
             ])
         ).alias("bb"),
@@ -205,15 +232,20 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token
-    hashes. Explode tokens → per-(doc, bit) vote sum → assemble bits.
-    Two shuffles on doc_id, both partial-aggregated map-side."""
-    toks = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(tokens(F.col(text_col))).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
+                       id_col: str = "doc_id", bits: int = 64,
+                       base_hash: str = "xxhash64") -> DataFrame:
+    """SimHash per document: per-bit majority vote over token hashes
+    (64-bit xxhash64 by default; 60-bit md5 when ``base_hash='md5'``
+    for cross-engine verification). Explode tokens → per-(doc, bit)
+    vote sum → assemble bits. Two shuffles on doc_id, both
+    partial-aggregated map-side."""
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+    if base_hash == "md5":
+        assert bits <= 60, "md5-60bit base hash carries only 60 bits"
+        toks = toks.withColumn("h", md5_hash60(F.col("tok")))
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
@@ -231,19 +263,24 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", radius: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", radius: int = 3,
+                       engine_neutral: bool = False) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius. Bucketing by the
-    4 16-bit quarters of the signature: any pair with ≤3 differing bits
-    agrees exactly on ≥1 quarter (pigeonhole), so candidates come from
+    4 quarters of the signature (16 bits each, 15 for the md5-60bit
+    engine-neutral variant): any pair with ≤3 differing bits agrees
+    exactly on ≥1 quarter (pigeonhole), so candidates come from
     4 equi-joins, not a cross join."""
-    sig = simhash_signatures(docs, text_col, id_col)
+    bits = 60 if engine_neutral else 64
+    sig = simhash_signatures(docs, text_col, id_col, bits,
+                             "md5" if engine_neutral else "xxhash64")
+    qbits = bits // 4
     quarters = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(q).alias("q"),
-                F.shiftright(F.col("simhash"), q * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("qkey"),
+                F.shiftright(F.col("simhash"), q * qbits)
+                 .bitwiseAND(F.lit((1 << qbits) - 1)).alias("qkey"),
             ) for q in range(4)
         ])).alias("qq"),
     ).select("doc_id", "simhash", "qq.q", "qq.qkey")

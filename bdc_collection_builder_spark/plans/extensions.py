@@ -4,9 +4,11 @@ analysis (SURVEY §7.1 item 7 / BASELINE north star).
 The documents table has no natural duplicates, so dedup queries augment
 the corpus with deterministic mutated/exact copies (same derivation on
 both engines) — the operators then provably find exactly those.
-Hash-based operators (MinHash-LSH, SimHash, hyperplane LSH) have no
-cross-engine oracle (xxhash64 is Spark-specific); they are registered
-rows-only and verified in tests against the exact operators.
+Hash-based operators come in two registrations: the production path on
+xxhash64 (Spark-intrinsic, rows-only, verified in tests against the
+exact operators) and an engine-neutral md5-60bit variant
+(dd_minhash_lsh_md5, dd_simhash_md5) whose every intermediate is
+recomputed in DuckDB and hash-checked end-to-end.
 """
 
 from __future__ import annotations
@@ -125,6 +127,168 @@ def dd_minhash_lsh_pairs(spark, sf_dir):
                 F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
     )
     return minhash_lsh_pairs(docs.unionByName(near), threshold=0.5)
+
+
+# --- Engine-neutral (md5-60bit) variants of the hash-driven dedup ops.
+# The production paths above use xxhash64 (one JVM intrinsic per string);
+# these swap in a base hash both engines can compute bit-identically
+# (Spark conv(substr(md5,1,15),16,10) == DuckDB CAST('0x'||... AS BIGINT)),
+# so the ENTIRE pipeline — shingle → minhash family → banding → candidate
+# join → Jaccard verify (resp. token → bit votes → signature → quarter
+# join → Hamming) — is recomputed in DuckDB and hash-checked end-to-end.
+
+_M31 = 2147483647
+_HEX60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_md5_oracle(n_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.5) -> str:
+    from bdc_collection_builder_spark.extensions.dedup import _hash_family
+
+    fam = _hash_family(n_hashes)
+    rows_per_band = n_hashes // bands
+    mins = ",\n                   ".join(
+        f"min((h * {a} + {b}) % {_M31}) AS h{i}"
+        for i, (a, b) in enumerate(fam))
+    banded = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {band} AS band, concat_ws('|', "
+        + ", ".join(f"h{band * rows_per_band + r}" for r in range(rows_per_band))
+        + ") AS band_key FROM sigs"
+        for band in range(bands))
+    return f"""
+        WITH corpus AS ({_AUG_SQL}),
+        tokd AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+        shingled AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       array_to_string(toks[i + 1 : i + 5], ' ') AS sh
+                FROM tokd, UNNEST(generate_series(0, len(toks) - 5)) AS u(i)
+                WHERE len(toks) >= 5
+            )
+        ),
+        hashed AS (
+            SELECT doc_id, sh, {_HEX60.format(x='sh')} % {_M31} AS h
+            FROM shingled
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   {mins}
+            FROM hashed GROUP BY doc_id
+        ),
+        banded AS (
+            {banded}
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+        common AS (
+            SELECT doc_a, doc_b, count(*) AS n_common
+            FROM cands
+            JOIN shingled sa ON sa.doc_id = doc_a
+            JOIN shingled sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common), 4)
+                 AS jaccard
+        FROM common
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (za.n + zb.n - n_common)
+              >= {threshold}
+    """
+
+
+@query(
+    "dd_minhash_lsh_md5",
+    survey=("DD-minhash",),
+    oracle=_minhash_md5_oracle(),
+)
+def dd_minhash_lsh_md5(spark, sf_dir):
+    """MinHash+LSH with the engine-neutral md5-60bit base hash — the
+    same banding/verification plan as dd_minhash_lsh_pairs, fully
+    recomputed in DuckDB (signatures, band buckets, candidate pairs,
+    exact-Jaccard verification) and hash-checked."""
+    from bdc_collection_builder_spark.extensions.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    return minhash_lsh_pairs(docs.unionByName(near), threshold=0.5,
+                             engine_neutral=True)
+
+
+def _simhash_md5_oracle(bits: int = 60, radius: int = 3) -> str:
+    qbits = bits // 4
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits))
+    sig = "\n                 + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+        WITH corpus AS ({_AUG_SQL}),
+        toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM corpus
+        ),
+        hashed AS (
+            SELECT doc_id, {_HEX60.format(x='tok')} AS h FROM toks
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM hashed GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   {sig} AS simhash
+            FROM votes
+        ),
+        quarters AS (
+            SELECT doc_id, simhash, q,
+                   (simhash >> (q * {qbits})) & {(1 << qbits) - 1} AS qkey
+            FROM sigs, UNNEST([0, 1, 2, 3]) AS u(q)
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM quarters a JOIN quarters b
+              ON a.q = b.q AND a.qkey = b.qkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+        FROM cands
+        WHERE bit_count(xor(sig_a, sig_b)) <= {radius}
+    """
+
+
+@query(
+    "dd_simhash_md5",
+    survey=("DD-simhash",),
+    oracle=_simhash_md5_oracle(),
+)
+def dd_simhash_md5(spark, sf_dir):
+    """SimHash near-dup pairs with the engine-neutral md5-60bit token
+    hash (15-bit quarters) — bit votes, signature assembly, quarter
+    bucketing, and Hamming filter all recomputed in DuckDB."""
+    from bdc_collection_builder_spark.extensions.dedup import simhash_near_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    return simhash_near_pairs(docs.unionByName(near), radius=3,
+                              engine_neutral=True)
 
 
 @query(
