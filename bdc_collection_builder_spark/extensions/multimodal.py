@@ -83,7 +83,11 @@ def decode_image_features(media: DataFrame, codec: str = "stub",
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                "sha256": [hashlib.sha256(p).hexdigest() if p is not None else None
+                # checksum over the payload's hex form, not raw bytes:
+                # engines without BLOB hashing (the DuckDB oracle) can
+                # then recompute it; a real codec would hash raw bytes.
+                "sha256": [hashlib.sha256(bytes(p).hex().encode()).hexdigest()
+                           if p is not None else None
                            for p in pdf["payload"]],
                 "mean_byte": [
                     float(np.frombuffer(p, dtype=np.uint8).mean())

@@ -396,10 +396,64 @@ def ss_brute_force_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5)
 
 
+def _lsh_topk_oracle(k: int = 5, n_tables: int = 24, n_bits: int = 5,
+                     dim: int = 64, seed: int = 42) -> str:
+    """The hyperplane-LSH plan is engine-neutral — buckets are sign
+    bits of dot products against LITERAL planes, no engine hash — so
+    the whole approximate query (bucketing, candidate probe, exact
+    re-rank) is reproducible in DuckDB by embedding the same seeded
+    plane matrix as literals."""
+    from bdc_collection_builder_spark.extensions.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+    rows = ",\n                ".join(
+        f"({t}, {1 << bit}, [{', '.join(repr(float(w)) for w in plane)}])"
+        for t, table in enumerate(planes)
+        for bit, plane in enumerate(table)
+    )
+    cos = (f"round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}"
+           f" / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})"
+           f" * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6)")
+    return f"""
+        WITH planes(table_id, bit_value, w) AS (
+            VALUES {rows}
+        ),
+        b AS (
+            SELECT e.vec_id, e.embedding, p.table_id,
+                   sum(CASE WHEN list_sum(list_transform(
+                           generate_series(1, {dim}),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i]))
+                         > 0
+                       THEN p.bit_value ELSE 0 END) AS bucket
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, e.embedding, p.table_id
+        ),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM b c JOIN b q
+              ON c.table_id = q.table_id AND c.bucket = q.bucket
+            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT p.query_id, p.vec_id, {cos} AS cosine
+            FROM cands p
+            JOIN embeddings c ON c.vec_id = p.vec_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 @query(
     "ss_lsh_topk",
     survey=("SS-lsh",),
-    oracle=None,  # recall vs the exact baseline is asserted in tests
+    oracle=_lsh_topk_oracle(),
 )
 def ss_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH top-k (the corpus-scale ANN path)."""
@@ -525,6 +579,23 @@ def tx_fingerprint(spark, sf_dir):
 @query(
     "mm_decode_features",
     survey=("MM-decode",),
+    oracle="""
+        WITH media AS (
+            SELECT i AS media_id,
+                   ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind,
+                   sha256('media-' || i) AS hex,
+                   CAST(4 + i % 7 AS INT) AS reps
+            FROM range(0, 64) t(i)
+        )
+        SELECT media_id, kind,
+               CAST(32 * reps AS INT) AS n_bytes,
+               sha256(repeat(hex, reps)) AS sha256,
+               round(CAST(list_sum(list_transform(generate_series(1, 32),
+                   j -> (strpos('0123456789abcdef', substr(hex, 2*j-1, 1))-1)*16
+                      + strpos('0123456789abcdef', substr(hex, 2*j, 1))-1))
+                   AS DOUBLE) / 32, 4) AS mean_byte
+        FROM media ORDER BY media_id
+    """,
 )
 def mm_decode_features(spark, sf_dir):
     """Multimodal decode + feature extraction: binary payloads stay
@@ -532,7 +603,12 @@ def mm_decode_features(spark, sf_dir):
     fixed-dim feature vector (plus size/hash stats) shuffles. The codec
     is a deterministic stub (no image libs in this container); the
     schemas, batch shapes, and partitioning are the production design.
-    Rows-only (binary UDF plumbing)."""
+    The stub is seeded (payload = repeated sha256 digest), so the
+    oracle recomputes size/checksum/mean in DuckDB — the UDF stage is
+    value-checked end-to-end like s02/s07. The checksum hashes the
+    payload's hex form (DuckDB hashes VARCHAR only); mean over the
+    repeated digest equals mean over one digest, and /32 is a pure
+    exponent shift, so the doubles agree bit-for-bit."""
     from bdc_collection_builder_spark.extensions.multimodal import (
         decode_image_features,
         synthetic_media,
