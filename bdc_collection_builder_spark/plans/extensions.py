@@ -653,6 +653,113 @@ def mm_frame_sample(spark, sf_dir):
 
 
 @query(
+    "tx_vocabulary_topk",
+    survey=("TX-vocab",),
+    oracle=f"""
+        WITH vocab AS (
+            SELECT tok, count(*) AS n FROM (
+                SELECT unnest({_TOKS}) AS tok FROM documents
+            ) GROUP BY tok
+        )
+        SELECT tok, n, rank FROM (
+            SELECT tok, n,
+                   row_number() OVER (ORDER BY n DESC, tok) AS rank
+            FROM vocab
+        ) WHERE rank <= 100
+    """,
+)
+def tx_vocabulary_topk(spark, sf_dir):
+    """Corpus vocabulary top-100 by frequency — the tokenizer-training
+    scan of an LLM data pipeline. Shape at 100 TB: token explode →
+    map-side-combined count → orderBy().limit() (TakeOrdered: per-
+    partition heaps + driver merge of 100-row heads, never a global
+    sort); the rank window runs AFTER the limit, over 100 rows."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok").limit(100)
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return vocab.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "tx_corpus_curation",
+    survey=("TX-curation",),
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        canon AS (
+            SELECT md5(text) AS h, min(doc_id) AS canonical_id
+            FROM corpus GROUP BY md5(text)
+        ),
+        deduped AS (
+            SELECT c.doc_id, c.text
+            FROM corpus c JOIN canon k
+              ON md5(c.text) = k.h AND c.doc_id = k.canonical_id
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CASE WHEN CAST(len(list_filter({_TOKS},
+                            x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                            / len({_TOKS}) >= 0.08
+                        THEN 'en' ELSE 'unknown' END AS lang_pred,
+                   (CASE WHEN len(text) BETWEEN 20 AND 20000 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN CAST(len(list_filter({_TOKS},
+                          x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                          / len({_TOKS}) >= 0.05 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]',
+                          '', 'g')) AS DOUBLE) / len(text) <= 0.2
+                          THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN CAST(list_sum(list_transform({_TOKS},
+                          x -> len(x))) AS DOUBLE) / len({_TOKS})
+                          BETWEEN 2 AND 12 THEN 0.1 ELSE 0.0 END) AS quality
+            FROM deduped
+        )
+        SELECT doc_id, lang_pred, round(quality, 2) AS quality
+        FROM feats
+        WHERE lang_pred = 'en' AND round(quality, 2) >= 0.6
+    """,
+)
+def tx_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the composed LLM-data-pipeline
+    pass: exact dedup (keep the canonical copy), heuristic language
+    filter, and quality-score threshold in ONE scan shape. The dedup
+    group-by is the only shuffle; language/quality are scalar columns
+    that fuse into the scan. The corpus is augmented with exact copies
+    (every 10th doc) so the dedup stage provably removes them."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    hashed = corpus.withColumn("h", F.md5("text"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    deduped = (
+        hashed.join(canon, (hashed["h"] == canon["h"])
+                    & (hashed["doc_id"] == canon["canonical_id"]))
+        .select(hashed["doc_id"], "text")
+    )
+    text_col = F.col("text")
+    return (
+        deduped.select(
+            "doc_id",
+            tx.language_id(text_col).alias("lang_pred"),
+            F.round(tx.quality_score(text_col), 2).alias("quality"),
+        )
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.6))
+    )
+
+
+@query(
     "ss_ivf_topk",
     survey=("SS-ivf",),
 )
