@@ -62,6 +62,23 @@ def test_no_cartesian_in_candidate_generation(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_vocabulary_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "tx_vocabulary_topk", sf_dir)
+    # top-k must be TakeOrdered (per-partition heaps), never a full sort
+    assert "TakeOrderedAndProject" in plan
+    # the count aggregate is map-side combined before its one shuffle
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_curation_has_single_wide_stage(spark, sf_dir):
+    plan = plan_of(spark, "tx_corpus_curation", sf_dir)
+    # dedup group-by is the only shuffle; language/quality scalars fuse
+    # into the scan side (no extra exchange, no Python)
+    assert plan.count("Arguments: hashpartitioning") <= 2  # agg + join key
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
 def test_single_shuffle_aggregate(spark, sf_dir):
     plan = plan_of(spark, "q1_pricing_summary", sf_dir)
     n_exchanges = plan.count("Arguments: hashpartitioning")
