@@ -134,6 +134,78 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", n_centroids: int = 16,
+                    nprobe: int = 4) -> DataFrame:
+    """IVF top-k with a data-derived coarse quantizer: the first
+    ``n_centroids`` corpus vectors (by id) serve as centroids, joined
+    as a broadcast dimension instead of baked-in literals.
+
+    Same probe plan as :func:`ivf_topk` — corpus bucketed by nearest
+    centroid, queries probe nprobe buckets, candidates re-ranked
+    exactly — but the quantizer is relational (derived from the data,
+    not driver-side literals), so external engines can replay every
+    step verbatim; this is the oracle-checked variant, while
+    ivf_topk's k-means training is the production quantizer.
+
+    Assignment is shuffle-free: the centroid dimension collapses to ONE
+    broadcast array row and each vector argmax-scans it in a projection
+    (the window/join formulation would shuffle corpus x n_centroids
+    rows). Ties break toward the lower centroid id, matching the
+    oracle's ORDER BY sim DESC, cid."""
+    cent = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"),
+                norm(F.col(vec_col)).alias("cent_norm")))
+    # One row holding all centroids, ordered by cid (array_sort on the
+    # struct sorts by its first field) — deterministic regardless of
+    # collect_list's arrival order.
+    carr = cent.agg(F.array_sort(F.collect_list(
+        F.struct("cid", "cent_vec", "cent_norm"))).alias("cents"))
+
+    def assign(df: DataFrame, idc: str, prefix: str, n: int) -> DataFrame:
+        """n nearest centroid ids per vector (cosine, ties -> low cid)."""
+        vec = F.col(f"{prefix}_vec")
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (dot(vec, c["cent_vec"])
+                 / (F.col(f"{prefix}_norm") * c["cent_norm"])).alias("sim"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+        # ascending sort on (sim, negcid), reversed -> sim DESC, cid ASC
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return (
+            df.select(F.col(idc), F.col(vec_col).alias(f"{prefix}_vec"),
+                      norm(F.col(vec_col)).alias(f"{prefix}_norm"))
+            .crossJoin(F.broadcast(carr))
+            .select(idc, f"{prefix}_vec", f"{prefix}_norm",
+                    F.explode(F.transform(top, lambda s: -s["negcid"]))
+                    .alias("centroid_id"))
+        )
+
+    c = assign(corpus, id_col, "c", 1)
+    q = assign(queries, query_id_col, "q", nprobe)
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col,
+            F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
                      dim: int, iters: int = 5, sample: int = 2000,
                      seed: int = 42) -> list[list[float]]:

@@ -759,19 +759,77 @@ def tx_corpus_curation(spark, sf_dir):
     )
 
 
+_IVF_ASSIGN_COS = (
+    f"{_DOT_SQL.format(a='e.embedding', b='c.cent')}"
+    f" / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})"
+    f" * sqrt({_DOT_SQL.format(a='c.cent', b='c.cent')}))"
+)
+
+
 @query(
     "ss_ivf_topk",
     survey=("SS-ivf",),
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cent
+            FROM embeddings WHERE vec_id < 16
+        ),
+        corpus_assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rnk <= 1
+        ),
+        query_assign AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT e.vec_id AS query_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+                WHERE e.vec_id < 8
+            ) WHERE rnk <= 4
+        ),
+        cands AS (
+            SELECT DISTINCT q.query_id, c.vec_id
+            FROM corpus_assign c JOIN query_assign q USING (centroid_id)
+            WHERE c.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT p.query_id, p.vec_id,
+                   round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                         / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})
+                            * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})),
+                         6) AS cosine
+            FROM cands p
+            JOIN embeddings c ON c.vec_id = p.vec_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
 )
 def ss_ivf_topk(spark, sf_dir):
-    """IVF-Flat approximate nearest neighbors: coarse k-means quantizer
-    (trained on a driver-side sample), corpus bucketed by nearest
-    centroid, queries probe nprobe buckets and re-rank exactly. The
-    third point on the exact→LSH→IVF cost/recall curve. Rows-only
-    (approximate result set is engine-specific)."""
-    from bdc_collection_builder_spark.extensions.similarity import ivf_topk
+    """IVF-Flat approximate nearest neighbors: coarse quantizer buckets
+    the corpus by nearest centroid; queries probe nprobe buckets and
+    re-rank exactly. The third point on the exact→LSH→IVF cost/recall
+    curve. This registration uses the data-derived seeded quantizer
+    (relational, shuffle-free assignment — oracle replays it in SQL);
+    the k-means-trained quantizer (similarity.ivf_topk) is the
+    production trainer, recall-tested in unit tests."""
+    from bdc_collection_builder_spark.extensions.similarity import ivf_topk_seeded
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries, k=5)
+    return ivf_topk_seeded(emb, queries, k=5)
