@@ -833,3 +833,124 @@ def ss_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk_seeded(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (CU-*): splits, decontamination, packing, sampling.
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET = _HEX60.format(x="CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+
+
+@query(
+    "cu_hash_split",
+    survey=("CU-split",),
+    oracle=f"""
+        SELECT doc_id, lang, {_SPLIT_BUCKET} AS bucket,
+               CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train'
+                    WHEN {_SPLIT_BUCKET} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def cu_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: keyed md5 bucket, pure
+    narrow projection (zero shuffle; assignments never move when the
+    corpus grows, unlike randomSplit)."""
+    from bdc_collection_builder_spark.extensions.curation import hash_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, train_pct=90, val_pct=5)
+
+
+_SHINGLE5_SQL = """
+    SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS sh
+    FROM (SELECT doc_id, {toks} AS toks FROM {src}),
+         UNNEST(generate_series(0, len(toks) - 5)) AS u(i)
+    WHERE len(toks) >= 5
+"""
+
+
+@query(
+    "cu_decontaminate",
+    survey=("CU-decon",),
+    oracle=f"""
+        WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+        tr AS ({_SHINGLE5_SQL.format(toks=_TOKS, src="train")}),
+        be AS ({_SHINGLE5_SQL.format(toks=_TOKS, src="bench")})
+        SELECT tr.doc_id AS train_doc_id,
+               count(DISTINCT {_HEX60.format(x="tr.sh")}) AS n_common_shingles,
+               count(DISTINCT be.doc_id) AS n_bench_docs
+        FROM tr JOIN be
+          ON {_HEX60.format(x="tr.sh")} = {_HEX60.format(x="be.sh")}
+        GROUP BY tr.doc_id
+    """,
+)
+def cu_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 5-token
+    shingle with the held-out benchmark slice (doc_id % 17 == 0). The
+    eval-leakage check every pretraining corpus runs; benchmark-side
+    shingles broadcast so the corpus side never shuffles."""
+    from bdc_collection_builder_spark.extensions.curation import decontaminate
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate(docs.filter(F.col("doc_id") % 17 != 0),
+                         docs.filter(F.col("doc_id") % 17 == 0), k=5)
+
+
+@query(
+    "cu_pack_sequences",
+    survey=("CU-pack",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, doc_id % 32 AS shard, len({_TOKS}) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_offset
+            FROM toks
+        )
+        SELECT doc_id, shard, n_tokens, start_offset,
+               CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
+        FROM cum
+    """,
+)
+def cu_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per-shard running token count
+    assigns each doc a fixed-capacity pack id + start offset. Sharding
+    (doc_id % 32) keeps the cumsum window partition-parallel — the
+    single-global-order formulation would bottleneck on one partition
+    at scale."""
+    from bdc_collection_builder_spark.extensions.curation import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, capacity=512, n_shards=32)
+
+
+_SAMPLE_U = _HEX60.format(x="CAST(doc_id AS VARCHAR) || ':sample'") + " % 10000"
+
+
+@query(
+    "cu_stratified_sample",
+    survey=("CU-sample",),
+    oracle=f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_SAMPLE_U} < CASE lang WHEN 'en' THEN 2500
+                                      WHEN 'zh' THEN 6000
+                                      ELSE 10000 END
+    """,
+)
+def cu_stratified_sample(spark, sf_dir):
+    """Stratified downsampling by language: keep 25% of en, 60% of zh,
+    all the rest — a deterministic hash-threshold filter (no shuffle,
+    rerun-stable, unlike sampleBy's RNG) for domain rebalancing."""
+    from bdc_collection_builder_spark.extensions.curation import stratified_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, strata_col="lang",
+                             fractions={"en": 0.25, "zh": 0.6})
