@@ -99,8 +99,11 @@ class CatalogStore:
         # Broadcast the incoming keys: a merge batch is one publish run
         # (bounded), while `current` is the whole catalog — a broadcast
         # anti-join streams the catalog through without shuffling it.
+        # No distinct() on the build side: anti-join output is identical
+        # with duplicate keys, and dropping it removes a whole shuffle
+        # stage from every merge.
         kept = current.join(
-            F.broadcast(incoming.select(*keys).distinct()), keys, "left_anti")
+            F.broadcast(incoming.select(*keys)), keys, "left_anti")
         self._commit(table, kept.unionByName(incoming))
 
     def _commit(self, table: str, df: DataFrame) -> None:
@@ -211,6 +214,5 @@ class PartitionedCatalogStore(CatalogStore):
             part_incoming = incoming.filter(F.col(pcol) == value)
             current = sub.read(table)
             kept = current.join(
-                F.broadcast(part_incoming.select(*keys).distinct()),
-                keys, "left_anti")
+                F.broadcast(part_incoming.select(*keys)), keys, "left_anti")
             sub._commit(table, kept.unionByName(part_incoming))

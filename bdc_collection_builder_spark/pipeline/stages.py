@@ -62,24 +62,40 @@ def download_stage(scenes: DataFrame, provider_names: list[str],
             "io_simulate=True or plug a downloader into this stage")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Column-at-a-time over the Arrow batch (not itertuples): the
+        # failover loop runs per PROVIDER (dimension-sized) with each
+        # pass narrowing to the still-offline rows, so the md5 oracle is
+        # evaluated exactly as often as the row-loop's short-circuit —
+        # but without per-row tuple construction, which dominated.
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                used, attempts, status = None, 0, "OFFLINE"
-                for provider in provider_names:
-                    attempts += 1
-                    if not _simulated_offline(row.scene_id, provider):
-                        used, status = provider, "SUCCESS"
-                        break
-                checksum = hashlib.md5(row.scene_id.encode()).hexdigest()
-                out.append((
-                    row.scene_id, row.collection_id, used, attempts,
-                    f"/archive/downloads/{row.scene_id}.zip" if used else None,
-                    checksum if used else None, status,
-                ))
-            yield pd.DataFrame(out, columns=[
-                "scene_id", "collection_id", "provider_used", "attempts",
-                "compressed_file", "checksum", "status"])
+            sid = pdf["scene_id"]
+            used = pd.Series(None, index=pdf.index, dtype=object)
+            attempts = pd.Series(0, index=pdf.index, dtype="int64")
+            remaining = pdf.index
+            for provider in provider_names:
+                if len(remaining) == 0:
+                    break
+                attempts[remaining] += 1
+                online = sid[remaining].map(
+                    lambda s, p=provider: not _simulated_offline(s, p))
+                ok = online[online].index
+                used[ok] = provider
+                remaining = remaining.difference(ok)
+            success = used.notna()
+            checksum = pd.Series(None, index=pdf.index, dtype=object)
+            checksum[success] = sid[success].map(
+                lambda s: hashlib.md5(s.encode()).hexdigest())
+            yield pd.DataFrame({
+                "scene_id": sid,
+                "collection_id": pdf["collection_id"],
+                "provider_used": used,
+                "attempts": attempts,
+                "compressed_file":
+                    ("/archive/downloads/" + sid + ".zip").where(success, None),
+                "checksum": checksum,
+                "status": pd.Series("OFFLINE", index=pdf.index)
+                    .mask(success, "SUCCESS"),
+            })
 
     parallelism = scenes.sparkSession.sparkContext.defaultParallelism
     return (
@@ -115,25 +131,35 @@ def correction_stage(downloaded: DataFrame, collections: DataFrame,
         "collection_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Column-at-a-time like download_stage: the version-fallback
+        # walk iterates per (processor, candidate) — dimension-sized —
+        # narrowing to the rows that still need a working install.
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                proc = row.processor or "sen2cor"
-                version = None
-                for candidate in PROCESSOR_VERSIONS.get(proc, ["0"]):
-                    digest = hashlib.md5(
-                        f"{row.scene_id}:{proc}:{candidate}".encode()).hexdigest()
-                    if int(digest[:2], 16) % 7 != 0:   # simulated version OK
-                        version = candidate
+            sid = pdf["scene_id"]
+            proc = pdf["processor"].fillna("sen2cor")
+            version = pd.Series(None, index=pdf.index, dtype=object)
+            for pname, rows in proc.groupby(proc).groups.items():
+                remaining = pd.Index(rows)
+                for candidate in PROCESSOR_VERSIONS.get(pname, ["0"]):
+                    if len(remaining) == 0:
                         break
-                rc = 0 if version else 1
-                out.append((
-                    row.scene_id, row.collection_id, proc, version,
-                    f"/archive/corrected/{row.scene_id}" if rc == 0 else None,
-                    rc))
-            yield pd.DataFrame(out, columns=[
-                "scene_id", "collection_id", "processor",
-                "processor_version", "output_file", "returncode"])
+                    ok = sid[remaining].map(
+                        lambda s, p=pname, c=candidate: int(hashlib.md5(
+                            f"{s}:{p}:{c}".encode()).hexdigest()[:2], 16)
+                        % 7 != 0)                      # simulated version OK
+                    found = ok[ok].index
+                    version[found] = candidate
+                    remaining = remaining.difference(found)
+            success = version.notna()
+            yield pd.DataFrame({
+                "scene_id": sid,
+                "collection_id": pdf["collection_id"],
+                "processor": proc,
+                "processor_version": version,
+                "output_file":
+                    ("/archive/corrected/" + sid).where(success, None),
+                "returncode": (~success).astype("int32"),
+            })
 
     return with_proc.select("scene_id", "collection_id", "processor") \
         .mapInPandas(run, CORRECTION_SCHEMA)
