@@ -325,3 +325,54 @@ def embedding_near_pairs(embeddings: DataFrame, id_col: str = "vec_id",
         pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns pairwise dedup output into dedup GROUPS (keep one doc
+    per component, drop the rest).
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors; converged when an
+    iteration changes nothing. Each round is one shuffle-join + one
+    aggregate, all distributed — no driver-side union-find. Rounds
+    needed = graph diameter, and near-dup clusters are shallow (a dup
+    cluster's diameter is almost always ≤ 3; the large-star/small-star
+    rewrite that guarantees O(log n) rounds plugs in here if a corpus
+    ever produces deep chains). ``localCheckpoint`` truncates the plan
+    each round so the lineage doesn't grow quadratically.
+
+    Returns (doc_id, component_id) for every node appearing in an edge,
+    component_id = min doc_id reachable."""
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        # materialized once — every propagation round re-reads the edge
+        # set, and without this each round would recompute the (possibly
+        # expensive) upstream pair-generation plan from scratch
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        both.select(F.col("a").alias("doc_id")).distinct()
+        .withColumn("component_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        # smallest neighbor label per node, then min with own label
+        neighbor_min = (
+            both.join(labels, both.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id",
+                    F.least("component_id", "nbr_min").alias("component_id"),
+                    (F.col("nbr_min") < F.col("component_id")).alias("chg"))
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("chg")).limit(1).count()
+        labels = updated.drop("chg")
+        if changed == 0:
+            break
+    return labels

@@ -98,3 +98,23 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * 31 + c) % FINGERPRINT_MOD,
     )
+
+
+# PII patterns shared with the DuckDB oracle: both Java regex and RE2
+# support this subset (character classes, \., \S, {m,}) identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails then URLs (email first: a URL never contains a
+    bare email, but scrubbing URLs first could split an email's domain).
+    Pure JVM-side regexp_replace — no Python in the hot path."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_urls) found in the raw text."""
+    return (F.regexp_count(text, F.lit(EMAIL_RE)),
+            F.regexp_count(text, F.lit(URL_RE)))

@@ -60,11 +60,11 @@ _AUG_SQL = """
 """
 
 
-@query(
-    "dd_ngram_jaccard_pairs",
-    survey=("DD-jaccard",),
-    oracle=f"""
-        WITH corpus AS ({_AUG_SQL}),
+# Shared CTE chain: exact 5-gram Jaccard pairs over the augmented
+# corpus — the jaccard query selects from it directly; the cluster
+# query builds its component closure on top.
+_JACCARD_CTES = f"""
+        corpus AS ({_AUG_SQL}),
         shingled AS (
             SELECT DISTINCT doc_id, sh FROM (
                 SELECT doc_id,
@@ -83,14 +83,24 @@ _AUG_SQL = """
             FROM shingled a JOIN shingled b
               ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
-                 AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        ),
+        jpairs AS (
+            SELECT doc_a, doc_b,
+                   round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+                     AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        )"""
+
+
+@query(
+    "dd_ngram_jaccard_pairs",
+    survey=("DD-jaccard",),
+    oracle=f"""
+        WITH {_JACCARD_CTES}
+        SELECT doc_a, doc_b, jaccard FROM jpairs
     """,
 )
 def dd_ngram_jaccard_pairs(spark, sf_dir):
@@ -106,6 +116,48 @@ def dd_ngram_jaccard_pairs(spark, sf_dir):
                 F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
     )
     return ngram_jaccard_pairs(docs.unionByName(near), threshold=0.5)
+
+
+@query(
+    "dd_cluster_components",
+    survey=("DD-cluster",),
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM jpairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS component_id
+        FROM reach GROUP BY a
+    """,
+)
+def dd_cluster_components(spark, sf_dir):
+    """Near-dup GROUPS from pairwise dedup output: connected components
+    via distributed min-label propagation (each round one join + one
+    min-aggregate, no driver-side union-find; converges in diameter
+    rounds — dup clusters are shallow). The oracle replays the closure
+    with a recursive CTE. Downstream, keep min(doc_id) per component
+    and drop the rest — the final step of every at-scale dedup."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    pairs = ngram_jaccard_pairs(docs.unionByName(near), threshold=0.5)
+    return connected_components(pairs)
 
 
 @query(
@@ -954,3 +1006,131 @@ def cu_stratified_sample(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return stratified_sample(docs, strata_col="lang",
                              fractions={"en": 0.25, "zh": 0.6})
+
+
+@query(
+    "tx_repetition_stats",
+    survey=("TX-repetition",),
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        stats AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct
+            FROM base
+        ),
+        grams AS (
+            SELECT doc_id, array_to_string(toks[i + 1 : i + 2], ' ') AS gram
+            FROM base, UNNEST(generate_series(0, len(toks) - 2)) AS u(i)
+            WHERE len(toks) >= 2
+        ),
+        gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        mx AS (SELECT doc_id, max(c) AS max_bigram FROM gc GROUP BY 1)
+        SELECT s.doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 4)
+                 AS dup_word_frac,
+               CAST(coalesce(max_bigram, 0) AS BIGINT) AS max_bigram_count,
+               round(CAST(coalesce(max_bigram, 0) AS DOUBLE)
+                     / greatest(n_tokens - 1, 1), 4) AS top_bigram_frac,
+               ((1 - CAST(n_distinct AS DOUBLE) / n_tokens) <= 0.4
+                AND CAST(coalesce(max_bigram, 0) AS DOUBLE)
+                    / greatest(n_tokens - 1, 1) <= 0.2) AS keep
+        FROM stats s LEFT JOIN mx USING (doc_id)
+    """,
+)
+def tx_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-word fraction and
+    most-frequent-bigram fraction per document, plus the keep/drop
+    verdict. Bigram counting goes explode -> map-side-combined count ->
+    per-doc max (two partial-agg shuffles on doc_id — bounded by corpus
+    size, never by document length; the array-side O(len^2) counting
+    alternative would blow up on long documents)."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    )
+    mx = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram").count()
+        .groupBy("doc_id").agg(F.max("count").alias("max_bigram"))
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")
+    top_frac = (F.coalesce(F.col("max_bigram"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)))
+    return (
+        base.join(mx, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(dup_frac, 4).alias("dup_word_frac"),
+            F.coalesce(F.col("max_bigram"), F.lit(0)).cast("bigint")
+             .alias("max_bigram_count"),
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            ((dup_frac <= 0.4) & (top_frac <= 0.2)).alias("keep"),
+        )
+    )
+
+
+@query(
+    "tx_pii_scrub",
+    survey=("TX-pii",),
+    oracle="""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || doc_id
+                             || '@example.com or https://ex' || doc_id
+                             || '.example/page ok'
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\\s]+', '<URL>', 'g') AS text_scrubbed,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+                 AS n_urls
+        FROM planted
+    """,
+)
+def tx_pii_scrub(spark, sf_dir):
+    """PII redaction: emails then URLs replaced with typed tokens, plus
+    per-doc match counts — pure JVM-side regexp (no Python, no shuffle;
+    the same RE2-compatible pattern subset runs on both engines). Every
+    7th doc gets a planted email+URL so redactions provably happen."""
+    from bdc_collection_builder_spark.extensions.text import (
+        pii_counts,
+        pii_scrub,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com"),
+                F.lit(" or https://ex"), F.col("doc_id").cast("string"),
+                F.lit(".example/page ok")),
+        ).otherwise(F.col("text")),
+    )
+    n_emails, n_urls = pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        pii_scrub(F.col("text")).alias("text_scrubbed"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_urls.cast("bigint").alias("n_urls"),
+    )

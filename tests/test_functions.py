@@ -148,3 +148,17 @@ def test_ann_ivf_recall(spark, sf_dir):
         1 for q, v in exact_top1.items() if (q, v) in approx_hits
     ) / len(exact_top1)
     assert top1_recall >= 0.5, f"IVF top-1 recall too low: {top1_recall}"
+
+
+def test_connected_components_chain_and_islands(spark):
+    from bdc_collection_builder_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (needs >1 propagation round), island {7,8}, and a
+    # doc with no edges never appears in the output
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (7, 8)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component_id
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
