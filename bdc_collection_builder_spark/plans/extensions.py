@@ -1134,3 +1134,103 @@ def tx_pii_scrub(spark, sf_dir):
         n_emails.cast("bigint").alias("n_emails"),
         n_urls.cast("bigint").alias("n_urls"),
     )
+
+
+@query(
+    "tx_tfidf_topk",
+    survey=("TX-tfidf",),
+    oracle=f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ),
+        idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        total AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+                   round(tf.tf * ln(CAST(n_docs AS DOUBLE) / idf.df), 6)
+                     AS tfidf
+            FROM tf JOIN idf USING (term) CROSS JOIN total
+        )
+        SELECT doc_id, term, tf, df, tfidf, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rank FROM scored
+        ) WHERE rank <= 3
+    """,
+)
+def tx_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document. Term and document
+    frequencies are two partial-agg shuffles; the term->df dimension
+    and the corpus-size scalar broadcast back onto the tf table, so the
+    big side shuffles exactly twice (tf groupBy, then the per-doc top-k
+    window) regardless of corpus size. Scores are rounded to 6 decimals
+    BEFORE ranking on both engines so last-ULP ln() differences can't
+    flip the order (ties then break on the term string)."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                        / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "ss_quantize_int8",
+    survey=("SS-quant",),
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding,
+                       v -> CAST(round(greatest(least(CAST(v AS DOUBLE), 1.0),
+                                                -1.0) * 127) AS INTEGER)
+                   ) AS q_embedding,
+                   len(embedding) AS n_dims
+            FROM embeddings
+        )
+        SELECT vec_id, q_embedding, n_dims,
+               CAST(list_aggregate(q_embedding, 'sum') AS BIGINT) AS sum_q
+        FROM q
+    """,
+)
+def ss_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column — 4x smaller
+    vectors for the ANN candidate pass (re-rank on full precision).
+    A pure projection (clamp to [-1,1], scale by 127, round): no
+    shuffle, whole-stage codegen, identical arithmetic on both engines
+    (float inputs widen to double exactly)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(
+            F.greatest(F.least(v.cast("double"), F.lit(1.0)), F.lit(-1.0))
+            * 127).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        q.alias("q_embedding"),
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.aggregate(q, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("sum_q"),
+    )

@@ -125,3 +125,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_scrub_and_quantize_are_shuffle_free(spark, sf_dir):
+    for name in ("tx_pii_scrub", "ss_quantize_int8"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "Exchange" not in plan, name
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name}: {marker}"
+
+
+def test_tfidf_broadcasts_dimension_sides(spark, sf_dir):
+    plan = plan_of(spark, "tx_tfidf_topk", sf_dir)
+    # idf + corpus-size join back onto tf as broadcasts; the fact side
+    # shuffles only for its own aggregations and the per-doc window.
+    # The static plan prints the identical tf exchange twice (tf feeds
+    # both the join and the df aggregate); AQE's ReuseExchange collapses
+    # them at runtime, so 4 here is really 3 executed shuffles.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 4
+
+
+def test_repetition_stats_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, "tx_repetition_stats", sf_dir)
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
