@@ -22,7 +22,6 @@ Reference control flow being mirrored:
 
 from __future__ import annotations
 
-import hashlib
 import json
 from collections.abc import Iterator
 
@@ -38,10 +37,11 @@ DOWNLOAD_SCHEMA = (
 )
 
 
-def _simulated_offline(scene_id: str, provider: str) -> bool:
-    """Deterministic stand-in for DataOfflineError (LTA archives)."""
-    digest = hashlib.md5(f"{scene_id}:{provider}".encode()).hexdigest()
-    return int(digest[:2], 16) % 5 == 0
+# Offline-data simulation oracle (stand-in for DataOfflineError on LTA
+# archives): provider p is "offline" for scene s iff
+# int(md5(f"{s}:{p}").hexdigest()[:2], 16) % 5 == 0. Evaluated JVM-side
+# in download_stage as conv(substr(md5(s||':'||p),1,2),16,10) % 5 = 0 —
+# the DuckDB oracles in plans/sources.py decode the same digests.
 
 
 def download_stage(scenes: DataFrame, provider_names: list[str],
@@ -61,46 +61,52 @@ def download_stage(scenes: DataFrame, provider_names: list[str],
             "real provider IO requires network credentials; run with "
             "io_simulate=True or plug a downloader into this stage")
 
+    # The simulator's md5 oracle (offline? per provider + checksum) is
+    # computed JVM-side in whole-stage codegen — identical values to
+    # hashlib (_simulated_offline), since conv(substr(md5(x),1,2),16,10)
+    # IS int(digest[:2],16). The Python stage below only runs the
+    # failover CONTROL FLOW over those flags, vectorized in numpy; with
+    # a real downloader the flags become actual HTTP attempts and this
+    # split stands: cheap per-scene metadata JVM-side, IO Python-side.
+    n_prov = len(provider_names)
+    off_flags = [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.col("scene_id"), F.lit(f":{p}"))), 1, 2),
+            16, 10).cast("int") % 5 == 0).alias(f"__off{i}")
+        for i, p in enumerate(provider_names)
+    ]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Column-at-a-time over the Arrow batch (not itertuples): the
-        # failover loop runs per PROVIDER (dimension-sized) with each
-        # pass narrowing to the still-offline rows, so the md5 oracle is
-        # evaluated exactly as often as the row-loop's short-circuit —
-        # but without per-row tuple construction, which dominated.
+        import numpy as np
+
+        providers = np.array(provider_names, dtype=object)
         for pdf in batches:
+            online = ~pdf[[f"__off{i}" for i in range(n_prov)]] \
+                .to_numpy(dtype=bool)
+            any_on = online.any(axis=1)
+            first = online.argmax(axis=1)           # first online provider
+            ok = pd.Series(any_on, index=pdf.index)
             sid = pdf["scene_id"]
-            used = pd.Series(None, index=pdf.index, dtype=object)
-            attempts = pd.Series(0, index=pdf.index, dtype="int64")
-            remaining = pdf.index
-            for provider in provider_names:
-                if len(remaining) == 0:
-                    break
-                attempts[remaining] += 1
-                online = sid[remaining].map(
-                    lambda s, p=provider: not _simulated_offline(s, p))
-                ok = online[online].index
-                used[ok] = provider
-                remaining = remaining.difference(ok)
-            success = used.notna()
-            checksum = pd.Series(None, index=pdf.index, dtype=object)
-            checksum[success] = sid[success].map(
-                lambda s: hashlib.md5(s.encode()).hexdigest())
             yield pd.DataFrame({
                 "scene_id": sid,
                 "collection_id": pdf["collection_id"],
-                "provider_used": used,
-                "attempts": attempts,
+                "provider_used":
+                    pd.Series(providers[first], index=pdf.index)
+                    .where(ok, None),
+                "attempts": np.where(any_on, first + 1, n_prov)
+                    .astype("int32"),
                 "compressed_file":
-                    ("/archive/downloads/" + sid + ".zip").where(success, None),
-                "checksum": checksum,
-                "status": pd.Series("OFFLINE", index=pdf.index)
-                    .mask(success, "SUCCESS"),
+                    ("/archive/downloads/" + sid + ".zip").where(ok, None),
+                "checksum": pdf["__md5"].where(ok, None),
+                "status": np.where(any_on, "SUCCESS", "OFFLINE"),
             })
 
     parallelism = scenes.sparkSession.sparkContext.defaultParallelism
     return (
         scenes.select("scene_id", "collection_id")
         .repartition(parallelism, "scene_id")
+        .select("scene_id", "collection_id", *off_flags,
+                F.md5("scene_id").alias("__md5"))
         .mapInPandas(run, DOWNLOAD_SCHEMA)
     )
 
@@ -130,39 +136,43 @@ def correction_stage(downloaded: DataFrame, collections: DataFrame,
             F.get_json_object("metadata", "$.processors[0].name").alias("processor"))),
         "collection_id")
 
+    # Version fallback resolved JVM-side: the candidate list per
+    # processor is a dimension-sized literal; the "does this install
+    # work" md5 oracle evaluates inside codegen (same value as
+    # hashlib's int(digest[:2],16) % 7), and the first passing
+    # candidate is picked with filter + get — null when none pass.
+    # The Python stage is the subprocess seam: a real deployment execs
+    # the processor there, consuming the resolved version.
+    proc = F.coalesce(F.col("processor"), F.lit("sen2cor"))
+    cand_arr = F.array(F.lit("0"))
+    for pname, versions in PROCESSOR_VERSIONS.items():
+        cand_arr = F.when(
+            proc == pname, F.array(*[F.lit(v) for v in versions])
+        ).otherwise(cand_arr)
+    version_ok = lambda c: (  # noqa: E731 — inline oracle predicate
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("scene_id"), proc, c)), 1, 2),
+            16, 10).cast("int") % 7 != 0)
+    resolved = F.get(F.filter(cand_arr, version_ok), 0)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Column-at-a-time like download_stage: the version-fallback
-        # walk iterates per (processor, candidate) — dimension-sized —
-        # narrowing to the rows that still need a working install.
         for pdf in batches:
             sid = pdf["scene_id"]
-            proc = pdf["processor"].fillna("sen2cor")
-            version = pd.Series(None, index=pdf.index, dtype=object)
-            for pname, rows in proc.groupby(proc).groups.items():
-                remaining = pd.Index(rows)
-                for candidate in PROCESSOR_VERSIONS.get(pname, ["0"]):
-                    if len(remaining) == 0:
-                        break
-                    ok = sid[remaining].map(
-                        lambda s, p=pname, c=candidate: int(hashlib.md5(
-                            f"{s}:{p}:{c}".encode()).hexdigest()[:2], 16)
-                        % 7 != 0)                      # simulated version OK
-                    found = ok[ok].index
-                    version[found] = candidate
-                    remaining = remaining.difference(found)
-            success = version.notna()
+            success = pdf["__version"].notna()
             yield pd.DataFrame({
                 "scene_id": sid,
                 "collection_id": pdf["collection_id"],
-                "processor": proc,
-                "processor_version": version,
+                "processor": pdf["processor"],
+                "processor_version": pdf["__version"],
                 "output_file":
                     ("/archive/corrected/" + sid).where(success, None),
                 "returncode": (~success).astype("int32"),
             })
 
-    return with_proc.select("scene_id", "collection_id", "processor") \
-        .mapInPandas(run, CORRECTION_SCHEMA)
+    return with_proc.select(
+        "scene_id", "collection_id", proc.alias("processor"),
+        resolved.alias("__version"),
+    ).mapInPandas(run, CORRECTION_SCHEMA)
 
 
 def publish_stage(corrected: DataFrame, scenes: DataFrame, bands: DataFrame,

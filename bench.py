@@ -53,9 +53,14 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warmup: touch every table so codegen/classloading noise stays out
-    # of the first measured query.
+    # of the first measured query, and run one tiny mapInPandas so the
+    # Python workers are forked+reused before any measured UDF stage
+    # (cold spawn of local[N] workers costs seconds and is one-time).
     for name in TABLES:
         load_table(spark, sf_dir, name).limit(1).collect()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long").write.format("noop").mode(
+        "overwrite").save()
 
     # Best-of-2 per query: local-mode wall times carry scheduler/GC
     # noise that a real cluster amortizes; min-of-runs is the steadier
