@@ -91,3 +91,50 @@ def test_expression_compiler_matches_numpy_reference(shared_spark, expr):
 @pytest.fixture(scope="module")
 def shared_spark(spark):
     return spark
+
+
+# --- Curation operators vs plain-Python references -----------------------
+# The DuckDB oracles replay the same relational formulation; these
+# references are independent reimplementations (hashlib + loops), so
+# they catch formulation-level mistakes the oracle would mirror.
+
+_pack_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**9),
+              st.integers(min_value=1, max_value=30)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_pack_rows)
+def test_pack_sequences_matches_reference(spark, rows):
+    from bdc_collection_builder_spark.extensions.curation import pack_sequences
+
+    capacity, shards = 16, 4
+    df = spark.createDataFrame(
+        [(i, "tok " * n) for i, n in rows], ["doc_id", "text"])
+    got = {r.doc_id: (r.shard, r.n_tokens, r.start_offset, r.pack_id)
+           for r in pack_sequences(df, capacity=capacity,
+                                   n_shards=shards).collect()}
+    want = {}
+    for sh in range(shards):
+        cum = 0
+        for i, n in sorted((i, n) for i, n in rows if i % shards == sh):
+            want[i] = (sh, n, cum, cum // capacity)
+            cum += n
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**12),
+                    min_size=1, max_size=30, unique=True))
+def test_hash_split_matches_reference(spark, ids):
+    import hashlib
+
+    from bdc_collection_builder_spark.extensions.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {r.doc_id: (r.bucket, r.split) for r in hash_split(df).collect()}
+    for i in ids:
+        b = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:15], 16) % 100
+        split = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert got[i] == (b, split), i
