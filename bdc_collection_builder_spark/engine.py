@@ -18,6 +18,10 @@ operations on DataFrames instead of HTTP:
 | GET  /api/utils/collections/<id>/tiles      | ``list_collection_tiles`` |
 | GET  /api/utils/providers                   | ``list_providers`` |
 | POST /api/restart                           | ``restart_activities`` |
+| GET  /api/stats/active                      | ``stats_active`` |
+| GET  /api/stats/pending                     | ``stats_pending`` |
+| GET  /api/utils/collections-available       | ``collections_available`` |
+| GET  /api/grids[/<id>]                      | ``list_grids`` |
 | (worker chain download→…→post)              | ``run_pipeline`` |
 
 All methods return DataFrames (the caller decides when to collect);
@@ -109,6 +113,68 @@ class CollectionBuilderEngine:
     def count_failed_activities(self) -> DataFrame:
         """J5/W2 — latest attempt per scene with status != SUCCESS."""
         return failed_latest(self.store)
+
+    def stats_active(self) -> DataFrame:
+        """GET /stats/active (views.py:131-134, celery/utils.py:27-31):
+        work in flight. The Celery worker-inspector poll becomes a
+        ledger scan — a task is active while its status is
+        non-terminal (not yet SUCCESS/FAILURE)."""
+        return self.store.read("tasks").filter(
+            ~F.col("status").isin("SUCCESS", "FAILURE"))
+
+    def stats_pending(self) -> DataFrame:
+        """GET /stats/pending (views.py:137-140, celery/utils.py:34-38):
+        scenes queued for another attempt — the LATEST attempt per
+        activity is non-terminal. Same single ranking window as
+        failed_latest, different terminal-state predicate."""
+        hist = self.store.read("activity_history")
+        tasks = self.store.read("tasks")
+        acts = self.store.read("activities")
+        joined = (
+            hist.join(tasks, hist["task_id"] == tasks["id"])
+            .join(acts, hist["activity_id"] == acts["id"])
+            .select("activity_id", "sceneid", "activity_type", "status",
+                    "start")
+        )
+        w = Window.partitionBy("activity_id").orderBy(
+            F.col("start").desc(), F.col("status"))
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1)
+                    & ~F.col("status").isin("SUCCESS", "FAILURE"))
+            .drop("rn")
+        )
+
+    def collections_available(self) -> DataFrame:
+        """GET /utils/collections-available (controller.py:471-474):
+        distinct collection ids having any activity."""
+        return (
+            self.store.read("activities")
+            .select("collection_id").distinct().orderBy("collection_id")
+        )
+
+    def list_grids(self, grid_id: int | None = None,
+                   bbox: tuple[float, float, float, float] | None = None
+                   ) -> DataFrame:
+        """GET /grids[/<id>] (controller.py:633-668): grid definitions
+        with tile count and envelope; ``bbox`` keeps grids whose
+        envelope intersects it (the reference's PostGIS ST_Intersects
+        on rectangular tiles reduces to interval overlap)."""
+        tiles = self.store.read("tiles")
+        if grid_id is not None:
+            tiles = tiles.filter(F.col("grid_ref_sys_id") == grid_id)
+        grids = (
+            tiles.groupBy("grid_ref_sys_id")
+            .agg(F.count("*").alias("n_tiles"),
+                 F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+                 F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"))
+        )
+        if bbox is not None:
+            xmin, ymin, xmax, ymax = bbox
+            grids = grids.filter(
+                (F.col("xmin") <= xmax) & (F.col("xmax") >= xmin)
+                & (F.col("ymin") <= ymax) & (F.col("ymax") >= ymin))
+        return grids.orderBy("grid_ref_sys_id")
 
     def check_scenes(self, query: RadcorQuery) -> DataFrame:
         return _radcor.check_scenes(self.store, self.remote, query)

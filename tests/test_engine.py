@@ -101,3 +101,29 @@ def test_salted_join_matches_plain(spark):
     salted_counts = {(r.k): r.n for r in
                      salted_agg_count(big, ["k"], n_salts=8).collect()}
     assert plain_counts == salted_counts
+
+
+def test_stats_and_grids_plane(engine):
+    # active/pending: non-terminal statuses only (fixtures use RETRY)
+    active = engine.stats_active().collect()
+    assert active and all(r.status not in ("SUCCESS", "FAILURE")
+                          for r in active)
+    pending = engine.stats_pending().collect()
+    # fixtures finish every activity with SUCCESS/FAILURE, so nothing
+    # is pending — the shape (latest-attempt filter) is what matters
+    assert all(r.status not in ("SUCCESS", "FAILURE") for r in pending)
+
+    avail = [r.collection_id for r in engine.collections_available().collect()]
+    assert avail == sorted(set(avail)) and avail
+
+    grids = engine.list_grids().collect()
+    assert grids and all(r.n_tiles > 0 for r in grids)
+    g0 = grids[0]
+    # grid filter + intersecting bbox keeps the grid; disjoint drops it
+    one = engine.list_grids(grid_id=g0.grid_ref_sys_id,
+                            bbox=(g0.xmin, g0.ymin, g0.xmax, g0.ymax))
+    assert one.count() == 1
+    none = engine.list_grids(grid_id=g0.grid_ref_sys_id,
+                             bbox=(g0.xmax + 1, g0.ymax + 1,
+                                   g0.xmax + 2, g0.ymax + 2))
+    assert none.count() == 0
