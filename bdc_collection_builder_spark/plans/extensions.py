@@ -1234,3 +1234,47 @@ def ss_quantize_int8(spark, sf_dir):
         F.aggregate(q, F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x).alias("sum_q"),
     )
+
+
+@query(
+    "mm_media_dedup",
+    survey=("MM-dedup",),
+    oracle="""
+        WITH media AS (
+            SELECT i AS media_id,
+                   unhex(repeat(sha256('media-' || i), 4 + i % 7)) AS payload
+            FROM generate_series(0, 47) AS t(i)
+        ),
+        corpus AS (
+            SELECT media_id, payload FROM media
+            UNION ALL
+            SELECT media_id + 1000 AS media_id, payload
+            FROM media WHERE media_id % 4 = 0
+        )
+        SELECT md5(hex(payload)) AS content_hash,
+               min(media_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM corpus GROUP BY md5(hex(payload))
+    """,
+)
+def mm_media_dedup(spark, sf_dir):
+    """Exact media dedup by payload content hash — the binary-column
+    sibling of dd_exact_duplicates (dedup images/audio before decode:
+    at 100 TB most duplicate media is byte-identical re-uploads, and a
+    hash-groupBy removes them without ever decoding). The hash rides on
+    hex(payload) because the oracle engine hashes strings, not blobs —
+    both engines hex identically. Every 4th media row gets a planted
+    copy so duplicate groups provably exist."""
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 48).select("media_id", "payload")
+    copies = media.filter(F.col("media_id") % 4 == 0).select(
+        (F.col("media_id") + 1000).alias("media_id"), "payload")
+    return (
+        media.unionByName(copies)
+        .groupBy(F.md5(F.hex("payload")).alias("content_hash"))
+        .agg(F.min("media_id").alias("canonical_id"),
+             F.count("*").alias("n_copies"))
+    )
