@@ -753,3 +753,38 @@ def st_stateful_sessionize(spark, sf_dir):
     return spark.sql(
         f"SELECT user_id, session_start, session_end, n_events FROM {qname}"
     ).orderBy("user_id", "session_start")
+
+
+@query(
+    "st_incremental_dedup",
+    survey=("Y3", "Y5", "DD-exact"),
+)
+def st_incremental_dedup(spark, sf_dir):
+    """Streaming exact dedup with a persistent seen-set
+    (streaming/incremental.incremental_dedup): drain the documents
+    table (plus planted re-uploads of every 10th doc) through an
+    AvailableNow file stream; each micro-batch anti-joins the
+    persisted hash set, so re-uploads never reach the sink. Rows-only:
+    the SURVIVOR for a duplicate hash depends on micro-batch arrival
+    order (engine-specific), but the survivor COUNT — one per distinct
+    text — is deterministic and is what the rows check pins."""
+    import tempfile
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_dedup,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bdc_stream_dedup_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("append").parquet(f"{scratch}/in")
+    (docs.filter(F.col("doc_id") % 10 == 0)
+     .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+     .write.mode("append").parquet(f"{scratch}/in"))
+    q = incremental_dedup(spark, f"{scratch}/in", f"{scratch}/seen",
+                          f"{scratch}/out", f"{scratch}/ckpt")
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{scratch}/out")
+        .select("content_hash").orderBy("content_hash")
+    )

@@ -79,3 +79,54 @@ def streaming_status_counts(spark: SparkSession, events_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_dedup(spark: SparkSession, incoming_dir: str,
+                      seen_dir: str, out_dir: str, checkpoint_dir: str,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming exact dedup with a persistent seen-set — the streaming
+    face of dd_exact_duplicates for continuously-arriving corpora.
+
+    Per micro-batch: hash content, keep the first row per hash within
+    the batch (min id), anti-join the persisted seen-set, append the
+    survivors to ``out_dir`` and their hashes to ``seen_dir``. Safe
+    under at-least-once redelivery: a redelivered batch anti-joins away
+    against the seen-set it already wrote (duplicate hash rows inside
+    ``seen_dir`` from a mid-batch crash are harmless — the anti-join
+    semantics don't change). At 100 TB the seen-set is the same parquet
+    layout bucketed by hash so the anti-join co-locates; no driver
+    state, no streaming state store — a restart loses nothing.
+    Returns the started AvailableNow query."""
+    from pyspark.sql.utils import AnalysisException
+    from pyspark.sql.window import Window
+
+    stream = (
+        spark.readStream
+        .schema(f"{id_col} long, {text_col} string")
+        .parquet(incoming_dir)
+    )
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        hashed = batch.select(
+            id_col, text_col, F.md5(text_col).alias("content_hash"))
+        w = Window.partitionBy("content_hash").orderBy(id_col)
+        first = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn")
+        )
+        try:
+            seen = batch.sparkSession.read.parquet(seen_dir)
+        except AnalysisException:       # first batch: no seen-set yet
+            seen = None
+        fresh = (first.join(seen, "content_hash", "left_anti")
+                 if seen is not None else first)
+        fresh.write.mode("append").parquet(out_dir)
+        fresh.select("content_hash").write.mode("append").parquet(seen_dir)
+
+    return (
+        stream.writeStream
+        .foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

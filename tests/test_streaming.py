@@ -97,3 +97,34 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path, sf_dir):
                 for r in closed.collect()}
     assert want_set, "fixture should produce closed sessions"
     assert got_set == want_set
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path, sf_dir):
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_dedup,
+    )
+
+    incoming = str(tmp_path / "incoming")
+    seen = str(tmp_path / "seen")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # batch 1: docs 0-19; batch 2 arrives later with overlap 10-29 as
+    # re-uploads under new ids (same text => same content hash)
+    docs.filter(F.col("doc_id") < 20).write.mode("append").parquet(incoming)
+    q = incremental_dedup(spark, incoming, seen, out, ck)
+    q.awaitTermination()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 20
+
+    (docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+     .select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+     .write.mode("append").parquet(incoming))
+    q = incremental_dedup(spark, incoming, seen, out, ck)
+    q.awaitTermination()
+    final = spark.read.parquet(out)
+    # only the 10 genuinely-new texts (20-29) got through batch 2
+    assert final.count() == 30
+    assert final.select("content_hash").distinct().count() == 30
