@@ -1,8 +1,9 @@
 """Corpus-curation operators a large-scale training-data pipeline needs
 beyond dedup/similarity/text-stats: deterministic dataset splits,
-benchmark decontamination, sequence packing, and stratified sampling.
+benchmark decontamination, sequence packing, stratified sampling, and
+token-budget mixture balancing.
 
-All four are pure relational plans (no UDFs) and hash-deterministic, so
+All of them are pure relational plans (no UDFs) and hash-deterministic, so
 every one is replayable in an external engine (DuckDB oracle) and — the
 property that matters at 100 TB — *stable under reprocessing*: re-running
 the pipeline on a grown corpus never moves an old document to a different
@@ -124,3 +125,48 @@ def stratified_sample(docs: DataFrame, strata_col: str = "lang",
         % 10000
     )
     return docs.filter(u < thr)
+
+
+def token_budget_mix(docs: DataFrame, budget_tokens: int,
+                     strata_col: str = "source", id_col: str = "doc_id",
+                     text_col: str = "text",
+                     salt: str = "mix") -> DataFrame:
+    """Balanced mixture sampling under a global token budget: every
+    stratum (source/domain) gets an equal share of ``budget_tokens``,
+    and strata bigger than their share are hash-downsampled to it —
+    the mixture-weights step of assembling a training corpus from
+    skewed sources.
+
+    Two dimension-sized aggregates (per-stratum token totals, stratum
+    count) broadcast back onto the corpus, which is then filtered by
+    the same keyed-hash threshold as :func:`stratified_sample` — the
+    corpus itself never shuffles, and membership is rerun-stable. The
+    budget is met in expectation at document granularity (docs are not
+    split); exact packing afterwards is :func:`pack_sequences`."""
+    toks = docs.select(
+        F.col(id_col), F.col(strata_col).alias("__stratum"),
+        token_count(F.col(text_col)).alias("__n_tokens"))
+    totals = toks.groupBy("__stratum").agg(
+        F.sum("__n_tokens").alias("__stratum_tokens"))
+    n_strata = totals.agg(F.count("*").alias("__n_strata"))
+    share = (
+        totals.crossJoin(F.broadcast(n_strata))
+        .select(
+            "__stratum", "__stratum_tokens",
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget_tokens)) / F.col("__n_strata"))
+                / F.col("__stratum_tokens"),
+            ).alias("__keep_frac"),
+        )
+    )
+    u = (
+        md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(share),
+                  docs[strata_col] == share["__stratum"])
+        .filter(u < F.floor(F.col("__keep_frac") * 10000))
+        .drop("__stratum", "__stratum_tokens", "__keep_frac")
+    )

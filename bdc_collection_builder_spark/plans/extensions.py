@@ -1278,3 +1278,43 @@ def mm_media_dedup(spark, sf_dir):
         .agg(F.min("media_id").alias("canonical_id"),
              F.count("*").alias("n_copies"))
     )
+
+
+_MIX_U = _HEX60.format(x="CAST(doc_id AS VARCHAR) || ':mix'") + " % 10000"
+
+
+@query(
+    "cu_token_budget_mix",
+    survey=("CU-mix",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+        ),
+        totals AS (
+            SELECT source, sum(n_tokens) AS stratum_tokens
+            FROM toks GROUP BY source
+        ),
+        share AS (
+            SELECT source,
+                   least(1.0, (2000.0 / (SELECT count(*) FROM totals))
+                              / stratum_tokens) AS keep_frac
+            FROM totals
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN share s USING (source)
+        WHERE {_MIX_U} < CAST(floor(s.keep_frac * 10000) AS BIGINT)
+    """,
+)
+def cu_token_budget_mix(spark, sf_dir):
+    """Balanced mixture under a 2000-token budget: each source gets an
+    equal token share; oversized sources are hash-downsampled to it.
+    The per-source totals and stratum count are dimension-sized
+    broadcasts — the corpus is filtered in place, never shuffled."""
+    from bdc_collection_builder_spark.extensions.curation import (
+        token_budget_mix,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text")
+    return token_budget_mix(docs, budget_tokens=2000).select(
+        "doc_id", "lang", "source")

@@ -113,3 +113,34 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_mix_balances_sources(docs, spark, sf_dir):
+    from bdc_collection_builder_spark.extensions.curation import (
+        token_budget_mix,
+    )
+    from bdc_collection_builder_spark.extensions.text import token_count
+
+    budget = 2000
+    kept = token_budget_mix(docs, budget_tokens=budget)
+    tok = (kept.select("source", token_count(F.col("text")).alias("n"))
+           .groupBy("source").agg(F.sum("n").alias("kept_tokens")))
+    totals = (docs.select("source", token_count(F.col("text")).alias("n"))
+              .groupBy("source").agg(F.sum("n").alias("total_tokens")))
+    joined = {r.source: r for r in tok.join(totals, "source").collect()}
+    n_sources = len(joined)
+    share = budget / n_sources
+    for src, r in joined.items():
+        if r.total_tokens <= share:     # small sources pass untouched
+            assert r.kept_tokens == r.total_tokens, src
+        else:                           # big ones downsample toward share
+            assert r.kept_tokens < r.total_tokens, src
+    # deterministic: rerun keeps exactly the same rows
+    again = token_budget_mix(docs, budget_tokens=budget)
+    assert kept.exceptAll(again).count() == 0
+
+
+def test_token_budget_mix_broadcasts_shares(spark, sf_dir):
+    plan = plan_of(spark, "cu_token_budget_mix", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
