@@ -107,7 +107,8 @@ def asof_join(
     within: Column = F.lit(True)
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__matched_ts"))
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            - F.unix_micros(F.col("__matched_ts").cast("timestamp"))
         )
         within = gap <= int(tolerance_seconds * 1_000_000)
 

@@ -369,7 +369,8 @@ def y05_session_window(spark, sf_dir):
     lagged = F.lag("ts").over(w)
     new_session = F.when(
         lagged.isNull()
-        | (F.col("ts").cast("double") - lagged.cast("double") > 1800), 1
+        | (F.col("ts").cast("timestamp").cast("double")
+           - lagged.cast("timestamp").cast("double") > 1800), 1
     ).otherwise(0)
     numbered = events.withColumn("new_session", new_session).withColumn(
         "session_no",

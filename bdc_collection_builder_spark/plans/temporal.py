@@ -74,12 +74,14 @@ def tj_range_error_followups(spark, sf_dir):
 
     events = t(spark, sf_dir, "events")
     window_us = 600 * 1_000_000
-    points = events.select(
-        "user_id", F.unix_micros("ts").alias("at_us"))
+    # cast() tolerates both TIMESTAMP and TIMESTAMP_NTZ source columns;
+    # only relative differences feed the join so the tz anchor is moot.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    points = events.select("user_id", ts_us.alias("at_us"))
     intervals = events.filter(F.col("event_type") == "error").select(
         "user_id", "event_id",
-        F.unix_micros("ts").alias("start_us"),
-        (F.unix_micros("ts") + window_us).alias("end_us"))
+        ts_us.alias("start_us"),
+        (ts_us + window_us).alias("end_us"))
     return (
         range_join(points, intervals, "at_us", "start_us", "end_us",
                    bucket_width=window_us, keys=["user_id"])

@@ -43,8 +43,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the UTC-naive external oracles regardless of host timezone.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer readers surface parquet NANOS as TIMESTAMP_NTZ; with
+            # the session pinned to UTC this cast maps the naive wall
+            # clock onto the same UTC instant the bigint path produces.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -77,7 +77,8 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path, sf_dir):
     lagged = F.lag("ts").over(w)
     new_session = F.when(
         lagged.isNull()
-        | (F.col("ts").cast("double") - lagged.cast("double") > 1800), 1
+        | (F.col("ts").cast("timestamp").cast("double")
+           - lagged.cast("timestamp").cast("double") > 1800), 1
     ).otherwise(0)
     sessions = (
         events.withColumn("ns", new_session)
