@@ -1,0 +1,140 @@
+"""Data-layout operators: Z-order clustering and small-file compaction.
+
+Neither exists in the reference — its layout is one-file-per-band on a
+shared filesystem (publish.py:419-464) and PostGIS carries the spatial
+index. At 100 TB on object storage the engine itself must own layout:
+
+- **Z-order clustering** — interleave the bits of N integer columns into
+  one space-filling-curve key, then range-partition + sort the write on
+  it. Rows close in N-dim space land in the same files, so a bbox/time
+  predicate prunes to a few files instead of scanning the table (the
+  Parquet min/max footer on the z column does the pruning for free).
+  The whole computation is shift/and/or arithmetic — whole-stage
+  codegen, no UDF, no shuffle beyond the single range partitioning the
+  write needs anyway.
+
+- **Compaction planning** — streaming ingest (Y1-Y3) leaves many small
+  files; a 100 TB table with 10 MB files spends more time opening
+  footers than reading data. ``plan_compaction`` bin-packs a file
+  manifest into target-size output groups with one window cumulative
+  sum per table partition — O(n log n) in manifest size, never touches
+  the data. ``compact_parquet_dir`` executes a plan with one Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each non-negative integer
+    column into one long (Morton / Z-curve key).
+
+    Dimension ``d`` of ``n`` owns output bit positions ``k*n + d`` —
+    column order is significant and must match any external
+    re-computation. ``bits * len(cols)`` must fit a signed long
+    (≤ 63). Callers quantize floats first (e.g. ``floor((x - min) /
+    step)``); ranks from ``percent_rank`` give the equi-depth variant.
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_value needs at least one column")
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} dims exceeds a signed long")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        for d, c in enumerate(cs):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("long"), k).bitwiseAND(F.lit(1)),
+                k * n + d,
+            )
+    return z
+
+
+def zorder_oracle_sql(col_names: list[str], bits: int = 16) -> str:
+    """The exact SQL expression ``zorder_value`` computes, for external
+    verification (DuckDB shares the >>/<</& operators)."""
+    n = len(col_names)
+    terms = [
+        f"(({c} >> {k}) & 1) * {1 << (k * n + d)}"
+        for k in range(bits)
+        for d, c in enumerate(col_names)
+    ]
+    return " + ".join(terms)
+
+
+def cluster_by_zorder(df: DataFrame, cols: list[str], n_partitions: int,
+                      bits: int = 16) -> DataFrame:
+    """Lay ``df`` out for writing along the Z-curve of ``cols``.
+
+    Range-partition on the z key (one shuffle — the one any clustered
+    write pays) and sort within partitions so Parquet row-group min/max
+    stats stay tight. Equi-width quantization on each column's observed
+    min/max; the two-row bounds aggregate is the only driver action.
+    """
+    bounds = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
+                      for c in cols for f in (F.min, F.max)]).first()
+    quantized = []
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = (hi - lo) or 1
+        quantized.append(
+            F.floor((F.col(c).cast("double") - float(lo))
+                    / float(span) * ((1 << bits) - 1)).cast("long"))
+    z = zorder_value(quantized, bits=bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def plan_compaction(files: DataFrame, target_bytes: int,
+                    partition_cols: list[str] | None = None) -> DataFrame:
+    """Assign each file in a ``(path, bytes, partition…)`` manifest to an
+    output bin of ~``target_bytes``.
+
+    Bin = which target-size offset window the file STARTS in, from a
+    cumulative sum ordered by path within each table partition — fully
+    deterministic, one window shuffle over the (tiny) manifest, data
+    untouched. Files larger than the target keep a bin to themselves
+    (their successors start past them). Returns the manifest plus
+    ``bin``.
+    """
+    keys = partition_cols or []
+    w = (Window.partitionBy(*keys).orderBy("path")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("bytes").over(w)
+    return files.withColumn(
+        "bin",
+        F.floor((cum - F.col("bytes")) / F.lit(target_bytes)).cast("long"))
+
+
+def compact_parquet_dir(spark: SparkSession, src: str, dst: str,
+                        target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Rewrite the parquet files under ``src`` into ~``target_bytes``
+    files at ``dst``; returns the output file count.
+
+    Listing is driver-side metadata (every compactor's is); the rewrite
+    is ONE distributed job — a scan + round-robin repartition to the
+    planned bin count. Round-robin (not coalesce) so each output file
+    draws from many inputs and sizes stay even.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, names in os.walk(src)
+        for f in names if f.endswith(".parquet")
+    )
+    n_bins = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src).repartition(n_bins) \
+        .write.mode("overwrite").parquet(dst)
+    return sum(
+        1 for _, _, names in os.walk(dst)
+        for f in names if f.endswith(".parquet")
+    )

@@ -295,3 +295,35 @@ def a12_group_percentiles(spark, sf_dir):
             "p50_disc",
         )
     )
+
+
+@query(
+    "a13_grouping_sets",
+    survey=("A1", "A2"),
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def a13_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — two independent histograms in ONE scan
+    + ONE shuffle (the reference issues A1-style counts per dimension
+    as separate queries; grouping sets Expand computes them together,
+    halving passes over a 100 TB fact table)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n", "revenue",
+        )
+    )

@@ -59,6 +59,7 @@ def _load_all() -> None:
         extensions,
         filters,
         joins,
+        layout,
         pixels,
         scalars,
         setops,

@@ -81,3 +81,32 @@ def w03_pagination(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice")
     return paginate(orders, ["o_orderkey"], page=3, per_page=10)
+
+
+@query(
+    "w04_lag_lead_gap",
+    survey=("W1", "W2"),
+    oracle="""
+        SELECT user_id, event_id,
+               date_diff('microsecond',
+                         lag(ts) OVER w, ts) AS gap_us,
+               lead(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w04_lag_lead_gap(spark, sf_dir):
+    """Analytic lag/lead over the event stream — inter-event gap and
+    next-event lookahead per user (the frame-spec surface SURVEY §2.5
+    notes the reference lacks; one hash shuffle on user_id, one sort,
+    both offsets computed in the same window pass)."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return events.select(
+        "user_id", "event_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
