@@ -231,6 +231,17 @@ class CollectionBuilderEngine:
         form of the 72x900s Celery retry horizon)."""
         return due_retries(self.store, now or dt.datetime.now(dt.timezone.utc))
 
+    def sql(self, statement: str) -> DataFrame:
+        """Ad-hoc SQL over the catalog (the surface the reference
+        delegates to PostgreSQL; here every catalog table is a temp view
+        and Catalyst plans the statement — §2.4 notes cube/rollup/
+        approx-distinct come free this way)."""
+        from bdc_collection_builder_spark.catalog.schemas import SCHEMAS
+
+        for table in SCHEMAS:
+            self.store.read(table).createOrReplaceTempView(table)
+        return self.spark.sql(statement)
+
     # -- data plane (§3.2) ----------------------------------------------
 
     def run_pipeline(self, scenes: DataFrame,

@@ -170,3 +170,28 @@ def token_budget_mix(docs: DataFrame, budget_tokens: int,
         .filter(u < F.floor(F.col("__keep_frac") * 10000))
         .drop("__stratum", "__stratum_tokens", "__keep_frac")
     )
+
+
+def seeded_shuffle(docs: DataFrame, id_col: str = "doc_id",
+                   seed: str = "epoch-0", n_shards: int = 64) -> DataFrame:
+    """Deterministic pseudo-random training order: shard + position per
+    document, a pure function of (id, seed).
+
+    Training loaders need a reproducible global shuffle per epoch; an
+    actual global sort of a 100 TB corpus per epoch is absurd. Instead
+    the shuffle key is ``md5_60bit(f"{id}:{seed}")``: changing the seed
+    re-permutes everything, re-running is free of RNG state, and late-
+    added documents slot in without disturbing existing relative order.
+    ``shard = key mod n_shards`` spreads documents uniformly; the
+    within-shard position is ONE ranking window per shard — the only
+    shuffle, and it moves 8-byte keys, not text. Readers stream shards
+    in any order and get an unbiased sample prefix at every point.
+    """
+    key = md5_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        docs.withColumn("shuffle_key", key)
+        .withColumn("shard", (F.col("shuffle_key") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+    )

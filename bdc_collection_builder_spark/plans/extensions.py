@@ -1318,3 +1318,36 @@ def cu_token_budget_mix(spark, sf_dir):
         "doc_id", "lang", "source", "text")
     return token_budget_mix(docs, budget_tokens=2000).select(
         "doc_id", "lang", "source")
+
+
+@query(
+    "cu_seeded_shuffle",
+    survey=("CU-shuffle",),
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   {_HEX60.format(x="CAST(doc_id AS VARCHAR) || ':epoch-0'")}
+                       AS shuffle_key
+            FROM documents
+        ),
+        sharded AS (
+            SELECT doc_id, shuffle_key,
+                   CAST(shuffle_key % 8 AS INTEGER) AS shard
+            FROM keyed
+        )
+        SELECT doc_id, shuffle_key, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY shuffle_key, doc_id
+               ) AS BIGINT) AS pos
+        FROM sharded
+    """,
+)
+def cu_seeded_shuffle(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffle: shard + position as a
+    pure function of (doc_id, seed) — the reproducible training-order
+    primitive (no RNG state, rerun-stable, 8-byte shuffle keys)."""
+    from bdc_collection_builder_spark.extensions.curation import seeded_shuffle
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return seeded_shuffle(docs, seed="epoch-0", n_shards=8) \
+        .select("doc_id", "shuffle_key", "shard", F.col("pos").cast("long").alias("pos"))

@@ -127,3 +127,10 @@ def test_stats_and_grids_plane(engine):
                              bbox=(g0.xmax + 1, g0.ymax + 1,
                                    g0.xmax + 2, g0.ymax + 2))
     assert none.count() == 0
+
+
+def test_engine_sql_passthrough(engine):
+    out = engine.sql(
+        "SELECT status, count(*) AS n FROM tasks GROUP BY status")
+    rows = {r.status: r.n for r in out.collect()}
+    assert rows and all(n > 0 for n in rows.values())

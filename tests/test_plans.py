@@ -152,3 +152,30 @@ def test_repetition_stats_stays_jvm_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def tree_of(plan: str) -> str:
+    # formatted explain lists every node twice (tree, then details);
+    # count structure in the tree section only. Codegen'd nodes carry a
+    # leading "*".
+    return plan.split("\n\n")[0]
+
+
+def test_zorder_key_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, "lo_zorder_curve", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "* Project" in tree_of(plan)
+
+
+def test_compaction_plan_single_window_shuffle(spark, sf_dir):
+    tree = tree_of(plan_of(spark, "lo_compaction_plan", sf_dir))
+    # one Exchange for the per-partition window; the manifest data never
+    # fans out further
+    assert tree.count("Exchange") == 1
+
+
+def test_grouping_sets_single_scan(spark, sf_dir):
+    tree = tree_of(plan_of(spark, "a13_grouping_sets", sf_dir))
+    # Expand computes both histograms off ONE lineitem scan
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" in tree
