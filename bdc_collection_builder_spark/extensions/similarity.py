@@ -291,3 +291,80 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# -- persisted IVF index ------------------------------------------------
+
+
+def build_ivf_index(corpus: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_centroids: int = 16,
+                    dim: int = 64, seed: int = 42) -> None:
+    """Build an IVF index ON DISK: the corpus assigned to its nearest
+    centroid and written ``partitionBy(centroid_id)``, plus the centroid
+    table.
+
+    The layout IS the index — at 100 TB a probe of ``nprobe`` centroids
+    becomes a partition-pruned scan reading nprobe/n_centroids of the
+    files, with no per-query recomputation and no assignment shuffle
+    (partitionBy splits files inside each task). Rebuild cadence is the
+    caller's: centroids drift slowly, assignments append incrementally
+    (new vectors write into their centroid's partition).
+    """
+    spark = corpus.sparkSession
+    centroids = _train_centroids(corpus, vec_col, n_centroids, dim, seed=seed)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+            F.element_at(_nearest_centroids(F.col(vec_col), centroids, 1), 1)
+            .alias("centroid_id"),
+        )
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   nprobe: int = 4) -> DataFrame:
+    """Search a :func:`build_ivf_index` index: probe each query's nprobe
+    nearest centroids, re-rank candidates exactly.
+
+    The probed centroid ids are collapsed to a LITERAL ``IN`` predicate
+    (the query batch is the driver-sized side of any ANN search), so the
+    vectors scan carries a static PartitionFilter — only the probed
+    partitions' files are opened. Candidate scoring is then a broadcast
+    equi-join on centroid_id; one window ranks per query."""
+    cent_rows = spark.read.parquet(f"{path}/centroids") \
+        .orderBy("centroid_id").collect()
+    centroids = [r.centroid for r in cent_rows]
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(_nearest_centroids(F.col(vec_col), centroids, nprobe))
+        .alias("centroid_id"),
+    )
+    probed = sorted({r.centroid_id for r in q.select("centroid_id").collect()})
+    vectors = spark.read.parquet(f"{path}/vectors") \
+        .filter(F.col("centroid_id").isin(probed))
+    scored = (
+        vectors.join(F.broadcast(q), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col,
+            F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -162,3 +162,30 @@ def test_connected_components_chain_and_islands(spark):
     got = {r.doc_id: r.component_id
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_ivf_index_persisted_matches_in_memory(spark, sf_dir, tmp_path):
+    from bdc_collection_builder_spark.extensions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=16, seed=42)
+
+    got = ivf_index_topk(spark, idx, queries, k=5, nprobe=4)
+    want = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4, seed=42)
+    as_set = lambda rows: {(r.query_id, r.vec_id, r.cosine, r.rank)  # noqa: E731
+                           for r in rows}
+    assert as_set(got.collect()) == as_set(want.collect())
+
+    # the probe must be a partition-pruned scan: centroid_id arrives as
+    # a static PartitionFilter, never a full-index read
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [centroid_id" in plan
