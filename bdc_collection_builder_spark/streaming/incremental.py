@@ -81,6 +81,40 @@ def streaming_status_counts(spark: SparkSession, events_dir: str,
     )
 
 
+def streaming_windowed_counts_append(spark: SparkSession, events_dir: str,
+                                     checkpoint_dir: str, out_dir: str,
+                                     window: str = "10 minutes",
+                                     watermark: str = "30 minutes"):
+    """Y2/Y6 — the bounded-state form of :func:`streaming_status_counts`:
+    event-time windows under a watermark, append output.
+
+    A window emits exactly once, when the watermark (max event time −
+    ``watermark``) passes its end; events arriving later than the
+    watermark are DROPPED, so state is O(open windows), never O(history)
+    — the streaming analog of the reference's finite 72×900 s late-data
+    horizon (tasks.py:129-134): lateness beyond the horizon stops being
+    the engine's problem. Rows already emitted are never revised, so the
+    sink is an append-only parquet directory (checkpoint-recoverable,
+    unlike the memory sink) — each restart resumes the watermark from
+    state and emits only newly-closed windows."""
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_dedup(spark: SparkSession, incoming_dir: str,
                       seen_dir: str, out_dir: str, checkpoint_dir: str,
                       id_col: str = "doc_id", text_col: str = "text"):

@@ -129,3 +129,51 @@ def test_incremental_dedup_across_batches(spark, tmp_path, sf_dir):
     # only the 10 genuinely-new texts (20-29) got through batch 2
     assert final.count() == 30
     assert final.select("content_hash").distinct().count() == 30
+
+
+def test_watermark_append_drops_late_and_emits_once(spark, tmp_path):
+    from bdc_collection_builder_spark.streaming.incremental import (
+        streaming_windowed_counts_append,
+    )
+
+    events_dir = str(tmp_path / "wm_events")
+    ck = str(tmp_path / "wm_ck")
+    out = str(tmp_path / "wm_out")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .write.mode("append").parquet(events_dir)
+
+    # batch 1: three events in the 10:00 window; one at 11:00 pushes the
+    # watermark to 10:30 at batch end, closing (and emitting) 10:00-10:10
+    write([(1, "2026-01-01 10:01:00", 1, "click", 1.0, "{}"),
+           (2, "2026-01-01 10:04:00", 1, "click", 1.0, "{}"),
+           (3, "2026-01-01 10:09:00", 2, "click", 1.0, "{}"),
+           (4, "2026-01-01 11:00:00", 2, "click", 1.0, "{}")])
+    q = streaming_windowed_counts_append(spark, events_dir, ck, out)
+    q.awaitTermination(120)
+    out1 = {(str(r.window_start), r.n)
+            for r in spark.read.parquet(out).collect()}
+    assert ("2026-01-01 10:00:00", 3) in out1
+    assert not any(w.startswith("2026-01-01 11:") for w, _ in out1), \
+        "open window must not emit in append mode"
+
+    # batch 2: one LATE event (10:05, behind the 10:30 watermark — must
+    # be dropped, not re-open the emitted window) and one at 12:00 that
+    # closes the 11:00 window
+    write([(5, "2026-01-01 10:05:00", 3, "click", 1.0, "{}"),
+           (6, "2026-01-01 12:00:00", 3, "click", 1.0, "{}")])
+    q = streaming_windowed_counts_append(spark, events_dir, ck, out)
+    q.awaitTermination(120)
+    # the sink dir is cumulative: batch 2 must add ONLY the newly-closed
+    # 11:00 window — one 10:00 row total (never revised, late row dropped)
+    rows = [(str(r.window_start), r.n)
+            for r in spark.read.parquet(out).collect()]
+    assert ("2026-01-01 11:00:00", 1) in rows
+    assert rows.count(("2026-01-01 10:00:00", 3)) == 1
+    assert sum(1 for w, _ in rows if w.startswith("2026-01-01 10:0")) == 1, \
+        "late event behind the watermark must be dropped, window not revised"
