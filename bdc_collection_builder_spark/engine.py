@@ -231,6 +231,24 @@ class CollectionBuilderEngine:
         form of the 72x900s Celery retry horizon)."""
         return due_retries(self.store, now or dt.datetime.now(dt.timezone.utc))
 
+    def activity_lineage(self, root_ids: list[int],
+                         max_depth: int = 3) -> DataFrame:
+        """J9 — descendants of the given activities through the
+        activity_src edge table (models.py:66-87: parent→child task
+        lineage; controller.py:163-186 walks it on dispatch). Bounded-
+        depth frontier joins — one equi-join per level, no driver
+        recursion."""
+        from bdc_collection_builder_spark.operators.joins import (
+            lineage_descendants,
+        )
+
+        edges = self.store.read("activity_src")
+        roots = self.spark.createDataFrame(
+            [(int(i),) for i in root_ids], "id long")
+        return lineage_descendants(
+            edges, roots, max_depth,
+            src="activity_src_id", dst="activity_id")
+
     def sql(self, statement: str) -> DataFrame:
         """Ad-hoc SQL over the catalog (the surface the reference
         delegates to PostgreSQL; here every catalog table is a temp view

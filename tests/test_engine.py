@@ -134,3 +134,15 @@ def test_engine_sql_passthrough(engine):
         "SELECT status, count(*) AS n FROM tasks GROUP BY status")
     rows = {r.status: r.n for r in out.collect()}
     assert rows and all(n > 0 for n in rows.values())
+
+
+def test_activity_lineage_descendants(engine):
+    edges = engine.store.read("activity_src")
+    root = edges.orderBy("activity_src_id").first().activity_src_id
+    out = engine.activity_lineage([root], max_depth=3).collect()
+    assert out, "chained fixtures must yield descendants"
+    assert {r.level for r in out} <= {1, 2, 3}
+    # level 1 must be exactly the direct children of the root
+    direct = {r.activity_id for r in
+              edges.filter(F.col("activity_src_id") == root).collect()}
+    assert {r.descendant_id for r in out if r.level == 1} == direct
