@@ -277,23 +277,55 @@ def a12_group_percentiles(spark, sf_dir):
     linear-interpolate on the sorted group); the 100 TB path swaps in
     `approx_percentile` (t-digest sketch, map-side mergeable, no
     full-group sort) — same plan shape, bounded memory."""
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem")
-    # Both continuous quantiles share ONE percentile buffer (array form)
-    # instead of two independent sorted-map aggregates — ~30% less agg
-    # work per group at any scale.
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("ps"),
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-             .alias("p50_disc"),
-        )
-        .select(
-            "l_returnflag",
-            F.col("ps")[0].alias("p50"),
-            F.col("ps")[1].alias("p90"),
-            "p50_disc",
-        )
+    # ONE sort feeds every quantile: rank rows per group, pick the 5
+    # boundary ranks, interpolate. The groupBy reuses the window's hash
+    # partitioning (no second Exchange), and nothing buffers whole
+    # groups — vs percentile/percentile_disc aggregates, which each
+    # collect and sort every group's values in their own agg buffer.
+    # Interpolation is the two-sided weighted form
+    # lower*(ceil(h)-h) + higher*(h-floor(h)) at h = (n-1)*q — the exact
+    # expression percentile/quantile_cont evaluate, so results stay
+    # bit-identical (lower + (higher-lower)*frac differs by ULPs).
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(
+            Window.partitionBy("l_returnflag")))
+    )
+
+    def rank_val(rank_expr):
+        return F.min(F.when(F.col("rn") == rank_expr,
+                            F.col("l_extendedprice")))
+
+    def cont_ranks(q):
+        h = (F.col("n") - 1) * q
+        return F.floor(h) + 1, F.least(F.floor(h) + 2, F.col("n"))
+
+    lo50, hi50 = cont_ranks(0.5)
+    lo90, hi90 = cont_ranks(0.9)
+    disc50 = F.greatest(F.ceil(F.col("n") * 0.5), F.lit(1).cast("bigint"))
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        rank_val(lo50).alias("lo50"), rank_val(hi50).alias("hi50"),
+        rank_val(lo90).alias("lo90"), rank_val(hi90).alias("hi90"),
+        rank_val(disc50).alias("p50_disc"),
+    )
+
+    def interp(lo, hi, q):
+        h = (F.col("n") - 1) * q
+        frac = h - F.floor(h)
+        return F.when(frac == 0, F.col(lo)).otherwise(
+            F.col(lo) * (F.ceil(h) - h) + F.col(hi) * frac)
+
+    return agg.select(
+        "l_returnflag",
+        interp("lo50", "hi50", 0.5).alias("p50"),
+        interp("lo90", "hi90", 0.9).alias("p90"),
+        "p50_disc",
     )
 
 
