@@ -189,3 +189,51 @@ def test_ivf_index_persisted_matches_in_memory(spark, sf_dir, tmp_path):
     plan = spark._jvm.PythonSQLUtils.explainString(
         got._jdf.queryExecution(), "formatted")
     assert "PartitionFilters: [centroid_id" in plan
+
+
+def test_footprint_hull_geometric_invariants(spark, sf_dir):
+    """Independent verification of the rows-only x14 hull kernel:
+    the polygon must be convex, every vertex a valid pixel, and every
+    valid pixel inside-or-on it (checked with plain cross products —
+    no reuse of the kernel's monotone chain)."""
+    from bdc_collection_builder_spark.functions.pixel import (
+        NODATA_SENTINEL,
+        synthetic_pixels,
+    )
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    hulls = {r.scene_id: r.footprint_wkt for r in
+             QUERY_REGISTRY["x14_footprint_hull"].spark_fn(
+                 spark, sf_dir).collect()}
+    px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+    valid = (px.filter(F.col("B04") != NODATA_SENTINEL)
+             .select("scene_id", "x", "y").collect())
+    pts_by_scene: dict[int, set] = {}
+    for r in valid:
+        pts_by_scene.setdefault(r.scene_id, set()).add((r.x, r.y))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    for sid, wkt in hulls.items():
+        ring = [tuple(map(int, p.split()))
+                for p in wkt[len("POLYGON(("):-2].split(",")]
+        assert ring[0] == ring[-1], "ring must close"
+        verts = ring[:-1]
+        pts = pts_by_scene[sid]
+        assert set(verts) <= pts, "hull vertices must be valid pixels"
+        # convex + consistently oriented: all turns the same sign
+        turns = [cross(verts[i], verts[(i + 1) % len(verts)],
+                       verts[(i + 2) % len(verts)])
+                 for i in range(len(verts))]
+        assert all(t > 0 for t in turns) or all(t < 0 for t in turns)
+        # containment: every valid pixel on the inner side of every edge
+        sign = 1 if turns[0] > 0 else -1
+        for p in pts:
+            for i in range(len(verts)):
+                e = cross(verts[i], verts[(i + 1) % len(verts)], p)
+                assert sign * e >= 0, f"{p} outside hull of scene {sid}"
