@@ -237,3 +237,27 @@ def test_footprint_hull_geometric_invariants(spark, sf_dir):
             for i in range(len(verts)):
                 e = cross(verts[i], verts[(i + 1) % len(verts)], p)
                 assert sign * e >= 0, f"{p} outside hull of scene {sid}"
+
+
+def test_approx_distinct_within_documented_error(spark, sf_dir):
+    """Companion check for the rows-only a11 query: the HLL++ estimate
+    must land within the configured 2%-rsd bound (checked loosely at
+    5%) of the exact per-type distinct count."""
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    all_queries()
+    approx = {r.event_type: r.approx_users for r in
+              QUERY_REGISTRY["a11_approx_distinct"].spark_fn(
+                  spark, sf_dir).collect()}
+    exact = {r.event_type: r.n for r in
+             load_table(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) <= max(1, 0.05 * n), \
+            f"{etype}: approx {approx[etype]} vs exact {n}"
