@@ -57,10 +57,15 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("cli")
         df = QUERY_REGISTRY[args.name].spark_fn(spark, args.sf_dir)
-        if args.limit:
-            df.show(args.limit, truncate=False)
-        print(f"rows: {df.count()}")
-        spark.stop()
+        # persist so show + count execute the pipeline once, not twice
+        df.persist()
+        try:
+            if args.limit:
+                df.show(args.limit, truncate=False)
+            print(f"rows: {df.count()}")
+        finally:
+            df.unpersist()
+            spark.stop()
         return 0
 
     return 0

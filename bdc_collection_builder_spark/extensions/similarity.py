@@ -343,13 +343,21 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
     cent_rows = spark.read.parquet(f"{path}/centroids") \
         .orderBy("centroid_id").collect()
     centroids = [r.centroid for r in cent_rows]
-    q = queries.select(
+    # Materialize the probe assignment ONCE (it is driver-sized by
+    # design) and rebuild the broadcast side from the collected rows —
+    # re-evaluating the plan for the join could disagree with `probed`
+    # if the caller's query frame is non-deterministic (sample/limit).
+    q_rows = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
         F.explode(_nearest_centroids(F.col(vec_col), centroids, nprobe))
         .alias("centroid_id"),
-    )
-    probed = sorted({r.centroid_id for r in q.select("centroid_id").collect()})
+    ).collect()
+    probed = sorted({r.centroid_id for r in q_rows})
+    q = spark.createDataFrame(
+        q_rows,
+        f"{query_id_col} long, q_vec array<double>, q_norm double, "
+        "centroid_id int")
     vectors = spark.read.parquet(f"{path}/vectors") \
         .filter(F.col("centroid_id").isin(probed))
     scored = (

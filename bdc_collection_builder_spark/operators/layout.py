@@ -82,9 +82,16 @@ def cluster_by_zorder(df: DataFrame, cols: list[str], n_partitions: int,
     quantized = []
     for c in cols:
         lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        if lo is None or hi is None:
+            # empty input or all-NULL column: no spread to encode —
+            # constant 0 keeps the z key defined and the write a no-op
+            # instead of a driver TypeError
+            quantized.append(F.lit(0).cast("long"))
+            continue
         span = (hi - lo) or 1
         quantized.append(
-            F.floor((F.col(c).cast("double") - float(lo))
+            F.floor((F.coalesce(F.col(c), F.lit(lo)).cast("double")
+                     - float(lo))
                     / float(span) * ((1 << bits) - 1)).cast("long"))
     z = zorder_value(quantized, bits=bits)
     return (
@@ -103,9 +110,10 @@ def plan_compaction(files: DataFrame, target_bytes: int,
     Bin = which target-size offset window the file STARTS in, from a
     cumulative sum ordered by path within each table partition — fully
     deterministic, one window shuffle over the (tiny) manifest, data
-    untouched. Files larger than the target keep a bin to themselves
-    (their successors start past them). Returns the manifest plus
-    ``bin``.
+    untouched. A file larger than the target spans its bin alone past
+    the boundary (its successors start beyond it), so a bin's size is
+    bounded by ``target_bytes`` + the largest file that starts inside
+    it. Returns the manifest plus ``bin``.
     """
     keys = partition_cols or []
     w = (Window.partitionBy(*keys).orderBy("path")
@@ -121,19 +129,32 @@ def compact_parquet_dir(spark: SparkSession, src: str, dst: str,
     """Rewrite the parquet files under ``src`` into ~``target_bytes``
     files at ``dst``; returns the output file count.
 
-    Listing is driver-side metadata (every compactor's is); the rewrite
-    is ONE distributed job — a scan + round-robin repartition to the
-    planned bin count. Round-robin (not coalesce) so each output file
-    draws from many inputs and sizes stay even.
+    Listing is driver-side metadata (every compactor's is; this helper
+    walks the local filesystem — swap the walk for the Hadoop
+    ``FileSystem`` API on object stores). Hive-partitioned layouts
+    (``key=value`` subdirectories) are preserved: the partition columns
+    are re-applied with ``partitionBy`` on the rewrite, so downstream
+    partition pruning survives compaction. The rewrite is ONE
+    distributed job — a scan + round-robin repartition to the planned
+    bin count (round-robin, not coalesce, so each output file draws
+    from many inputs and sizes stay even).
     """
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, names in os.walk(src)
         for f in names if f.endswith(".parquet")
     )
+    # hive partition keys appear as key=value directory names
+    part_cols = sorted({
+        d.split("=", 1)[0]
+        for root, dirs, _ in os.walk(src) for d in dirs if "=" in d
+    })
     n_bins = max(1, math.ceil(total / target_bytes))
-    spark.read.parquet(src).repartition(n_bins) \
-        .write.mode("overwrite").parquet(dst)
+    df = spark.read.parquet(src)
+    writer = df.repartition(n_bins).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(dst)
     return sum(
         1 for _, _, names in os.walk(dst)
         for f in names if f.endswith(".parquet")

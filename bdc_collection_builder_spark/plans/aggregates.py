@@ -289,9 +289,16 @@ def a12_group_percentiles(spark, sf_dir):
     # lower*(ceil(h)-h) + higher*(h-floor(h)) at h = (n-1)*q — the exact
     # expression percentile/quantile_cont evaluate, so results stay
     # bit-identical (lower + (higher-lower)*frac differs by ULPs).
+    # NULL measures are excluded up front — percentile/quantile_cont
+    # ignore NULLs, and a NULL would otherwise take rank 1 under NULLS
+    # FIRST and inflate n, shifting every boundary rank. (A group whose
+    # measures are ALL NULL drops out rather than emitting NULL
+    # percentiles — acceptable here; left-join distinct keys back if
+    # that edge ever matters.)
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     ranked = (
         li.select("l_returnflag", "l_extendedprice")
+        .filter(F.col("l_extendedprice").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count("*").over(
             Window.partitionBy("l_returnflag")))

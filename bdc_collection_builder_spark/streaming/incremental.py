@@ -27,6 +27,13 @@ from bdc_collection_builder_spark.catalog.schemas import SCHEMAS
 from bdc_collection_builder_spark.catalog.store import CatalogStore
 
 
+# One schema literal for every events stream reader in this module
+# (batch readers go through sources.tables.load_table, which also
+# normalizes bigint/timestamp_ntz ts variants).
+EVENTS_STREAM_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string")
+
+
 def incremental_publish(spark: SparkSession, incoming_dir: str,
                         store: CatalogStore, checkpoint_dir: str):
     """Continuously MERGE arriving item rows (parquet files dropped into
@@ -63,9 +70,7 @@ def streaming_status_counts(spark: SparkSession, events_dir: str,
     ``withWatermark("ts", "30 minutes")`` to bound state and accept
     that the trailing windows emit only on the next trigger — the
     bounded-state analog of the reference's 72x900s retry horizon."""
-    schema = ("event_id long, ts timestamp, user_id long, "
-              "event_type string, value double, props string")
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
     agg = (
         stream
         .groupBy(F.window("ts", gap), "event_type")
@@ -97,9 +102,7 @@ def streaming_windowed_counts_append(spark: SparkSession, events_dir: str,
     sink is an append-only parquet directory (checkpoint-recoverable,
     unlike the memory sink) — each restart resumes the watermark from
     state and emits only newly-closed windows."""
-    schema = ("event_id long, ts timestamp, user_id long, "
-              "event_type string, value double, props string")
-    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")

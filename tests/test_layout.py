@@ -62,3 +62,25 @@ def test_compact_parquet_dir_reduces_file_count(spark, tmp_path):
     n_out = compact_parquet_dir(spark, src, dst, target_bytes=1 << 30)
     assert n_out == 1
     assert spark.read.parquet(dst).count() == 100_000
+
+
+def test_compact_preserves_hive_partitioning(spark, tmp_path):
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "pdst")
+    (spark.range(10_000)
+     .selectExpr("id", "CAST(id % 4 AS INT) AS part")
+     .repartition(32).write.partitionBy("part").parquet(src))
+    compact_parquet_dir(spark, src, dst, target_bytes=1 << 30)
+    out = spark.read.parquet(dst)
+    assert out.count() == 10_000
+    # layout survives: key=value dirs exist and pruning reaches the scan
+    import os
+    assert any(d.startswith("part=") for d in os.listdir(dst))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out.filter(F.col("part") == 2)._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_cluster_by_zorder_empty_input_is_noop(spark):
+    empty = spark.range(0).selectExpr("id AS x", "id AS y")
+    assert cluster_by_zorder(empty, ["x", "y"], n_partitions=4).count() == 0
