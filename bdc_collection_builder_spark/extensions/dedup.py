@@ -130,6 +130,10 @@ def minhash_signatures_from_shingles(sh: DataFrame, n_hashes: int = 32,
     if base_hash == "md5":
         base = sh.withColumn(
             "__h", md5_hash60(F.col("shingle")) % _MERSENNE_31)
+    elif base_hash == "prehashed":
+        # shingle column already holds the xxhash64 long
+        base = sh.withColumn(
+            "__h", F.pmod(F.col("shingle"), F.lit(_MERSENNE_31)))
     else:
         base = sh.withColumn(
             "__h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31)))
@@ -177,9 +181,21 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     ANSI SQL (the dd_minhash_lsh_md5 oracle recomputes the whole thing
     in DuckDB)."""
     rows_per_band = n_hashes // bands
-    sh = shingles(docs, text_col, id_col, k).persist()
-    sig = minhash_signatures_from_shingles(
-        sh, n_hashes, "md5" if engine_neutral else "xxhash64")
+    sh = shingles(docs, text_col, id_col, k)
+    if engine_neutral:
+        sh = sh.persist()
+        sig = minhash_signatures_from_shingles(sh, n_hashes, "md5")
+    else:
+        # Production path: collapse each shingle string to its xxhash64
+        # ONCE, before the persist — the cached table, the signature
+        # build, and both sides of the verification join then move
+        # 8-byte longs instead of ~40-byte strings (equal-hash stands
+        # in for equal-shingle; xxhash64 collisions are negligible
+        # against a 0.5-Jaccard threshold). The md5 path keeps strings:
+        # its DuckDB oracle recomputes every intermediate from them.
+        sh = sh.select(
+            "doc_id", F.xxhash64("shingle").alias("shingle")).persist()
+        sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
 
     def band_key(band: int):
         cols = [F.col("signature")[band * rows_per_band + r]
