@@ -81,6 +81,12 @@ def main() -> None:
     # BASELINE.md §4 proxies: band-expression pixel throughput, scene
     # pipeline throughput, incremental merge cost. Best-of-2 like the
     # queries — the first run pays Python-worker spawn + codegen.
+    # Re-warm the Python workers first: the JVM-only query block above
+    # can outlive their idle reaper, and a cold respawn would bill ~3s
+    # of fork cost to whichever proxy runs first.
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long").write.format("noop").mode(
+        "overwrite").save()
     for key, proxy in [
         ("proxy_px_expression_2m", lambda: _px_expression_proxy(spark)),
         ("proxy_pipeline_scenes", lambda: _pipeline_proxy(spark, sf_dir)),
