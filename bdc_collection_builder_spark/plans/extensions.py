@@ -1209,7 +1209,8 @@ def tx_tfidf_topk(spark, sf_dir):
                    len(embedding) AS n_dims
             FROM embeddings
         )
-        SELECT vec_id, q_embedding, n_dims,
+        SELECT vec_id, array_to_string(q_embedding, ',') AS q_embedding,
+               n_dims,
                CAST(list_aggregate(q_embedding, 'sum') AS BIGINT) AS sum_q
         FROM q
     """,
@@ -1219,7 +1220,10 @@ def ss_quantize_int8(spark, sf_dir):
     vectors for the ANN candidate pass (re-rank on full precision).
     A pure projection (clamp to [-1,1], scale by 127, round): no
     shuffle, whole-stage codegen, identical arithmetic on both engines
-    (float inputs widen to double exactly)."""
+    (float inputs widen to double exactly). The vector is emitted as a
+    canonical comma-joined string: raw array columns stringify
+    differently across pandas conversion paths (numpy vs list), which
+    would false-fail a hash compare on an otherwise identical result."""
     emb = t(spark, sf_dir, "embeddings")
     q = F.transform(
         F.col("embedding"),
@@ -1229,7 +1233,7 @@ def ss_quantize_int8(spark, sf_dir):
     )
     return emb.select(
         "vec_id",
-        q.alias("q_embedding"),
+        F.array_join(q, ",").alias("q_embedding"),
         F.size("embedding").cast("bigint").alias("n_dims"),
         F.aggregate(q, F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x).alias("sum_q"),
