@@ -366,3 +366,31 @@ def a13_grouping_sets(spark, sf_dir):
             "n", "revenue",
         )
     )
+
+
+@query(
+    "a14_pivot_status_matrix",
+    survey=("A2",),
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+               sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+        FROM events
+        GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def a14_pivot_status_matrix(spark, sf_dir):
+    """Pivoted day × event-type count matrix — the wide form of A2's
+    daily histogram (the dashboard shape the reference renders client-
+    side). Pivot values are declared explicitly, so this stays ONE
+    scan + ONE shuffle with no value-discovery pre-pass, and the output
+    schema is deterministic."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "error"])
+    )

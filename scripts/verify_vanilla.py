@@ -1,0 +1,90 @@
+"""Driver-harness simulation: run every registered query under a
+VANILLA SparkSession (none of session.get_spark's tuned configs — no
+Arrow, no UTC pin, default shuffle partitions) and compare each oracle
+against DuckDB, the way the external harness does.
+
+This catches what the pytest oracle suite cannot: behavior that depends
+on our session configuration (e.g. pandas conversion paths differing
+with Arrow on/off — the bug class behind the ss_quantize_int8 array
+stringification fix).
+
+Usage: python scripts/verify_vanilla.py [sf_dir]
+Exit code 0 iff every oracle matches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def canonicalize(df):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[col] = pd.to_datetime(s).astype("datetime64[us]")
+        elif s.dtype == object:
+            df[col] = s.map(lambda v: None if v is None else str(v))
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort") \
+               .reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as mod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    failures = []
+    for name in sorted(queries):
+        try:
+            got = queries[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                continue  # rows-only contract
+            want = con.execute(oracles[name]).fetchdf()
+            if len(got) != len(want):
+                failures.append((name, f"rows {len(got)} != {len(want)}"))
+                continue
+            if sorted(got.columns) != sorted(want.columns):
+                failures.append((name, "column mismatch"))
+                continue
+            pd.testing.assert_frame_equal(
+                canonicalize(got), canonicalize(want),
+                check_dtype=False, check_exact=True)
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            failures.append((name, str(exc).splitlines()[0][:120]))
+    print(f"queries: {len(queries)}  oracles: {len(oracles)}  "
+          f"mismatches: {len(failures)}")
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
