@@ -394,3 +394,28 @@ def a14_pivot_status_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase", "error"])
     )
+
+
+@query(
+    "a15_approx_percentiles",
+    survey=("A8",),
+)
+def a15_approx_percentiles(spark, sf_dir):
+    """The 100 TB percentile path a12's docstring points at:
+    approx_percentile's sketch is map-side mergeable with bounded
+    memory — no per-group sort, no full-value buffers, same plan shape
+    at any scale. Rows-only (sketch estimates are engine-specific); the
+    companion test bounds the error against a12's exact values via the
+    accuracy parameter (10000 → rank error ≤ n/10000)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+            .alias("ps"))
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p50_approx"),
+            F.col("ps")[1].alias("p90_approx"),
+        )
+    )

@@ -261,3 +261,25 @@ def test_approx_distinct_within_documented_error(spark, sf_dir):
     for etype, n in exact.items():
         assert abs(approx[etype] - n) <= max(1, 0.05 * n), \
             f"{etype}: approx {approx[etype]} vs exact {n}"
+
+
+def test_approx_percentiles_near_exact(spark, sf_dir):
+    """Companion check for the rows-only a15 query: sketch estimates
+    must land within 1% of a12's exact (oracle-checked) percentiles."""
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    exact = {r.l_returnflag: (r.p50, r.p90) for r in
+             QUERY_REGISTRY["a12_group_percentiles"].spark_fn(
+                 spark, sf_dir).collect()}
+    approx = {r.l_returnflag: (r.p50_approx, r.p90_approx) for r in
+              QUERY_REGISTRY["a15_approx_percentiles"].spark_fn(
+                  spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for flag, (p50, p90) in exact.items():
+        a50, a90 = approx[flag]
+        assert abs(a50 - p50) <= 0.01 * p50, f"{flag} p50: {a50} vs {p50}"
+        assert abs(a90 - p90) <= 0.01 * p90, f"{flag} p90: {a90} vs {p90}"
