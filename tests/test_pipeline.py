@@ -231,3 +231,32 @@ def test_partitioned_store_prunes_merge(spark, tmp_path, fixtures):
     assert s.read("items").count() == total
     got = s.read("items").filter(F.col("cloud_cover") == -77.0)
     assert {r.name for r in got.collect()} == set(names)
+
+
+def test_store_crash_between_write_and_pointer_commit(spark, tmp_path, fixtures):
+    """MVCC crash safety: a generation directory written WITHOUT its
+    pointer flip (the torn state a crash between the parquet write and
+    os.replace leaves behind) must be invisible to readers, and the
+    next commit must succeed and vacuum past it."""
+    import os
+
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    store = CatalogStore(spark, str(tmp_path / "crash_cat"))
+    store.overwrite("items", fixtures["items"].limit(10))
+    before = store.read("items").count()
+    good_gen = store._current_gen("items")
+
+    # simulate the torn state: orphan generation + leftover tmp pointer
+    orphan = os.path.join(store.path("items"), "gen-deadbeef0000")
+    fixtures["items"].limit(3).write.parquet(orphan)
+    with open(store._pointer("items") + ".tmp-zz", "w") as fh:
+        fh.write("gen-deadbeef0000")
+
+    assert store._current_gen("items") == good_gen
+    assert store.read("items").count() == before, \
+        "orphan generation must be invisible"
+
+    # recovery: the next commit proceeds normally
+    store.merge_upsert("items", fixtures["items"])
+    assert store.read("items").count() == fixtures["items"].count()
