@@ -118,3 +118,50 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
     """(n_emails, n_urls) found in the raw text."""
     return (F.regexp_count(text, F.lit(EMAIL_RE)),
             F.regexp_count(text, F.lit(URL_RE)))
+
+
+def chunk_documents(docs, chunk_tokens: int = 64, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split long documents into fixed-size token windows with overlap —
+    the training-prep step before sequence packing (each chunk becomes a
+    trainable unit; the overlap preserves context across boundaries).
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; a document emits
+    ceil(max(n − overlap, 1) / stride) chunks, always ≥ 1. Pure
+    per-row array arithmetic (tokenize once, slice per chunk) — a
+    narrow projection with NO shuffle at any corpus size; chunk ids are
+    deterministic so reruns are stable (same property as hash_split).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    # tokenize once into its own projection (lambda/slice consumers
+    # would otherwise re-split per chunk), then size everything off the
+    # materialized array
+    n = F.size(F.col("__toks"))
+    n_chunks = F.greatest(
+        F.ceil((F.greatest(n - overlap, F.lit(1))) / F.lit(stride))
+        .cast("int"),
+        F.lit(1))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            F.col("__toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__toks"),
+                        F.col("chunk_id") * stride + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(
+                F.size(F.col("__toks")) - F.col("chunk_id") * stride,
+                F.lit(chunk_tokens)).alias("n_tokens"),
+        )
+    )

@@ -1355,3 +1355,35 @@ def cu_seeded_shuffle(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return seeded_shuffle(docs, seed="epoch-0", n_shards=8) \
         .select("doc_id", "shuffle_key", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+@query(
+    "tx_chunk_documents",
+    survey=("TX-chunk",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, t,
+                   CAST(greatest(ceil(greatest(len(t) - 16, 1) / 48.0), 1)
+                        AS INTEGER) AS n_chunks
+            FROM toks
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')
+                   AS chunk_text,
+               CAST(least(len(t) - i * 48, 64) AS INTEGER) AS n_tokens
+        FROM spans, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+    """,
+)
+def tx_chunk_documents(spark, sf_dir):
+    """Fixed-window document chunking (64 tokens, 16 overlap) — the
+    training-prep step before cu_pack_sequences. One narrow projection
+    per document: tokenize once, slice per chunk; no shuffle at any
+    corpus size, deterministic chunk ids (rerun-stable like
+    hash_split)."""
+    from bdc_collection_builder_spark.extensions.text import chunk_documents
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)

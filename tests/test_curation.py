@@ -144,3 +144,32 @@ def test_token_budget_mix_broadcasts_shares(spark, sf_dir):
     plan = plan_of(spark, "cu_token_budget_mix", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark):
+    from bdc_collection_builder_spark.extensions.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # 150 tokens, stride 48: chunks at 0/48/96 -> 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2]
+    assert c1[0].n_tokens == 64 and c1[2].n_tokens == 150 - 96
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert c1[0].chunk_text.split()[-16:] == c1[1].chunk_text.split()[:16]
+    # stitching chunks with overlap dropped reconstructs the document
+    stitched = c1[0].chunk_text.split()
+    for r in c1[1:]:
+        stitched += r.chunk_text.split()[16:]
+    assert stitched == words.split()
+
+    # short and empty docs emit exactly one chunk each
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == ""
