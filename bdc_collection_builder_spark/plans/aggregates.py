@@ -8,8 +8,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
+
+_TS = duck_ts()
 
 
 @query(
@@ -58,8 +60,8 @@ def a02_daily_status_histogram(spark, sf_dir):
 @query(
     "a03_latest_attempt_per_scene",
     survey=("A3",),
-    oracle="""
-        SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+    oracle=f"""
+        SELECT user_id, max({_TS}) AS last_ts, count(*) AS n_events
         FROM events GROUP BY user_id
     """,
 )
@@ -371,14 +373,14 @@ def a13_grouping_sets(spark, sf_dir):
 @query(
     "a14_pivot_status_matrix",
     survey=("A2",),
-    oracle="""
-        SELECT strftime(ts, '%Y-%m-%d') AS day,
+    oracle=f"""
+        SELECT strftime({_TS}, '%Y-%m-%d') AS day,
                sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
                sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
                sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
         FROM events
-        GROUP BY strftime(ts, '%Y-%m-%d')
+        GROUP BY strftime({_TS}, '%Y-%m-%d')
     """,
 )
 def a14_pivot_status_matrix(spark, sf_dir):

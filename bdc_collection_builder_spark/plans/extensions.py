@@ -967,7 +967,8 @@ def cu_decontaminate(spark, sf_dir):
                    ) - n_tokens AS start_offset
             FROM toks
         )
-        SELECT doc_id, shard, n_tokens, start_offset,
+        SELECT doc_id, shard, n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
                CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
         FROM cum
     """,

@@ -14,8 +14,10 @@ from bdc_collection_builder_spark.operators.filters import (
     cloud_cover_filter,
     temporal_overlap,
 )
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
+
+_TS = duck_ts()
 
 
 @query(
@@ -145,12 +147,12 @@ def f04_restart_filters(spark, sf_dir):
 @query(
     "f05_activity_list_filters",
     survey=("F5",),
-    oracle="""
-        SELECT event_id, user_id, event_type, ts
+    oracle=f"""
+        SELECT event_id, user_id, event_type, {_TS} AS ts
         FROM events
         WHERE event_type LIKE '%ick%'
-          AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
-                     AND TIMESTAMP '2024-01-20 00:00:00'
+          AND {_TS} BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                        AND TIMESTAMP '2024-01-20 00:00:00'
     """,
 )
 def f05_activity_list_filters(spark, sf_dir):

@@ -10,8 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
+
+_TS = duck_ts()
 
 # Sentinel-2-style scene id synthesized from an order row; identical
 # string grammar on both engines.
@@ -282,8 +284,8 @@ def x21_collection_identifier(spark, sf_dir):
 @query(
     "y01_tumbling_window",
     survey=("Y1",),
-    oracle="""
-        SELECT to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT))
+    oracle=f"""
+        SELECT to_timestamp(CAST(floor(epoch({_TS}) / 600) * 600 AS BIGINT))
                  AT TIME ZONE 'UTC' AS window_start,
                event_type, count(*) AS n,
                round(sum(value), 2) AS total_value
@@ -309,10 +311,10 @@ def y01_tumbling_window(spark, sf_dir):
 @query(
     "y02_sliding_window",
     survey=("Y2",),
-    oracle="""
+    oracle=f"""
         WITH shifted AS (
-            SELECT ts, value,
-                   to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT))
+            SELECT {_TS} AS ts, value,
+                   to_timestamp(CAST(floor(epoch({_TS}) / 300) * 300 AS BIGINT))
                      AT TIME ZONE 'UTC' - o * INTERVAL 5 MINUTE AS window_start
             FROM events, (VALUES (0), (1)) AS t(o)
         )
@@ -336,14 +338,16 @@ def y02_sliding_window(spark, sf_dir):
 @query(
     "y05_session_window",
     survey=("Y5", "Y6"),
-    oracle="""
-        WITH flagged AS (
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, {_TS} AS ts FROM events
+        ), flagged AS (
             SELECT user_id, ts,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                              > INTERVAL 30 MINUTE
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM norm
         ), numbered AS (
             SELECT user_id, ts,
                    sum(new_session) OVER (

@@ -10,8 +10,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
+
+_TS = duck_ts()
 
 
 @query(
@@ -34,8 +36,8 @@ def t02_ordered_catalog(spark, sf_dir):
 @query(
     "t04_first_element",
     survey=("T4",),
-    oracle="""
-        SELECT user_id, min(ts) AS first_ts
+    oracle=f"""
+        SELECT user_id, min({_TS}) AS first_ts
         FROM events GROUP BY user_id
     """,
 )

@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.functions.pixel import synthetic_pixels_oracle
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
+
+_TS = duck_ts()
 
 _PIXELS = synthetic_pixels_oracle(n_scenes=4, height=16, width=16)
 
@@ -345,11 +347,11 @@ def s09_glob_discovery(spark, sf_dir):
 @query(
     "s10_search_memo_cache",
     survey=("S10",),
-    oracle="""
+    oracle=f"""
         WITH requested AS (
-            SELECT DISTINCT date_trunc('month', ts) AS period FROM events
+            SELECT DISTINCT date_trunc('month', {_TS}) AS period FROM events
         ), cached AS (
-            SELECT DISTINCT date_trunc('month', ts) AS period FROM events
+            SELECT DISTINCT date_trunc('month', {_TS}) AS period FROM events
             WHERE event_type = 'click'
         )
         SELECT r.period,
@@ -540,9 +542,10 @@ def s17_symlink_alias(spark, sf_dir):
 @query(
     "x08_now_stamps",
     survey=("X8",),
-    oracle="""
+    oracle=f"""
         SELECT event_id,
-               (current_timestamp >= ts) AS stamped_after_event
+               (timezone('UTC', current_timestamp) >= {_TS})
+                 AS stamped_after_event
         FROM events WHERE event_id % 97 = 0
     """,
 )

@@ -9,20 +9,22 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
+
+_TS = duck_ts()
 
 
 @query(
     "tj_asof_purchase_attribution",
     survey=("TJ-asof",),
-    oracle="""
+    oracle=f"""
         WITH p AS (
-            SELECT user_id, event_id, ts FROM events
+            SELECT user_id, event_id, {_TS} AS ts FROM events
             WHERE event_type = 'purchase'
         ),
         c AS (
-            SELECT user_id, ts, value FROM events
+            SELECT user_id, {_TS} AS ts, value FROM events
             WHERE event_type = 'click'
         )
         SELECT p.user_id, p.event_id, p.ts,
@@ -51,13 +53,16 @@ def tj_asof_purchase_attribution(spark, sf_dir):
 @query(
     "tj_range_error_followups",
     survey=("TJ-range",),
-    oracle="""
+    oracle=f"""
         WITH e AS (
-            SELECT user_id, event_id, ts FROM events
+            SELECT user_id, event_id, {_TS} AS ts FROM events
             WHERE event_type = 'error'
+        ),
+        a AS (
+            SELECT user_id, {_TS} AS ts FROM events
         )
         SELECT e.event_id, count(*) AS n_followups
-        FROM e JOIN events a
+        FROM e JOIN a
           ON a.user_id = e.user_id
          AND a.ts >= e.ts
          AND a.ts <= e.ts + INTERVAL 10 MINUTE

@@ -4,19 +4,21 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
+
+_TS = duck_ts()
 
 
 @query(
     "w01_latest_execution",
     survey=("W1",),
-    oracle="""
+    oracle=f"""
         WITH ranked AS (
-            SELECT user_id, event_id, event_type, ts,
+            SELECT user_id, event_id, event_type, {_TS} AS ts,
                    row_number() OVER (
                        PARTITION BY user_id
-                       ORDER BY ts DESC, event_id DESC
+                       ORDER BY {_TS} DESC, event_id DESC
                    ) AS rn
             FROM events
         )
@@ -86,13 +88,13 @@ def w03_pagination(spark, sf_dir):
 @query(
     "w04_lag_lead_gap",
     survey=("W1", "W2"),
-    oracle="""
+    oracle=f"""
         SELECT user_id, event_id,
                date_diff('microsecond',
-                         lag(ts) OVER w, ts) AS gap_us,
+                         lag({_TS}) OVER w, {_TS}) AS gap_us,
                lead(event_type) OVER w AS next_type
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_TS}, event_id)
     """,
 )
 def w04_lag_lead_gap(spark, sf_dir):
