@@ -193,8 +193,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         # in for equal-shingle; xxhash64 collisions are negligible
         # against a 0.5-Jaccard threshold). The md5 path keeps strings:
         # its DuckDB oracle recomputes every intermediate from them.
+        # dropDuplicates keeps the persisted table an exact set per doc
+        # even when two distinct shingle strings collide in xxhash64 —
+        # otherwise the duplicate (doc_id, hash) rows multiply in the
+        # verification join and inflate n_common/Jaccard.
         sh = sh.select(
-            "doc_id", F.xxhash64("shingle").alias("shingle")).persist()
+            "doc_id", F.xxhash64("shingle").alias("shingle")
+        ).dropDuplicates(["doc_id", "shingle"]).persist()
         sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
 
     def band_key(band: int):
@@ -339,6 +344,55 @@ def embedding_near_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95, left_stride: int = 1,
+                             n_tables: int = 16, n_bits: int = 12,
+                             dim: int = 64, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs — the SCALE path: hyperplane-LSH
+    bucketed candidates + exact cosine re-rank, no all-pairs join.
+
+    Each vector lands in ``n_tables`` sign-LSH buckets; only pairs
+    sharing a (table, bucket) key are scored. The self-join is an
+    equi-join on the bucket key (id_a < id_b is a residual predicate on
+    it, not the join condition), so cost scales with bucket occupancy,
+    not corpus². Parallel vectors (cosine 1.0 — the scaled-copy dups
+    exact dedup misses) produce identical signs on every hyperplane and
+    therefore collide in EVERY table: recall for exact-direction dups
+    is 1.0 by construction. For threshold-grade pairs (0.95) the
+    default (16 tables x 12 bits) gives ~99.4% expected recall
+    (per-bit collision 1-acos(0.95)/pi ~= 0.90, standard
+    1-(1-0.90^12)^16 curve). :func:`embedding_near_pairs` is the exact
+    brute-force twin used by the test suite to verify this path."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _hyperplanes, dot, hash_buckets, norm)
+
+    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+    keys = hash_buckets(F.col(vec_col), planes)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+        F.posexplode(keys).alias("table_id", "bucket"))
+    left = (bucketed.filter(F.col("vid") % left_stride == 0)
+            if left_stride > 1 else bucketed)
+    cand = (
+        left.alias("a").join(
+            bucketed.alias("b"),
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+                F.col("a.vec").alias("v_a"), F.col("b.vec").alias("v_b"),
+                F.col("a.nrm").alias("n_a"), F.col("b.nrm").alias("n_b"))
+        .distinct()
+    )
+    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

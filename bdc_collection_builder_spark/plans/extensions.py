@@ -394,9 +394,15 @@ _DOT_SQL = (
 )
 def dd_embedding_near_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.95 over a corpus augmented
-    with scaled copies (cosine 1.0 by construction). Left side strided
-    4x to bound the brute-force pair count."""
-    from bdc_collection_builder_spark.extensions.dedup import embedding_near_pairs
+    with scaled copies (cosine 1.0 by construction), found via
+    hyperplane-LSH bucketed candidates + exact cosine re-rank — no
+    all-pairs join anywhere in the plan. Scaled copies are parallel to
+    their source, so they collide in every LSH table and recall of the
+    planted dups is exact; the all-pairs oracle (and the brute-force
+    twin in the test suite) verifies nothing else clears 0.95. Left
+    side strided 4x to keep pair counts comparable with round 1."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        embedding_near_pairs_lsh)
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     scaled = (
@@ -407,8 +413,8 @@ def dd_embedding_near_pairs(spark, sf_dir):
                         lambda x: (x * 1.01).cast("float")).alias("embedding"),
         )
     )
-    return embedding_near_pairs(emb.unionByName(scaled), threshold=0.95,
-                                left_stride=4)
+    return embedding_near_pairs_lsh(emb.unionByName(scaled), threshold=0.95,
+                                    left_stride=4)
 
 
 @query(

@@ -73,6 +73,106 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh) >= 0.9 * len(exact), "recall >= 90% on near-exact dups"
 
 
+def _dedup_corpus(spark, sf_dir):
+    """The fixture the dd_* queries use: every-5th doc plus near-dup
+    copies of every-20th (suffix-perturbed, shifted ids)."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") % 5 == 0)
+    near = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat("text", F.lit(" xy zz wq")).alias("text")))
+    return docs.unionByName(near), \
+        {r.doc_id for r in docs.filter(F.col("doc_id") % 20 == 0).collect()}
+
+
+def test_minhash_production_path_pinned_to_md5_twin(spark, sf_dir):
+    """The rows-only xxhash64 production path must emit the SAME
+    verified pairs (and exact-Jaccard scores) as the oracle-green
+    md5-60bit twin — pinning it transitively to the DuckDB oracle."""
+    from bdc_collection_builder_spark.extensions.dedup import minhash_lsh_pairs
+
+    corpus, planted = _dedup_corpus(spark, sf_dir)
+    md5 = {(r.doc_a, r.doc_b): r.jaccard for r in
+           minhash_lsh_pairs(corpus, threshold=0.5,
+                             engine_neutral=True).collect()}
+    prod = {(r.doc_a, r.doc_b): r.jaccard for r in
+            minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    assert set(prod) == set(md5), "verified pairs differ across hash families"
+    assert prod == md5, "exact-Jaccard verification scores differ"
+    # candidate generation (whatever the family) must retain every
+    # planted near-dup: verified output is a subset of candidates, so
+    # planted ⊆ verified ⇒ planted ⊆ candidates on both paths
+    planted_pairs = {(d, d + 1000000) for d in planted}
+    assert planted_pairs <= set(prod)
+
+
+def test_simhash_bucketing_is_exact_per_hash_family(spark, sf_dir):
+    """md5-60bit and xxhash64-64bit signatures legitimately disagree on
+    borderline pairs, so the pinning is per family: quarter-bucketed
+    candidate generation must reproduce EXACTLY the brute-force
+    Hamming-≤r pair set over the same signatures (the pigeonhole
+    guarantee: ≤3 differing bits ⇒ ≥1 of 4 quarters agrees)."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    corpus, _ = _dedup_corpus(spark, sf_dir)
+
+    def exact_pairs(bits, base_hash):
+        sig = simhash_signatures(corpus, "text", "doc_id", bits, base_hash)
+        a = sig.select(F.col("doc_id").alias("doc_a"),
+                       F.col("simhash").alias("sig_a"))
+        b = sig.select(F.col("doc_id").alias("doc_b"),
+                       F.col("simhash").alias("sig_b"))
+        ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        # test-only brute force (125 docs) — the reference answer the
+        # bucketed production plan must match
+        return {(r.doc_a, r.doc_b) for r in
+                a.join(b, F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b", ham.alias("h"))
+                .filter(F.col("h") <= 3).collect()}
+
+    prod = simhash_near_pairs(corpus, radius=3)
+    md5 = simhash_near_pairs(corpus, radius=3, engine_neutral=True)
+    assert {(r.doc_a, r.doc_b) for r in prod.collect()} == \
+        exact_pairs(64, "xxhash64")
+    assert {(r.doc_a, r.doc_b) for r in md5.collect()} == \
+        exact_pairs(60, "md5")
+    assert all(r.hamming <= 3 for r in prod.collect() + md5.collect())
+
+
+def test_embedding_lsh_pairs_match_brute_force(spark, sf_dir):
+    """The registered LSH-bucketed near-pair query must reproduce the
+    brute-force twin exactly on the planted-dup corpus (parallel
+    vectors collide in every hyperplane table, so recall is exact)."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        embedding_near_pairs,
+        embedding_near_pairs_lsh,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                F.transform("embedding",
+                            lambda x: (x * 1.01).cast("float"))
+                .alias("embedding")))
+    corpus = emb.unionByName(scaled)
+    brute = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_near_pairs(corpus, threshold=0.95,
+                                  left_stride=4).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in
+           embedding_near_pairs_lsh(corpus, threshold=0.95,
+                                    left_stride=4).collect()}
+    assert lsh == brute
+    assert len(brute) > 0, "fixture must plant at least one near-dup pair"
+
+
 def test_ann_lsh_recall(spark, sf_dir):
     from bdc_collection_builder_spark.extensions.similarity import (
         brute_force_topk,

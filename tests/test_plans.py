@@ -56,7 +56,8 @@ def test_pixel_kernel_stays_jvm_side(spark, sf_dir):
 
 
 def test_no_cartesian_in_candidate_generation(spark, sf_dir):
-    for name in ("dd_minhash_lsh_pairs", "dd_simhash_pairs", "ss_lsh_topk"):
+    for name in ("dd_minhash_lsh_pairs", "dd_simhash_pairs", "ss_lsh_topk",
+                 "dd_embedding_near_pairs"):
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
