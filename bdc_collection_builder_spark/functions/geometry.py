@@ -1,0 +1,170 @@
+"""Exact polygon geometry as Catalyst expressions (SURVEY §2 X17).
+
+The reference evaluates true polygon predicates through PostGIS
+(``ST_Intersects`` at controller.py:565-569; footprint construction at
+publish.py:591-593). Neither Sedona nor shapely is available in this
+environment, so the predicate is implemented directly as Spark
+higher-order functions over vertex arrays — entirely JVM-side, inside
+whole-stage codegen, no Python in the hot path — with a structurally
+identical DuckDB formulation serving as the cross-engine oracle
+(:func:`duckdb_intersects_sql`).
+
+Algorithm (simple polygons, convex or concave):
+
+- two polygons intersect iff (a) some edge of A properly crosses some
+  edge of B, or (b) a vertex of A lies inside B (A ⊆ B), or (c) a
+  vertex of B lies inside A (B ⊆ A);
+- edge crossing uses orientation signs: segments (p1,p2) and (q1,q2)
+  properly cross iff cross(p1,p2,q1)·cross(p1,p2,q2) < 0 and
+  cross(q1,q2,p1)·cross(q1,q2,p2) < 0;
+- containment uses ray casting (odd crossing count of a +x ray).
+
+Degenerate contacts (collinear touching edges, vertex-on-edge) are
+measure-zero and excluded by fixture construction, exactly as the
+envelope approximation before it assumed axis-aligned rectangles.
+
+Both engines run the same IEEE-754 double operations in the same
+order (multiply/subtract/divide only — no trig, whose libm results
+differ across engines), so boolean outcomes are bit-identical and the
+driver's value hash is stable.
+
+Polygons are ``array<struct<x:double,y:double>>`` open rings (the
+closing edge last→first is implicit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ring_edges(poly: Column) -> Column:
+    """Edge list of an open ring: (v1,v2), (v2,v3), …, (vn,v1)."""
+    n = F.size(poly)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at(poly, i).alias("a"),
+            F.element_at(poly, F.when(i == n, F.lit(1)).otherwise(i + 1))
+            .alias("b"),
+        ),
+    )
+
+
+def _cross(o: Column, a: Column, b: Column) -> Column:
+    """2D cross product of (a-o) × (b-o)."""
+    return ((a.x - o.x) * (b.y - o.y)) - ((a.y - o.y) * (b.x - o.x))
+
+
+def _segments_cross(ea: Column, eb: Column) -> Column:
+    """Proper crossing of edge structs {a,b} (orientation-sign test)."""
+    return (
+        (_cross(ea.a, ea.b, eb.a) * _cross(ea.a, ea.b, eb.b) < 0)
+        & (_cross(eb.a, eb.b, ea.a) * _cross(eb.a, eb.b, ea.b) < 0)
+    )
+
+
+def point_in_polygon(pt: Column, poly: Column) -> Column:
+    """Ray casting: odd number of edges crossed by the +x ray from pt."""
+    crossings = F.filter(
+        ring_edges(poly),
+        lambda e: ((e.a.y > pt.y) != (e.b.y > pt.y))
+        & (pt.x < (e.b.x - e.a.x) * (pt.y - e.a.y) / (e.b.y - e.a.y) + e.a.x),
+    )
+    return F.size(crossings) % 2 == 1
+
+
+def envelopes_overlap(pa: Column, pb: Column) -> Column:
+    """Cheap bbox pre-filter — the rectangle approximation the engine
+    used for X17 before this module; kept as the first pass so the
+    exact test only runs on envelope-overlapping pairs."""
+    xs = lambda p: F.transform(p, lambda v: v.x)  # noqa: E731
+    ys = lambda p: F.transform(p, lambda v: v.y)  # noqa: E731
+    return (
+        (F.array_min(xs(pa)) <= F.array_max(xs(pb)))
+        & (F.array_min(xs(pb)) <= F.array_max(xs(pa)))
+        & (F.array_min(ys(pa)) <= F.array_max(ys(pb)))
+        & (F.array_min(ys(pb)) <= F.array_max(ys(pa)))
+    )
+
+
+def polygon_intersects(pa: Column, pb: Column) -> Column:
+    """Exact ST_Intersects for simple polygons (see module docstring).
+    Wrap in :func:`envelopes_overlap` AND for the pre-filtered form."""
+    ea, eb = ring_edges(pa), ring_edges(pb)
+    any_edge_cross = F.exists(
+        ea, lambda e1: F.exists(eb, lambda e2: _segments_cross(e1, e2)))
+    return (
+        any_edge_cross
+        | point_in_polygon(F.element_at(pa, 1), pb)
+        | point_in_polygon(F.element_at(pb, 1), pa)
+    )
+
+
+# --- DuckDB twin -----------------------------------------------------------
+#
+# The same predicate, generated as DuckDB SQL over LIST(STRUCT(x,y))
+# columns, operation-for-operation identical to the Column version so
+# boolean outcomes match bit-for-bit. DuckDB lists are 1-indexed like
+# Spark's element_at, which keeps the edge construction symmetrical.
+
+def _duck_edges(poly: str) -> str:
+    return (
+        f"list_transform(generate_series(1, len({poly})), i -> "
+        f"{{'a': {poly}[i], "
+        f"'b': {poly}[CASE WHEN i = len({poly}) THEN 1 ELSE i + 1 END]}})"
+    )
+
+
+def _duck_cross(o: str, a: str, b: str) -> str:
+    # outer parens matter: the caller multiplies two cross products
+    return (f"(((({a}).x - ({o}).x) * (({b}).y - ({o}).y))"
+            f" - ((({a}).y - ({o}).y) * (({b}).x - ({o}).x)))")
+
+
+def _duck_segments_cross(e1: str, e2: str) -> str:
+    return (
+        f"({_duck_cross(e1 + '.a', e1 + '.b', e2 + '.a')}"
+        f" * {_duck_cross(e1 + '.a', e1 + '.b', e2 + '.b')} < 0"
+        f" AND {_duck_cross(e2 + '.a', e2 + '.b', e1 + '.a')}"
+        f" * {_duck_cross(e2 + '.a', e2 + '.b', e1 + '.b')} < 0)"
+    )
+
+
+def duck_point_in_polygon(pt: str, poly: str) -> str:
+    """DuckDB ray-casting containment, twin of :func:`point_in_polygon`."""
+    cond = (
+        f"((e.a.y > ({pt}).y) <> (e.b.y > ({pt}).y)) AND "
+        f"(({pt}).x < (e.b.x - e.a.x) * (({pt}).y - e.a.y)"
+        f" / (e.b.y - e.a.y) + e.a.x)"
+    )
+    return (f"len(list_filter({_duck_edges(poly)}, e -> {cond})) % 2 = 1")
+
+
+def duck_envelopes_overlap(pa: str, pb: str) -> str:
+    """DuckDB twin of :func:`envelopes_overlap`."""
+    def mn(p, f):
+        return f"list_min(list_transform({p}, v -> v.{f}))"
+
+    def mx(p, f):
+        return f"list_max(list_transform({p}, v -> v.{f}))"
+
+    return (
+        f"({mn(pa, 'x')} <= {mx(pb, 'x')} AND {mn(pb, 'x')} <= {mx(pa, 'x')}"
+        f" AND {mn(pa, 'y')} <= {mx(pb, 'y')}"
+        f" AND {mn(pb, 'y')} <= {mx(pa, 'y')})"
+    )
+
+
+def duck_polygon_intersects(pa: str, pb: str) -> str:
+    """DuckDB twin of :func:`polygon_intersects`."""
+    edge_cross = (
+        f"len(list_filter({_duck_edges(pa)}, e1 -> "
+        f"len(list_filter({_duck_edges(pb)}, e2 -> "
+        f"{_duck_segments_cross('e1', 'e2')})) > 0)) > 0"
+    )
+    return (
+        f"({edge_cross}"
+        f" OR {duck_point_in_polygon(pa + '[1]', pb)}"
+        f" OR {duck_point_in_polygon(pb + '[1]', pa)})"
+    )

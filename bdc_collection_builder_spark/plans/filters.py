@@ -298,3 +298,93 @@ def f11_cog_skip_predicate(spark, sf_dir):
         "scene", "band",
         (~F.col("band").isin("AOT", "WVP", "thumbnail")).alias("generate_cog"),
     )
+
+
+# --- X17: exact polygon ST_Intersects --------------------------------------
+
+# Octagonal footprint offsets (unit shape scaled by per-scene r) and a
+# concave 4-point star query polygon: star-arm gaps give cases where
+# the envelope pre-filter says "maybe" but exact geometry says "no" —
+# the false positives the old rectangle approximation could not reject.
+# No trig anywhere: vertices come from literal offset tables so both
+# engines run identical IEEE-double multiply/adds.
+_OCTAGON = [(1.0, 0.0), (0.7, 0.7), (0.0, 1.0), (-0.7, 0.7),
+            (-1.0, 0.0), (-0.7, -0.7), (0.0, -1.0), (0.7, -0.7)]
+_STAR = [(35.0, 18.0), (29.0, 20.0), (27.0, 26.0), (25.0, 20.0),
+         (19.0, 18.0), (25.0, 16.0), (27.0, 10.0), (29.0, 16.0)]
+
+
+def _x17_oracle() -> str:
+    from bdc_collection_builder_spark.functions.geometry import (
+        duck_envelopes_overlap,
+        duck_polygon_intersects,
+    )
+
+    # CAST every literal to DOUBLE: DuckDB parses bare float literals
+    # as DECIMAL, and the predicate must run the same IEEE-754 double
+    # arithmetic as the Spark side to match bit-for-bit.
+    foot = "[" + ", ".join(
+        f"{{'x': cx + r * CAST({ox!r} AS DOUBLE),"
+        f" 'y': cy + r * CAST({oy!r} AS DOUBLE)}}"
+        for ox, oy in _OCTAGON) + "]"
+    star = "[" + ", ".join(
+        f"{{'x': CAST({x!r} AS DOUBLE), 'y': CAST({y!r} AS DOUBLE)}}"
+        for x, y in _STAR) + "]"
+    env = duck_envelopes_overlap("footprint", "qpoly")
+    exact = duck_polygon_intersects("footprint", "qpoly")
+    return f"""
+        WITH base AS (
+            SELECT event_id,
+                   CAST(event_id % 37 AS DOUBLE) * 1.5 AS cx,
+                   CAST((event_id // 37) % 29 AS DOUBLE) * 1.3 AS cy,
+                   0.8 + CAST(event_id % 5 AS DOUBLE) * 0.25 AS r
+            FROM events WHERE event_id % 23 = 0
+        ), polys AS (
+            SELECT event_id, {foot} AS footprint, {star} AS qpoly
+            FROM base
+        )
+        SELECT event_id,
+               {env} AS env_overlap,
+               ({env} AND {exact}) AS intersects
+        FROM polys
+    """
+
+
+@query(
+    "x17_polygon_intersects",
+    survey=("X17",),
+    oracle=_x17_oracle(),
+)
+def x17_polygon_intersects(spark, sf_dir):
+    """X17 — exact ST_Intersects on true polygons (reference PostGIS
+    predicate, controller.py:565-569; footprint publish.py:591-593):
+    synthetic octagonal scene footprints against a concave star query
+    region. Envelope bbox check stays as the cheap first pass; the
+    orientation-sign segment test + ray-casting containment runs only
+    on envelope survivors. All of it is built-in higher-order
+    functions inside whole-stage codegen — no UDF, no Python, no
+    shuffle (map-only over the scan)."""
+    from bdc_collection_builder_spark.functions.geometry import (
+        envelopes_overlap,
+        polygon_intersects,
+    )
+
+    events = t(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    cx = (F.col("event_id") % 37).cast("double") * 1.5
+    cy = (F.expr("event_id div 37") % 29).cast("double") * 1.3
+    r = F.lit(0.8) + (F.col("event_id") % 5).cast("double") * 0.25
+    foot = F.array(*[
+        F.struct((cx + r * F.lit(ox)).alias("x"),
+                 (cy + r * F.lit(oy)).alias("y"))
+        for ox, oy in _OCTAGON])
+    qpoly = F.array(*[
+        F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in _STAR])
+    df = events.select("event_id", foot.alias("footprint"),
+                       qpoly.alias("qpoly"))
+    env = envelopes_overlap(F.col("footprint"), F.col("qpoly"))
+    return df.select(
+        "event_id",
+        env.alias("env_overlap"),
+        (env & polygon_intersects(F.col("footprint"), F.col("qpoly")))
+        .alias("intersects"),
+    )

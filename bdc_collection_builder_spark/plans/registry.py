@@ -107,8 +107,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "px_a6_nodata_union", "px_x12_resample_nearest",
     # round-1 hash mismatches, fixed this round — need fresh green rows
     "a14_pivot_status_matrix", "cu_pack_sequences",
-    # changed this round (now LSH-bucketed) + highest-value sources
-    "dd_embedding_near_pairs",
+    # new/changed this round: exact polygon geometry (X17) and the
+    # now-LSH-bucketed embedding near-dup; plus highest-value sources
+    "x17_polygon_intersects", "dd_embedding_near_pairs",
     "s15_merge_upsert", "s01_remote_search_pushdown",
 )
 

@@ -73,6 +73,52 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh) >= 0.9 * len(exact), "recall >= 90% on near-exact dups"
 
 
+def test_polygon_intersects_exact_cases(spark):
+    """Hand-built truth table for the X17 exact predicate: edge
+    crossing, containment both ways, envelope-overlap-but-disjoint
+    (the false positive the bbox approximation cannot reject), and
+    fully disjoint."""
+    from bdc_collection_builder_spark.functions.geometry import (
+        envelopes_overlap,
+        point_in_polygon,
+        polygon_intersects,
+    )
+
+    def ring(*pts):
+        return F.array(*[F.struct(F.lit(float(x)).alias("x"),
+                                  F.lit(float(y)).alias("y"))
+                         for x, y in pts])
+
+    # concave L-shape occupying the left+bottom of a 4x4 square
+    lshape = ring((0, 0), (4, 0), (4, 1), (1, 1), (1, 4), (0, 4))
+    cases = [
+        # (polygon, expected_env, expected_intersects)
+        (ring((2, 2), (3, 2), (3, 3), (2, 3)), True, False),   # in the notch
+        (ring((0.2, 0.2), (0.8, 0.2), (0.5, 0.8)), True, True),  # contained
+        (ring((-1, -1), (9, -1), (9, 9), (-1, 9)), True, True),  # contains
+        (ring((3, 0.5), (5, 0.5), (5, 2), (3, 2)), True, True),  # edge cross
+        (ring((10, 10), (11, 10), (11, 11)), False, False),      # disjoint
+    ]
+    df = spark.createDataFrame([(i,) for i in range(len(cases))], "i int")
+    for i, (poly, exp_env, exp_ix) in enumerate(cases):
+        row = df.filter(F.col("i") == i).select(
+            envelopes_overlap(poly, lshape).alias("env"),
+            polygon_intersects(poly, lshape).alias("ix"),
+        ).collect()[0]
+        assert row.env == exp_env, f"case {i} envelope"
+        assert row.ix == exp_ix, f"case {i} exact"
+    # ray-casting sanity on the concave region
+    pip = df.limit(1).select(
+        point_in_polygon(
+            F.struct(F.lit(0.5).alias("x"), F.lit(0.5).alias("y")),
+            lshape).alias("inside"),
+        point_in_polygon(
+            F.struct(F.lit(2.5).alias("x"), F.lit(2.5).alias("y")),
+            lshape).alias("notch"),
+    ).collect()[0]
+    assert pip.inside and not pip.notch
+
+
 def _dedup_corpus(spark, sf_dir):
     """The fixture the dd_* queries use: every-5th doc plus near-dup
     copies of every-20th (suffix-perturbed, shifted ids)."""
