@@ -113,6 +113,11 @@ class CatalogStore:
         gen = f"gen-{uuid.uuid4().hex[:12]}"
         df.select(*cols).write.mode("overwrite").parquet(
             os.path.join(tdir, gen))
+        self._flip(table, gen)
+
+    def _flip(self, table: str, gen: str) -> None:
+        """Atomically point _CURRENT at an already-materialized
+        generation directory, then vacuum stale generations."""
         tmp_ptr = f"{self._pointer(table)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp_ptr, "w") as fh:
             fh.write(gen)
@@ -209,10 +214,46 @@ class PartitionedCatalogStore(CatalogStore):
         cols = [f.name for f in SCHEMAS[table].fields]
         incoming = incoming.select(*cols)
         touched = [r[0] for r in incoming.select(pcol).distinct().collect()]
-        for value in touched:
-            sub = self._sub(table, value)
-            part_incoming = incoming.filter(F.col(pcol) == value)
-            current = sub.read(table)
-            kept = current.join(
-                F.broadcast(part_incoming.select(*keys)), keys, "left_anti")
-            sub._commit(table, kept.unionByName(part_incoming))
+        if not touched:
+            return
+        # ONE Spark job for every touched partition (the dynamic-
+        # partition-overwrite shape): read the touched partitions'
+        # current generations together, anti-join once, write the
+        # merged rows partitioned into a staging dir, then flip each
+        # partition's pointer at its freshly moved generation. The old
+        # per-partition loop serialized one full job per partition, so
+        # merge cost grew linearly in touched-partition count even when
+        # each partition's data was tiny.
+        current_paths = [
+            p for p in (
+                self._sub(table, value).data_path(table) for value in touched)
+            if p is not None
+        ]
+        current = (
+            self.spark.read.schema(SCHEMAS[table]).parquet(*current_paths)
+            if current_paths
+            else self.spark.createDataFrame([], SCHEMAS[table])
+        )
+        kept = current.join(
+            F.broadcast(incoming.select(*keys)), keys, "left_anti")
+        merged = kept.unionByName(incoming)
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:12]}")
+        gen = f"gen-{uuid.uuid4().hex[:12]}"
+        try:
+            # __p duplicates the partition column so the data files stay
+            # self-contained (partitionBy drops the dir-naming column
+            # from the files; readers address generation dirs directly
+            # and need every schema field present in-file)
+            (merged.withColumn("__p", F.col(pcol))
+             .write.partitionBy("__p").mode("overwrite").parquet(staging))
+            for d in os.listdir(staging):
+                if not d.startswith("__p="):
+                    continue
+                value_str = d.split("=", 1)[1]
+                sub = self._sub(table, value_str)
+                os.makedirs(sub.path(table), exist_ok=True)
+                os.replace(os.path.join(staging, d),
+                           os.path.join(sub.path(table), gen))
+                sub._flip(table, gen)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)

@@ -48,10 +48,10 @@ from bdc_collection_builder_spark.pipeline.ledger import (
 )
 from bdc_collection_builder_spark.pipeline.radcor import RadcorQuery
 from bdc_collection_builder_spark.pipeline.stages import (
-    correction_stage,
-    download_stage,
+    download_correction_stage,
     post_stage,
     publish_stage,
+    split_fused,
 )
 
 
@@ -251,13 +251,29 @@ class CollectionBuilderEngine:
 
     def sql(self, statement: str) -> DataFrame:
         """Ad-hoc SQL over the catalog (the surface the reference
-        delegates to PostgreSQL; here every catalog table is a temp view
-        and Catalyst plans the statement — §2.4 notes cube/rollup/
-        approx-distinct come free this way)."""
+        delegates to PostgreSQL; here catalog tables are temp views and
+        Catalyst plans the statement — §2.4 notes cube/rollup/
+        approx-distinct come free this way).
+
+        Views register lazily: only tables the statement references are
+        (re-)read, so each call refreshes exactly the snapshots it
+        needs. A same-named temp view the USER created is never
+        clobbered — the engine only replaces views it registered
+        itself (tracked in ``_owned_views``)."""
+        import re
+
         from bdc_collection_builder_spark.catalog.schemas import SCHEMAS
 
+        if not hasattr(self, "_owned_views"):
+            self._owned_views: set[str] = set()
         for table in SCHEMAS:
+            if not re.search(rf"\b{re.escape(table)}\b", statement):
+                continue
+            if (table not in self._owned_views
+                    and self.spark.catalog.tableExists(table)):
+                continue  # user-defined view shadows the catalog table
             self.store.read(table).createOrReplaceTempView(table)
+            self._owned_views.add(table)
         return self.spark.sql(statement)
 
     # -- data plane (§3.2) ----------------------------------------------
@@ -276,9 +292,9 @@ class CollectionBuilderEngine:
             self.store.read("providers").orderBy("id")
             .select("driver_name").collect()
         ] or ["usgs", "scihub"]
-        downloaded = download_stage(scenes, providers)
-        corrected = correction_stage(downloaded,
-                                     self.store.read("collections"))
+        fused = download_correction_stage(scenes, providers,
+                                          self.store.read("collections"))
+        _, corrected = split_fused(fused)
         published = publish_stage(
             corrected, scenes, self.store.read("bands"),
             self.store.read("tiles"), self.store)
@@ -287,18 +303,14 @@ class CollectionBuilderEngine:
 
     def _pixels_for(self, published: DataFrame, side: int = 8) -> DataFrame:
         """Deterministic per-scene pixel grid for the post stage (the
-        rasterio windowed read plugs in here on a real deployment)."""
+        rasterio windowed read plugs in here on a real deployment).
+        Seeded by xxhash64(scene name) — no dense ordinal, so no
+        partition-less window sort and no extra count job; the grid is
+        map-side from the published names at any scene count."""
         from bdc_collection_builder_spark.functions.pixel import (
-            synthetic_pixels,
+            synthetic_pixels_for,
         )
 
-        names = published.select(F.col("name").alias("scene_name")).distinct()
-        n = max(names.count(), 1)
-        px = synthetic_pixels(self.spark, n_scenes=n, height=side, width=side)
-        indexed = names.withColumn(
-            "scene_id",
-            F.row_number().over(Window.orderBy("scene_name")) - 1)
-        return (
-            px.join(indexed, "scene_id")
-            .drop("scene_id").withColumnRenamed("scene_name", "scene_id")
-        )
+        names = published.select(F.col("name").alias("scene_id")).distinct()
+        return synthetic_pixels_for(names, "scene_id",
+                                    height=side, width=side)

@@ -47,6 +47,39 @@ def synthetic_pixels(spark: SparkSession, n_scenes: int = 4, height: int = 16,
     )
 
 
+def synthetic_pixels_for(names: DataFrame, name_col: str = "scene_id",
+                         height: int = 16, width: int = 16) -> DataFrame:
+    """Same analytic pixel grid as :func:`synthetic_pixels`, keyed
+    directly by scene NAME: the per-scene seed is
+    ``pmod(xxhash64(name), 1000)`` instead of a dense ordinal, so no
+    global-order window, no extra count job, no single-task sort — the
+    grid explodes map-side from the names relation and stays
+    partition-parallel at any scene count. Nodata hole positions depend
+    only on (y, x), so quality-mask consumers (post_stage) see
+    identical masks to the ordinal-seeded grid."""
+    seed = F.pmod(F.xxhash64(F.col(name_col)), F.lit(1000))
+    grid = (
+        names.select(F.col(name_col), seed.alias("__seed"))
+        .select(name_col, "__seed",
+                F.explode(F.sequence(F.lit(0), F.lit(height - 1))).alias("y"))
+        .select(name_col, "__seed", "y",
+                F.explode(F.sequence(F.lit(0), F.lit(width - 1))).alias("x"))
+    )
+    b04 = (F.col("__seed") * 31 + F.col("y") * 17 + F.col("x") * 7) % 10000
+    b08 = (F.col("__seed") * 29 + F.col("y") * 13 + F.col("x") * 11) % 10000
+    scl = (F.col("__seed") + F.col("y") + F.col("x")) % 12
+    hole04 = ((F.col("y") * width + F.col("x")) % 41 == 0)
+    hole08 = ((F.col("y") * width + F.col("x")) % 53 == 0)
+    return grid.select(
+        name_col, "y", "x",
+        F.when(hole04, F.lit(NODATA_SENTINEL)).otherwise(b04.cast("double"))
+        .alias("B04"),
+        F.when(hole08, F.lit(NODATA_SENTINEL)).otherwise(b08.cast("double"))
+        .alias("B08"),
+        scl.cast("double").alias("SCL"),
+    )
+
+
 SYNTHETIC_PIXELS_SQL = """
     SELECT s.scene_id, gy.y, gx.x,
            CASE WHEN (gy.y * {w} + gx.x) % 41 = 0 THEN -9999.0

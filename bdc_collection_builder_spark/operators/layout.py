@@ -45,12 +45,20 @@ def zorder_value(cols: list[Column | str], bits: int = 16) -> Column:
         raise ValueError("zorder_value needs at least one column")
     if bits * n > 63:
         raise ValueError(f"{bits} bits x {n} dims exceeds a signed long")
-    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    # Mask inputs to the low `bits` first: arithmetic shiftright
+    # sign-extends, so an unmasked negative input would contribute an
+    # all-ones bit pattern (every row degenerates to the same max key).
+    # With the mask, negatives wrap into the 2^bits domain instead —
+    # still monotone-correct for callers that quantize properly, and
+    # never silently degenerate.
+    mask = F.lit((1 << bits) - 1)
+    cs = [(F.col(c) if isinstance(c, str) else c).cast("long")
+          .bitwiseAND(mask) for c in cols]
     z = F.lit(0).cast("long")
     for k in range(bits):
         for d, c in enumerate(cs):
             z = z + F.shiftleft(
-                F.shiftright(c.cast("long"), k).bitwiseAND(F.lit(1)),
+                F.shiftright(c, k).bitwiseAND(F.lit(1)),
                 k * n + d,
             )
     return z
@@ -60,8 +68,9 @@ def zorder_oracle_sql(col_names: list[str], bits: int = 16) -> str:
     """The exact SQL expression ``zorder_value`` computes, for external
     verification (DuckDB shares the >>/<</& operators)."""
     n = len(col_names)
+    mask = (1 << bits) - 1
     terms = [
-        f"(({c} >> {k}) & 1) * {1 << (k * n + d)}"
+        f"((({c} & {mask}) >> {k}) & 1) * {1 << (k * n + d)}"
         for k in range(bits)
         for d, c in enumerate(col_names)
     ]
@@ -145,15 +154,39 @@ def compact_parquet_dir(spark: SparkSession, src: str, dst: str,
         for f in names if f.endswith(".parquet")
     )
     # hive partition keys appear as key=value directory names
-    part_cols = sorted({
+    detected = sorted({
         d.split("=", 1)[0]
         for root, dirs, _ in os.walk(src) for d in dirs if "=" in d
     })
     n_bins = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src)
-    writer = df.repartition(n_bins).write.mode("overwrite")
+    # validate detected keys against the columns Spark actually
+    # inferred — a stray non-hive `name=value` directory must not feed
+    # a bogus column into partitionBy
+    part_cols = [c for c in detected if c in df.columns]
     if part_cols:
-        writer = writer.partitionBy(*part_cols)
+        # Bin WITHIN each hive partition: a plain repartition(n_bins)
+        # before partitionBy makes every repartition task write one
+        # file per partition value (n_bins × n_partitions files —
+        # re-fragmenting what compaction should fix). Hash-routing on
+        # (partition cols, in-partition salt) gives each partition
+        # value ~ceil(its share of total/target) output files.
+        n_part_dirs = max(1, len({
+            root for root, _, names in os.walk(src)
+            if any(f.endswith(".parquet") for f in names)
+        }))
+        bins_per_val = max(1, math.ceil(total / target_bytes / n_part_dirs))
+        data_cols = [c for c in df.columns if c not in part_cols]
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]),
+                      F.lit(bins_per_val))
+        writer = (
+            df.withColumn("__bin", salt)
+            .repartition(n_bins, *part_cols, "__bin")
+            .drop("__bin")
+            .write.mode("overwrite").partitionBy(*part_cols)
+        )
+    else:
+        writer = df.repartition(n_bins).write.mode("overwrite")
     writer.parquet(dst)
     return sum(
         1 for _, _, names in os.walk(dst)

@@ -175,6 +175,125 @@ def correction_stage(downloaded: DataFrame, collections: DataFrame,
     ).mapInPandas(run, CORRECTION_SCHEMA)
 
 
+FUSED_SCHEMA = (
+    DOWNLOAD_SCHEMA + ", processor string, processor_version string, "
+    "output_file string, returncode int, in_catalog boolean"
+)
+
+
+def download_correction_stage(scenes: DataFrame, provider_names: list[str],
+                              collections: DataFrame,
+                              io_simulate: bool = True) -> DataFrame:
+    """Fused download + correction (S2/S3 + Z2) in ONE ``mapInPandas``
+    pass — the chained form pays two Arrow serialization boundaries per
+    scene batch (JVM→Python→JVM→Python→JVM) and the boundary, not the
+    work, dominates the stage cost. Everything the correction stage
+    needs from the JVM (processor from the broadcast collections dim,
+    version-fallback resolution) is computable BEFORE the download
+    control flow runs, so both stages' Python loops run back-to-back on
+    the same Arrow batch.
+
+    Semantics are identical to
+    ``correction_stage(download_stage(...), ...)``; use
+    :func:`split_fused` to recover the per-stage DataFrames (pinned by
+    tests/test_pipeline.py::test_fused_stage_matches_chained). On a
+    real deployment the same fusion holds: one Python worker holds the
+    scene batch across download and subprocess exec, halving IPC."""
+    if not io_simulate:
+        raise NotImplementedError(
+            "real provider IO requires network credentials; run with "
+            "io_simulate=True or plug a downloader into this stage")
+
+    n_prov = len(provider_names)
+    off_flags = [
+        (F.conv(F.substring(
+            F.md5(F.concat(F.col("scene_id"), F.lit(f":{p}"))), 1, 2),
+            16, 10).cast("int") % 5 == 0).alias(f"__off{i}")
+        for i, p in enumerate(provider_names)
+    ]
+
+    parallelism = scenes.sparkSession.sparkContext.defaultParallelism
+    with_proc = (
+        scenes.select("scene_id", "collection_id")
+        .repartition(parallelism, "scene_id")
+        .join(
+            F.broadcast(collections.select(
+                F.col("id").alias("collection_id"),
+                F.get_json_object("metadata", "$.processors[0].name")
+                .alias("__proc_meta"),
+                F.lit(True).alias("__in_cat"))),
+            "collection_id", "left")
+    )
+    proc = F.coalesce(F.col("__proc_meta"), F.lit("sen2cor"))
+    cand_arr = F.array(F.lit("0"))
+    for pname, versions in PROCESSOR_VERSIONS.items():
+        cand_arr = F.when(
+            proc == pname, F.array(*[F.lit(v) for v in versions])
+        ).otherwise(cand_arr)
+    version_ok = lambda c: (  # noqa: E731 — inline oracle predicate
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("scene_id"), proc, c)), 1, 2),
+            16, 10).cast("int") % 7 != 0)
+    resolved = F.get(F.filter(cand_arr, version_ok), 0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        providers = np.array(provider_names, dtype=object)
+        for pdf in batches:
+            online = ~pdf[[f"__off{i}" for i in range(n_prov)]] \
+                .to_numpy(dtype=bool)
+            any_on = online.any(axis=1)
+            first = online.argmax(axis=1)
+            ok = pd.Series(any_on, index=pdf.index)
+            sid = pdf["scene_id"]
+            # correction control flow, same batch, no extra boundary
+            corr_ok = pdf["__version"].notna()
+            yield pd.DataFrame({
+                "scene_id": sid,
+                "collection_id": pdf["collection_id"],
+                "provider_used":
+                    pd.Series(providers[first], index=pdf.index)
+                    .where(ok, None),
+                "attempts": np.where(any_on, first + 1, n_prov)
+                    .astype("int32"),
+                "compressed_file":
+                    ("/archive/downloads/" + sid + ".zip").where(ok, None),
+                "checksum": pdf["__md5"].where(ok, None),
+                "status": np.where(any_on, "SUCCESS", "OFFLINE"),
+                "processor": pdf["__proc"].where(ok, None),
+                "processor_version": pdf["__version"].where(ok & corr_ok,
+                                                            None),
+                "output_file":
+                    ("/archive/corrected/" + sid).where(ok & corr_ok, None),
+                "returncode": (~corr_ok).astype("int32"),
+                "in_catalog": pdf["__in_cat"],
+            })
+
+    return (
+        with_proc.select(
+            "scene_id", "collection_id", *off_flags,
+            F.md5("scene_id").alias("__md5"),
+            proc.alias("__proc"), resolved.alias("__version"),
+            F.coalesce(F.col("__in_cat"), F.lit(False)).alias("__in_cat"))
+        .mapInPandas(run, FUSED_SCHEMA)
+    )
+
+
+def split_fused(fused: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(downloaded, corrected) views of the fused stage output, each
+    schema-identical to its chained counterpart."""
+    downloaded = fused.select(
+        "scene_id", "collection_id", "provider_used", "attempts",
+        "compressed_file", "checksum", "status")
+    corrected = (
+        fused.filter((F.col("status") == "SUCCESS") & F.col("in_catalog"))
+        .select("scene_id", "collection_id", "processor",
+                "processor_version", "output_file", "returncode")
+    )
+    return downloaded, corrected
+
+
 def publish_stage(corrected: DataFrame, scenes: DataFrame, bands: DataFrame,
                   tiles: DataFrame, store: CatalogStore) -> DataFrame:
     """S15/Y3 — publish: build per-band assets (J7), flag COG targets

@@ -131,8 +131,8 @@ def _pipeline_proxy(spark, sf_dir: str) -> float:
     from pyspark.sql import functions as F
 
     from bdc_collection_builder_spark.pipeline.stages import (
-        correction_stage,
-        download_stage,
+        download_correction_stage,
+        split_fused,
     )
     from bdc_collection_builder_spark.sources.tables import load_table
 
@@ -148,8 +148,9 @@ def _pipeline_proxy(spark, sf_dir: str) -> float:
         [(i, '{"processors":[{"name":"sen2cor"}]}') for i in (1, 2, 3)],
         "id int, metadata string")
     start = time.perf_counter()
-    materialize(correction_stage(
-        download_stage(scenes, ["usgs", "scihub", "creodias"]), collections))
+    _, corrected = split_fused(download_correction_stage(
+        scenes, ["usgs", "scihub", "creodias"], collections))
+    materialize(corrected)
     return round(time.perf_counter() - start, 3)
 
 

@@ -78,6 +78,17 @@ def test_full_pipeline_via_engine(engine, spark):
     assert any("NDVI" in (r.assets or "") for r in items)
 
 
+def test_pipeline_plan_has_no_partitionless_window(engine, spark):
+    """The facade pipeline must not contain a global-order window (a
+    single-task sort at scale): the pixel grid is hash-seeded, not
+    ordinal-indexed."""
+    q = _query()
+    scenes = (engine.radcor_preview(q).withColumn("collection_id", F.lit(1)))
+    plan = engine.run_pipeline(scenes)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Window" not in plan, "unexpected window operator in pipeline plan"
+
+
 def test_salted_join_matches_plain(spark):
     from bdc_collection_builder_spark.operators.skew import (
         salted_agg_count,

@@ -84,3 +84,55 @@ def test_compact_preserves_hive_partitioning(spark, tmp_path):
 def test_cluster_by_zorder_empty_input_is_noop(spark):
     empty = spark.range(0).selectExpr("id AS x", "id AS y")
     assert cluster_by_zorder(empty, ["x", "y"], n_partitions=4).count() == 0
+
+
+def test_zorder_negative_inputs_not_degenerate(spark):
+    # sign-extension would give every negative row the identical
+    # all-ones key; the masked form keeps distinct negatives distinct
+    df = spark.createDataFrame([(-1, 5), (-7, 5), (3, 5)], "x long, y long")
+    zs = [r.z for r in
+          df.select(zorder_value(["x", "y"], bits=4).alias("z")).collect()]
+    assert len(set(zs)) == 3
+
+
+def test_compact_hive_multibin_does_not_refragment(spark, tmp_path):
+    """With n_bins > 1 and hive partitions, output must stay near the
+    planned bin count — not n_bins x n_partitions (the re-fragmenting
+    shape a plain repartition-then-partitionBy writes)."""
+    import math
+    import os
+
+    src = str(tmp_path / "mb_src")
+    dst = str(tmp_path / "mb_dst")
+    (spark.range(40_000)
+     .selectExpr("id", "CAST(id % 4 AS INT) AS part",
+                 "repeat(CAST(id AS STRING), 20) AS pad")
+     .repartition(32).write.partitionBy("part").parquet(src))
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, names in os.walk(src)
+        for f in names if f.endswith(".parquet"))
+    target = total // 8          # forces n_bins ~ 8 over 4 partitions
+    n_out = compact_parquet_dir(spark, src, dst, target_bytes=target)
+    n_bins = max(1, math.ceil(total / target))
+    assert spark.read.parquet(dst).count() == 40_000
+    # per-partition binning: ~bins_per_val files per partition value,
+    # within a small factor of the plan — NOT n_bins per partition
+    assert n_out <= 2 * n_bins, f"{n_out} files vs {n_bins} planned bins"
+
+
+def test_compact_ignores_stray_equals_dir(spark, tmp_path):
+    """A stray `name=value` directory that is not a real partition key
+    must not feed a bogus column into partitionBy."""
+    import os
+
+    src = str(tmp_path / "stray_src")
+    dst = str(tmp_path / "stray_dst")
+    spark.range(5_000).repartition(8).write.parquet(src)
+    # an empty leftover dir (e.g. an aborted writer's staging) — Spark's
+    # read ignores it, but naive '=' splitting would feed `notes` to
+    # partitionBy and abort the rewrite
+    os.makedirs(os.path.join(src, "notes=tmp"))
+    n_out = compact_parquet_dir(spark, src, dst, target_bytes=1 << 30)
+    assert n_out == 1
+    assert spark.read.parquet(dst).count() == 5_000

@@ -145,6 +145,32 @@ def test_stage_flow_end_to_end(spark, fixtures, store):
     assert quality.filter(F.col("n_invalid").isNotNull()).count() > 0
 
 
+def test_fused_stage_matches_chained(spark, fixtures, store):
+    """The fused one-boundary download+correction stage must reproduce
+    the chained two-stage output row-for-row (both halves)."""
+    from bdc_collection_builder_spark.pipeline.stages import (
+        download_correction_stage,
+        split_fused,
+    )
+
+    q = _query()
+    scenes = (radcor_preview(store, fixtures["scenes_remote"], q)
+              .withColumn("collection_id", F.lit(1)))
+    providers = ["ESA-SciHub", "CREODIAS", "GCS"]
+    chained_dl = download_stage(scenes, providers)
+    chained_cr = correction_stage(chained_dl, fixtures["collections"])
+    fused_dl, fused_cr = split_fused(
+        download_correction_stage(scenes, providers, fixtures["collections"]))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(fused_dl) == rows(chained_dl)
+    assert rows(fused_cr) == rows(chained_cr)
+    assert fused_dl.schema == chained_dl.schema
+    assert fused_cr.schema == chained_cr.schema
+
+
 def test_ledger_failed_latest_and_retries(spark, fixtures, store):
     failed = failed_latest(store)
     rows = failed.collect()
@@ -231,6 +257,50 @@ def test_partitioned_store_prunes_merge(spark, tmp_path, fixtures):
     assert s.read("items").count() == total
     got = s.read("items").filter(F.col("cloud_cover") == -77.0)
     assert {r.name for r in got.collect()} == set(names)
+
+
+def test_partitioned_store_batches_multi_partition_merge(spark, tmp_path,
+                                                         fixtures):
+    """A merge batch spanning several partitions lands in ONE write job
+    (staging dir + per-partition pointer flips) with the same MERGE
+    semantics per partition; partitions outside the batch stay
+    physically untouched."""
+    import glob
+    import os
+
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "pstore_multi"))
+    s.overwrite("items", fixtures["items"])
+    total = s.read("items").count()
+    cids = sorted(r[0] for r in
+                  s.read("items").select("collection_id").distinct().collect())
+    assert len(cids) >= 2, "need a multi-partition batch"
+
+    # updates spanning every existing partition + an insert creating a
+    # brand-new partition, all in one merge batch
+    names = [r.name for r in
+             s.read("items").orderBy("name").limit(8).collect()]
+    updates = (s.read("items").filter(F.col("name").isin(names))
+               .withColumn("cloud_cover", F.lit(-88.0)))
+    fresh = (s.read("items").orderBy("name").limit(1)
+             .withColumn("collection_id", F.lit(99))
+             .withColumn("name", F.lit("SCENE_NEW_PARTITION")))
+    batch = updates.unionByName(fresh)
+    n_updates = updates.count()
+    assert n_updates > 0
+    s.merge_upsert("items", batch)
+
+    assert s.read("items").count() == total + 1, \
+        "updates replace, the new-partition row inserts"
+    assert s.read("items").filter(F.col("cloud_cover") == -88.0).count() \
+        >= n_updates
+    assert s.read("items").filter(F.col("collection_id") == 99).count() == 1
+    # no staging residue
+    assert not [d for d in os.listdir(tmp_path / "pstore_multi")
+                if d.startswith("_staging-")]
 
 
 def test_store_crash_between_write_and_pointer_commit(spark, tmp_path, fixtures):
