@@ -101,6 +101,70 @@ def polygon_intersects(pa: Column, pb: Column) -> Column:
     )
 
 
+def grid_cells(poly: Column, cell: float) -> Column:
+    """Grid cells (gx, gy) overlapped by the polygon's envelope — the
+    bucketing key that turns a polygon⋈polygon join into an equi-join:
+    two polygons whose envelopes overlap always share at least one
+    cell (any point of the envelope intersection lies in a cell both
+    envelope ranges cover), so cell-join candidates are a superset of
+    envelope candidates and nothing is lost. Cost per row is the
+    envelope's cell count (pick ``cell`` ≳ typical polygon diameter so
+    it stays 1-4)."""
+    xs = F.transform(poly, lambda v: v.x)
+    ys = F.transform(poly, lambda v: v.y)
+    c = F.lit(cell)
+    gx0 = F.floor(F.array_min(xs) / c).cast("long")
+    gx1 = F.floor(F.array_max(xs) / c).cast("long")
+    gy0 = F.floor(F.array_min(ys) / c).cast("long")
+    gy1 = F.floor(F.array_max(ys) / c).cast("long")
+    return F.flatten(F.transform(
+        F.sequence(gx0, gx1),
+        lambda gx: F.transform(
+            F.sequence(gy0, gy1),
+            lambda gy: F.struct(gx.alias("gx"), gy.alias("gy")))))
+
+
+def _shoelace_sum(poly: Column) -> Column:
+    """Signed shoelace sum Σ(aₓ·b_y − bₓ·a_y) over the ring edges
+    (= 2 × signed area). Explicit left fold so the summation order is
+    reproducible in the DuckDB twin."""
+    return F.aggregate(
+        ring_edges(poly), F.lit(0.0),
+        lambda acc, e: acc + (e.a.x * e.b.y - e.b.x * e.a.y))
+
+
+def polygon_area(poly: Column) -> Column:
+    """ST_Area for a simple ring: |shoelace| / 2."""
+    return F.abs(_shoelace_sum(poly)) / F.lit(2.0)
+
+
+def polygon_centroid(poly: Column) -> Column:
+    """ST_Centroid of a simple ring — struct(x, y) via the standard
+    shoelace-weighted vertex formula Cₓ = Σ(aₓ+bₓ)(aₓb_y−bₓa_y)/(3S)."""
+    s = _shoelace_sum(poly)
+    cx = F.aggregate(
+        ring_edges(poly), F.lit(0.0),
+        lambda acc, e: acc + (e.a.x + e.b.x) * (e.a.x * e.b.y
+                                                - e.b.x * e.a.y))
+    cy = F.aggregate(
+        ring_edges(poly), F.lit(0.0),
+        lambda acc, e: acc + (e.a.y + e.b.y) * (e.a.x * e.b.y
+                                                - e.b.x * e.a.y))
+    return F.struct((cx / (F.lit(3.0) * s)).alias("x"),
+                    (cy / (F.lit(3.0) * s)).alias("y"))
+
+
+def polygon_geojson(poly: Column) -> Column:
+    """ST_AsGeoJSON: fixed %.4f formatting (identical printf semantics
+    both engines for non-tie values), ring closed per RFC 7946."""
+    vert = lambda v: F.format_string("[%.4f,%.4f]", v.x, v.y)  # noqa: E731
+    coords = F.concat_ws(",", F.transform(poly, vert))
+    first = vert(F.element_at(poly, 1))
+    return F.concat(
+        F.lit('{"type":"Polygon","coordinates":[['), coords,
+        F.lit(","), first, F.lit("]]}"))
+
+
 # --- DuckDB twin -----------------------------------------------------------
 #
 # The same predicate, generated as DuckDB SQL over LIST(STRUCT(x,y))
@@ -153,6 +217,48 @@ def duck_envelopes_overlap(pa: str, pb: str) -> str:
         f"({mn(pa, 'x')} <= {mx(pb, 'x')} AND {mn(pb, 'x')} <= {mx(pa, 'x')}"
         f" AND {mn(pa, 'y')} <= {mx(pb, 'y')}"
         f" AND {mn(pb, 'y')} <= {mx(pa, 'y')})"
+    )
+
+
+def _duck_shoelace(poly: str) -> str:
+    # list_reduce is a left fold like F.aggregate, so partial sums
+    # accumulate in the same order and the doubles match bit-for-bit
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({_duck_edges(poly)}, "
+        f"e -> e.a.x * e.b.y - e.b.x * e.a.y)), (acc, t) -> acc + t)"
+    )
+
+
+def duck_polygon_area(poly: str) -> str:
+    """DuckDB twin of :func:`polygon_area`."""
+    return f"abs({_duck_shoelace(poly)}) / CAST(2.0 AS DOUBLE)"
+
+
+def duck_polygon_centroid(poly: str) -> str:
+    """DuckDB twin of :func:`polygon_centroid` (struct(x, y))."""
+    def fold(term):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({_duck_edges(poly)}, e -> {term})), "
+            f"(acc, t) -> acc + t)"
+        )
+
+    s = _duck_shoelace(poly)
+    cx = fold("(e.a.x + e.b.x) * (e.a.x * e.b.y - e.b.x * e.a.y)")
+    cy = fold("(e.a.y + e.b.y) * (e.a.x * e.b.y - e.b.x * e.a.y)")
+    return (f"{{'x': ({cx}) / (CAST(3.0 AS DOUBLE) * ({s})), "
+            f"'y': ({cy}) / (CAST(3.0 AS DOUBLE) * ({s}))}}")
+
+
+def duck_polygon_geojson(poly: str) -> str:
+    """DuckDB twin of :func:`polygon_geojson`."""
+    coords = (f"array_to_string(list_transform({poly}, "
+              f"v -> printf('[%.4f,%.4f]', v.x, v.y)), ',')")
+    first = f"printf('[%.4f,%.4f]', ({poly})[1].x, ({poly})[1].y)"
+    return (
+        "concat('{\"type\":\"Polygon\",\"coordinates\":[[', "
+        f"{coords}, ',', {first}, ']]}}')"
     )
 
 

@@ -314,34 +314,55 @@ _STAR = [(35.0, 18.0), (29.0, 20.0), (27.0, 26.0), (25.0, 20.0),
          (19.0, 18.0), (25.0, 16.0), (27.0, 10.0), (29.0, 16.0)]
 
 
+# CAST every literal to DOUBLE in the DuckDB fragments: DuckDB parses
+# bare float literals as DECIMAL, and the predicates must run the same
+# IEEE-754 double arithmetic as the Spark side to match bit-for-bit.
+_FOOT_DUCK = "[" + ", ".join(
+    f"{{'x': cx + r * CAST({ox!r} AS DOUBLE),"
+    f" 'y': cy + r * CAST({oy!r} AS DOUBLE)}}"
+    for ox, oy in _OCTAGON) + "]"
+
+# (event_id, footprint) CTE body shared by every footprint oracle
+FOOTPRINTS_SQL = f"""
+    SELECT event_id, {_FOOT_DUCK} AS footprint FROM (
+        SELECT event_id,
+               CAST(event_id % 37 AS DOUBLE) * 1.5 AS cx,
+               CAST((event_id // 37) % 29 AS DOUBLE) * 1.3 AS cy,
+               0.8 + CAST(event_id % 5 AS DOUBLE) * 0.25 AS r
+        FROM events WHERE event_id % 23 = 0
+    )
+"""
+
+
+def event_footprints(spark, sf_dir):
+    """(event_id, footprint) — deterministic octagonal scene footprints
+    derived from the events table; the Spark twin of FOOTPRINTS_SQL."""
+    events = t(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    cx = (F.col("event_id") % 37).cast("double") * 1.5
+    cy = (F.expr("event_id div 37") % 29).cast("double") * 1.3
+    r = F.lit(0.8) + (F.col("event_id") % 5).cast("double") * 0.25
+    foot = F.array(*[
+        F.struct((cx + r * F.lit(ox)).alias("x"),
+                 (cy + r * F.lit(oy)).alias("y"))
+        for ox, oy in _OCTAGON])
+    return events.select("event_id", foot.alias("footprint"))
+
+
 def _x17_oracle() -> str:
     from bdc_collection_builder_spark.functions.geometry import (
         duck_envelopes_overlap,
         duck_polygon_intersects,
     )
 
-    # CAST every literal to DOUBLE: DuckDB parses bare float literals
-    # as DECIMAL, and the predicate must run the same IEEE-754 double
-    # arithmetic as the Spark side to match bit-for-bit.
-    foot = "[" + ", ".join(
-        f"{{'x': cx + r * CAST({ox!r} AS DOUBLE),"
-        f" 'y': cy + r * CAST({oy!r} AS DOUBLE)}}"
-        for ox, oy in _OCTAGON) + "]"
     star = "[" + ", ".join(
         f"{{'x': CAST({x!r} AS DOUBLE), 'y': CAST({y!r} AS DOUBLE)}}"
         for x, y in _STAR) + "]"
     env = duck_envelopes_overlap("footprint", "qpoly")
     exact = duck_polygon_intersects("footprint", "qpoly")
     return f"""
-        WITH base AS (
-            SELECT event_id,
-                   CAST(event_id % 37 AS DOUBLE) * 1.5 AS cx,
-                   CAST((event_id // 37) % 29 AS DOUBLE) * 1.3 AS cy,
-                   0.8 + CAST(event_id % 5 AS DOUBLE) * 0.25 AS r
-            FROM events WHERE event_id % 23 = 0
-        ), polys AS (
-            SELECT event_id, {foot} AS footprint, {star} AS qpoly
-            FROM base
+        WITH polys AS (
+            SELECT event_id, footprint, {star} AS qpoly
+            FROM ({FOOTPRINTS_SQL})
         )
         SELECT event_id,
                {env} AS env_overlap,
@@ -369,22 +390,73 @@ def x17_polygon_intersects(spark, sf_dir):
         polygon_intersects,
     )
 
-    events = t(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
-    cx = (F.col("event_id") % 37).cast("double") * 1.5
-    cy = (F.expr("event_id div 37") % 29).cast("double") * 1.3
-    r = F.lit(0.8) + (F.col("event_id") % 5).cast("double") * 0.25
-    foot = F.array(*[
-        F.struct((cx + r * F.lit(ox)).alias("x"),
-                 (cy + r * F.lit(oy)).alias("y"))
-        for ox, oy in _OCTAGON])
     qpoly = F.array(*[
         F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in _STAR])
-    df = events.select("event_id", foot.alias("footprint"),
-                       qpoly.alias("qpoly"))
+    df = event_footprints(spark, sf_dir).select(
+        "event_id", "footprint", qpoly.alias("qpoly"))
     env = envelopes_overlap(F.col("footprint"), F.col("qpoly"))
     return df.select(
         "event_id",
         env.alias("env_overlap"),
         (env & polygon_intersects(F.col("footprint"), F.col("qpoly")))
         .alias("intersects"),
+    )
+
+
+def _x17b_oracle() -> str:
+    from bdc_collection_builder_spark.functions.geometry import (
+        duck_polygon_area,
+        duck_polygon_centroid,
+        duck_polygon_geojson,
+    )
+
+    area = duck_polygon_area("footprint")
+    cent = duck_polygon_centroid("footprint")
+    gj = duck_polygon_geojson("footprint")
+    return f"""
+        SELECT event_id,
+               round({area}, 6) AS area,
+               round(({cent}).x, 6) AS centroid_x,
+               round(({cent}).y, 6) AS centroid_y,
+               round(list_min(list_transform(footprint, v -> v.x)), 6)
+                 AS xmin,
+               round(list_max(list_transform(footprint, v -> v.y)), 6)
+                 AS ymax,
+               {gj} AS geojson
+        FROM ({FOOTPRINTS_SQL})
+    """
+
+
+@query(
+    "x17b_geometry_accessors",
+    survey=("X17",),
+    oracle=_x17b_oracle(),
+)
+def x17b_geometry_accessors(spark, sf_dir):
+    """X17 accessor suite — the remaining PostGIS expressions the
+    reference uses on footprints (controller.py:506-513, 651-661):
+    ST_Area / ST_Centroid (shoelace fold), ST_Xmin/ST_Ymax (envelope
+    fields), ST_AsGeoJSON (fixed %.4f formatting). Every accessor is a
+    left-fold or transform over the vertex array inside whole-stage
+    codegen; the DuckDB twin folds in the same order so the doubles
+    match bit-for-bit before the stabilizing round."""
+    from bdc_collection_builder_spark.functions.geometry import (
+        polygon_area,
+        polygon_centroid,
+        polygon_geojson,
+    )
+
+    foot = event_footprints(spark, sf_dir)
+    p = F.col("footprint")
+    cent = polygon_centroid(p)
+    xs = F.transform(p, lambda v: v.x)
+    ys = F.transform(p, lambda v: v.y)
+    return foot.select(
+        "event_id",
+        F.round(polygon_area(p), 6).alias("area"),
+        F.round(cent.getField("x"), 6).alias("centroid_x"),
+        F.round(cent.getField("y"), 6).alias("centroid_y"),
+        F.round(F.array_min(xs), 6).alias("xmin"),
+        F.round(F.array_max(ys), 6).alias("ymax"),
+        polygon_geojson(p).alias("geojson"),
     )

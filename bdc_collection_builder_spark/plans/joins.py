@@ -273,3 +273,95 @@ def j09_lineage_traversal(spark, sf_dir):
         .distinct()
     )
     return lvl1.unionByName(lvl2)
+
+
+# --- J10: spatial join via grid-cell bucketing (the X17 join form) ---------
+
+_TILE_A, _TILE_B = 7.0, 5.5       # diamond half-diagonals (non-axis-aligned)
+_GRID_CELL = 8.0                  # ≳ polygon diameter → 1-4 cells per poly
+
+
+def _nation_tiles(spark, sf_dir):
+    """12 diamond 'tiles' derived from the nation dim — rotated squares
+    so envelope math alone cannot decide intersection."""
+    n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 12)
+    cx = (10 + (F.col("n_nationkey") % 4) * 12).cast("double")
+    cy = (6 + F.expr("n_nationkey div 4") * 9).cast("double")
+    verts = [(cx + _TILE_A, cy), (cx, cy + _TILE_B),
+             (cx - _TILE_A, cy), (cx, cy - _TILE_B)]
+    tpoly = F.array(*[F.struct(vx.alias("x"), vy.alias("y"))
+                      for vx, vy in verts])
+    return n.select(F.col("n_nationkey").alias("tile_id"),
+                    tpoly.alias("tpoly"))
+
+
+def _j10_oracle() -> str:
+    from bdc_collection_builder_spark.functions.geometry import (
+        duck_polygon_intersects,
+    )
+    from bdc_collection_builder_spark.plans.filters import FOOTPRINTS_SQL
+
+    verts = [(f"cx + CAST({_TILE_A!r} AS DOUBLE)", "cy"),
+             ("cx", f"cy + CAST({_TILE_B!r} AS DOUBLE)"),
+             (f"cx - CAST({_TILE_A!r} AS DOUBLE)", "cy"),
+             ("cx", f"cy - CAST({_TILE_B!r} AS DOUBLE)")]
+    tpoly = "[" + ", ".join(f"{{'x': {vx}, 'y': {vy}}}" for vx, vy in verts) \
+        + "]"
+    # Deliberately the BRUTE-FORCE cross-join form: an independent
+    # all-pairs answer proves the Spark side's grid bucketing loses no
+    # intersecting pair (and admits no spurious one).
+    return f"""
+        WITH foot AS ({FOOTPRINTS_SQL}),
+        tiles AS (
+            SELECT n_nationkey AS tile_id, {tpoly} AS tpoly FROM (
+                SELECT n_nationkey,
+                       CAST(10 + (n_nationkey % 4) * 12 AS DOUBLE) AS cx,
+                       CAST(6 + (n_nationkey // 4) * 9 AS DOUBLE) AS cy
+                FROM nation WHERE n_nationkey < 12
+            )
+        )
+        SELECT f.event_id, t.tile_id
+        FROM foot f CROSS JOIN tiles t
+        WHERE {duck_polygon_intersects('f.footprint', 't.tpoly')}
+    """
+
+
+@query(
+    "j10_spatial_grid_join",
+    survey=("J8", "X17"),
+    oracle=_j10_oracle(),
+)
+def j10_spatial_grid_join(spark, sf_dir):
+    """Spatial join, scale path: scene footprints ⋈ diamond tiles on
+    exact polygon intersection (the reference's item⋈tile ST_Intersects
+    shape, controller.py:565-569 + publish.py:591-593). Both sides
+    explode to grid cells overlapped by their envelopes; candidates
+    come from an EQUI-join on (gx, gy) — never a cross join — then the
+    exact orientation/ray-cast predicate decides. Intersecting polygons
+    always share a cell, so bucketing is lossless; the oracle is the
+    brute-force all-pairs form, independently proving exactly that. At
+    100 TB the cell join shuffles each side once on an 16-byte key and
+    candidate count scales with local density, not corpus²."""
+    from bdc_collection_builder_spark.functions.geometry import (
+        grid_cells,
+        polygon_intersects,
+    )
+    from bdc_collection_builder_spark.plans.filters import event_footprints
+
+    def with_cells(df, poly_col):
+        return df.select(
+            "*", F.explode(grid_cells(F.col(poly_col), _GRID_CELL))
+            .alias("__c")
+        ).select(*df.columns, F.col("__c.gx").alias("gx"),
+                 F.col("__c.gy").alias("gy"))
+
+    fcells = with_cells(event_footprints(spark, sf_dir), "footprint")
+    tcells = with_cells(_nation_tiles(spark, sf_dir), "tpoly")
+    cand = (
+        fcells.join(tcells, ["gx", "gy"])
+        .dropDuplicates(["event_id", "tile_id"])
+    )
+    return (
+        cand.filter(polygon_intersects(F.col("footprint"), F.col("tpoly")))
+        .select("event_id", "tile_id")
+    )

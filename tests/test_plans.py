@@ -57,7 +57,7 @@ def test_pixel_kernel_stays_jvm_side(spark, sf_dir):
 
 def test_no_cartesian_in_candidate_generation(spark, sf_dir):
     for name in ("dd_minhash_lsh_pairs", "dd_simhash_pairs", "ss_lsh_topk",
-                 "dd_embedding_near_pairs"):
+                 "dd_embedding_near_pairs", "j10_spatial_grid_join"):
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
