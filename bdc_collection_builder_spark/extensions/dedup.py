@@ -42,8 +42,14 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = 5) -> DataFrame:
-    """Distinct k-token shingles per document (long format)."""
+             k: int = 5, hashed: bool = False) -> DataFrame:
+    """Distinct k-token shingles per document (long format).
+
+    ``hashed=True`` collapses each shingle to its xxhash64 INSIDE the
+    per-doc array (then re-dedupes the array), so the exploded table is
+    an exact set of 8-byte keys per document with no extra shuffle —
+    a post-explode ``dropDuplicates`` would move every shingle across
+    the cluster just to kill the vanishingly rare hash collision."""
     # Materialize the token array in its own projection first: lambda
     # bodies re-evaluate captured expressions per element, so an inline
     # tokens() would recompute the regex split once per shingle index
@@ -62,8 +68,10 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # the same result as .distinct() on (doc_id, shingle) rows but with
     # no shuffle at all (per-doc arrays are small; the old Exchange
     # moved every shingle string across the cluster).
-    return tok_df.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    arr = F.array_distinct(sh)
+    if hashed:
+        arr = F.array_distinct(F.transform(arr, lambda s: F.xxhash64(s)))
+    return tok_df.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -181,25 +189,20 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     ANSI SQL (the dd_minhash_lsh_md5 oracle recomputes the whole thing
     in DuckDB)."""
     rows_per_band = n_hashes // bands
-    sh = shingles(docs, text_col, id_col, k)
     if engine_neutral:
-        sh = sh.persist()
+        sh = shingles(docs, text_col, id_col, k).persist()
         sig = minhash_signatures_from_shingles(sh, n_hashes, "md5")
     else:
         # Production path: collapse each shingle string to its xxhash64
-        # ONCE, before the persist — the cached table, the signature
-        # build, and both sides of the verification join then move
-        # 8-byte longs instead of ~40-byte strings (equal-hash stands
-        # in for equal-shingle; xxhash64 collisions are negligible
-        # against a 0.5-Jaccard threshold). The md5 path keeps strings:
-        # its DuckDB oracle recomputes every intermediate from them.
-        # dropDuplicates keeps the persisted table an exact set per doc
-        # even when two distinct shingle strings collide in xxhash64 —
-        # otherwise the duplicate (doc_id, hash) rows multiply in the
-        # verification join and inflate n_common/Jaccard.
-        sh = sh.select(
-            "doc_id", F.xxhash64("shingle").alias("shingle")
-        ).dropDuplicates(["doc_id", "shingle"]).persist()
+        # ONCE, inside the per-doc array (shingles(hashed=True)) — the
+        # cached table, the signature build, and both sides of the
+        # verification join then move 8-byte longs instead of ~40-byte
+        # strings (equal-hash stands in for equal-shingle), and the
+        # in-array re-dedupe keeps the table an exact set per doc even
+        # when two distinct shingles collide in xxhash64, with no
+        # post-explode shuffle. The md5 path keeps strings: its DuckDB
+        # oracle recomputes every intermediate from them.
+        sh = shingles(docs, text_col, id_col, k, hashed=True).persist()
         sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
 
     def band_key(band: int):
