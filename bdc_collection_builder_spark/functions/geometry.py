@@ -64,14 +64,24 @@ def _segments_cross(ea: Column, eb: Column) -> Column:
     )
 
 
-def point_in_polygon(pt: Column, poly: Column) -> Column:
-    """Ray casting: odd number of edges crossed by the +x ray from pt."""
+def point_in_polygon_edges(pt: Column, edges: Column) -> Column:
+    """Ray casting over a precomputed edge array: odd number of edges
+    crossed by the +x ray from pt. Higher-order functions evaluate
+    interpreted (outside codegen), so callers on a hot path should
+    materialize :func:`ring_edges` ONCE per row in a projection and
+    pass it here rather than letting every predicate branch rebuild
+    the edge structs."""
     crossings = F.filter(
-        ring_edges(poly),
+        edges,
         lambda e: ((e.a.y > pt.y) != (e.b.y > pt.y))
         & (pt.x < (e.b.x - e.a.x) * (pt.y - e.a.y) / (e.b.y - e.a.y) + e.a.x),
     )
     return F.size(crossings) % 2 == 1
+
+
+def point_in_polygon(pt: Column, poly: Column) -> Column:
+    """Ray casting: odd number of edges crossed by the +x ray from pt."""
+    return point_in_polygon_edges(pt, ring_edges(poly))
 
 
 def envelopes_overlap(pa: Column, pb: Column) -> Column:
@@ -90,14 +100,18 @@ def envelopes_overlap(pa: Column, pb: Column) -> Column:
 
 def polygon_intersects(pa: Column, pb: Column) -> Column:
     """Exact ST_Intersects for simple polygons (see module docstring).
-    Wrap in :func:`envelopes_overlap` AND for the pre-filtered form."""
+    Wrap in ``envelopes_overlap(pa, pb) & polygon_intersects(pa, pb)``
+    on hot paths: Catalyst's And short-circuits, so the 2·|A|·|B|
+    crossing tests only run on envelope-overlapping pairs (hoisting
+    the edge arrays into columns does NOT help — CollapseProject
+    inlines them right back into every consumer)."""
     ea, eb = ring_edges(pa), ring_edges(pb)
     any_edge_cross = F.exists(
         ea, lambda e1: F.exists(eb, lambda e2: _segments_cross(e1, e2)))
     return (
         any_edge_cross
-        | point_in_polygon(F.element_at(pa, 1), pb)
-        | point_in_polygon(F.element_at(pb, 1), pa)
+        | point_in_polygon_edges(F.element_at(pa, 1), eb)
+        | point_in_polygon_edges(F.element_at(pb, 1), ea)
     )
 
 

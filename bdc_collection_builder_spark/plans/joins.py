@@ -357,11 +357,24 @@ def j10_spatial_grid_join(spark, sf_dir):
 
     fcells = with_cells(event_footprints(spark, sf_dir), "footprint")
     tcells = with_cells(_nation_tiles(spark, sf_dir), "tpoly")
-    cand = (
-        fcells.join(tcells, ["gx", "gy"])
-        .dropDuplicates(["event_id", "tile_id"])
+    # Exact test runs BEFORE any dedup: a pair sharing several cells is
+    # tested once per shared cell (≤4 — bounded by construction), and
+    # in exchange the only shuffle after the cell join moves bare
+    # (event_id, tile_id) pairs — never the polygon arrays. The
+    # broadcast cell join itself is map-side, so the whole query
+    # shuffles nothing but the final distinct.
+    from bdc_collection_builder_spark.functions.geometry import (
+        envelopes_overlap,
     )
+
+    # envelope check first: cells are coarser than envelopes, and the
+    # conjunct short-circuits so the 64-crossing exact test only runs
+    # on envelope-overlapping pairs
+    pred = (envelopes_overlap(F.col("footprint"), F.col("tpoly"))
+            & polygon_intersects(F.col("footprint"), F.col("tpoly")))
     return (
-        cand.filter(polygon_intersects(F.col("footprint"), F.col("tpoly")))
+        fcells.join(F.broadcast(tcells), ["gx", "gy"])
+        .filter(pred)
         .select("event_id", "tile_id")
+        .distinct()
     )

@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "ss_brute_force_topk",       # cosine top-k
     "tx_text_stats",             # text analysis over documents
     "tx_fingerprint",            # rolling-hash fingerprint
+    "x17_polygon_intersects",    # exact polygon predicate (codegen HOFs)
+    "j10_spatial_grid_join",     # spatial join via grid-cell bucketing
 ]
 
 

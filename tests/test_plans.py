@@ -63,6 +63,17 @@ def test_no_cartesian_in_candidate_generation(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_geometry_queries_stay_jvm_side(spark, sf_dir):
+    """The exact-geometry predicate/accessor suite must run entirely in
+    whole-stage codegen — no Python eval anywhere (that's the point of
+    expressing it as higher-order functions instead of a shapely UDF)."""
+    for name in ("x17_polygon_intersects", "x17b_geometry_accessors",
+                 "j10_spatial_grid_join"):
+        plan = plan_of(spark, name, sf_dir)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name}: Python in plan: {marker}"
+
+
 def test_vocabulary_topk_avoids_global_sort(spark, sf_dir):
     plan = plan_of(spark, "tx_vocabulary_topk", sf_dir)
     # top-k must be TakeOrdered (per-partition heaps), never a full sort
