@@ -138,3 +138,85 @@ def test_hash_split_matches_reference(spark, ids):
         b = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:15], 16) % 100
         split = "train" if b < 90 else ("val" if b < 95 else "test")
         assert got[i] == (b, split), i
+
+
+# --- geometry predicate: cross-engine agreement on random polygons --------
+
+def _hull(pts):
+    """Andrew's monotone chain (pure Python, no trig) — builds a convex
+    simple polygon from random points for the geometry property test."""
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return None
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(list(reversed(pts)))
+    ring = lower[:-1] + upper[:-1]
+    return ring if len(ring) >= 3 else None
+
+
+@st.composite
+def polygon_pairs(draw):
+    def poly():
+        n = draw(st.integers(min_value=4, max_value=9))
+        pts = [(round(draw(st.floats(0, 20, allow_nan=False,
+                                     allow_infinity=False)), 2),
+                round(draw(st.floats(0, 20, allow_nan=False,
+                                     allow_infinity=False)), 2))
+               for _ in range(n)]
+        return _hull(pts)
+
+    a, b = poly(), poly()
+    if a is None or b is None:
+        # degenerate draw — substitute fixed triangles
+        a = a or [(0.0, 0.0), (3.0, 0.0), (1.5, 2.0)]
+        b = b or [(10.0, 10.0), (13.0, 10.0), (11.5, 12.0)]
+    return a, b
+
+
+@settings(max_examples=30, deadline=None)
+@given(polygon_pairs())
+def test_polygon_intersects_agrees_across_engines(shared_spark, pair):
+    """The Spark higher-order-function predicate and its DuckDB
+    list-function twin must agree on random convex polygons — the
+    cross-engine divergence (different arithmetic, different HOF
+    evaluation) is the practical failure mode the dual implementation
+    must exclude."""
+    import duckdb
+
+    from bdc_collection_builder_spark.functions.geometry import (
+        duck_polygon_intersects,
+        polygon_intersects,
+    )
+    from pyspark.sql import functions as F
+
+    pa, pb = pair
+
+    def spark_ring(pts):
+        return F.array(*[F.struct(F.lit(float(x)).alias("x"),
+                                  F.lit(float(y)).alias("y"))
+                         for x, y in pts])
+
+    def duck_ring(pts):
+        return "[" + ", ".join(
+            f"{{'x': CAST({x!r} AS DOUBLE), 'y': CAST({y!r} AS DOUBLE)}}"
+            for x, y in pts) + "]"
+
+    got_spark = shared_spark.range(1).select(
+        polygon_intersects(spark_ring(pa), spark_ring(pb)).alias("ix")
+    ).first().ix
+    got_duck = duckdb.connect().execute(
+        f"SELECT {duck_polygon_intersects(duck_ring(pa), duck_ring(pb))}"
+    ).fetchone()[0]
+    assert got_spark == got_duck, f"engines disagree on {pa} vs {pb}"
