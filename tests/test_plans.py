@@ -63,6 +63,37 @@ def test_no_cartesian_in_candidate_generation(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_plan_lint_every_query(spark, sf_dir):
+    """Sweep EVERY registered query's physical plan for 100 TB
+    red-flags: cartesian products, single-partition exchanges (global
+    sorts / partition-less windows), and broadcast-nested-loop joins.
+    BNLJ is allowed only where the build side is a one-row scalar
+    attach (count/centroid/share dimensions) or the documented
+    brute-force baseline — anything new must be justified here."""
+    from bdc_collection_builder_spark.plans.registry import all_queries
+
+    bnlj_allowed = {
+        "ss_brute_force_topk",   # by design: broadcast query set × corpus
+        "ss_ivf_topk",           # one-row centroid-array attach
+        "tx_tfidf_topk",         # one-row corpus-size attach
+        "cu_token_budget_mix",   # one-row source-share attach
+    }
+    offenders = {}
+    for name, fn in all_queries().items():
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            fn(spark, sf_dir)._jdf.queryExecution(), "formatted")
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "Exchange SinglePartition" in plan:
+            flags.append("single-partition-exchange")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            flags.append("bnlj")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"scale red-flags: {offenders}"
+
+
 def test_geometry_queries_stay_jvm_side(spark, sf_dir):
     """The exact-geometry predicate/accessor suite must run entirely in
     whole-stage codegen — no Python eval anywhere (that's the point of
