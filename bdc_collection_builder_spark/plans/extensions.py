@@ -1394,3 +1394,172 @@ def tx_chunk_documents(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+# --- C4-style line filtering + corpus line dedup ---------------------------
+#
+# The two line-granularity curation steps of the C4 pipeline (Raffel et
+# al. 2020, public): (1) per-line quality rules + page-level blocklist,
+# (2) corpus-wide dedup of repeated lines keeping one occurrence. The
+# documents fixture has no newlines, so both queries plant a
+# deterministic multi-line structure first (same expression in both
+# engines).
+
+_PLANT_LINES_SQL = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN text || '.' ELSE text END)
+           || chr(10) || 'short line'
+           || chr(10) ||
+           'this well formed sentence definitely ends with punctuation.'
+           || (CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'enable javascript to view this content.'
+               ELSE '' END)
+           || (CASE WHEN doc_id % 11 = 0
+               THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+               ELSE '' END)
+           || (CASE WHEN doc_id % 13 = 0
+               THEN chr(10) || 'config { display: none } style block.'
+               ELSE '' END)
+           AS text
+    FROM documents
+"""
+
+
+def _plant_lines(spark, sf_dir):
+    """Spark twin of _PLANT_LINES_SQL."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    text = F.concat(
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit("."))).otherwise(F.col("text")),
+        nl, F.lit("short line"),
+        nl,
+        F.lit("this well formed sentence definitely ends with punctuation."),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(nl, F.lit("enable javascript to view this content.")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(nl, F.lit("lorem ipsum dolor sit amet consectetur.")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(nl, F.lit("config { display: none } style block.")))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+_LINE_OK_SQL = (
+    "regexp_matches(l, '[.!?\"]\\s*$')"
+    " AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> w <> ''))"
+    " >= 5"
+    " AND NOT contains(lower(l), 'javascript')"
+)
+
+
+@query(
+    "tx_c4_line_filter",
+    survey=("TX-c4",),
+    oracle=f"""
+        WITH planted AS ({_PLANT_LINES_SQL})
+        SELECT doc_id,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                                    l -> {_LINE_OK_SQL})) AS BIGINT)
+                 AS n_kept,
+               array_to_string(list_filter(string_split(text, chr(10)),
+                                           l -> {_LINE_OK_SQL}), chr(10))
+                 AS text_clean
+        FROM planted
+        WHERE NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
+    """,
+)
+def tx_c4_line_filter(spark, sf_dir):
+    """C4 curation rules, line granularity: keep lines ending in
+    terminal punctuation with ≥5 words and no 'javascript'; drop whole
+    pages containing 'lorem ipsum' or curly braces. Map-only — split,
+    filter, rejoin per row inside one projection; at 100 TB this is a
+    scan-shaped pass with zero shuffles."""
+    planted = _plant_lines(spark, sf_dir)
+
+    def line_ok(line):
+        words = F.filter(F.split(line, r"\s+"), lambda w: w != "")
+        return (
+            line.rlike('[.!?"]\\s*$')
+            & (F.size(words) >= 5)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(lines, line_ok)
+    return (
+        planted.filter(
+            ~F.lower(F.col("text")).contains("lorem ipsum")
+            & ~F.col("text").contains("{"))
+        .select(
+            "doc_id",
+            F.size(lines).cast("bigint").alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+    )
+
+
+@query(
+    "tx_line_dedup",
+    survey=("TX-c4", "DD-exact"),
+    oracle=f"""
+        WITH planted AS ({_PLANT_LINES_SQL}),
+        lines AS (
+            SELECT doc_id, g.i AS line_no,
+                   string_split(text, chr(10))[g.i + 1] AS line
+            FROM planted,
+                 UNNEST(generate_series(
+                     0, len(string_split(text, chr(10))) - 1)) AS g(i)
+        ),
+        ranked AS (
+            SELECT doc_id, line_no, line,
+                   row_number() OVER (
+                       PARTITION BY line ORDER BY doc_id, line_no
+                   ) AS occ
+            FROM lines
+        )
+        SELECT doc_id,
+               CAST(count(*) FILTER (occ = 1) AS BIGINT) AS n_kept,
+               coalesce(array_to_string(
+                   list(CASE WHEN occ = 1 THEN line END
+                        ORDER BY line_no) FILTER (occ = 1),
+                   chr(10)), '') AS text_dedup
+        FROM ranked
+        GROUP BY doc_id
+    """,
+)
+def tx_line_dedup(spark, sf_dir):
+    """Corpus-wide line dedup (the C4 repeated-span rule at line
+    granularity): every line occurrence ranks over (doc_id, line_no)
+    per distinct line text; only the first survives, then documents
+    reassemble in original line order. ONE shuffle on the line hash for
+    the ranking window + one partial-agg shuffle on doc_id for the
+    rebuild — at scale the window key is the line text itself, so
+    hot/boilerplate lines (the dedup targets) group tightly."""
+    from pyspark.sql import Window
+
+    planted = _plant_lines(spark, sf_dir)
+    lines = planted.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"))
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("occ", F.row_number().over(w))
+    # aggregate over ALL lines (not just survivors) so a document whose
+    # every line is a duplicate still emits a row with n_kept = 0 —
+    # collect_list drops the NULLs the when() leaves for dup lines
+    surv = F.when(F.col("occ") == 1, F.struct("line_no", "line"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+             .cast("bigint").alias("n_kept"),
+             F.array_join(
+                 F.transform(F.array_sort(F.collect_list(surv)),
+                             lambda s: s.line),
+                 "\n").alias("text_dedup"))
+    )
