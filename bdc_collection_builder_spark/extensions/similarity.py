@@ -376,3 +376,86 @@ def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id", m: int = 8,
+                   dsub: int = 8, ks: int = 16,
+                   shortlist: int | None = None) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance (ADC) — the
+    memory-side ANN scale path alongside IVF's partition pruning: each
+    corpus vector compresses to ``m`` one-byte codes (here m=8 × 16
+    codewords over 8-dim subspaces), and query scoring touches only
+    codewords, not raw vectors, until the exact re-rank of a small
+    shortlist.
+
+    The codebook is RELATIONAL like :func:`ivf_topk_seeded`: per
+    subspace, the sub-vectors of the first ``ks`` corpus vectors serve
+    as codewords, collapsed to ONE broadcast row — so every step
+    (L2-argmin encoding with ties to the low codeword id, ADC
+    accumulation, shortlist, exact re-rank) is replayable verbatim by
+    an external engine; the DuckDB oracle does exactly that. At 100 TB
+    the encode is the standard one-pass map over the corpus (codes are
+    8 bytes/vector — 8000× smaller than the raw 64-float vector), ADC
+    scans codes only, and raw vectors are fetched just for the
+    ``shortlist`` (default 3k) exact re-rank."""
+    shortlist = shortlist or 3 * k
+    cw = (corpus.filter(F.col(id_col) < ks)
+          .select(F.col(id_col).cast("long").alias("cid"),
+                  F.col(vec_col).alias("cw_vec")))
+    carr = cw.agg(F.array_sort(F.collect_list(
+        F.struct("cid", "cw_vec"))).alias("cents"))
+
+    def sub(vec: Column, j: int) -> Column:
+        return F.slice(vec, j * dsub + 1, dsub)
+
+    def code_for(vec: Column, j: int) -> Column:
+        # L2 argmin via ||c||² − 2·v·c (the ||v||² term is constant per
+        # subvector and cannot change the argmin); ascending struct
+        # sort breaks ties toward the low codeword id
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (dot(sub(c["cw_vec"], j), sub(c["cw_vec"], j))
+                 - F.lit(2.0) * dot(sub(vec, j), sub(c["cw_vec"], j)))
+                .alias("d"),
+                c["cid"].alias("cid")))
+        return F.element_at(F.array_sort(scored), 1)["cid"]
+
+    enc = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
+                      norm(F.col(vec_col)).alias("c_norm"))
+        .crossJoin(F.broadcast(carr))
+        .select(id_col, "c_vec", "c_norm", "cents",
+                F.array(*[code_for(F.col("c_vec"), j)
+                          for j in range(m)]).alias("codes"))
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col)).alias("q_norm"))
+    approx = None
+    for j in range(m):
+        cwj = F.element_at(F.col("cents"),
+                           (F.element_at(F.col("codes"), j + 1)
+                            + 1).cast("int"))["cw_vec"]
+        term = dot(sub(F.col("q_vec"), j), sub(cwj, j))
+        approx = term if approx is None else approx + term
+    scored = (
+        enc.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "c_vec", "c_norm", "q_vec", "q_norm",
+                approx.alias("approx"))
+    )
+    ws = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx").desc(), F.col(id_col))
+    short = (scored.withColumn("arank", F.row_number().over(ws))
+             .filter(F.col("arank") <= shortlist))
+    exact = F.round(
+        dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine")
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        short.select(query_id_col, id_col, exact)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )

@@ -1563,3 +1563,87 @@ def tx_line_dedup(spark, sf_dir):
                              lambda s: s.line),
                  "\n").alias("text_dedup"))
     )
+
+
+# --- product-quantization ANN (ADC) ---------------------------------------
+
+def _pq_oracle(k: int = 5, m: int = 8, dsub: int = 8, ks: int = 16,
+               shortlist: int = 15) -> str:
+    def dotsub(a, b, j):
+        return (f"list_sum(list_transform(generate_series(1, {dsub}), "
+                f"i -> CAST(({a})[{j * dsub} + i] AS DOUBLE)"
+                f" * CAST(({b})[{j * dsub} + i] AS DOUBLE)))")
+
+    codes = ", ".join(
+        f"(list_sort(list_transform(cents, c -> {{"
+        f"'d': {dotsub('c.cw', 'c.cw', j)}"
+        f" - 2.0 * {dotsub('embedding', 'c.cw', j)}, "
+        f"'cid': c.cid}})))[1].cid"
+        for j in range(m))
+    approx = " + ".join(
+        f"{dotsub('q.q_vec', f'e.cents[e.codes[{j + 1}] + 1].cw', j)}"
+        for j in range(m))
+    dot64 = ("list_sum(list_transform(generate_series(1, 64), "
+             "i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)))")
+    return f"""
+        WITH cents_row AS (
+            SELECT list(struct_pack(cid := CAST(vec_id AS BIGINT),
+                                    cw := embedding)
+                        ORDER BY vec_id) AS cents
+            FROM embeddings WHERE vec_id < {ks}
+        ),
+        enc AS (
+            SELECT vec_id, embedding AS c_vec, cents, [{codes}] AS codes
+            FROM embeddings, cents_row
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id, e.c_vec, q.q_vec,
+                   {approx} AS approx
+            FROM enc e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ),
+        short AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY approx DESC, vec_id
+            ) AS arank FROM scored
+        ),
+        rer AS (
+            SELECT query_id, vec_id,
+                   round({dot64.format(a='q_vec', b='c_vec')}
+                         / (sqrt({dot64.format(a='q_vec', b='q_vec')})
+                            * sqrt({dot64.format(a='c_vec', b='c_vec')})),
+                         6) AS cosine
+            FROM short WHERE arank <= {shortlist}
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rank FROM rer
+        ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ss_pq_topk",
+    survey=("SS-pq",),
+    oracle=_pq_oracle(),
+)
+def ss_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (ADC): corpus compressed to m=8
+    codes over 8-dim subspaces against a relational codebook (first 16
+    corpus vectors), queries score codewords only, shortlist re-ranked
+    exactly. The memory-side counterpart of ss_ivf_topk's partition
+    pruning — every step deterministic and replayed verbatim by the
+    oracle."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        pq_topk_seeded,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return pq_topk_seeded(emb, queries, k=5)

@@ -239,6 +239,31 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert top1_recall >= 0.5, f"ANN top-1 recall too low: {top1_recall}"
 
 
+def test_pq_ann_recall(spark, sf_dir):
+    """PQ/ADC top-k must recover a reasonable share of the exact top-k
+    (8 subspaces × 16 codewords on random 64-dim data is a coarse
+    code, so the bar is recall of the shortlist+re-rank pipeline, not
+    the code alone)."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        brute_force_topk,
+        pq_topk_seeded,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = pq_topk_seeded(emb, queries, k=5).collect()
+    exact_top1 = {r.query_id: r.vec_id for r in exact if r.rank == 1}
+    approx_hits = {(r.query_id, r.vec_id) for r in approx}
+    top1_recall = sum(
+        1 for qid, v in exact_top1.items() if (qid, v) in approx_hits
+    ) / len(exact_top1)
+    assert top1_recall >= 0.5, f"PQ top-1 recall too low: {top1_recall}"
+
+
 def test_multimodal_decode_plumbing(spark):
     from bdc_collection_builder_spark.extensions.multimodal import (
         decode_image_features,
