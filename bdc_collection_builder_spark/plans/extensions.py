@@ -1647,3 +1647,50 @@ def ss_pq_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return pq_topk_seeded(emb, queries, k=5)
+
+
+@query(
+    "tx_unigram_logprob",
+    survey=("TX-quality", "TX-vocab"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        vocab AS (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ),
+        total AS (SELECT sum(n) AS total FROM vocab)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(CAST(vocab.n AS DOUBLE)
+                            / CAST(total.total AS DOUBLE))), 6)
+                 AS avg_logprob
+        FROM toks JOIN vocab USING (tok) CROSS JOIN total
+        GROUP BY doc_id
+    """,
+)
+def tx_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality score: the corpus itself is the
+    language model (token frequency / total), and each document scores
+    the mean log-probability of its tokens — the classic
+    perplexity-bucket signal for pretraining-data filtering, minus the
+    external KenLM. Two shuffles total at any scale: one partial-agg
+    on token to build the vocabulary, one token-keyed join + doc-keyed
+    partial agg for scoring; the scalar total rides along as a one-row
+    cross join (bare literal attach, no data movement)."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.round(F.avg(F.log(
+                 F.col("n").cast("double") / F.col("total").cast("double"))),
+                 6).alias("avg_logprob"))
+    )

@@ -76,6 +76,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "ss_brute_force_topk",   # by design: broadcast query set × corpus
         "ss_ivf_topk",           # one-row centroid-array attach
         "ss_pq_topk",            # one-row codebook attach + 8-query ADC scan
+        "tx_unigram_logprob",    # one-row vocab-total attach
         "tx_tfidf_topk",         # one-row corpus-size attach
         "cu_token_budget_mix",   # one-row source-share attach
     }
