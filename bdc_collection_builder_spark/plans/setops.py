@@ -99,3 +99,27 @@ def u04_intersect_scene_sets(spark, sf_dir):
     f = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("scene_key"))
     return o.intersect(f)
+
+
+@query(
+    "u05_except_all_bag",
+    survey=("U2",),
+    oracle="""
+        SELECT o_custkey AS scene_key FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def u05_except_all_bag(spark, sf_dir):
+    """EXCEPT ALL — bag semantics (multiplicity-aware difference): each
+    candidate occurrence is cancelled by at most one published
+    occurrence, the retry-accounting shape a DISTINCT difference
+    cannot express. Spark's native exceptAll plans this as one
+    aggregate over a tagged union (count diff per key, regenerate) —
+    one shuffle, no join."""
+    orders = t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("scene_key"))
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("scene_key"))
+    return o.exceptAll(f)

@@ -112,3 +112,41 @@ def w04_lag_lead_gap(spark, sf_dir):
         (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@query(
+    "w05_time_range_rolling",
+    survey=("W1", "Y2"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, event_id, {_TS} AS ts, value FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               round(sum(value) OVER w, 2) AS value_last_hour
+        FROM norm
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def w05_time_range_rolling(spark, sf_dir):
+    """Time-RANGE window frame: per user, rolling one-hour event count
+    and value sum at every event — the retry-rate / throughput gauge
+    shape (views.py:131-134 adjacent) that a ROWS frame cannot express
+    when events are unevenly spaced. Spark's rangeBetween needs a
+    numeric ordering key, so ts becomes epoch microseconds; the frame
+    is then [-3.6e9 us, 0]. Same one-shuffle-per-user-partition plan
+    as any window at any scale."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(ts_us.cast("long"))
+         .rangeBetween(-3_600_000_000, 0))
+    return events.select(
+        "user_id", "event_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
