@@ -150,3 +150,71 @@ def w05_time_range_rolling(spark, sf_dir):
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
         F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
     )
+
+
+@query(
+    "w06_ntile_buckets",
+    survey=("W3", "CU-sample"),
+    oracle="""
+        SELECT doc_id, lang,
+               CAST(ntile(8) OVER (
+                   PARTITION BY lang
+                   ORDER BY length(text), doc_id) AS INTEGER) AS len_bucket
+        FROM documents
+    """,
+)
+def w06_ntile_buckets(spark, sf_dir):
+    """Equi-depth bucketing via ntile, PER LANGUAGE — the
+    curriculum/length-bucket assignment step of batch-assembly (docs
+    of similar length batch together to minimize padding), partitioned
+    so no global order exists anywhere in the plan: each language
+    stratum sorts independently (the same reason cu_stratified_sample
+    keys on lang). Deterministic ORDER BY (length, id) tie-break; both
+    engines share ntile's exact remainder-to-early-buckets
+    definition."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.length("text"), "doc_id")
+    return docs.select(
+        "doc_id", "lang",
+        F.ntile(8).over(w).cast("int").alias("len_bucket"))
+
+
+@query(
+    "w07_locf_gap_fill",
+    survey=("W1", "Y2"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, event_id, {_TS} AS ts,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                     AS value
+            FROM events
+        )
+        SELECT user_id, event_id,
+               round(coalesce(
+                   last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   -1.0), 2) AS value_filled
+        FROM norm
+    """,
+)
+def w07_locf_gap_fill(spark, sf_dir):
+    """Last-observation-carried-forward gap filling: sensor dropouts
+    (planted NULLs on every 7th event) forward-fill from the user's
+    most recent non-null reading — `last_value(... IGNORE NULLS)` over
+    a running ROWS frame, the standard time-series repair pass. One
+    user-partitioned window shuffle; leading NULLs fall back to a
+    sentinel so both engines agree on the no-history case."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    val = F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.select(
+        "user_id", "event_id",
+        F.round(F.coalesce(
+            F.last(val, ignorenulls=True).over(w), F.lit(-1.0)), 2)
+        .alias("value_filled"))
