@@ -449,3 +449,76 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         if changed == 0:
             break
     return labels
+
+
+def connected_components_star(edges: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b",
+                              max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", public) — the documented escape hatch of
+    :func:`connected_components` for graphs with DEEP chains: min-label
+    propagation needs diameter rounds, star contraction needs
+    O(log n) regardless of diameter.
+
+    Each round is join-shaped (per-node min via groupBy, joined back) —
+    no per-node neighbor lists are ever collected, so a hot node (one
+    doc near-duplicating millions) never concentrates on one task:
+
+    - large-star: every neighbor v > u re-points to m(u), the minimum
+      of u's closed neighborhood;
+    - small-star: every neighbor v ≤ u re-points to m(u).
+
+    Converged when the edge multiset stops changing; the result maps
+    every node to its component minimum, exactly like the propagation
+    variant (equivalence is pytest-pinned on random graphs)."""
+    both = (
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+        .union(edges.select(F.col(dst).cast("long").alias("u"),
+                            F.col(src).cast("long").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over closed neighborhood (neighbors ∪ self)
+        mins = (e.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        half = e.filter(F.col("v") > F.col("u")) if large \
+            else e.filter(F.col("v") <= F.col("u"))
+        relinked = (half.join(mins, "u")
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .filter(F.col("u") != F.col("v")))
+        # keep u→m(u) self-links so isolated-after-rewrite nodes retain
+        # their pointer edge
+        selfed = mins.filter(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v"))
+        out = relinked.union(selfed)
+        return out.union(out.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v"))).distinct()
+
+    e = both
+    prev_count = e.count()
+    for _ in range(max_iter):
+        e = star(e, large=True).localCheckpoint(eager=True)
+        e = star(e, large=False).localCheckpoint(eager=True)
+        n = e.count()
+        # converged when the rewrite is a fixpoint: every node already
+        # points at its component min, so the edge set is the star
+        # itself and stops changing
+        if n == prev_count:
+            # one extra confirmation pass guards count collisions
+            again = star(star(e, True), False)
+            if again.exceptAll(e).limit(1).count() == 0:
+                break
+        prev_count = n
+    labels = (e.groupBy("u")
+              .agg(F.least(F.min("v"), F.first("u")).alias("component_id"))
+              .select(F.col("u").alias("doc_id"), "component_id"))
+    # nodes that ended as pure component minima appear only on the v
+    # side; give them their own label
+    mins_only = (e.select(F.col("v").alias("doc_id")).distinct()
+                 .join(labels.select("doc_id"), "doc_id", "left_anti")
+                 .withColumn("component_id", F.col("doc_id")))
+    return labels.unionByName(mins_only)

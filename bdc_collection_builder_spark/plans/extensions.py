@@ -161,6 +161,48 @@ def dd_cluster_components(spark, sf_dir):
 
 
 @query(
+    "dd_cluster_components_star",
+    survey=("DD-cluster",),
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM jpairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS component_id
+        FROM reach GROUP BY a
+    """,
+)
+def dd_cluster_components_star(spark, sf_dir):
+    """Same component labeling as dd_cluster_components, computed by
+    alternating large-star/small-star contraction — O(log n) rounds
+    regardless of graph diameter, the escape hatch for corpora whose
+    dup chains run deep (propagation needs diameter rounds). Identical
+    recursive-CTE oracle; the pytest companion also pins star ==
+    propagation on a planted deep chain."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    pairs = ngram_jaccard_pairs(docs.unionByName(near), threshold=0.5)
+    return connected_components_star(pairs)
+
+
+@query(
     "dd_minhash_lsh_pairs",
     survey=("DD-minhash",),
     oracle=None,  # xxhash64 signatures have no cross-engine oracle;

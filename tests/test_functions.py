@@ -264,6 +264,43 @@ def test_pq_ann_recall(spark, sf_dir):
     assert top1_recall >= 0.5, f"PQ top-1 recall too low: {top1_recall}"
 
 
+def test_star_cc_matches_propagation(spark, sf_dir):
+    """Star-contraction connected components must produce exactly the
+    same (node → component-min) labeling as min-label propagation —
+    including on a deep chain, where propagation needs diameter rounds
+    but star contraction stays O(log n)."""
+    import random
+
+    from bdc_collection_builder_spark.extensions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def labels(df):
+        return {(r.doc_id, r.component_id) for r in df.collect()}
+
+    # deep chain 0-1-2-...-60 plus a few random components
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(60)]
+    edges += [(100 + rng.randrange(40), 100 + rng.randrange(40))
+              for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # star contraction must converge well under the chain's diameter
+    got = labels(connected_components_star(edf, max_iter=8))
+    want = labels(connected_components(edf, max_iter=80))
+    assert got == want
+    # and on the real near-dup pair graph
+    from bdc_collection_builder_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    corpus, _ = _dedup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    assert labels(connected_components_star(pairs)) == \
+        labels(connected_components(pairs))
+
+
 def test_multimodal_decode_plumbing(spark):
     from bdc_collection_builder_spark.extensions.multimodal import (
         decode_image_features,
