@@ -1756,3 +1756,43 @@ def cu_pack_sequences_ffd(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences_ffd(docs, capacity=512, n_shards=32)
+
+
+@query(
+    "cu_dataset_card",
+    survey=("CU-mix", "A1"),
+    oracle=f"""
+        SELECT coalesce(source, 'ALL') AS source,
+               coalesce(lang, 'ALL') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               round(avg(CAST(len({_TOKS}) AS DOUBLE)), 4)
+                 AS avg_tokens_per_doc
+        FROM documents
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def cu_dataset_card(spark, sf_dir):
+    """Dataset-card summary: doc/token/char counts and token means per
+    (source × lang), per source, per lang, and overall — the mixture
+    table every corpus release publishes, computed as ONE scan + ONE
+    grouping-sets Expand (four independent GROUP BYs would re-read the
+    100 TB corpus four times)."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text")))
+    return (
+        docs.select("source", "lang", n_toks.alias("n_toks"), "n_chars")
+        .groupingSets([["source", "lang"], ["source"], ["lang"], []],
+                      "source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_toks").cast("bigint").alias("n_tokens"),
+             F.sum("n_chars").cast("bigint").alias("n_chars"),
+             F.round(F.avg(F.col("n_toks").cast("double")), 4)
+             .alias("avg_tokens_per_doc"))
+        .select(F.coalesce("source", F.lit("ALL")).alias("source"),
+                F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                "n_docs", "n_tokens", "n_chars", "avg_tokens_per_doc")
+    )
