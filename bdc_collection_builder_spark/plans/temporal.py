@@ -93,3 +93,86 @@ def tj_range_error_followups(spark, sf_dir):
         .groupBy("event_id")
         .agg(F.count("*").alias("n_followups"))
     )
+
+
+_G_US = 600_000_000  # 10-minute grid, epoch microseconds
+
+
+@query(
+    "tj_resample_interpolate",
+    survey=("TJ-asof", "Y2"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, epoch_us({_TS}) AS ts_us, value FROM events
+        ),
+        obs AS (
+            SELECT user_id, ts_us, avg(value) AS v
+            FROM norm GROUP BY user_id, ts_us
+        ),
+        bounds AS (
+            SELECT user_id,
+                   (min(ts_us) + {_G_US - 1}) // {_G_US} AS g0,
+                   max(ts_us) // {_G_US} AS g1
+            FROM obs GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id, g.i * {_G_US} AS t_us
+            FROM bounds, UNNEST(generate_series(g0, g1)) AS g(i)
+            WHERE g0 <= g1
+        ),
+        b AS (
+            SELECT s.user_id, s.t_us, o.ts_us AS tb, o.v AS vb
+            FROM spine s ASOF LEFT JOIN obs o
+              ON s.user_id = o.user_id AND s.t_us >= o.ts_us
+        ),
+        f AS (
+            SELECT s.user_id, s.t_us, o.ts_us AS tf, o.v AS vf
+            FROM spine s ASOF LEFT JOIN obs o
+              ON s.user_id = o.user_id AND s.t_us <= o.ts_us
+        )
+        SELECT user_id, t_us,
+               round(CASE WHEN tb = tf THEN vb
+                          ELSE vb + (vf - vb)
+                               * (CAST(t_us - tb AS DOUBLE)
+                                  / CAST(tf - tb AS DOUBLE))
+                     END, 4) AS v_interp
+        FROM b JOIN f USING (user_id, t_us)
+    """,
+)
+def tj_resample_interpolate(spark, sf_dir):
+    """Resample each user's irregular value series onto a regular
+    10-minute grid with linear interpolation — the gap-fill/resample
+    primitive (TimescaleDB ``time_bucket_gapfill`` + ``interpolate``
+    shape) satellite revisit series need. Grid points span only the
+    observed range per user, so both bracketing observations always
+    exist; the brackets come from ONE backward and ONE forward as-of
+    join (union + ranking window each — never a range cross-product),
+    and the spine explodes from per-user bounds, all partition-parallel
+    on user_id at any scale."""
+    from bdc_collection_builder_spark.operators.temporal import asof_join
+
+    events = t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    obs = (events.select("user_id", ts_us.alias("ts_us"), "value")
+           .groupBy("user_id", "ts_us").agg(F.avg("value").alias("v")))
+    bounds = obs.groupBy("user_id").agg(
+        F.expr(f"(min(ts_us) + {_G_US - 1}) div {_G_US}").alias("g0"),
+        F.expr(f"max(ts_us) div {_G_US}").alias("g1"))
+    spine = (bounds.filter(F.col("g0") <= F.col("g1"))
+             .select("user_id",
+                     F.explode(F.sequence("g0", "g1")).alias("i"))
+             .select("user_id", (F.col("i") * _G_US).alias("t_us")))
+    back = asof_join(
+        spine, obs.select("user_id", "ts_us", F.col("v").alias("vb")),
+        on=["user_id"], left_ts="t_us", right_ts="ts_us",
+        right_values=["vb"], direction="backward", matched_ts_col="tb")
+    fwd = asof_join(
+        spine, obs.select("user_id", "ts_us", F.col("v").alias("vf")),
+        on=["user_id"], left_ts="t_us", right_ts="ts_us",
+        right_values=["vf"], direction="forward", matched_ts_col="tf")
+    frac = ((F.col("t_us") - F.col("tb")).cast("double")
+            / (F.col("tf") - F.col("tb")).cast("double"))
+    interp = F.when(F.col("tb") == F.col("tf"), F.col("vb")).otherwise(
+        F.col("vb") + (F.col("vf") - F.col("vb")) * frac)
+    return (back.join(fwd, ["user_id", "t_us"])
+            .select("user_id", "t_us", F.round(interp, 4).alias("v_interp")))
