@@ -1796,3 +1796,51 @@ def cu_dataset_card(spark, sf_dir):
                 F.coalesce("lang", F.lit("ALL")).alias("lang"),
                 "n_docs", "n_tokens", "n_chars", "avg_tokens_per_doc")
     )
+
+
+@query(
+    "cu_outlier_mad",
+    survey=("CU-sample", "A8"),
+    oracle="""
+        WITH stats AS (
+            SELECT source,
+                   median(CAST(n_chars AS DOUBLE)) AS med
+            FROM documents GROUP BY source
+        ),
+        dev AS (
+            SELECT d.doc_id, d.source, d.n_chars, s.med,
+                   abs(CAST(d.n_chars AS DOUBLE) - s.med) AS adev
+            FROM documents d JOIN stats s USING (source)
+        ),
+        mads AS (
+            SELECT source, median(adev) AS mad FROM dev GROUP BY source
+        )
+        SELECT dev.doc_id, dev.source,
+               CAST(dev.n_chars AS BIGINT) AS n_chars,
+               (abs(CAST(dev.n_chars AS DOUBLE) - dev.med)
+                > 3.0 * mads.mad) AS is_outlier
+        FROM dev JOIN mads USING (source)
+    """,
+)
+def cu_outlier_mad(spark, sf_dir):
+    """Robust length-outlier flagging per source: median absolute
+    deviation (not stddev — one 2 GB crawl artifact would drag a
+    mean/σ fence, while MAD ignores it). Two grouped exact medians +
+    two broadcast joins of the 5-row stats dim; the corpus never
+    shuffles. The curation step that catches truncated/concatenated
+    crawl documents before they skew packing and token budgets."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").alias("med"))
+    dev = (docs.join(F.broadcast(med), "source")
+           .withColumn("adev",
+                       F.abs(F.col("n_chars").cast("double") - F.col("med"))))
+    mads = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mads), "source")
+        .select("doc_id", "source",
+                F.col("n_chars").cast("bigint").alias("n_chars"),
+                (F.abs(F.col("n_chars").cast("double") - F.col("med"))
+                 > 3.0 * F.col("mad")).alias("is_outlier"))
+    )

@@ -218,3 +218,31 @@ def w07_locf_gap_fill(spark, sf_dir):
         F.round(F.coalesce(
             F.last(val, ignorenulls=True).over(w), F.lit(-1.0)), 2)
         .alias("value_filled"))
+
+
+@query(
+    "w08_rank_distributions",
+    survey=("W3", "A8"),
+    oracle="""
+        SELECT doc_id, source,
+               round(percent_rank() OVER w, 6) AS len_pct_rank,
+               round(cume_dist() OVER w, 6) AS len_cume_dist
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars)
+    """,
+)
+def w08_rank_distributions(spark, sf_dir):
+    """Distribution-rank analytics per source: percent_rank and
+    cume_dist of document length in one window pass — the CDF position
+    signal quality-threshold sweeps read ('drop the bottom 5% per
+    source'). Both functions share one partition+sort; tie semantics
+    (all peers share a rank) are identical across engines, so no
+    tie-break column is needed."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    return docs.select(
+        "doc_id", "source",
+        F.round(F.percent_rank().over(w), 6).alias("len_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("len_cume_dist"))
