@@ -378,3 +378,53 @@ def j10_spatial_grid_join(spark, sf_dir):
         .select("event_id", "tile_id")
         .distinct()
     )
+
+
+@query(
+    "j11_salted_hot_key_join",
+    survey=("J6", "J1"),
+    oracle="""
+        WITH facts AS (
+            SELECT CASE WHEN l_orderkey % 10 < 7
+                        THEN 1 ELSE l_orderkey % 100 END AS hot_key,
+                   l_quantity
+            FROM lineitem
+        ),
+        dim AS (
+            SELECT n_nationkey * 4 + s AS hot_key,
+                   n_name || '-' || s AS label
+            FROM nation, (VALUES (0), (1), (2), (3)) AS t(s)
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM facts JOIN dim USING (hot_key)
+        GROUP BY label
+    """,
+)
+def j11_salted_hot_key_join(spark, sf_dir):
+    """Skew-mitigated equi-join: ~70% of the fact side lands on ONE
+    key (the pathological provider/collection hot key), and the dim is
+    joined through operators.skew.salted_join — the fact side salts
+    uniformly, the dim replicates across salts, and the hot key
+    spreads over n_salts reducers instead of one straggler task. The
+    oracle is the UNsalted logical join, pinning that salting never
+    changes results. (AQE skew-split handles sort-merge cases; the
+    salted operator covers broadcast-ineligible dims and pre-AQE
+    shuffles.)"""
+    from bdc_collection_builder_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    facts = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, 1)
+        .otherwise(F.col("l_orderkey") % 100).alias("hot_key"),
+        "l_quantity")
+    nation = t(spark, sf_dir, "nation")
+    dim = (nation.select(
+        "n_nationkey", "n_name",
+        F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s"))
+        .select((F.col("n_nationkey") * 4 + F.col("s")).alias("hot_key"),
+                F.concat_ws("-", "n_name", "s").alias("label")))
+    joined = salted_join(facts, dim, ["hot_key"], n_salts=8)
+    return (joined.groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty")))
