@@ -421,3 +421,39 @@ def a15_approx_percentiles(spark, sf_dir):
             F.col("ps")[1].alias("p90_approx"),
         )
     )
+
+
+@query(
+    "a17_stats_suite",
+    survey=("A8",),
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+               round(var_samp(l_quantity), 4) AS qty_var,
+               round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+               round(regr_slope(l_extendedprice, l_quantity), 4)
+                 AS price_per_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def a17_stats_suite(spark, sf_dir):
+    """Statistical aggregate suite — sample stddev/variance,
+    correlation, and regression slope per group, all single-pass
+    map-side-combinable moments (each is sums of x, x², xy, n merged
+    associatively), so ONE shuffle carries five statistics at any
+    scale. The monitoring surface for drift checks the reference
+    delegates to external dashboards."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2)
+            .alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6)
+            .alias("price_qty_corr"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+            .alias("price_per_qty"),
+        )
+    )
