@@ -66,6 +66,7 @@ def _load_all() -> None:
         sorts,
         sources,
         temporal,
+        training,
         windows,
     )
 

@@ -1,0 +1,249 @@
+"""Training-corpus depth queries (round 2): span-level exact-substring
+dedup, DSIR importance weighting, and CCNet-style perplexity buckets.
+
+These extend the SURVEY §2 LLM-pipeline surface (DD-*/TX-*/CU-* rows)
+with three more operators a pretraining-data pipeline runs corpus-wide.
+Every step is built-in Catalyst expressions — no Python in any hot
+path — and every query carries a DuckDB oracle that replays the same
+derivation end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+# Tokenization shared with plans/extensions.py oracles (identical
+# semantics to extensions.text.tokens).
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+_SPAN_K = 8  # tokens per span window
+
+
+@query(
+    "tx_span_dedup",
+    survey=("DD-exact", "TX-fingerprint"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk) - {_SPAN_K - 1}))
+                     AS i
+            FROM toks WHERE len(tk) >= {_SPAN_K}
+        ),
+        spans AS (
+            SELECT doc_id,
+                   md5(array_to_string(tk[i:i + {_SPAN_K - 1}], ' '))
+                     AS span_hash
+            FROM pos
+        ),
+        counts AS (
+            SELECT span_hash, count(DISTINCT doc_id) AS ndocs
+            FROM spans GROUP BY span_hash
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               round(avg(CASE WHEN c.ndocs > 1 THEN 1.0 ELSE 0.0 END), 6)
+                 AS dup_ratio
+        FROM spans s JOIN counts c USING (span_hash)
+        GROUP BY s.doc_id
+    """,
+)
+def tx_span_dedup(spark, sf_dir):
+    """Span-level exact-substring duplication profile (the hashed-k-gram
+    approximation of Lee et al.'s suffix-array substring dedup —
+    "Deduplicating Training Data Makes Language Models Better"): every
+    8-token window is hashed, windows shared verbatim across documents
+    are flagged, and each document reports what fraction of its spans
+    is corpus-duplicated — the signal used to strip boilerplate and
+    licence blocks that whole-document dedup can't see.
+
+    Scale shape: span generation is map-only (one ``transform`` over a
+    ``sequence`` of offsets — no self-join, no posexplode pyramid);
+    the only shuffles are one partial-agg on the 16-byte span hash and
+    one hash-keyed join back, both AQE-coalesced. At 100 TB the span
+    table is ~L×(doc bytes) for overlap L=8, the same blow-up the
+    published pipelines accept; cutting it needs the suffix-array
+    sidecar, which is the documented non-Spark path.
+    Reference anchor: collection_builder's scene-level F10 dedup
+    (celery/tasks.py download dedup) generalized to sub-document spans.
+    """
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = _SPAN_K
+    spans = (
+        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .filter(F.size("tk") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, k))),
+                )
+            ).alias("span_hash"),
+        )
+    )
+    counts = spans.groupBy("span_hash").agg(
+        F.countDistinct("doc_id").alias("ndocs"))
+    dup = (F.col("ndocs") > 1).cast("int")
+    return (
+        spans.join(counts, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+            F.round(F.avg(dup.cast("double")), 6).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "cu_dsir_weights",
+    survey=("CU-mix", "TX-quality"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+        ),
+        vocab AS (
+            SELECT tok,
+                   count(*) AS n_src,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+            FROM toks GROUP BY tok
+        ),
+        tot AS (
+            SELECT sum(n_src) AS src_total, sum(n_tgt) AS tgt_total,
+                   count(*) AS v
+            FROM vocab
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(
+                   ln((vocab.n_tgt + 1.0)
+                      / (tot.tgt_total + CAST(tot.v AS DOUBLE)))
+                 - ln((vocab.n_src + 1.0)
+                      / (tot.src_total + CAST(tot.v AS DOUBLE)))
+               ), 6) AS dsir_weight
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+)
+def cu_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling"): score every document by the
+    mean log-ratio of add-one-smoothed unigram likelihoods under a
+    target distribution (here: the corpus's English slice) versus the
+    full source distribution. Sampling proportionally to
+    exp(dsir_weight) then tilts a 100 TB crawl toward the target
+    domain without training a classifier.
+
+    Scale shape: identical to tx_unigram_logprob — one partial-agg
+    shuffle to build the (bounded-vocabulary) token table carrying BOTH
+    source and target counts in a single pass (no second scan for the
+    target slice), one token-keyed join + doc-keyed partial agg for
+    scoring, totals attached as a one-row broadcast."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("n_src"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("n_src").alias("src_total"),
+        F.sum("n_tgt").alias("tgt_total"),
+        F.count("*").alias("v"),
+    )
+    v = F.col("v").cast("double")
+    ratio = (
+        F.log((F.col("n_tgt") + 1.0) / (F.col("tgt_total") + v))
+        - F.log((F.col("n_src") + 1.0) / (F.col("src_total") + v))
+    )
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(ratio), 6).alias("dsir_weight"),
+        )
+    )
+
+
+@query(
+    "tx_ccnet_buckets",
+    survey=("TX-quality", "CU-sample"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+        ),
+        vocab AS (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT sum(n) AS total FROM vocab),
+        scored AS (
+            SELECT doc_id, lang,
+                   round(avg(ln(CAST(vocab.n AS DOUBLE)
+                                / CAST(tot.total AS DOUBLE))), 6) AS lp
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, lp AS avg_logprob,
+               CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+        FROM (
+            SELECT doc_id, lang, lp,
+                   ntile(3) OVER (PARTITION BY lang
+                                  ORDER BY lp DESC, doc_id) AS nt
+            FROM scored
+        )
+    """,
+)
+def tx_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per language, rank documents by unigram-LM mean
+    log-probability and split into head / middle / tail terciles — the
+    standard quality stratification used to sample pretraining
+    mixtures. The LM score is rounded to 6 places BEFORE ranking so
+    the tercile boundary is bit-identical across engines; doc_id
+    breaks the remaining ties deterministically.
+
+    Scale shape: the scoring half is tx_unigram_logprob's two shuffles;
+    the ntile window partitions by lang, so each language sorts
+    independently — no global sort. A 100 TB corpus with few languages
+    makes per-lang partitions large: the documented scale path swaps
+    ntile for approx_percentile cut-points (a15 pattern) joined back as
+    a broadcast, which this query's tests pin against."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(F.log(
+            F.col("n").cast("double") / F.col("total").cast("double"))),
+            6).alias("lp"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lp"), F.asc("doc_id"))
+    nt = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "lang", F.col("lp").alias("avg_logprob"),
+        F.when(nt == 1, "head").when(nt == 2, "middle")
+         .otherwise("tail").alias("bucket"),
+    )
