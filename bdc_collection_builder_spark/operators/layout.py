@@ -192,3 +192,33 @@ def compact_parquet_dir(spark: SparkSession, src: str, dst: str,
         1 for _, _, names in os.walk(dst)
         for f in names if f.endswith(".parquet")
     )
+
+
+def write_bucketed_table(df: DataFrame, name: str, path: str,
+                         keys: list[str], n_buckets: int,
+                         sort_keys: list[str] | None = None) -> None:
+    """Materialize ``df`` as a hash-bucketed (and optionally
+    bucket-sorted) parquet table registered in the session catalog.
+
+    Bucketing is THE shuffle-elimination lever for the repeated big⋈big
+    joins a 100 TB deployment runs every cycle (scene⋈asset,
+    order⋈lineitem): both sides pre-hashed into the same number of
+    buckets on the join key means Catalyst reuses the on-disk
+    distribution and plans a SortMergeJoin with **no Exchange on
+    either side** — the join cost collapses from 2×(shuffle write +
+    read) to a streaming merge of co-located files. ``sortBy`` on the
+    same key additionally persists within-bucket order, shrinking the
+    per-task sort to a merge of pre-sorted spills.
+
+    The reference keeps hot entities in PostgreSQL with B-tree indexes
+    (models/base_sql.py); bucketing is the lakehouse equivalent of
+    that access path. Pair with ``spark.sql.sources.bucketing.enabled``
+    (default true) and matching ``n_buckets`` on both tables — Spark
+    only elides the shuffle when the bucket counts are equal or
+    integer multiples (AQE cannot recover a mismatch).
+    """
+    writer = (df.write.mode("overwrite").format("parquet")
+              .bucketBy(n_buckets, *keys))
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.option("path", path).saveAsTable(name)

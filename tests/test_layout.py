@@ -136,3 +136,47 @@ def test_compact_ignores_stray_equals_dir(spark, tmp_path):
     n_out = compact_parquet_dir(spark, src, dst, target_bytes=1 << 30)
     assert n_out == 1
     assert spark.read.parquet(dst).count() == 5_000
+
+
+def test_bucketed_join_elides_both_shuffles(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key at the same bucket count
+    must join with NO Exchange on either side (the on-disk hash
+    distribution is reused), and the result must equal the plain
+    shuffled join."""
+    from bdc_collection_builder_spark.operators.layout import (
+        write_bucketed_table,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed_table(orders, "orders_b", str(tmp_path / "orders_b"),
+                         ["o_orderkey"], 8, sort_keys=["o_orderkey"])
+    write_bucketed_table(lineitem, "lineitem_b",
+                         str(tmp_path / "lineitem_b"),
+                         ["l_orderkey"], 8, sort_keys=["l_orderkey"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (
+                spark.table("orders_b")
+                .join(spark.table("lineitem_b"),
+                      F.col("o_orderkey") == F.col("l_orderkey"))
+                .select("o_orderkey", "l_linenumber", "l_quantity")
+            )
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted")
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            expect = (
+                orders.join(
+                    lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+                .select("o_orderkey", "l_linenumber", "l_quantity")
+            )
+            assert sorted(map(tuple, joined.collect())) == \
+                sorted(map(tuple, expect.collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
