@@ -165,3 +165,35 @@ def chunk_documents(docs, chunk_tokens: int = 64, overlap: int = 16,
                 F.lit(chunk_tokens)).alias("n_tokens"),
         )
     )
+
+
+def perplexity_buckets_by_cutpoints(scored, lang_col: str = "lang",
+                                    score_col: str = "lp"):
+    """The 100 TB scale path of tx_ccnet_buckets' ntile tercile split:
+    instead of a per-language full sort (ntile's window), compute the
+    1/3 and 2/3 score cut-points per language with
+    ``approx_percentile`` (t-digest, one partial-agg pass) and assign
+    buckets by comparing against the broadcast cut-point dimension.
+    Cost: one scan + one tiny shuffle, independent of per-language
+    skew — where ntile on a 100 TB single-language corpus is one
+    machine sorting 100 TB.
+
+    Tie behavior intentionally matches a descending ntile: scores
+    STRICTLY ABOVE the upper cut-point are 'head', strictly above the
+    lower cut-point 'middle', else 'tail' — so boundary-valued docs
+    fall into the lower bucket on both paths.
+    """
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile_approx(score_col, [1.0 / 3.0, 2.0 / 3.0], 10000)
+        .alias("__cuts"))
+    hi = F.col("__cuts")[1]
+    lo = F.col("__cuts")[0]
+    return (
+        scored.join(F.broadcast(cuts), lang_col)
+        .select(
+            *scored.columns,
+            F.when(F.col(score_col) > hi, "head")
+             .when(F.col(score_col) > lo, "middle")
+             .otherwise("tail").alias("bucket"),
+        )
+    )

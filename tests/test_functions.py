@@ -491,3 +491,47 @@ def test_approx_percentiles_near_exact(spark, sf_dir):
         a50, a90 = approx[flag]
         assert abs(a50 - p50) <= 0.01 * p50, f"{flag} p50: {a50} vs {p50}"
         assert abs(a90 - p90) <= 0.01 * p90, f"{flag} p90: {a90} vs {p90}"
+
+
+def test_ccnet_cutpoint_scale_path_pins_to_ntile(spark, sf_dir):
+    """The approx-percentile cut-point bucketing (the 100 TB path that
+    replaces tx_ccnet_buckets' per-lang ntile sort) must agree with the
+    exact tercile split except at boundary scores — and any
+    disagreement must be between ADJACENT buckets with the cut-point
+    path choosing the lower one (its documented tie rule)."""
+    from bdc_collection_builder_spark.extensions.text import (
+        perplexity_buckets_by_cutpoints,
+    )
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    exact = QUERY_REGISTRY["tx_ccnet_buckets"].spark_fn(spark, sf_dir)
+    scored = exact.select(
+        "doc_id", "lang", F.col("avg_logprob").alias("lp"))
+    approx = perplexity_buckets_by_cutpoints(scored)
+    ex = {r.doc_id: (r.bucket, r.avg_logprob, r.lang)
+          for r in exact.collect()}
+    ap = {r.doc_id: r.bucket for r in approx.collect()}
+    assert set(ex) == set(ap)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    n_disagree = 0
+    for doc, (b_ex, _, _) in ex.items():
+        b_ap = ap[doc]
+        if b_ex != b_ap:
+            n_disagree += 1
+            # adjacent buckets only, and approx takes the LOWER one
+            assert order[b_ap] - order[b_ex] == 1, (doc, b_ex, b_ap)
+    assert n_disagree <= 0.05 * len(ex)
+    # within every language, both assignments are monotone in lp:
+    # no 'tail' doc outscores a 'head' doc
+    by_lang: dict[str, list] = {}
+    for doc, (b, lp, lang) in ex.items():
+        by_lang.setdefault(lang, []).append((lp, order[b], order[ap[doc]]))
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: -r[0])
+        for col in (1, 2):
+            seq = [r[col] for r in rows]
+            assert seq == sorted(seq), f"non-monotone buckets for {lang}"
