@@ -45,9 +45,11 @@ _KEEP_GENERATIONS = 3
 class CatalogStore:
     """A directory of parquet tables with typed schemas and upsert."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 keep_generations: int = _KEEP_GENERATIONS):
         self.spark = spark
         self.root = root
+        self.keep_generations = keep_generations
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -75,6 +77,30 @@ class CatalogStore:
         if data is None:
             return self.spark.createDataFrame([], SCHEMAS[table])
         return self.spark.read.schema(SCHEMAS[table]).parquet(data)
+
+    def snapshots(self, table: str) -> list[str]:
+        """Retained generation ids, oldest first (current is last
+        unless a crash left an orphan — orphans are listed too, they
+        are reachable data). Time travel: pass one to ``read_at``."""
+        tdir = self.path(table)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            (d for d in os.listdir(tdir) if d.startswith("gen-")),
+            key=lambda d: os.path.getmtime(os.path.join(tdir, d)),
+        )
+
+    def read_at(self, table: str, gen: str) -> DataFrame:
+        """Read a specific retained snapshot (MVCC time travel — the
+        lakehouse `VERSION AS OF`). Generations are immutable once
+        flipped, so a reader pinned to ``gen`` sees a stable view
+        while writers commit new generations; retention
+        (``keep_generations``) bounds how far back readers can pin,
+        exactly like snapshot-expiry in the table formats."""
+        if gen not in self.snapshots(table):
+            raise KeyError(f"{table}: generation {gen!r} expired or unknown")
+        return self.spark.read.schema(SCHEMAS[table]).parquet(
+            os.path.join(self.path(table), gen))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         self._commit(table, df)
@@ -129,7 +155,7 @@ class CatalogStore:
             (d for d in os.listdir(self.path(table)) if d.startswith("gen-")),
             key=lambda d: os.path.getmtime(os.path.join(self.path(table), d)),
         )
-        for stale in gens[:-_KEEP_GENERATIONS]:
+        for stale in gens[:-self.keep_generations]:
             if stale != keep:
                 shutil.rmtree(os.path.join(self.path(table), stale),
                               ignore_errors=True)
@@ -174,6 +200,7 @@ class PartitionedCatalogStore(CatalogStore):
     def _sub(self, table: str, value) -> CatalogStore:
         sub = CatalogStore.__new__(CatalogStore)
         sub.spark, sub.root = self.spark, self._pdir(table, value)
+        sub.keep_generations = self.keep_generations
         os.makedirs(sub.root, exist_ok=True)
         return sub
 

@@ -330,3 +330,29 @@ def test_store_crash_between_write_and_pointer_commit(spark, tmp_path, fixtures)
     # recovery: the next commit proceeds normally
     store.merge_upsert("items", fixtures["items"])
     assert store.read("items").count() == fixtures["items"].count()
+
+
+def test_store_time_travel_and_retention(spark, tmp_path, fixtures):
+    """MVCC time travel: each commit is a retained immutable snapshot
+    readable via read_at; retention expires the oldest beyond
+    keep_generations; expired generations raise."""
+    s = CatalogStore(spark, str(tmp_path / "tt"), keep_generations=2)
+    s.overwrite("items", fixtures["items"].limit(10))
+    gen1 = s.snapshots("items")[-1]
+    n1 = s.read("items").count()
+    s.merge_upsert("items", s.read("items").limit(3)
+                   .withColumn("cloud_cover", F.lit(1.0)))
+    gens = s.snapshots("items")
+    assert len(gens) == 2 and gens[0] == gen1
+    # pinned reader still sees the pre-merge snapshot
+    assert s.read_at("items", gen1).count() == n1
+    assert s.read_at("items", gen1).filter(
+        F.col("cloud_cover") == 1.0).count() == 0
+    # third commit expires gen1 (keep_generations=2)
+    s.append("items", fixtures["items"].limit(1))
+    gens3 = s.snapshots("items")
+    assert len(gens3) == 2 and gen1 not in gens3
+    with pytest.raises(KeyError):
+        s.read_at("items", gen1)
+    # current pointer still reads the latest commit
+    assert s.read("items").count() == n1 + 1
