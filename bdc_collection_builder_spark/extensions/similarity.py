@@ -459,3 +459,114 @@ def pq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id", n_centroids: int = 16,
+                      nprobe: int = 4, m: int = 8, dsub: int = 8,
+                      ks: int = 16,
+                      shortlist: int | None = None) -> DataFrame:
+    """IVF-PQ: the two ANN scale levers composed — IVF's coarse
+    quantizer prunes WHICH vectors each query touches (nprobe of
+    n_centroids buckets, an equi-join on centroid_id instead of
+    ss_pq_topk's all-pairs broadcast), and PQ's asymmetric distance
+    prunes WHAT is read per touched vector (m one-byte codes, raw
+    vectors fetched only for the shortlist re-rank). This is the
+    FAISS ``IVFx,PQy`` layout re-expressed relationally: at 100 TB the
+    probe join moves |corpus|/n_centroids × nprobe candidate CODE rows
+    per query (8 bytes each), never the raw embeddings.
+
+    Both quantizers stay data-derived (first ``n_centroids`` /
+    first ``ks`` corpus vectors) and collapse to one-row broadcast
+    dimensions, so the DuckDB oracle replays every step — bucket
+    assignment (cosine, ties to low cid), PQ encode (L2 argmin over
+    raw sub-vectors, ties to low codeword), ADC accumulate, shortlist,
+    exact re-rank — bit-for-bit. Codes are over raw vectors, not IVF
+    residuals: residual encoding buys recall only after k-means
+    training, and keeping both paths on the same codebook lets
+    ss_pq_topk's tests cross-check the encodings."""
+    shortlist = shortlist or 3 * k
+    cent = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"),
+                norm(F.col(vec_col)).alias("cent_norm")))
+    carr = cent.agg(F.array_sort(F.collect_list(
+        F.struct("cid", "cent_vec", "cent_norm"))).alias("cents"))
+    cw = (corpus.filter(F.col(id_col) < ks)
+          .select(F.col(id_col).cast("long").alias("cid"),
+                  F.col(vec_col).alias("cw_vec")))
+    cwarr = cw.agg(F.array_sort(F.collect_list(
+        F.struct("cid", "cw_vec"))).alias("cws"))
+
+    def probes(vec: Column, nrm: Column, n: int) -> Column:
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (dot(vec, c["cent_vec"]) / (nrm * c["cent_norm"]))
+                .alias("sim"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: -s["negcid"])
+
+    def sub(vec: Column, j: int) -> Column:
+        return F.slice(vec, j * dsub + 1, dsub)
+
+    def code_for(vec: Column, j: int) -> Column:
+        scored = F.transform(
+            F.col("cws"),
+            lambda c: F.struct(
+                (dot(sub(c["cw_vec"], j), sub(c["cw_vec"], j))
+                 - F.lit(2.0) * dot(sub(vec, j), sub(c["cw_vec"], j)))
+                .alias("d"),
+                c["cid"].alias("cid")))
+        return F.element_at(F.array_sort(scored), 1)["cid"]
+
+    enc = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
+                      norm(F.col(vec_col)).alias("c_norm"))
+        .crossJoin(F.broadcast(carr)).crossJoin(F.broadcast(cwarr))
+        .select(
+            id_col, "c_vec", "c_norm", "cws",
+            F.element_at(probes(F.col("c_vec"), F.col("c_norm"), 1), 1)
+            .alias("centroid_id"),
+            F.array(*[code_for(F.col("c_vec"), j)
+                      for j in range(m)]).alias("codes"))
+    )
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col)).alias("q_norm"))
+        .crossJoin(F.broadcast(carr))
+        .select(query_id_col, "q_vec", "q_norm",
+                F.explode(probes(F.col("q_vec"), F.col("q_norm"), nprobe))
+                .alias("centroid_id"))
+    )
+    approx = None
+    for j in range(m):
+        cwj = F.element_at(F.col("cws"),
+                           (F.element_at(F.col("codes"), j + 1)
+                            + 1).cast("int"))["cw_vec"]
+        term = dot(sub(F.col("q_vec"), j), sub(cwj, j))
+        approx = term if approx is None else approx + term
+    scored = (
+        enc.join(F.broadcast(q), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "c_vec", "c_norm", "q_vec", "q_norm",
+                approx.alias("approx"))
+    )
+    ws = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx").desc(), F.col(id_col))
+    short = (scored.withColumn("arank", F.row_number().over(ws))
+             .filter(F.col("arank") <= shortlist))
+    exact = F.round(
+        dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine")
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        short.select(query_id_col, id_col, exact)
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )

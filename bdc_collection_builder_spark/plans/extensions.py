@@ -1844,3 +1844,115 @@ def cu_outlier_mad(spark, sf_dir):
                 (F.abs(F.col("n_chars").cast("double") - F.col("med"))
                  > 3.0 * F.col("mad")).alias("is_outlier"))
     )
+
+
+def _ivfpq_oracle(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+                  m: int = 8, dsub: int = 8, ks: int = 16,
+                  shortlist: int = 15) -> str:
+    """DuckDB replay of ivfpq_topk_seeded: IVF bucket assignment
+    (cosine, ties to low cid) prunes candidates, PQ ADC scores them,
+    shortlist re-ranked exactly."""
+    def dotsub(a, b, j):
+        return (f"list_sum(list_transform(generate_series(1, {dsub}), "
+                f"i -> CAST(({a})[{j * dsub} + i] AS DOUBLE)"
+                f" * CAST(({b})[{j * dsub} + i] AS DOUBLE)))")
+
+    codes = ", ".join(
+        f"(list_sort(list_transform(cws, c -> {{"
+        f"'d': {dotsub('c.cw', 'c.cw', j)}"
+        f" - 2.0 * {dotsub('embedding', 'c.cw', j)}, "
+        f"'cid': c.cid}})))[1].cid"
+        for j in range(m))
+    approx = " + ".join(
+        f"{dotsub('q.q_vec', f'e.cws[e.codes[{j + 1}] + 1].cw', j)}"
+        for j in range(m))
+    dot64 = ("list_sum(list_transform(generate_series(1, 64), "
+             "i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)))")
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cent
+            FROM embeddings WHERE vec_id < {n_centroids}
+        ),
+        corpus_assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rnk <= 1
+        ),
+        query_assign AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT e.vec_id AS query_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+                WHERE e.vec_id < 8
+            ) WHERE rnk <= {nprobe}
+        ),
+        cws_row AS (
+            SELECT list(struct_pack(cid := CAST(vec_id AS BIGINT),
+                                    cw := embedding)
+                        ORDER BY vec_id) AS cws
+            FROM embeddings WHERE vec_id < {ks}
+        ),
+        enc AS (
+            SELECT vec_id, embedding AS c_vec, cws, [{codes}] AS codes
+            FROM embeddings, cws_row
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        scored AS (
+            SELECT qa.query_id, e.vec_id, e.c_vec, q.q_vec,
+                   {approx} AS approx
+            FROM corpus_assign ca
+            JOIN query_assign qa USING (centroid_id)
+            JOIN enc e ON e.vec_id = ca.vec_id
+            JOIN q ON q.query_id = qa.query_id
+            WHERE e.vec_id <> qa.query_id
+        ),
+        short AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY approx DESC, vec_id
+            ) AS arank FROM scored
+        ),
+        rer AS (
+            SELECT query_id, vec_id,
+                   round({dot64.format(a='q_vec', b='c_vec')}
+                         / (sqrt({dot64.format(a='q_vec', b='q_vec')})
+                            * sqrt({dot64.format(a='c_vec', b='c_vec')})),
+                         6) AS cosine
+            FROM short WHERE arank <= {shortlist}
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rank FROM rer
+        ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ss_ivfpq_topk",
+    survey=("SS-ivf", "SS-pq"),
+    oracle=_ivfpq_oracle(),
+)
+def ss_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (FAISS's IVFx,PQy layout relationally):
+    IVF prunes which vectors a query touches, PQ prunes what is read
+    per vector. See extensions/similarity.ivfpq_topk_seeded for the
+    full plan-shape story."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        ivfpq_topk_seeded,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivfpq_topk_seeded(emb, queries, k=5)

