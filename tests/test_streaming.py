@@ -177,3 +177,45 @@ def test_watermark_append_drops_late_and_emits_once(spark, tmp_path):
     assert rows.count(("2026-01-01 10:00:00", 3)) == 1
     assert sum(1 for w, _ in rows if w.startswith("2026-01-01 10:0")) == 1, \
         "late event behind the watermark must be dropped, window not revised"
+
+
+def test_checkpoint_restart_skips_committed_batches(spark, tmp_path):
+    """Y4: restarting the publish stream against the SAME checkpoint
+    must not re-read files whose batch already committed — the new
+    run processes exactly the newly arrived files (checkpoint offset
+    recovery), and the catalog converges to the full merge."""
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    store = CatalogStore(spark, str(tmp_path / "cat_r"))
+    store.overwrite("items", fx["items"].limit(0))
+
+    seen: list[int] = []
+
+    class CountingStore(CatalogStore):
+        def merge_upsert(self, table, incoming, keys=None):
+            incoming = incoming.cache()
+            seen.append(incoming.count())
+            super().merge_upsert(table, incoming, keys)
+            incoming.unpersist()
+
+    counting = CountingStore(spark, str(tmp_path / "cat_r"))
+    incoming = tmp_path / "incoming_r"
+    ckpt = str(tmp_path / "ckpt_r")
+
+    first = fx["items"].limit(10)
+    first.coalesce(1).write.mode("overwrite").parquet(
+        str(incoming / "wave1"))
+    q = incremental_publish(spark, str(incoming / "wave1"), counting, ckpt)
+    q.awaitTermination(120)
+    assert sum(seen) == 10
+    n_first = counting.read("items").count()
+    assert n_first == 10
+
+    # second wave lands AFTER the first run stopped; same checkpoint
+    fx["items"].coalesce(1).write.mode("append").parquet(
+        str(incoming / "wave1"))
+    seen.clear()
+    q2 = incremental_publish(spark, str(incoming / "wave1"), counting, ckpt)
+    q2.awaitTermination(120)
+    # only the new file's rows flowed — wave 1's committed batch did not
+    assert sum(seen) == fx["items"].count()
+    assert counting.read("items").count() == fx["items"].count()
