@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "tx_fingerprint",            # rolling-hash fingerprint
     "x17_polygon_intersects",    # exact polygon predicate (codegen HOFs)
     "j10_spatial_grid_join",     # spatial join via grid-cell bucketing
+    "tx_span_dedup",             # k-gram substring dedup (hash join-back)
+    "cu_dsir_weights",           # DSIR importance weights (vocab join)
+    "ss_ivfpq_topk",             # IVF-PQ composed ANN
 ]
 
 
