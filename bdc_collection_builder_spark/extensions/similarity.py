@@ -529,44 +529,68 @@ def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       norm(F.col(vec_col)).alias("c_norm"))
         .crossJoin(F.broadcast(carr)).crossJoin(F.broadcast(cwarr))
         .select(
-            id_col, "c_vec", "c_norm", "cws",
+            id_col, "c_vec", "c_norm",
             F.element_at(probes(F.col("c_vec"), F.col("c_norm"), 1), 1)
             .alias("centroid_id"),
             F.array(*[code_for(F.col("c_vec"), j)
                       for j in range(m)]).alias("codes"))
     )
+    # ADC lookup table, the FAISS structure: per (query, subspace) the
+    # dots against ALL ks codewords are computed ONCE on the m×ks
+    # query-side table, so scoring a candidate is m array lookups —
+    # not m recomputed dsub-dim dot products per candidate row. The
+    # terms and their addition order are identical to the direct form,
+    # so results are bit-for-bit unchanged.
+    def _adc_for(j: int) -> Column:
+        # NB: must be a ONE-arg lambda — F.transform treats a second
+        # lambda parameter as the array index, so a `j=j` default
+        # capture would silently rebind j to that index column.
+        return F.transform(
+            F.col("cws"),
+            lambda c: dot(sub(F.col("q_vec"), j), sub(c["cw_vec"], j)))
+
+    adc = F.array(*[_adc_for(j) for j in range(m)])
     q = (
         queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
                        norm(F.col(vec_col)).alias("q_norm"))
-        .crossJoin(F.broadcast(carr))
-        .select(query_id_col, "q_vec", "q_norm",
+        .crossJoin(F.broadcast(carr)).crossJoin(F.broadcast(cwarr))
+        .select(query_id_col, "q_vec", "q_norm", adc.alias("adc"),
                 F.explode(probes(F.col("q_vec"), F.col("q_norm"), nprobe))
                 .alias("centroid_id"))
     )
     approx = None
     for j in range(m):
-        cwj = F.element_at(F.col("cws"),
-                           (F.element_at(F.col("codes"), j + 1)
-                            + 1).cast("int"))["cw_vec"]
-        term = dot(sub(F.col("q_vec"), j), sub(cwj, j))
+        term = F.element_at(
+            F.element_at(F.col("adc"), j + 1),
+            (F.element_at(F.col("codes"), j + 1) + 1).cast("int"))
         approx = term if approx is None else approx + term
+    # Only (query_id, id, approx) rides the shortlist shuffle — the
+    # raw 64-float vectors are re-joined AFTER the cut, for the
+    # shortlist rows alone. This is the load-bearing ADC property at
+    # scale: candidate traffic is 8-byte codes' scores, never
+    # embeddings.
     scored = (
-        enc.join(F.broadcast(q), "centroid_id")
+        enc.join(F.broadcast(q.drop("q_vec", "q_norm")), "centroid_id")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, "c_vec", "c_norm", "q_vec", "q_norm",
-                approx.alias("approx"))
+        .select(query_id_col, id_col, approx.alias("approx"))
     )
     ws = Window.partitionBy(query_id_col).orderBy(
         F.col("approx").desc(), F.col(id_col))
     short = (scored.withColumn("arank", F.row_number().over(ws))
-             .filter(F.col("arank") <= shortlist))
+             .filter(F.col("arank") <= shortlist)
+             .select(query_id_col, id_col))
+    cvec = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
+                         norm(F.col(vec_col)).alias("c_norm"))
+    qvec = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+                          norm(F.col(vec_col)).alias("q_norm"))
     exact = F.round(
         dot(F.col("q_vec"), F.col("c_vec"))
         / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine")
     wk = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col))
     return (
-        short.select(query_id_col, id_col, exact)
+        short.join(cvec, id_col).join(F.broadcast(qvec), query_id_col)
+        .select(query_id_col, id_col, exact)
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
     )

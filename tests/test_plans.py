@@ -79,6 +79,9 @@ def test_plan_lint_every_query(spark, sf_dir):
         "tx_unigram_logprob",    # one-row vocab-total attach
         "tx_tfidf_topk",         # one-row corpus-size attach
         "cu_token_budget_mix",   # one-row source-share attach
+        "ss_ivfpq_topk",         # one-row centroid+codebook attaches
+        "cu_dsir_weights",       # one-row vocab-total attach
+        "tx_ccnet_buckets",      # one-row vocab-total attach
     }
     offenders = {}
     for name, fn in all_queries().items():
