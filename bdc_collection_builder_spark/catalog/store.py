@@ -102,6 +102,25 @@ class CatalogStore:
         return self.spark.read.schema(SCHEMAS[table]).parquet(
             os.path.join(self.path(table), gen))
 
+    def changes_between(self, table: str, gen_from: str,
+                        gen_to: str) -> DataFrame:
+        """Change data feed between two retained snapshots: each row of
+        the symmetric difference tagged ``insert`` / ``delete`` (an
+        update surfaces as delete+insert of the key, like the
+        key-level CDF of the table formats). Computed as two
+        hash-partitioned anti-joins on the full row — no driver
+        collect, no full-table sort; downstream consumers (sync
+        diff S16, incremental caches) apply the feed instead of
+        re-diffing whole tables."""
+        before = self.read_at(table, gen_from)
+        after = self.read_at(table, gen_to)
+        cols = before.columns
+        inserted = after.join(before, cols, "left_anti").withColumn(
+            "_change_type", F.lit("insert"))
+        deleted = before.join(after, cols, "left_anti").withColumn(
+            "_change_type", F.lit("delete"))
+        return inserted.unionByName(deleted)
+
     def overwrite(self, table: str, df: DataFrame) -> None:
         self._commit(table, df)
 

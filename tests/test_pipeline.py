@@ -356,3 +356,39 @@ def test_store_time_travel_and_retention(spark, tmp_path, fixtures):
         s.read_at("items", gen1)
     # current pointer still reads the latest commit
     assert s.read("items").count() == n1 + 1
+
+
+def test_store_change_data_feed(spark, tmp_path, fixtures):
+    """changes_between emits exactly the rows that differ between two
+    snapshots: an update = delete(old)+insert(new), an append = one
+    insert, untouched rows never appear."""
+    s = CatalogStore(spark, str(tmp_path / "cdf"))
+    base = fixtures["items"].limit(10).cache()
+    s.overwrite("items", base)
+    g1 = s.snapshots("items")[-1]
+    one = base.limit(1)
+    s.merge_upsert("items", one.withColumn("cloud_cover", F.lit(77.0)))
+    g2 = s.snapshots("items")[-1]
+    feed = s.changes_between("items", g1, g2).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r._change_type, []).append(r)
+    key = one.collect()[0]
+    assert len(by_type.get("insert", [])) == 1
+    assert len(by_type.get("delete", [])) == 1
+    assert by_type["insert"][0].name == key.name
+    assert by_type["insert"][0].cloud_cover == 77.0
+    assert by_type["delete"][0].cloud_cover == key.cloud_cover
+    # applying the feed to the old snapshot reproduces the new one
+    before = s.read_at("items", g1)
+    cols = before.columns
+    dels = spark.createDataFrame(
+        [[getattr(r, c) for c in cols] for r in by_type["delete"]],
+        before.schema)
+    ins = spark.createDataFrame(
+        [[getattr(r, c) for c in cols] for r in by_type["insert"]],
+        before.schema)
+    replayed = before.exceptAll(dels).unionByName(ins)
+    assert replayed.exceptAll(s.read_at("items", g2)).count() == 0
+    assert s.read_at("items", g2).exceptAll(replayed).count() == 0
+    base.unpersist()
