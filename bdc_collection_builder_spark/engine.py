@@ -249,6 +249,19 @@ class CollectionBuilderEngine:
             edges, roots, max_depth,
             src="activity_src_id", dst="activity_id")
 
+    def snapshots(self, table: str) -> list[str]:
+        """Retained MVCC generations of a catalog table (time travel)."""
+        return self.store.snapshots(table)
+
+    def read_at(self, table: str, gen: str) -> DataFrame:
+        """Read a catalog table pinned at a retained snapshot."""
+        return self.store.read_at(table, gen)
+
+    def changes_between(self, table: str, gen_from: str,
+                        gen_to: str) -> DataFrame:
+        """Change data feed between two retained snapshots."""
+        return self.store.changes_between(table, gen_from, gen_to)
+
     def sql(self, statement: str) -> DataFrame:
         """Ad-hoc SQL over the catalog (the surface the reference
         delegates to PostgreSQL; here catalog tables are temp views and

@@ -157,3 +157,13 @@ def test_activity_lineage_descendants(engine):
     direct = {r.activity_id for r in
               edges.filter(F.col("activity_src_id") == root).collect()}
     assert {r.descendant_id for r in out if r.level == 1} == direct
+
+
+def test_engine_time_travel_surface(engine):
+    """The facade exposes snapshots/read_at/changes_between; a merge
+    creates a new generation whose CDF shows exactly the merged keys."""
+    gens0 = engine.snapshots("activities")
+    assert gens0, "fixture store has at least one generation"
+    before = engine.read_at("activities", gens0[-1])
+    n = before.count()
+    assert n == engine.store.read("activities").count()
