@@ -1,8 +1,9 @@
 """Training-corpus depth queries (round 2): span-level exact-substring
-dedup, DSIR importance weighting, and CCNet-style perplexity buckets.
+dedup, DSIR importance weighting + Gumbel-top-k resampling, CCNet-style
+perplexity buckets, and zonal statistics.
 
 These extend the SURVEY §2 LLM-pipeline surface (DD-*/TX-*/CU-* rows)
-with three more operators a pretraining-data pipeline runs corpus-wide.
+with more operators a pretraining-data pipeline runs corpus-wide.
 Every step is built-in Catalyst expressions — no Python in any hot
 path — and every query carries a DuckDB oracle that replays the same
 derivation end-to-end.
@@ -246,4 +247,179 @@ def tx_ccnet_buckets(spark, sf_dir):
         "doc_id", "lang", F.col("lp").alias("avg_logprob"),
         F.when(nt == 1, "head").when(nt == 2, "middle")
          .otherwise("tail").alias("bucket"),
+    )
+
+
+_DSIR_SCORED_SQL = f"""
+        toks AS (
+            SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+        ),
+        vocab AS (
+            SELECT tok,
+                   count(*) AS n_src,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+            FROM toks GROUP BY tok
+        ),
+        tot AS (
+            SELECT sum(n_src) AS src_total, sum(n_tgt) AS tgt_total,
+                   count(*) AS v
+            FROM vocab
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(avg(
+                       ln((vocab.n_tgt + 1.0)
+                          / (tot.tgt_total + CAST(tot.v AS DOUBLE)))
+                     - ln((vocab.n_src + 1.0)
+                          / (tot.src_total + CAST(tot.v AS DOUBLE)))
+                   ), 6) AS dsir_weight
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+        )
+"""
+
+_GUMBEL_SQL = """
+            round(-ln(-ln(
+                (CAST(concat('0x', substr(md5(
+                     CAST(doc_id AS VARCHAR) || ':gumbel'), 1, 15))
+                  AS BIGINT) % 1000000 + 0.5) / 1000000.0)), 6)
+"""
+
+
+@query(
+    "cu_dsir_resample",
+    survey=("CU-mix", "CU-sample"),
+    oracle=f"""
+        WITH {_DSIR_SCORED_SQL},
+        keyed AS (
+            SELECT doc_id, dsir_weight,
+                   dsir_weight + {_GUMBEL_SQL} AS sample_key
+            FROM scored
+        )
+        SELECT doc_id, dsir_weight, sample_rank FROM (
+            SELECT doc_id, dsir_weight,
+                   row_number() OVER (
+                       ORDER BY sample_key DESC, doc_id
+                   ) AS sample_rank
+            FROM keyed
+        ) WHERE sample_rank <= 100
+    """,
+)
+def cu_dsir_resample(spark, sf_dir):
+    """The resampling half of DSIR, via the Gumbel-top-k trick: adding
+    independent Gumbel noise to each document's log-weight and taking
+    the global top-k draws a weighted sample WITHOUT replacement
+    proportionally to exp(dsir_weight) — in one pass, no normalizing
+    constant, no rejection loop. The noise is a seeded keyed hash
+    (md5(doc_id:'gumbel') → uniform → −ln(−ln u)), so the "random"
+    sample is a pure function of the corpus: rerun-stable, auditable,
+    and replayed exactly by the oracle.
+
+    Scale shape: scoring is cu_dsir_weights' two shuffles; the top-k
+    is a rank window — at 100 TB swap it for the t04/t05 pattern
+    (per-partition top-k then merge) or a threshold on sample_key from
+    approx_percentile; both documented scale paths of the sort family.
+    Both the weight and the noise are rounded to 6 places BEFORE the
+    sum so the ranking key is bit-identical across engines."""
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+    from bdc_collection_builder_spark.extensions.text import tokens
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("n_src"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
+    )
+    tot = vocab.agg(
+        F.sum("n_src").alias("src_total"),
+        F.sum("n_tgt").alias("tgt_total"),
+        F.count("*").alias("v"),
+    )
+    v = F.col("v").cast("double")
+    ratio = (
+        F.log((F.col("n_tgt") + 1.0) / (F.col("tgt_total") + v))
+        - F.log((F.col("n_src") + 1.0) / (F.col("src_total") + v))
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(ratio), 6).alias("dsir_weight"))
+    )
+    u = (
+        (md5_hash60(F.concat(F.col("doc_id").cast("string"),
+                             F.lit(":gumbel"))) % 1000000)
+        .cast("double") + 0.5
+    ) / 1000000.0
+    gumbel = F.round(-F.log(-F.log(u)), 6)
+    # orderBy().limit() plans as TakeOrderedAndProject — every
+    # partition keeps its local top-100 and the driver merges 100×P
+    # rows; no global sort, no single-partition window over the
+    # corpus. The rank window then runs over the 100 surviving rows.
+    top = (scored.withColumn("sample_key", F.col("dsir_weight") + gumbel)
+           .orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(100))
+    w = Window.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w))
+        .select("doc_id", "dsir_weight", "sample_rank")
+    )
+
+
+from bdc_collection_builder_spark.functions.pixel import (  # noqa: E402
+    synthetic_pixels_oracle,
+)
+
+_ZONAL_PIXELS = synthetic_pixels_oracle(n_scenes=4, height=16, width=16)
+
+
+@query(
+    "px_zonal_stats",
+    survey=("X9", "A8", "X17"),
+    oracle=f"""
+        WITH px AS ({_ZONAL_PIXELS})
+        SELECT scene_id,
+               CAST((y // 8) * 2 + (x // 8) AS BIGINT) AS zone_id,
+               CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(count(CASE WHEN B04 = -9999.0 THEN 1 END) AS BIGINT)
+                 AS n_nodata,
+               round(avg(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END), 4)
+                 AS mean_b04,
+               min(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END)
+                 AS min_b04,
+               max(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END)
+                 AS max_b04
+        FROM px
+        GROUP BY scene_id, (y // 8) * 2 + (x // 8)
+    """,
+)
+def px_zonal_stats(spark, sf_dir):
+    """Zonal statistics — the standard EO summary (per-zone pixel
+    count, nodata count, mean/min/max of a band) the reference's stack
+    delegates to PostGIS raster summaries. Zones here are a regular
+    quadrant grid, so zone assignment is pure integer arithmetic in
+    the projection (zero joins, zero shuffles before the partial agg);
+    irregular polygon zones route through j10's grid-bucketed spatial
+    join to assign zone_id first, then this same aggregate. At 100 TB
+    the partial aggregation combines map-side per (scene, zone) — the
+    output is dimension-sized however large the raster."""
+    from bdc_collection_builder_spark.functions.pixel import (
+        mask_nodata,
+        synthetic_pixels,
+    )
+
+    px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+    zone = (F.floor(F.col("y") / 8) * 2
+            + F.floor(F.col("x") / 8)).cast("bigint")
+    b04 = mask_nodata(F.col("B04"))
+    return (
+        px.select("scene_id", zone.alias("zone_id"), b04.alias("B04"))
+        .groupBy("scene_id", "zone_id")
+        .agg(F.count("*").cast("bigint").alias("n_pixels"),
+             F.sum(F.col("B04").isNull().cast("int")).cast("bigint")
+             .alias("n_nodata"),
+             F.round(F.avg("B04"), 4).alias("mean_b04"),
+             F.min("B04").alias("min_b04"),
+             F.max("B04").alias("max_b04"))
     )

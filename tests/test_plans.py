@@ -82,6 +82,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "ss_ivfpq_topk",         # one-row centroid+codebook attaches
         "cu_dsir_weights",       # one-row vocab-total attach
         "tx_ccnet_buckets",      # one-row vocab-total attach
+        "cu_dsir_resample",      # one-row vocab-total attach
     }
     offenders = {}
     for name, fn in all_queries().items():
