@@ -457,3 +457,37 @@ def a17_stats_suite(spark, sf_dir):
             .alias("price_per_qty"),
         )
     )
+
+
+@query(
+    "a18_hll_rollup",
+    survey=("A4", "A5", "Y1"),
+    # Rows-only: DataSketches HLL binaries are engine-specific (DuckDB
+    # has no compatible sketch type). The companion pytest pins the
+    # two properties that matter: union-of-daily-sketches returns the
+    # IDENTICAL estimate as a single full-pass sketch (mergeability),
+    # and the estimate lands within the documented error of the exact
+    # distinct count that oracle-checked a04/a11 compute.
+)
+def a18_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — the pattern that makes 100 TB distinct
+    counting incremental: per-day HLL sketches are built once (a
+    partial-agg over each day's partition), persisted dimension-sized,
+    and any coarser period (week/month/all-time) is answered by
+    hll_union_agg over the tiny sketch table — ZERO rescans of the
+    event log, register-max merge is associative and commutative so
+    late-arriving days just union in. The streaming twin drops the
+    same sketches per trigger. approx_count_distinct (a11) gives one
+    fused number; this keeps the REUSABLE intermediate."""
+    events = t(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+        .groupBy("day", "event_type")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_days"),
+             F.hll_sketch_estimate(F.hll_union_agg("sk"))
+             .cast("bigint").alias("approx_users"))
+    )

@@ -567,3 +567,32 @@ def test_ivfpq_ann_recall_and_candidate_pruning(spark, sf_dir):
     for r in approx:
         per_q.setdefault(r.query_id, set()).add(r.rank)
     assert all(ranks == {1, 2, 3, 4, 5} for ranks in per_q.values())
+
+
+def test_hll_rollup_merge_equals_single_pass(spark, sf_dir):
+    """Union of per-day HLL sketches must return the IDENTICAL
+    estimate as one full-pass sketch (register-max merge losslessness)
+    and land within 5% of the exact distinct count."""
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    all_queries()
+    rolled = {r.event_type: r.approx_users
+              for r in QUERY_REGISTRY["a18_hll_rollup"]
+              .spark_fn(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events")
+    single = {r.event_type: r.approx for r in
+              events.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id", 12))
+                  .cast("bigint").alias("approx")).collect()}
+    exact = {r.event_type: r.n for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert rolled == single, "daily-union estimate != full-pass estimate"
+    for et, est in rolled.items():
+        assert abs(est - exact[et]) <= 0.05 * exact[et] + 2, (
+            et, est, exact[et])
