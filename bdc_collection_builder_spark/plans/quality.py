@@ -1,0 +1,159 @@
+"""Data-quality queries: one-pass table profiling and declarative
+expectation checks — the validation stage every production pipeline
+runs before publishing a batch (the reference validates per-file with
+is_valid_compressed/BDCCatalog constraints, collection_builder
+utils.py; here validation is set-level and declarative).
+
+Both queries are single-scan: profiling fuses every column's
+statistics into ONE aggregate (no per-column scans), expectations
+evaluate all rules as conditional counts in ONE aggregate — at 100 TB
+each costs exactly one pass over the table, combiner-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+
+@query(
+    "dq_table_profile",
+    survey=("A4", "A7", "A8"),
+    oracle="""
+        SELECT 'doc_id' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               CAST(min(doc_id) AS DOUBLE) AS min_val,
+               CAST(max(doc_id) AS DOUBLE) AS max_val
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(count(*) AS BIGINT),
+               CAST(count(n_chars) AS BIGINT),
+               CAST(count(DISTINCT n_chars) AS BIGINT),
+               CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(count(*) AS BIGINT),
+               CAST(count(lang) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT),
+               NULL, NULL
+        FROM documents
+        UNION ALL
+        SELECT 'source', CAST(count(*) AS BIGINT),
+               CAST(count(source) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT),
+               NULL, NULL
+        FROM documents
+    """,
+)
+def dq_table_profile(spark, sf_dir):
+    """Column profile (rows / non-null / distinct / min / max per
+    column) computed in ONE aggregate over ONE scan — the stats a
+    cost-based planner or a data catalog publishes per table. The
+    oracle spells it as four UNION'd per-column aggregates; the engine
+    fuses them: Catalyst evaluates all 16 aggregate expressions in a
+    single partial-agg pass, then a 1×16 row is unpivoted to the
+    per-column layout with ``stack`` (map-only). Profiling a 100 TB
+    table therefore costs the same scan a single count(*) does."""
+    docs = t(spark, sf_dir, "documents")
+    wide = docs.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("doc_id").cast("bigint").alias("nn_doc_id"),
+        F.countDistinct("doc_id").cast("bigint").alias("nd_doc_id"),
+        F.min("doc_id").cast("double").alias("min_doc_id"),
+        F.max("doc_id").cast("double").alias("max_doc_id"),
+        F.count("n_chars").cast("bigint").alias("nn_n_chars"),
+        F.countDistinct("n_chars").cast("bigint").alias("nd_n_chars"),
+        F.min("n_chars").cast("double").alias("min_n_chars"),
+        F.max("n_chars").cast("double").alias("max_n_chars"),
+        F.count("lang").cast("bigint").alias("nn_lang"),
+        F.countDistinct("lang").cast("bigint").alias("nd_lang"),
+        F.count("source").cast("bigint").alias("nn_source"),
+        F.countDistinct("source").cast("bigint").alias("nd_source"),
+    )
+    return wide.select(F.expr("""
+        stack(4,
+          'doc_id',  n_rows, nn_doc_id,  nd_doc_id,  min_doc_id,
+                     max_doc_id,
+          'n_chars', n_rows, nn_n_chars, nd_n_chars, min_n_chars,
+                     max_n_chars,
+          'lang',    n_rows, nn_lang,    nd_lang,    CAST(NULL AS DOUBLE),
+                     CAST(NULL AS DOUBLE),
+          'source',  n_rows, nn_source,  nd_source,  CAST(NULL AS DOUBLE),
+                     CAST(NULL AS DOUBLE)
+        ) AS (column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)
+    """))
+
+
+@query(
+    "dq_expectations",
+    survey=("F1", "F9", "A7"),
+    oracle="""
+        SELECT 'doc_id_not_null' AS rule,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CAST(count(*) AS BIGINT) AS n_checked
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars_positive',
+               CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'lang_in_domain',
+               CAST(sum(CASE WHEN lang NOT IN
+                    ('en','de','es','fr','zh') THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars_matches_text',
+               CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'doc_id_unique',
+               CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM documents
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Declarative expectation checks (not-null, range, domain,
+    cross-column consistency, key uniqueness) — the publish gate the
+    reference enforces row-by-row through SQLAlchemy constraints,
+    evaluated here set-wide as conditional counts fused into ONE
+    single-scan aggregate. Uniqueness rides the same pass as
+    count(*) − count(distinct key). Violation ROW EXTRACTION (which
+    rows broke the rule) is the same predicates in a filter — cheap
+    because the expensive question (how many / which rules) was
+    answered without a shuffle per rule."""
+    docs = t(spark, sf_dir, "documents")
+    n = F.count("*").cast("bigint")
+    wide = docs.agg(
+        n.alias("n_checked"),
+        F.sum(F.col("doc_id").isNull().cast("int")).cast("bigint")
+        .alias("v_notnull"),
+        F.sum((F.col("n_chars") <= 0).cast("int")).cast("bigint")
+        .alias("v_positive"),
+        F.sum((~F.col("lang").isin("en", "de", "es", "fr", "zh"))
+              .cast("int")).cast("bigint").alias("v_domain"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("int"))
+        .cast("bigint").alias("v_consistent"),
+        (F.count("*") - F.countDistinct("doc_id")).cast("bigint")
+        .alias("v_unique"),
+    )
+    return wide.select(F.expr("""
+        stack(5,
+          'doc_id_not_null',      v_notnull,    n_checked,
+          'n_chars_positive',     v_positive,   n_checked,
+          'lang_in_domain',       v_domain,     n_checked,
+          'n_chars_matches_text', v_consistent, n_checked,
+          'doc_id_unique',        v_unique,     n_checked
+        ) AS (rule, n_violations, n_checked)
+    """))

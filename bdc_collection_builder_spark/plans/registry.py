@@ -61,6 +61,7 @@ def _load_all() -> None:
         joins,
         layout,
         pixels,
+        quality,
         scalars,
         setops,
         sorts,
