@@ -596,3 +596,61 @@ def test_hll_rollup_merge_equals_single_pass(spark, sf_dir):
     for et, est in rolled.items():
         assert abs(est - exact[et]) <= 0.05 * exact[et] + 2, (
             et, est, exact[et])
+
+
+def test_span_dedup_edges(spark):
+    """Documents shorter than the 8-token window drop out entirely;
+    a span duplicated only WITHIN one document does not count as
+    corpus-duplicated (cross-doc semantics)."""
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    fn = QUERY_REGISTRY["tx_span_dedup"].spark_fn
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            (1, "too short to span"),                       # < 8 tokens
+            (2, "a b c d e f g h a b c d e f g h"),         # self-repeat
+            (3, "one two three four five six seven eight"),  # unique
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .withColumn("lang", F.lit("en")) \
+            .withColumn("source", F.lit("s")) \
+            .withColumn("n_chars", F.length("text")) \
+            .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in fn(spark, d).collect()}
+        assert 1 not in out, "sub-window doc must not appear"
+        # doc 2 repeats its own 8-gram; no OTHER doc shares it
+        assert out[2].n_dup_spans == 0
+        assert out[3].n_dup_spans == 0
+
+
+def test_dsir_weights_defined_without_target_docs(spark):
+    """Add-one smoothing keeps DSIR weights finite when the target
+    slice is empty (no 'en' documents): every token backs off to the
+    uniform 1/(0+V) target probability."""
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    fn = QUERY_REGISTRY["cu_dsir_weights"].spark_fn
+
+    import math
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(1, "alpha beta", "de"), (2, "beta gamma", "fr")]
+        spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+            .withColumn("source", F.lit("s")) \
+            .withColumn("n_chars", F.length("text")) \
+            .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = fn(spark, d).collect()
+        assert len(out) == 2
+        assert all(math.isfinite(r.dsir_weight) for r in out)
