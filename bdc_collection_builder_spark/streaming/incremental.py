@@ -167,3 +167,43 @@ def incremental_dedup(spark: SparkSession, incoming_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hll_sketches(spark: SparkSession, events_dir: str,
+                           checkpoint_dir: str, out_dir: str):
+    """The streaming twin of a18_hll_rollup: every trigger builds
+    per-(day, event_type) HLL sketches over JUST the newly arrived
+    files and APPENDS them to a sketch table. Because register-max
+    union is associative/commutative/idempotent over sketch rows, the
+    rollup query (``hll_union_agg`` over ``out_dir``) returns the same
+    estimate no matter how arrival chopped the data into triggers —
+    distinct-counting becomes an O(sketch-table) incremental read, the
+    event log is never rescanned. At-least-once file redelivery only
+    duplicates sketch rows, which union absorbs (idempotent by the
+    same property)."""
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+
+    def sketch_batch(batch: DataFrame, epoch_id: int) -> None:
+        (batch.select(F.to_date("ts").alias("day"), "event_type", "user_id")
+         .groupBy("day", "event_type")
+         .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+         .write.mode("append").parquet(out_dir))
+
+    return (
+        stream.writeStream
+        .foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_rollup_estimate(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Distinct-user estimate per event_type from the persisted sketch
+    table alone (no event-log scan)."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+             .cast("bigint").alias("approx_users"))
+    )

@@ -219,3 +219,46 @@ def test_checkpoint_restart_skips_committed_batches(spark, tmp_path):
     # only the new file's rows flowed — wave 1's committed batch did not
     assert sum(seen) == fx["items"].count()
     assert counting.read("items").count() == fx["items"].count()
+
+
+def test_streaming_hll_sketches_match_batch_rollup(spark, tmp_path, sf_dir):
+    """Sketches built per-trigger over a chopped-up stream must union
+    to the IDENTICAL estimate as one batch pass over all events —
+    including after a redelivered (duplicate) wave, which register-max
+    union absorbs."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        hll_rollup_estimate,
+        streaming_hll_sketches,
+    )
+
+    events = load_table(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    events_dir = str(tmp_path / "ev_hll")
+    # two waves = at least two files for the stream to chop on
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(events_dir)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(events_dir)
+
+    out_dir = str(tmp_path / "sketches")
+    q = streaming_hll_sketches(spark, events_dir,
+                               str(tmp_path / "ckpt_hll"), out_dir)
+    q.awaitTermination(120)
+
+    batch = {r.event_type: r.approx for r in
+             events.groupBy("event_type")
+             .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12))
+                  .cast("bigint").alias("approx")).collect()}
+    streamed = {r.event_type: r.approx_users
+                for r in hll_rollup_estimate(spark, out_dir).collect()}
+    assert streamed == batch
+
+    # redelivery: append a duplicate sketch wave; estimates must not
+    # move (idempotent union). Materialize before appending so the
+    # read plan doesn't list its own in-flight output.
+    dup = spark.createDataFrame(spark.read.parquet(out_dir).collect())
+    dup.write.mode("append").parquet(out_dir)
+    redelivered = {r.event_type: r.approx_users
+                   for r in hll_rollup_estimate(spark, out_dir).collect()}
+    assert redelivered == batch
