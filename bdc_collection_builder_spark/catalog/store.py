@@ -102,6 +102,38 @@ class CatalogStore:
         return self.spark.read.schema(SCHEMAS[table]).parquet(
             os.path.join(self.path(table), gen))
 
+    def optimize(self, table: str, target_bytes: int = 128 * 1024 * 1024,
+                 zorder_by: list[str] | None = None) -> str:
+        """Lakehouse OPTIMIZE: rewrite the current snapshot into a NEW
+        generation — contents identical, layout better. Small files
+        from streaming merges bin-pack to ~``target_bytes``;
+        ``zorder_by`` additionally clusters along the Z-curve of the
+        given columns so min/max footer stats prune multi-column
+        predicates. Because the rewrite is just another MVCC commit,
+        readers pinned to the old generation are untouched and the
+        flip is atomic; retention expires the fragmented layout like
+        any superseded snapshot. Returns the new generation id."""
+        from bdc_collection_builder_spark.operators.layout import (
+            cluster_by_zorder,
+        )
+
+        data = self.data_path(table)
+        if data is None:
+            raise KeyError(f"{table}: nothing to optimize")
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, names in os.walk(data)
+            for f in names if f.endswith(".parquet")
+        )
+        n_bins = max(1, -(-total // target_bytes))
+        df = self.read(table)
+        if zorder_by:
+            df = cluster_by_zorder(df, zorder_by, n_bins)
+        else:
+            df = df.repartition(n_bins)
+        self._commit(table, df)
+        return self._current_gen(table)
+
     def changes_between(self, table: str, gen_from: str,
                         gen_to: str) -> DataFrame:
         """Change data feed between two retained snapshots: each row of

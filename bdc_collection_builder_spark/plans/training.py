@@ -423,3 +423,44 @@ def px_zonal_stats(spark, sf_dir):
              F.min("B04").alias("min_b04"),
              F.max("B04").alias("max_b04"))
     )
+
+
+@query(
+    "cu_reservoir_per_group",
+    survey=("CU-sample",),
+    oracle="""
+        SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(concat('0x', substr(md5(
+                           CAST(doc_id AS VARCHAR) || ':reservoir'), 1, 15))
+                         AS BIGINT), doc_id
+                   ) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 5
+    """,
+)
+def cu_reservoir_per_group(spark, sf_dir):
+    """Exact-k per-group sampling ("take k docs per source") — the
+    deterministic reservoir: rank each group by a salted keyed hash
+    and keep the first k. Equivalent in distribution to a uniform
+    reservoir sample but rerun-stable and mergeable: because the hash
+    order is a pure function of the key, re-running over a GROWN
+    corpus keeps a document sampled until k better-hashed newcomers
+    displace it — no RNG state, no resample churn. One shuffle on the
+    group key; the rank window never sees more than a group. The
+    fraction-based twin is cu_stratified_sample; this is the exact-k
+    contract."""
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    hkey = md5_hash60(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":reservoir")))
+    w = Window.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select("doc_id", "source", "sample_rank")
+    )

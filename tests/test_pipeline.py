@@ -428,3 +428,33 @@ def test_cdf_incremental_view_maintenance(spark, tmp_path, fixtures):
     want = {r.activity_type: r.n for r in recomputed.collect()}
     assert got == want
     assert got.get("archive") == 5
+
+
+def test_store_optimize_compacts_without_changing_data(spark, tmp_path,
+                                                       fixtures):
+    """OPTIMIZE rewrites the snapshot into fewer files as a new MVCC
+    generation: row set identical, file count reduced, prior
+    generation still readable (pinned readers unaffected)."""
+    import glob
+
+    s = CatalogStore(spark, str(tmp_path / "opt"))
+    # fragment: commit items with many tiny files
+    s.overwrite("items", fixtures["items"].repartition(16))
+    g1 = s.snapshots("items")[-1]
+    n_files_before = len(glob.glob(
+        f"{s.data_path('items')}/*.parquet"))
+    assert n_files_before >= 16
+    before = sorted(map(tuple, s.read("items").collect()))
+
+    g2 = s.optimize("items")
+    assert g2 != g1
+    n_files_after = len(glob.glob(f"{s.data_path('items')}/*.parquet"))
+    assert n_files_after < n_files_before
+    assert sorted(map(tuple, s.read("items").collect())) == before
+    # time travel still sees the fragmented snapshot
+    assert s.read_at("items", g1).count() == len(before)
+
+    # z-order variant keeps contents identical too
+    g3 = s.optimize("items", zorder_by=["collection_id", "cloud_cover"])
+    assert g3 != g2
+    assert sorted(map(tuple, s.read("items").collect())) == before
