@@ -522,3 +522,34 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
                  .join(labels.select("doc_id"), "doc_id", "left_anti")
                  .withColumn("component_id", F.col("doc_id")))
     return labels.unionByName(mins_only)
+
+
+def banded_signatures(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      n_hashes: int = 32, bands: int = 8):
+    """(shingle_table, banded_table) for ``docs`` on the PRODUCTION
+    hash path — the reusable front half of :func:`minhash_lsh_pairs`
+    (same shingling, same signature family, same 8-byte xxhash64 band
+    keys), exposed so INCREMENTAL consumers (streaming near-dedup) can
+    persist the two tables and probe them batch-by-batch instead of
+    recomputing the corpus. Returns
+    ``(sh: (doc_id, shingle-hash), banded: (doc_id, band, band_key))``.
+    """
+    rows_per_band = n_hashes // bands
+    sh = shingles(docs, text_col, id_col, k, hashed=True)
+    sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.xxhash64(*[
+                        F.col("signature")[band * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]).alias("band_key"))
+                for band in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+    return sh, banded

@@ -207,3 +207,114 @@ def hll_rollup_estimate(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
              .cast("bigint").alias("approx_users"))
     )
+
+
+def incremental_near_dedup(spark: SparkSession, incoming_dir: str,
+                           state_dir: str, out_dir: str,
+                           checkpoint_dir: str, threshold: float = 0.5,
+                           id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming NEAR-duplicate dedup — the incremental face of
+    dd_minhash_lsh_pairs for continuously-arriving corpora.
+
+    The accepted-corpus state is two parquet tables under
+    ``state_dir``: the shingle-hash table and the banded MinHash
+    signatures (exactly what the batch operator computes, persisted
+    instead of recomputed). Per micro-batch:
+
+    1. within-batch near-dups collapse first (batch LSH pairs; the
+       lower doc_id survives — conservative on chains, documented),
+    2. survivors probe the persisted band table with an EQUI-join on
+       (band, band_key) — cost ∝ colliding candidates, never
+       batch × corpus,
+    3. candidates verify with exact Jaccard against the persisted
+       shingle table; docs at/above ``threshold`` are dropped as dups,
+    4. accepted docs append to ``out_dir`` AND to both state tables.
+
+    At-least-once redelivery is safe with NO dedup-specific bookkeeping:
+    a redelivered accepted doc collides with its own banded signature,
+    verifies at Jaccard 1.0 against its own shingles, and drops as a
+    dup. At 100 TB the state tables are hash-bucketed on band_key /
+    shingle so both probe joins co-locate; no streaming state store —
+    restart replays only uncommitted files."""
+    from pyspark.sql.utils import AnalysisException
+
+    from bdc_collection_builder_spark.extensions.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs,
+    )
+
+    bands_dir = f"{state_dir}/bands"
+    shingles_dir = f"{state_dir}/shingles"
+
+    stream = (
+        spark.readStream
+        .schema(f"{id_col} long, {text_col} string")
+        .parquet(incoming_dir)
+    )
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        ss = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        # 1. collapse within-batch near-dups (keep the lower doc_id)
+        pairs = minhash_lsh_pairs(batch, text_col=text_col, id_col=id_col,
+                                  threshold=threshold)
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        survivors = batch.join(losers, id_col, "left_anti")
+        sh_new, banded_new = banded_signatures(
+            survivors, text_col=text_col, id_col=id_col)
+        sh_new = sh_new.persist()
+        banded_new = banded_new.persist()
+        try:
+            state_bands = ss.read.parquet(bands_dir)
+            state_sh = ss.read.parquet(shingles_dir)
+        except AnalysisException:       # first batch: empty state
+            state_bands = None
+            state_sh = None
+        if state_bands is not None:
+            # 2. bucket-probe: new docs vs accepted corpus
+            cand = (
+                banded_new.join(
+                    state_bands
+                    .withColumnRenamed("doc_id", "old_id"),
+                    ["band", "band_key"])
+                .select("doc_id", "old_id").distinct()
+            )
+            # 3. exact-Jaccard verify against persisted shingles
+            sh_old = state_sh.withColumnRenamed("doc_id", "old_id")
+            n_new = sh_new.groupBy("doc_id").agg(
+                F.count("*").alias("n_a"))
+            n_old = sh_old.groupBy("old_id").agg(
+                F.count("*").alias("n_b"))
+            common = (
+                cand.join(sh_new, "doc_id")
+                .join(sh_old, ["old_id", "shingle"])
+                .groupBy("doc_id", "old_id")
+                .agg(F.count("*").alias("n_common"))
+            )
+            jac = (F.col("n_common")
+                   / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            dup_ids = (
+                common.join(n_new, "doc_id").join(n_old, "old_id")
+                .filter(jac >= threshold)
+                .select(id_col).distinct()
+            )
+            accepted = survivors.join(dup_ids, id_col, "left_anti")
+        else:
+            accepted = survivors
+        acc_ids = accepted.select(id_col)
+        # 4. append accepted docs + their state rows
+        accepted.write.mode("append").parquet(out_dir)
+        banded_new.join(acc_ids, id_col).write.mode("append") \
+            .parquet(bands_dir)
+        sh_new.join(acc_ids, id_col).write.mode("append") \
+            .parquet(shingles_dir)
+        sh_new.unpersist()
+        banded_new.unpersist()
+
+    return (
+        stream.writeStream
+        .foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

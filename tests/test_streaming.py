@@ -262,3 +262,66 @@ def test_streaming_hll_sketches_match_batch_rollup(spark, tmp_path, sf_dir):
     redelivered = {r.event_type: r.approx_users
                    for r in hll_rollup_estimate(spark, out_dir).collect()}
     assert redelivered == batch
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path, sf_dir):
+    """Near-copies arriving in a LATER wave must be dropped against the
+    persisted LSH state (not just within-batch), fresh docs accepted,
+    and a redelivered wave must add nothing (self-collision at
+    Jaccard 1.0)."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_near_dedup,
+    )
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").filter(F.col("doc_id") < 60))
+    incoming = str(tmp_path / "nd_in")
+    # wave 1: base corpus
+    docs.coalesce(1).write.mode("overwrite").parquet(incoming)
+    # wave 2: near-copies of every 10th doc + genuinely fresh docs
+    near = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.concat("text", F.lit(" xy zz wq")).alias("text")))
+    fresh = spark.createDataFrame(
+        [(2000000, "completely novel content nothing shares these "
+                   "tokens qqq www eee rrr ttt yyy uuu iii")],
+        "doc_id long, text string")
+    near.unionByName(fresh).coalesce(1).write.mode("append") \
+        .parquet(incoming)
+
+    state = str(tmp_path / "nd_state")
+    out = str(tmp_path / "nd_out")
+    q = incremental_near_dedup(spark, incoming, state, out,
+                               str(tmp_path / "nd_ckpt"))
+    q.awaitTermination(180)
+
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    n_planted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    planted = {r.doc_id + 1000000
+               for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    assert n_planted > 0
+    # every planted near-copy was dropped; the fresh doc survived
+    assert not (accepted & planted), "near-copies crossed the state"
+    assert 2000000 in accepted
+    # base docs accepted EXCEPT those the batch operator itself calls
+    # within-corpus near-dups (lower id wins) — streaming must agree
+    # with the batch semantics on wave 1
+    from bdc_collection_builder_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    batch_losers = {r.doc_b for r in
+                    minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    base_ids = {r.doc_id for r in docs.collect()}
+    assert (base_ids - batch_losers) <= accepted
+    assert not (accepted & batch_losers), \
+        "within-batch near-dups must not be accepted"
+
+    # redelivery: re-run the SAME files under a fresh checkpoint; the
+    # accepted set must not grow (every doc self-collides in state)
+    n_before = spark.read.parquet(out).count()
+    q2 = incremental_near_dedup(spark, incoming, state, out,
+                                str(tmp_path / "nd_ckpt2"))
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == n_before
