@@ -791,3 +791,42 @@ def st_incremental_dedup(spark, sf_dir):
         spark.read.parquet(f"{scratch}/out")
         .select("content_hash").orderBy("content_hash")
     )
+
+
+@query(
+    "st_incremental_near_dedup",
+    survey=("Y3", "Y5", "DD-minhash"),
+)
+def st_incremental_near_dedup(spark, sf_dir):
+    """Streaming NEAR-dup dedup against a persisted LSH state
+    (streaming/incremental.incremental_near_dedup): the documents table
+    plus planted near-copies (every 10th doc + ' xy zz wq') drains
+    through an AvailableNow stream; each micro-batch probes the
+    accepted corpus's banded MinHash signatures with an equi-join and
+    verifies candidates with exact Jaccard, so near-copies are dropped
+    whether they arrive in the same batch or a later one. Rows-only:
+    batch chop is engine-specific, but the ACCEPTED id set is pinned
+    by the companion test (tests/test_streaming.py) against the batch
+    operator's pair semantics."""
+    import tempfile
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_near_dedup,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bdc_stream_neardup_")
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").filter(F.col("doc_id") < 60))
+    docs.coalesce(1).write.mode("append").parquet(f"{scratch}/in")
+    (docs.filter(F.col("doc_id") % 10 == 0)
+     .select((F.col("doc_id") + 1000000).alias("doc_id"),
+             F.concat("text", F.lit(" xy zz wq")).alias("text"))
+     .coalesce(1).write.mode("append").parquet(f"{scratch}/in"))
+    q = incremental_near_dedup(spark, f"{scratch}/in", f"{scratch}/state",
+                               f"{scratch}/out", f"{scratch}/ckpt")
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{scratch}/out")
+        .select("doc_id").orderBy("doc_id")
+    )
