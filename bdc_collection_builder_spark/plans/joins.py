@@ -428,3 +428,122 @@ def j11_salted_hot_key_join(spark, sf_dir):
     return (joined.groupBy("label")
             .agg(F.count("*").cast("bigint").alias("n"),
                  F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+
+@query(
+    "j12_shipping_priority",
+    survey=("J1", "T5", "A1"),
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+)
+def j12_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer dim broadcast into
+    orders, lineitem joined on the order key, revenue per order,
+    top-10. The planner stress is filter placement: both date
+    predicates push to the scans (verified by the plan tests'
+    PushedFilters idiom), the customer side collapses to a broadcast
+    after its segment filter, and the top-10 is TakeOrderedAndProject
+    — per-partition heads merged on the driver, no global sort."""
+    cust = (t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      < F.lit("1998-01-01").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate")
+                  > F.lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (
+        orders.join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "j13_regional_supplier_volume",
+    survey=("J1", "J6", "A1"),
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+)
+def j13_regional_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the 6-table join (customer ⋈ orders ⋈ lineitem
+    ⋈ supplier ⋈ nation ⋈ region) with the local-supplier predicate
+    (customer and supplier share a nation). Join-order stress for the
+    planner: region→nation prunes suppliers FIRST (broadcast chain of
+    the three dims), the date filter halves orders at the scan, and
+    the big⋈big edges are lineitem⋈orders and orders⋈customer — two
+    shuffle pairs at any scale (customer is NOT broadcast: at 100 TB
+    it's fact-sized, so that edge is left to Catalyst/AQE, which
+    broadcasts it at small SF and shuffles it at scale). The
+    c_nationkey = s_nationkey correlation applies post-join as a
+    filter on two already-present columns (no extra join edge)."""
+    region = (t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = t(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name")
+    supplier = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name")
+    orders = (t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1998-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust.join(
+            F.broadcast(nation.select(F.col("n_nationkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
