@@ -464,3 +464,70 @@ def cu_reservoir_per_group(spark, sf_dir):
         .filter(F.col("sample_rank") <= 5)
         .select("doc_id", "source", "sample_rank")
     )
+
+
+@query(
+    "mm_av_align",
+    survey=("MM-frames", "TJ-asof"),
+    oracle="""
+        WITH vid AS (
+            SELECT i AS media_id, CAST(i // 3 AS BIGINT) AS gid,
+                   CAST(f AS BIGINT) AS frame_ts_ms
+            FROM range(0, 64) t(i),
+                 unnest(generate_series(
+                     0, greatest(1000 * (i % 30) - 1, 0), 1000)) u(f)
+            WHERE i % 3 = 2
+        ),
+        aud AS (
+            SELECT CAST(i // 3 AS BIGINT) AS gid,
+                   CAST(c AS BIGINT) AS chunk_ts_ms
+            FROM range(0, 64) t(i),
+                 unnest(generate_series(
+                     0, greatest(1000 * (i % 30) - 1, 0), 700)) u(c)
+            WHERE i % 3 = 1
+        )
+        SELECT v.gid, v.media_id, v.frame_ts_ms,
+               a.chunk_ts_ms AS aligned_chunk_ms
+        FROM vid v ASOF LEFT JOIN aud a
+          ON v.gid = a.gid AND a.chunk_ts_ms <= v.frame_ts_ms
+    """,
+)
+def mm_av_align(spark, sf_dir):
+    """Audio/video alignment — for every sampled video frame, the
+    latest audio chunk at or before it within the same media group:
+    the as-of join every multimodal training pipeline runs to pair
+    frames with their soundtrack (and captions with both). Composes
+    two existing operators: the Catalyst frame/chunk fan-out
+    (mm_frame_sample's sequence+explode, no shuffle) and the
+    union+carry-forward as-of join (operators/temporal.asof_join — one
+    shuffle on the group key, no range cross-product). DuckDB replays
+    it with a native ASOF LEFT JOIN, pinning the tie-inclusive
+    backward semantics."""
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        frame_sample_plan,
+        synthetic_media,
+    )
+    from bdc_collection_builder_spark.operators.temporal import asof_join
+
+    media = synthetic_media(spark, n=64)
+    vid = (frame_sample_plan(media, every_ms=1000)
+           .select("media_id",
+                   F.floor(F.col("media_id") / 3).cast("bigint")
+                   .alias("gid"),
+                   F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")))
+    aud = (media.filter(F.col("kind") == "audio")
+           .select(F.floor(F.col("media_id") / 3).cast("bigint")
+                   .alias("gid"),
+                   F.explode(F.sequence(
+                       F.lit(0),
+                       F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                       F.lit(700))).alias("__c"))
+           .select("gid", F.col("__c").cast("bigint")
+                   .alias("chunk_ts_ms")))
+    aligned = asof_join(
+        vid, aud, on=["gid"], left_ts="frame_ts_ms",
+        right_ts="chunk_ts_ms", right_values=[],
+        matched_ts_col="aligned_chunk_ms")
+    return aligned.select("gid", "media_id", "frame_ts_ms",
+                          F.col("aligned_chunk_ms").cast("bigint")
+                          .alias("aligned_chunk_ms"))
