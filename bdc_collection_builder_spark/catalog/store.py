@@ -281,6 +281,23 @@ class PartitionedCatalogStore(CatalogStore):
             self._sub(table, value)._commit(
                 table, df.filter(F.col(pcol) == value))
 
+    def optimize(self, table: str, target_bytes: int = 128 * 1024 * 1024,
+                 zorder_by: list[str] | None = None) -> str:
+        """Partition-scoped OPTIMIZE: each partition's sub-store
+        compacts independently (its own MVCC flip), so a long
+        table-wide optimize never blocks per-partition merges and a
+        crash mid-way leaves every partition either old or new —
+        never mixed. Returns the last partition's new generation id."""
+        if table not in self.partition_cols:
+            return super().optimize(table, target_bytes, zorder_by)
+        gen = None
+        for value in self._partition_values(table):
+            gen = self._sub(table, value).optimize(
+                table, target_bytes, zorder_by)
+        if gen is None:
+            raise KeyError(f"{table}: nothing to optimize")
+        return gen
+
     def merge_upsert(self, table: str, incoming: DataFrame,
                      keys: list[str] | None = None) -> None:
         """Partition-pruned MERGE: only partitions present in the

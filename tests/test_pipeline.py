@@ -458,3 +458,18 @@ def test_store_optimize_compacts_without_changing_data(spark, tmp_path,
     g3 = s.optimize("items", zorder_by=["collection_id", "cloud_cover"])
     assert g3 != g2
     assert sorted(map(tuple, s.read("items").collect())) == before
+
+
+def test_partitioned_store_optimize_per_partition(spark, tmp_path,
+                                                  fixtures):
+    """OPTIMIZE on the partitioned store compacts each partition's
+    sub-table independently; contents unchanged."""
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "popt"))
+    s.overwrite("items", fixtures["items"].repartition(8))
+    before = sorted(map(tuple, s.read("items").collect()))
+    s.optimize("items")
+    assert sorted(map(tuple, s.read("items").collect())) == before
