@@ -139,17 +139,19 @@ class CatalogStore:
         """Change data feed between two retained snapshots: each row of
         the symmetric difference tagged ``insert`` / ``delete`` (an
         update surfaces as delete+insert of the key, like the
-        key-level CDF of the table formats). Computed as two
-        hash-partitioned anti-joins on the full row — no driver
-        collect, no full-table sort; downstream consumers (sync
-        diff S16, incremental caches) apply the feed instead of
-        re-diffing whole tables."""
+        key-level CDF of the table formats). Computed as EXCEPT ALL
+        both ways — null-safe (an unchanged row with NULL fields is
+        NOT a change, which a plain anti-join's EqualTo would botch)
+        and bag-correct (duplicate rows diff by multiplicity); one
+        hash-partitioned aggregation each way, no driver collect, no
+        full-table sort. Downstream consumers (sync diff S16,
+        incremental caches) apply the feed instead of re-diffing
+        whole tables."""
         before = self.read_at(table, gen_from)
         after = self.read_at(table, gen_to)
-        cols = before.columns
-        inserted = after.join(before, cols, "left_anti").withColumn(
+        inserted = after.exceptAll(before).withColumn(
             "_change_type", F.lit("insert"))
-        deleted = before.join(after, cols, "left_anti").withColumn(
+        deleted = before.exceptAll(after).withColumn(
             "_change_type", F.lit("delete"))
         return inserted.unionByName(deleted)
 

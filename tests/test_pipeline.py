@@ -473,3 +473,22 @@ def test_partitioned_store_optimize_per_partition(spark, tmp_path,
     before = sorted(map(tuple, s.read("items").collect()))
     s.optimize("items")
     assert sorted(map(tuple, s.read("items").collect())) == before
+
+
+def test_cdf_null_fields_are_not_changes(spark, tmp_path, fixtures):
+    """A row whose fields include NULL must not appear in the feed if
+    it did not change (null-safe diff), and duplicate rows diff by
+    multiplicity (bag semantics)."""
+    s = CatalogStore(spark, str(tmp_path / "cdfnull"))
+    base = (fixtures["items"].limit(4)
+            .withColumn("cloud_cover",
+                        F.lit(None).cast("double")))
+    s.overwrite("items", base)
+    g1 = s.snapshots("items")[-1]
+    s.append("items", fixtures["items"].limit(1)
+             .withColumn("name", F.lit("brand-new-item")))
+    g2 = s.snapshots("items")[-1]
+    feed = s.changes_between("items", g1, g2).collect()
+    assert len(feed) == 1
+    assert feed[0]._change_type == "insert"
+    assert feed[0].name == "brand-new-item"
