@@ -294,11 +294,53 @@ class PartitionedCatalogStore(CatalogStore):
             return super().optimize(table, target_bytes, zorder_by)
         gen = None
         for value in self._partition_values(table):
-            gen = self._sub(table, value).optimize(
-                table, target_bytes, zorder_by)
+            pcol = self.partition_cols[table]
+            gen = (f"{pcol}={value}/"
+                   + self._sub(table, value).optimize(
+                       table, target_bytes, zorder_by))
         if gen is None:
             raise KeyError(f"{table}: nothing to optimize")
         return gen
+
+    def snapshots(self, table: str) -> list[str]:
+        """Partitioned tables version PER PARTITION (each partition is
+        its own MVCC table), so snapshot ids carry the partition
+        prefix: ``'<pcol>=<value>/gen-…'``. A table-wide snapshot id
+        does not exist by design — commits touch one partition at a
+        time, exactly so a merge never rewrites the others."""
+        if table not in self.partition_cols:
+            return super().snapshots(table)
+        pcol = self.partition_cols[table]
+        return [
+            f"{pcol}={value}/{gen}"
+            for value in self._partition_values(table)
+            for gen in self._sub(table, value).snapshots(table)
+        ]
+
+    def read_at(self, table: str, gen: str) -> DataFrame:
+        if table not in self.partition_cols:
+            return super().read_at(table, gen)
+        if "/" not in gen:
+            raise KeyError(
+                f"{table} is partitioned: pass a partition-scoped "
+                f"snapshot id ('<pcol>=<value>/gen-…') from snapshots()")
+        prefix, sub_gen = gen.split("/", 1)
+        value = prefix.split("=", 1)[1]
+        return self._sub(table, value).read_at(table, sub_gen)
+
+    def changes_between(self, table: str, gen_from: str,
+                        gen_to: str) -> DataFrame:
+        if table not in self.partition_cols:
+            return super().changes_between(table, gen_from, gen_to)
+        p_from, g_from = gen_from.split("/", 1)
+        p_to, g_to = gen_to.split("/", 1)
+        if p_from != p_to:
+            raise ValueError(
+                f"{table}: change feed spans partitions "
+                f"({p_from} vs {p_to}) — diff each partition "
+                f"against its own history")
+        value = p_from.split("=", 1)[1]
+        return self._sub(table, value).changes_between(table, g_from, g_to)
 
     def merge_upsert(self, table: str, incoming: DataFrame,
                      keys: list[str] | None = None) -> None:

@@ -524,9 +524,10 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
     return labels.unionByName(mins_only)
 
 
-def banded_signatures(docs: DataFrame, text_col: str = "text",
+def banded_signatures(docs: DataFrame | None = None, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5,
-                      n_hashes: int = 32, bands: int = 8):
+                      n_hashes: int = 32, bands: int = 8,
+                      sh: DataFrame | None = None):
     """(shingle_table, banded_table) for ``docs`` on the PRODUCTION
     hash path — the reusable front half of :func:`minhash_lsh_pairs`
     (same shingling, same signature family, same 8-byte xxhash64 band
@@ -534,9 +535,14 @@ def banded_signatures(docs: DataFrame, text_col: str = "text",
     persist the two tables and probe them batch-by-batch instead of
     recomputing the corpus. Returns
     ``(sh: (doc_id, shingle-hash), banded: (doc_id, band, band_key))``.
+
+    Pass a precomputed ``sh`` (doc_id, shingle-hash) to derive the
+    signatures from it instead of re-shingling ``docs`` — the hook
+    callers use to inject fallback shingles for sub-``k``-token docs.
     """
     rows_per_band = n_hashes // bands
-    sh = shingles(docs, text_col, id_col, k, hashed=True)
+    if sh is None:
+        sh = shingles(docs, text_col, id_col, k, hashed=True)
     sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
     banded = sig.select(
         "doc_id",

@@ -150,6 +150,14 @@ def cu_dsir_weights(spark, sf_dir):
     source and target counts in a single pass (no second scan for the
     target slice), one token-keyed join + doc-keyed partial agg for
     scoring, totals attached as a one-row broadcast."""
+    return _dsir_scored(spark, sf_dir)
+
+
+def _dsir_scored(spark, sf_dir):
+    """Shared DSIR scoring pipeline — the single source of the weight
+    formula for BOTH cu_dsir_weights and cu_dsir_resample (mirroring
+    how their oracles share _DSIR_SCORED_SQL). Returns
+    (doc_id, n_tokens, dsir_weight)."""
     from bdc_collection_builder_spark.extensions.text import tokens
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -322,32 +330,9 @@ def cu_dsir_resample(spark, sf_dir):
     Both the weight and the noise are rounded to 6 places BEFORE the
     sum so the ranking key is bit-identical across engines."""
     from bdc_collection_builder_spark.extensions.dedup import md5_hash60
-    from bdc_collection_builder_spark.extensions.text import tokens
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(
-        F.count("*").alias("n_src"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_tgt"),
-    )
-    tot = vocab.agg(
-        F.sum("n_src").alias("src_total"),
-        F.sum("n_tgt").alias("tgt_total"),
-        F.count("*").alias("v"),
-    )
-    v = F.col("v").cast("double")
-    ratio = (
-        F.log((F.col("n_tgt") + 1.0) / (F.col("tgt_total") + v))
-        - F.log((F.col("n_src") + 1.0) / (F.col("src_total") + v))
-    )
-    scored = (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(F.round(F.avg(ratio), 6).alias("dsir_weight"))
-    )
+    scored = _dsir_scored(spark, sf_dir).select("doc_id", "dsir_weight")
     u = (
         (md5_hash60(F.concat(F.col("doc_id").cast("string"),
                              F.lit(":gumbel"))) % 1000000)

@@ -219,28 +219,39 @@ def incremental_near_dedup(spark: SparkSession, incoming_dir: str,
     The accepted-corpus state is two parquet tables under
     ``state_dir``: the shingle-hash table and the banded MinHash
     signatures (exactly what the batch operator computes, persisted
-    instead of recomputed). Per micro-batch:
+    instead of recomputed — ONE shingle/signature pass per batch feeds
+    both the within-batch pair check and the state probe). Per
+    micro-batch:
 
-    1. within-batch near-dups collapse first (batch LSH pairs; the
-       lower doc_id survives — conservative on chains, documented),
-    2. survivors probe the persisted band table with an EQUI-join on
+    1. shingle + sign the whole batch once; docs shorter than the
+       shingle width get a degenerate whole-text shingle so they still
+       enter state (their near-dup detection honestly degrades to
+       exact-text match),
+    2. within-batch near-dups collapse (band-bucket candidates +
+       exact-Jaccard verify; the lower doc_id survives — conservative
+       on chains, documented),
+    3. survivors probe the persisted band table with an EQUI-join on
        (band, band_key) — cost ∝ colliding candidates, never
-       batch × corpus,
-    3. candidates verify with exact Jaccard against the persisted
-       shingle table; docs at/above ``threshold`` are dropped as dups,
-    4. accepted docs append to ``out_dir`` AND to both state tables.
+       batch × corpus — and candidates verify with exact Jaccard
+       against the persisted shingle table; docs at/above
+       ``threshold`` are dropped as dups,
+    4. accepted docs append to ``out_dir`` and both state tables,
+       each append anti-joined against what that sink ALREADY holds.
 
-    At-least-once redelivery is safe with NO dedup-specific bookkeeping:
-    a redelivered accepted doc collides with its own banded signature,
-    verifies at Jaccard 1.0 against its own shingles, and drops as a
-    dup. At 100 TB the state tables are hash-bucketed on band_key /
-    shingle so both probe joins co-locate; no streaming state store —
-    restart replays only uncommitted files."""
+    At-least-once redelivery is safe at every crash point: the
+    per-sink anti-joins make all three appends idempotent (a replayed
+    epoch re-derives the same accepted set — self-matches in state are
+    excluded from the dup test since doc ids are stable — and then
+    appends nothing new), and the state tables are deduped at read so
+    even a torn double-append cannot skew a Jaccard verdict. At
+    100 TB the state tables are hash-bucketed on band_key / shingle so
+    the probe joins co-locate; no streaming state store — restart
+    replays only uncommitted files."""
     from pyspark.sql.utils import AnalysisException
 
     from bdc_collection_builder_spark.extensions.dedup import (
         banded_signatures,
-        minhash_lsh_pairs,
+        shingles,
     )
 
     bands_dir = f"{state_dir}/bands"
@@ -252,64 +263,103 @@ def incremental_near_dedup(spark: SparkSession, incoming_dir: str,
         .parquet(incoming_dir)
     )
 
+    def read_or_none(ss, path):
+        try:
+            return ss.read.parquet(path)
+        except AnalysisException:       # first batch: sink not created
+            return None
+
+    def verified_pairs(cand, sh_a, sh_b):
+        """Exact-Jaccard >= threshold over candidate (doc_id, old_id)
+        pairs, shingle tables keyed doc_id / old_id."""
+        n_a = sh_a.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+        n_b = sh_b.groupBy("old_id").agg(F.count("*").alias("n_b"))
+        common = (
+            cand.join(sh_a, "doc_id")
+            .join(sh_b, ["old_id", "shingle"])
+            .groupBy("doc_id", "old_id")
+            .agg(F.count("*").alias("n_common"))
+        )
+        jac = (F.col("n_common")
+               / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        # round like the batch operator (minhash_lsh_pairs) so the
+        # streaming verdicts match it doc-for-doc at the boundary
+        return (common.join(n_a, "doc_id").join(n_b, "old_id")
+                .filter(F.round(jac, 4) >= threshold))
+
     def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
         ss = batch.sparkSession
         batch = batch.dropDuplicates([id_col])
-        # 1. collapse within-batch near-dups (keep the lower doc_id)
-        pairs = minhash_lsh_pairs(batch, text_col=text_col, id_col=id_col,
-                                  threshold=threshold)
-        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        # 1. ONE shingle pass; whole-text fallback for sub-k-token docs
+        sh = shingles(batch, text_col, id_col, hashed=True)
+        fallback = (
+            batch.join(sh.select(id_col).distinct(), id_col, "left_anti")
+            .select(id_col, F.xxhash64(text_col).alias("shingle"))
+        )
+        sh_all, banded_all = banded_signatures(
+            sh=sh.unionByName(fallback), id_col=id_col)
+        sh_all = sh_all.persist()
+        banded_all = banded_all.persist()
+        # 2. within-batch near-dups: lower id wins
+        a = banded_all.alias("a")
+        b = banded_all.alias("b")
+        cand_in = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"b.{id_col}").alias("doc_id"),
+                    F.col(f"a.{id_col}").alias("old_id")).distinct()
+        )
+        sh_as_old = sh_all.withColumnRenamed("doc_id", "old_id")
+        losers = (verified_pairs(cand_in, sh_all, sh_as_old)
+                  .select(F.col("doc_id").alias(id_col)).distinct())
         survivors = batch.join(losers, id_col, "left_anti")
-        sh_new, banded_new = banded_signatures(
-            survivors, text_col=text_col, id_col=id_col)
-        sh_new = sh_new.persist()
-        banded_new = banded_new.persist()
-        try:
-            state_bands = ss.read.parquet(bands_dir)
-            state_sh = ss.read.parquet(shingles_dir)
-        except AnalysisException:       # first batch: empty state
-            state_bands = None
-            state_sh = None
+        surv_ids = survivors.select(id_col)
+        sh_surv = sh_all.join(surv_ids, id_col)
+        banded_surv = banded_all.join(surv_ids, id_col)
+        # 3. probe the persisted state (deduped at read: a torn
+        # double-append from a crashed epoch must not skew Jaccard)
+        state_bands = read_or_none(ss, bands_dir)
         if state_bands is not None:
-            # 2. bucket-probe: new docs vs accepted corpus
+            state_bands = state_bands.dropDuplicates(
+                ["doc_id", "band", "band_key"])
+            state_sh = (read_or_none(ss, shingles_dir)
+                        .withColumnRenamed("doc_id", "old_id")
+                        .dropDuplicates(["old_id", "shingle"]))
             cand = (
-                banded_new.join(
-                    state_bands
-                    .withColumnRenamed("doc_id", "old_id"),
+                banded_surv.join(
+                    state_bands.withColumnRenamed("doc_id", "old_id"),
                     ["band", "band_key"])
                 .select("doc_id", "old_id").distinct()
+                # ids are stable, so a redelivered doc meeting its own
+                # state rows is NOT a duplicate — without this a crash
+                # between the state and output appends would lose it
+                .filter(F.col("doc_id") != F.col("old_id"))
             )
-            # 3. exact-Jaccard verify against persisted shingles
-            sh_old = state_sh.withColumnRenamed("doc_id", "old_id")
-            n_new = sh_new.groupBy("doc_id").agg(
-                F.count("*").alias("n_a"))
-            n_old = sh_old.groupBy("old_id").agg(
-                F.count("*").alias("n_b"))
-            common = (
-                cand.join(sh_new, "doc_id")
-                .join(sh_old, ["old_id", "shingle"])
-                .groupBy("doc_id", "old_id")
-                .agg(F.count("*").alias("n_common"))
-            )
-            jac = (F.col("n_common")
-                   / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
-            dup_ids = (
-                common.join(n_new, "doc_id").join(n_old, "old_id")
-                .filter(jac >= threshold)
-                .select(id_col).distinct()
-            )
+            dup_ids = (verified_pairs(cand, sh_surv, state_sh)
+                       .select(id_col).distinct())
             accepted = survivors.join(dup_ids, id_col, "left_anti")
         else:
             accepted = survivors
+        # 4. idempotent appends: each sink only receives ids it does
+        # not already hold, so replaying this epoch after ANY partial
+        # failure converges instead of duplicating
+        already_out = read_or_none(ss, out_dir)
+        to_out = (accepted if already_out is None
+                  else accepted.join(already_out.select(id_col),
+                                     id_col, "left_anti"))
+        to_out.write.mode("append").parquet(out_dir)
+        in_state = (None if state_bands is None
+                    else state_bands.select(id_col).distinct())
         acc_ids = accepted.select(id_col)
-        # 4. append accepted docs + their state rows
-        accepted.write.mode("append").parquet(out_dir)
-        banded_new.join(acc_ids, id_col).write.mode("append") \
+        new_state_ids = (acc_ids if in_state is None
+                         else acc_ids.join(in_state, id_col, "left_anti"))
+        banded_surv.join(new_state_ids, id_col).write.mode("append") \
             .parquet(bands_dir)
-        sh_new.join(acc_ids, id_col).write.mode("append") \
+        sh_surv.join(new_state_ids, id_col).write.mode("append") \
             .parquet(shingles_dir)
-        sh_new.unpersist()
-        banded_new.unpersist()
+        sh_all.unpersist()
+        banded_all.unpersist()
 
     return (
         stream.writeStream

@@ -492,3 +492,43 @@ def test_cdf_null_fields_are_not_changes(spark, tmp_path, fixtures):
     assert len(feed) == 1
     assert feed[0]._change_type == "insert"
     assert feed[0].name == "brand-new-item"
+
+
+def test_partitioned_store_time_travel(spark, tmp_path, fixtures):
+    """Partitioned tables version per partition: snapshots() returns
+    partition-scoped ids, read_at resolves them, a merge touching one
+    partition yields a CDF for that partition only, and optimize
+    returns a resolvable id."""
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "ptt"))
+    s.overwrite("items", fixtures["items"])
+    gens1 = s.snapshots("items")
+    assert gens1 and all("/" in g for g in gens1)
+    # every snapshot id resolves
+    total = sum(s.read_at("items", g).count() for g in gens1)
+    assert total == s.read("items").count()
+
+    # merge into ONE collection; only that partition gains a generation
+    one = s.read("items").limit(1)
+    cid = one.collect()[0].collection_id
+    s.merge_upsert("items", one.withColumn("cloud_cover", F.lit(9.0)))
+    gens2 = s.snapshots("items")
+    assert len(gens2) == len(gens1) + 1
+    prefix = f"collection_id={cid}/"
+    touched1 = [g for g in gens1 if g.startswith(prefix)]
+    touched2 = [g for g in gens2 if g.startswith(prefix)]
+    assert len(touched2) == len(touched1) + 1
+    feed = s.changes_between("items", touched2[-2], touched2[-1]).collect()
+    assert {r._change_type for r in feed} == {"insert", "delete"}
+    # cross-partition diff is rejected with a clear error
+    other = [g for g in gens2 if not g.startswith(prefix)]
+    if other:
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            s.changes_between("items", touched2[-1], other[0])
+    # optimize returns a resolvable partition-scoped id
+    g_opt = s.optimize("items")
+    assert s.read_at("items", g_opt).count() >= 0

@@ -325,3 +325,45 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path, sf_dir):
                                 str(tmp_path / "nd_ckpt2"))
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_incremental_near_dedup_short_docs_idempotent(spark, tmp_path):
+    """Docs shorter than the shingle width must still enter state (via
+    the whole-text fallback shingle): exact re-uploads of a short doc
+    are dropped and a full redelivery appends nothing."""
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_near_dedup,
+    )
+
+    incoming = str(tmp_path / "sd_in")
+    spark.createDataFrame(
+        [(1, "tiny doc"), (2, "another tiny"),
+         (3, "a full length document with plenty of tokens to shingle "
+             "normally and verify the long path still works")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(incoming)
+    # wave 2: exact re-upload of the short doc under a new id
+    spark.createDataFrame(
+        [(100, "tiny doc")], "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(incoming)
+
+    state = str(tmp_path / "sd_state")
+    out = str(tmp_path / "sd_out")
+    q = incremental_near_dedup(spark, incoming, state, out,
+                               str(tmp_path / "sd_ckpt"))
+    q.awaitTermination(120)
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert accepted == {1, 2, 3}, accepted   # re-upload 100 dropped
+    # short docs live in state: shingle table covers every accepted id
+    state_ids = {r.doc_id for r in
+                 spark.read.parquet(f"{state}/shingles").collect()}
+    assert state_ids == {1, 2, 3}
+    # full redelivery under a fresh checkpoint: nothing appended
+    q2 = incremental_near_dedup(spark, incoming, state, out,
+                                str(tmp_path / "sd_ckpt2"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+    assert spark.read.parquet(f"{state}/shingles").count() == \
+        len({(r.doc_id, r.shingle) for r in
+             spark.read.parquet(f"{state}/shingles").collect()}), \
+        "redelivery must not duplicate state rows"
