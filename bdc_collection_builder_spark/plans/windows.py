@@ -246,3 +246,48 @@ def w08_rank_distributions(spark, sf_dir):
         "doc_id", "source",
         F.round(F.percent_rank().over(w), 6).alias("len_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("len_cume_dist"))
+
+
+@query(
+    "w09_cumulative_new_users",
+    survey=("W3", "A2", "Y1"),
+    oracle=f"""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST({_TS} AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily_new AS (
+            SELECT first_day AS day, count(*) AS new_users
+            FROM first_seen GROUP BY first_day
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(sum(new_users) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumulative_users
+        FROM daily_new
+    """,
+)
+def w09_cumulative_new_users(spark, sf_dir):
+    """Running distinct-user count per day (the adoption/retention
+    curve): a naive per-day COUNT(DISTINCT user ≤ day) rescans the log
+    once per day — O(days × corpus). The scalable identity: a user
+    contributes exactly on their FIRST day, so one partial-agg per
+    user (min day), one tiny per-day count, and a cumulative window
+    over the DAY-cardinality table (hundreds of rows however big the
+    log — the partition-less window is safe precisely because its
+    input is dimension-sized)."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    first_seen = (events.select("user_id", F.to_date("ts").alias("day"))
+                  .groupBy("user_id").agg(F.min("day").alias("first_day")))
+    daily_new = (first_seen.groupBy(F.col("first_day").alias("day"))
+                 .agg(F.count("*").alias("new_users")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint")
+        .alias("cumulative_users"))
