@@ -291,3 +291,57 @@ def w09_cumulative_new_users(spark, sf_dir):
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint")
         .alias("cumulative_users"))
+
+
+@query(
+    "w10_cohort_retention",
+    survey=("W3", "A2", "J1"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, CAST({_TS} AS DATE) AS day FROM events
+        ),
+        cohorts AS (
+            SELECT user_id,
+                   min(CAST(date_trunc('week', day) AS DATE)) AS cohort_week
+            FROM norm GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', day) AS DATE) AS active_week
+            FROM norm
+        )
+        SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+               CAST(date_diff('week', c.cohort_week, a.active_week)
+                    AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM cohorts c JOIN activity a USING (user_id)
+        GROUP BY c.cohort_week,
+                 date_diff('week', c.cohort_week, a.active_week)
+    """,
+)
+def w10_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention — the product-analytics matrix (users
+    grouped by first-seen week; how many are still active N weeks
+    later). Three bounded aggregations: first-seen per user (partial
+    agg), distinct (user, week) activity (partial agg), then a join on
+    user_id feeding a (cohort, offset)-keyed count — output is
+    weeks² rows however large the event log. The user_id join is the
+    only big⋈big edge; both sides are already user-keyed aggregates,
+    so AQE coalesces and at scale the two aggregations reuse one
+    user-hash partitioning."""
+    events = t(spark, sf_dir, "events")
+    norm = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("date").alias("week"))
+    cohorts = norm.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"))
+    activity = norm.distinct().withColumnRenamed("week", "active_week")
+    offset = (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7) \
+        .cast("bigint")
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(F.col("cohort_week").cast("string").alias("cohort_week"),
+                 offset.alias("week_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
