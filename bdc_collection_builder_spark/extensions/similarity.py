@@ -515,14 +515,22 @@ def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return F.slice(vec, j * dsub + 1, dsub)
 
     def code_for(vec: Column, j: int) -> Column:
-        scored = F.transform(
+        # argmin via array_position(ds, array_min(ds)): cws is ordered
+        # by cid, and array_position returns the FIRST match, so ties
+        # break toward the low codeword id — the same rule as the
+        # struct-sort form, at a min+scan instead of a 16-way sort
+        ds = F.transform(
             F.col("cws"),
-            lambda c: F.struct(
-                (dot(sub(c["cw_vec"], j), sub(c["cw_vec"], j))
-                 - F.lit(2.0) * dot(sub(vec, j), sub(c["cw_vec"], j)))
-                .alias("d"),
-                c["cid"].alias("cid")))
-        return F.element_at(F.array_sort(scored), 1)["cid"]
+            lambda c: (dot(sub(c["cw_vec"], j), sub(c["cw_vec"], j))
+                       - F.lit(2.0) * dot(sub(vec, j), sub(c["cw_vec"], j))))
+        return F.array_position(ds, F.array_min(ds)) - 1
+
+    def nearest_centroid(vec: Column, nrm: Column) -> Column:
+        # argmax cosine, ties to low cid (cents ordered by cid)
+        sims = F.transform(
+            F.col("cents"),
+            lambda c: dot(vec, c["cent_vec"]) / (nrm * c["cent_norm"]))
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
 
     enc = (
         corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
@@ -530,7 +538,7 @@ def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .crossJoin(F.broadcast(carr)).crossJoin(F.broadcast(cwarr))
         .select(
             id_col, "c_vec", "c_norm",
-            F.element_at(probes(F.col("c_vec"), F.col("c_norm"), 1), 1)
+            nearest_centroid(F.col("c_vec"), F.col("c_norm"))
             .alias("centroid_id"),
             F.array(*[code_for(F.col("c_vec"), j)
                       for j in range(m)]).alias("codes"))
