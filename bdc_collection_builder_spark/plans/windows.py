@@ -345,3 +345,66 @@ def w10_cohort_retention(spark, sf_dir):
                  offset.alias("week_offset"))
         .agg(F.count("*").cast("bigint").alias("n_active"))
     )
+
+
+@query(
+    "w11_funnel_stages",
+    survey=("W1", "A1", "J1"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, event_type, {_TS} AS ts FROM events
+        ),
+        v AS (
+            SELECT user_id, min(ts) AS t1 FROM norm
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT n.user_id, min(n.ts) AS t2
+            FROM norm n JOIN v USING (user_id)
+            WHERE n.event_type = 'click' AND n.ts >= v.t1
+            GROUP BY n.user_id
+        ),
+        p AS (
+            SELECT n.user_id, min(n.ts) AS t3
+            FROM norm n JOIN c USING (user_id)
+            WHERE n.event_type = 'purchase' AND n.ts >= c.t2
+            GROUP BY n.user_id
+        )
+        SELECT stage, n_users FROM (
+            SELECT 1 AS ord, 'view' AS stage,
+                   CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+        ) ORDER BY ord
+    """,
+)
+def w11_funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, each step
+    strictly at-or-after the previous step's FIRST occurrence) — the
+    sequence-constrained count SQL engines express with three
+    chained min-aggregates. Every aggregate and join is keyed on
+    user_id, so at scale the whole funnel reuses ONE user-hash
+    partitioning (no re-shuffle between stages); stage outputs are
+    user-dimension-sized, and the final counts are three scalar
+    aggregates unioned into the report shape."""
+    events = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (events.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (events.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("ts") >= F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+
+    def stage(df, ord_, name):
+        return df.agg(F.lit(ord_).alias("ord"), F.lit(name).alias("stage"),
+                      F.count("*").cast("bigint").alias("n_users"))
+
+    return (stage(v, 1, "view")
+            .unionByName(stage(c, 2, "click"))
+            .unionByName(stage(p, 3, "purchase"))
+            .orderBy("ord").select("stage", "n_users"))
