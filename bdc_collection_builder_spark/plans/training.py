@@ -516,3 +516,71 @@ def mm_av_align(spark, sf_dir):
     return aligned.select("gid", "media_id", "frame_ts_ms",
                           F.col("aligned_chunk_ms").cast("bigint")
                           .alias("aligned_chunk_ms"))
+
+
+@query(
+    "tx_bigram_logprob",
+    survey=("TX-quality", "TX-vocab"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok,
+                   generate_subscripts({_TOKS}, 1) AS pos
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, tok AS w1,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ),
+        pairs AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+        bg AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+        un AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+        vv AS (SELECT count(DISTINCT tok) AS v FROM toks)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln((bg.c2 + 1.0)
+                            / (un.c1 + CAST(vv.v AS DOUBLE)))), 6)
+                 AS avg_bigram_logprob
+        FROM pairs JOIN bg USING (w1, w2) JOIN un USING (w1)
+        CROSS JOIN vv
+        GROUP BY doc_id
+    """,
+)
+def tx_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score — one rung up the n-gram ladder from
+    tx_unigram_logprob: each document scores the mean log-probability
+    of its token transitions under the corpus's add-one-smoothed
+    conditional bigram model, the signal that separates fluent text
+    from shuffled-bag word salad (which unigram scoring cannot see).
+
+    Scale shape: ONE doc-keyed window pass forms the transition pairs
+    (posexplode + lead — no self-join on position), then two bounded
+    partial-aggs build the bigram/unigram count tables and two
+    token-keyed joins score the transitions; the vocabulary scalar
+    rides as a one-row broadcast. Everything is count-shaped — at
+    100 TB the model tables are vocabulary-bounded, never
+    corpus-bounded."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", F.col("tok").alias("w1"),
+                    F.lead("tok").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    un = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vv = toks.agg(F.countDistinct("tok").alias("v"))
+    lp = F.log((F.col("c2") + 1.0)
+               / (F.col("c1") + F.col("v").cast("double")))
+    return (
+        pairs.join(bg, ["w1", "w2"]).join(un, "w1")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+             F.round(F.avg(lp), 6).alias("avg_bigram_logprob"))
+    )
