@@ -11,6 +11,8 @@ derivation end-to-end.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.plans._util import t
@@ -583,4 +585,57 @@ def tx_bigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_bigrams"),
              F.round(F.avg(lp), 6).alias("avg_bigram_logprob"))
+    )
+
+
+@query(
+    "tx_token_entropy",
+    survey=("TX-quality",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, count(*) AS c FROM toks
+            GROUP BY doc_id, tok
+        ),
+        dn AS (
+            SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id
+        )
+        SELECT tf.doc_id,
+               CAST(dn.n AS BIGINT) AS n_tokens,
+               round(-sum((tf.c / CAST(dn.n AS DOUBLE))
+                          * ln(tf.c / CAST(dn.n AS DOUBLE))) / ln(2.0), 6)
+                 AS token_entropy_bits
+        FROM tf JOIN dn USING (doc_id)
+        GROUP BY tf.doc_id, dn.n
+    """,
+)
+def tx_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution (bits):
+    near-zero entropy marks degenerate repetition ("buy buy buy …"),
+    abnormally high entropy at short length marks gibberish — the
+    cheap information-theoretic complement to the Gopher repetition
+    ratios (tx_repetition_stats) that thresholds cannot game with
+    vocabulary shuffles.
+
+    Scale shape: two doc-keyed partial aggs (term frequencies, then
+    the entropy sum) — the second reuses the first's hash partitioning
+    so at scale this is ONE shuffle over (doc, token) pairs and
+    everything after is doc-local arithmetic."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("c")))
+    dn = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        tf.join(dn, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round((-F.sum(p * F.log(p))) / math.log(2.0), 6)
+             .alias("token_entropy_bits"))
+        .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"),
+                "token_entropy_bits")
     )
