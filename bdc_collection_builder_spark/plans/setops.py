@@ -123,3 +123,36 @@ def u05_except_all_bag(spark, sf_dir):
     f = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("scene_key"))
     return o.exceptAll(f)
+
+
+@query(
+    "u06_symmetric_difference",
+    survey=("U1", "U2"),
+    oracle="""
+        WITH o AS (SELECT DISTINCT o_custkey AS scene_key FROM orders
+                   WHERE o_orderstatus = 'O'),
+             f AS (SELECT DISTINCT o_custkey AS scene_key FROM orders
+                   WHERE o_orderstatus = 'F')
+        SELECT scene_key, 'open_only' AS side
+        FROM (SELECT scene_key FROM o EXCEPT SELECT scene_key FROM f)
+        UNION ALL
+        SELECT scene_key, 'final_only'
+        FROM (SELECT scene_key FROM f EXCEPT SELECT scene_key FROM o)
+    """,
+)
+def u06_symmetric_difference(spark, sf_dir):
+    """Symmetric difference with provenance — keys on exactly one side
+    of a reconciliation, tagged with WHICH side (the 'only in catalog'
+    vs 'only on remote' report S16's sync diff prints). Two
+    distinct-EXCEPTs over the same two scans; at scale both EXCEPTs
+    and both DISTINCTs hash on the same key, so AQE plans one
+    partitioning reused four ways."""
+    orders = t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("scene_key")).distinct()
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("scene_key")).distinct()
+    return (
+        o.exceptAll(f).withColumn("side", F.lit("open_only"))
+        .unionByName(f.exceptAll(o).withColumn("side", F.lit("final_only")))
+    )
