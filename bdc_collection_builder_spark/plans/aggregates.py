@@ -491,3 +491,50 @@ def a18_hll_rollup(spark, sf_dir):
              F.hll_sketch_estimate(F.hll_union_agg("sk"))
              .cast("bigint").alias("approx_users"))
     )
+
+
+@query(
+    "a19_price_histogram",
+    survey=("A8", "A1"),
+    oracle="""
+        WITH bounds AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders
+        ),
+        binned AS (
+            SELECT least(CAST(floor((o_totalprice - lo) * 20.0
+                                    / (hi - lo)) AS INTEGER), 19) AS bin,
+                   lo, hi
+            FROM orders, bounds
+        )
+        SELECT bin,
+               round(min(lo) + bin * (min(hi) - min(lo)) / 20.0, 4)
+                 AS bin_lo,
+               CAST(count(*) AS BIGINT) AS n
+        FROM binned GROUP BY bin
+    """,
+)
+def a19_price_histogram(spark, sf_dir):
+    """Equi-width histogram (20 bins over observed min/max) — the
+    distribution profile behind every data-quality dashboard and CBO
+    statistics collection. Two passes by necessity (bounds, then
+    binning) but both are scan+partial-agg: the bounds collapse to a
+    one-row broadcast, bin assignment is pure projection arithmetic,
+    and the final count shuffles 20 keys. The single-pass variant at
+    scale is a fixed-domain bin (known sensor ranges) or t-digest
+    (a15) when bounds are unknown."""
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min("o_totalprice").alias("lo"),
+                        F.max("o_totalprice").alias("hi"))
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(F.floor((F.col("o_totalprice") - F.col("lo")) * 20.0
+                        / (F.col("hi") - F.col("lo"))).cast("int"),
+                F.lit(19)).alias("bin"),
+        "lo", "hi")
+    return (
+        binned.groupBy("bin")
+        .agg(F.round(F.min("lo") + F.col("bin")
+                     * (F.min("hi") - F.min("lo")) / 20.0, 4)
+             .alias("bin_lo"),
+             F.count("*").cast("bigint").alias("n"))
+    )
