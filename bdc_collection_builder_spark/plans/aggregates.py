@@ -502,8 +502,10 @@ def a18_hll_rollup(spark, sf_dir):
             FROM orders
         ),
         binned AS (
-            SELECT least(CAST(floor((o_totalprice - lo) * 20.0
-                                    / (hi - lo)) AS INTEGER), 19) AS bin,
+            SELECT CASE WHEN hi = lo THEN 0
+                        ELSE least(CAST(floor((o_totalprice - lo) * 20.0
+                                              / (hi - lo)) AS INTEGER), 19)
+                   END AS bin,
                    lo, hi
             FROM orders, bounds
         )
@@ -527,9 +529,11 @@ def a19_price_histogram(spark, sf_dir):
     bounds = orders.agg(F.min("o_totalprice").alias("lo"),
                         F.max("o_totalprice").alias("hi"))
     binned = orders.crossJoin(F.broadcast(bounds)).select(
-        F.least(F.floor((F.col("o_totalprice") - F.col("lo")) * 20.0
-                        / (F.col("hi") - F.col("lo"))).cast("int"),
-                F.lit(19)).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("o_totalprice") - F.col("lo")) * 20.0
+                            / (F.col("hi") - F.col("lo"))).cast("int"),
+                    F.lit(19))).alias("bin"),
         "lo", "hi")
     return (
         binned.groupBy("bin")
