@@ -249,6 +249,15 @@ class CollectionBuilderEngine:
             edges, roots, max_depth,
             src="activity_src_id", dst="activity_id")
 
+    def profile(self, table: str,
+                cols: list[str] | None = None) -> DataFrame:
+        """Single-scan column profile of a catalog table (rows /
+        non-null / distinct / min / max per column) — the stats
+        surface a catalog browser or CBO reads."""
+        from bdc_collection_builder_spark.operators.quality import profile
+
+        return profile(self.store.read(table), cols)
+
     def snapshots(self, table: str) -> list[str]:
         """Retained MVCC generations of a catalog table (time travel)."""
         return self.store.snapshots(table)

@@ -167,3 +167,26 @@ def test_engine_time_travel_surface(engine):
     before = engine.read_at("activities", gens0[-1])
     n = before.count()
     assert n == engine.store.read("activities").count()
+
+
+def test_engine_profile_single_scan(engine, spark):
+    """profile() fuses every column's stats into one aggregate: values
+    agree with direct per-column queries, numeric columns carry
+    min/max, string columns report NULL bounds."""
+    prof = {r.column_name: r for r in engine.profile("activities").collect()}
+    acts = engine.store.read("activities")
+    n = acts.count()
+    assert set(prof) == set(acts.columns)
+    for c, row in prof.items():
+        assert row.n_rows == n
+    assert prof["id"].n_distinct == acts.select("id").distinct().count()
+    assert prof["id"].min_val is not None
+    assert prof["activity_type"].min_val is None      # non-numeric
+    nn = acts.filter(F.col("sceneid").isNotNull()).count()
+    assert prof["sceneid"].n_nonnull == nn
+    # the plan is ONE fused aggregate pipeline (multi-distinct via
+    # Expand) — no joins stitching per-column subplans together
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        engine.profile("activities")._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan
+    assert "Expand" in plan or "HashAggregate" in plan
