@@ -17,9 +17,11 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     evaluates all expressions in a single partial-agg pass, then the
     1×N stats row unpivots via ``stack`` (map-only). min/max are
     reported for numeric columns and NULL otherwise, so the output
-    schema is stable across tables. Profiling a 100 TB table costs
-    the same scan a bare count(*) does — the property that makes
-    routine stats collection affordable."""
+    schema is stable across tables. One scan, no joins; note the
+    exact multi-column countDistinct rewrites through an Expand
+    (one duplicated row-stream per distinct column), so at 100 TB
+    swap it for approx_count_distinct — same fused plan, no Expand
+    blow-up (the a11 pattern)."""
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
