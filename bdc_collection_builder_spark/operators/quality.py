@@ -11,7 +11,8 @@ _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double",
             "decimal"}
 
 
-def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile(df: DataFrame, cols: list[str] | None = None,
+            approx: bool = False) -> DataFrame:
     """Per-column profile (rows / non-null / distinct / min / max) in
     ONE aggregate over ONE scan, whatever the column count: Catalyst
     evaluates all expressions in a single partial-agg pass, then the
@@ -20,14 +21,17 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     schema is stable across tables. One scan, no joins; note the
     exact multi-column countDistinct rewrites through an Expand
     (one duplicated row-stream per distinct column), so at 100 TB
-    swap it for approx_count_distinct — same fused plan, no Expand
-    blow-up (the a11 pattern)."""
+    pass ``approx=True`` for approx_count_distinct — same fused
+    plan, no Expand blow-up (the a11 pattern; estimates within the
+    HLL++ 2% default)."""
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for c in cols:
         aggs.append(F.count(c).cast("bigint").alias(f"nn_{c}"))
-        aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+        nd = (F.approx_count_distinct(c, 0.02) if approx
+              else F.countDistinct(c))
+        aggs.append(nd.cast("bigint").alias(f"nd_{c}"))
         if dtypes[c].split("(")[0] in _NUMERIC:
             aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
             aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))

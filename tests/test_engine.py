@@ -190,3 +190,21 @@ def test_engine_profile_single_scan(engine, spark):
         engine.profile("activities")._jdf.queryExecution(), "formatted")
     assert "Join" not in plan
     assert "Expand" in plan or "HashAggregate" in plan
+
+
+def test_profile_approx_avoids_expand(engine, spark):
+    """approx=True swaps exact distinct for HLL++: the plan loses the
+    Expand row-stream duplication (the 100 TB path) and estimates
+    stay within the documented 5% of exact."""
+    from bdc_collection_builder_spark.operators.quality import profile
+
+    acts = engine.store.read("activities")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        profile(acts, approx=True)._jdf.queryExecution(), "formatted")
+    assert "Expand" not in plan
+    exact = {r.column_name: r.n_distinct
+             for r in profile(acts).collect()}
+    est = {r.column_name: r.n_distinct
+           for r in profile(acts, approx=True).collect()}
+    for c in exact:
+        assert abs(est[c] - exact[c]) <= 0.05 * exact[c] + 2, (c, est[c])
