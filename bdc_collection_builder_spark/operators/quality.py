@@ -49,3 +49,22 @@ def profile(df: DataFrame, cols: list[str] | None = None,
     return wide.select(F.expr(
         f"stack({len(cols)}, {rows}) AS "
         "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"))
+
+
+def expect(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Declarative expectation checks: ``rules`` maps rule name → a
+    boolean Column that is TRUE when the row VIOLATES the rule. All
+    rules evaluate as conditional counts fused into ONE single-scan
+    aggregate (the generic form of the oracle-locked dq_expectations
+    query) — adding a rule adds an expression, never a scan. Returns
+    (rule, n_violations, n_checked), one row per rule."""
+    aggs = [F.count("*").cast("bigint").alias("n_checked")]
+    names = list(rules)
+    for i, (name, violated) in enumerate(rules.items()):
+        aggs.append(F.sum(violated.cast("int")).cast("bigint")
+                    .alias(f"v_{i}"))
+    wide = df.agg(*aggs)
+    rows = ", ".join(
+        f"'{name}', `v_{i}`, n_checked" for i, name in enumerate(names))
+    return wide.select(F.expr(
+        f"stack({len(names)}, {rows}) AS (rule, n_violations, n_checked)"))

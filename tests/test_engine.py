@@ -208,3 +208,27 @@ def test_profile_approx_avoids_expand(engine, spark):
            for r in profile(acts, approx=True).collect()}
     for c in exact:
         assert abs(est[c] - exact[c]) <= 0.05 * exact[c] + 2, (c, est[c])
+
+
+def test_expect_operator_fused_rules(engine, spark):
+    """expect() evaluates all rules in one aggregate and counts
+    violations exactly."""
+    from bdc_collection_builder_spark.operators.quality import expect
+
+    acts = engine.store.read("activities")
+    out = {r.rule: (r.n_violations, r.n_checked) for r in expect(acts, {
+        "id_not_null": F.col("id").isNull(),
+        "collection_positive": F.col("collection_id") <= 0,
+        "type_in_domain": ~F.col("activity_type").isin(
+            "download", "correction", "publish", "post"),
+    }).collect()}
+    n = acts.count()
+    assert out["id_not_null"] == (0, n)
+    assert out["collection_positive"][0] == \
+        acts.filter(F.col("collection_id") <= 0).count()
+    assert set(out) == {"id_not_null", "collection_positive",
+                        "type_in_domain"}
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        expect(acts, {"r": F.col("id").isNull()})._jdf.queryExecution(),
+        "formatted")
+    assert "Join" not in plan
