@@ -230,3 +230,19 @@ def test_grouping_sets_single_scan(spark, sf_dir):
     # Expand computes both histograms off ONE lineitem scan
     assert tree.count("Scan parquet") == 1
     assert "Expand" in tree
+
+
+def test_tpch_join_plan_shapes(spark, sf_dir):
+    """The Q3/Q5-shaped joins must plan the shapes their docstrings
+    claim: top-k as TakeOrderedAndProject (no global sort), dims
+    broadcast, date filters pushed to the scans."""
+    plan = plan_of(spark, "j12_shipping_priority", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("o_orderdate" in ln or "l_shipdate" in ln for ln in pushed)
+
+    plan5 = plan_of(spark, "j13_regional_supplier_volume", sf_dir)
+    assert plan5.count("BroadcastHashJoin") >= 2    # dim chain broadcasts
+    assert "CartesianProduct" not in plan5
