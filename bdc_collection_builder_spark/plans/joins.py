@@ -547,3 +547,41 @@ def j13_regional_supplier_volume(spark, sf_dir):
                            * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
     )
+
+
+@query(
+    "j14_full_outer_reconciliation",
+    survey=("J4", "U1", "S16"),
+    oracle="""
+        WITH o AS (SELECT DISTINCT o_custkey AS scene_key FROM orders
+                   WHERE o_orderstatus = 'O'),
+             f AS (SELECT DISTINCT o_custkey AS scene_key FROM orders
+                   WHERE o_orderstatus = 'F')
+        SELECT coalesce(o.scene_key, f.scene_key) AS scene_key,
+               (o.scene_key IS NOT NULL) AS in_open,
+               (f.scene_key IS NOT NULL) AS in_final
+        FROM o FULL OUTER JOIN f ON o.scene_key = f.scene_key
+    """,
+)
+def j14_full_outer_reconciliation(spark, sf_dir):
+    """FULL OUTER reconciliation — both sides of a sync in one pass
+    with presence flags (S16's report shape: rows only-left,
+    only-right, AND both, where the anti-join/symmetric-difference
+    forms drop the intersection). One co-partitioned shuffle pair on
+    the key; at scale identical cost to either one-sided variant, and
+    AQE picks the merge strategy. Completes the join-type matrix
+    (inner/broadcast/semi/anti/asof/range/spatial/salted/bucketed +
+    full outer)."""
+    orders = t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k_open")).distinct()
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k_final")).distinct()
+    return (
+        o.join(f, F.col("k_open") == F.col("k_final"), "full_outer")
+        .select(
+            F.coalesce("k_open", "k_final").alias("scene_key"),
+            F.col("k_open").isNotNull().alias("in_open"),
+            F.col("k_final").isNotNull().alias("in_final"),
+        )
+    )
