@@ -408,3 +408,63 @@ def w11_funnel_stages(spark, sf_dir):
             .unionByName(stage(c, 2, "click"))
             .unionByName(stage(p, 3, "purchase"))
             .orderBy("ord").select("stage", "n_users"))
+
+
+@query(
+    "w12_conversion_latency",
+    survey=("W1", "A8", "TJ-asof"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, event_type, {_TS} AS ts FROM events
+        ),
+        v AS (
+            SELECT user_id, min(ts) AS t1 FROM norm
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+            SELECT n.user_id, min(n.ts) AS t3
+            FROM norm n JOIN v USING (user_id)
+            WHERE n.event_type = 'purchase' AND n.ts >= v.t1
+            GROUP BY n.user_id
+        ),
+        lat AS (
+            SELECT p.user_id,
+                   date_diff('second', v.t1, p.t3) AS latency_s
+            FROM p JOIN v USING (user_id)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(CAST(latency_s AS DOUBLE), 0.5), 2)
+                 AS p50_s,
+               round(quantile_cont(CAST(latency_s AS DOUBLE), 0.9), 2)
+                 AS p90_s,
+               CAST(max(latency_s) AS BIGINT) AS max_s
+        FROM lat
+    """,
+)
+def w12_conversion_latency(spark, sf_dir):
+    """Conversion-latency distribution — seconds from a user's first
+    view to their first subsequent purchase, summarized as exact
+    p50/p90/max (the time-to-convert report next to w11's stage
+    counts). Two user-keyed min-aggregates + one user join produce a
+    user-dimension-sized latency table; the exact percentiles then
+    run over THAT (bounded) table, never the event log — so the
+    expensive sort is always dimension-scale. a15's t-digest is the
+    drop-in when even the user dimension is too wide."""
+    events = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    p = (events.filter(F.col("event_type") == "purchase").join(v, "user_id")
+         .filter(F.col("ts") >= F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    lat = p.join(v, "user_id").select(
+        (F.unix_timestamp("t3") - F.unix_timestamp("t1"))
+        .alias("latency_s"))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(CAST(latency_s AS DOUBLE), 0.5)"), 2)
+        .alias("p50_s"),
+        F.round(F.expr("percentile(CAST(latency_s AS DOUBLE), 0.9)"), 2)
+        .alias("p90_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )
