@@ -559,3 +559,82 @@ def banded_signatures(docs: DataFrame | None = None, text_col: str = "text",
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_key")
     return sh, banded
+
+
+def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
+                   threshold: float = 0.97, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark a document as a semantic duplicate when
+    its cosine similarity to a LOWER-id member of the SAME cluster
+    clears ``threshold`` (lowest id per duplicate group survives —
+    deterministic representative choice).
+
+    This is the scale path for embedding dedup at 100 TB: clustering
+    bounds the pairwise comparison to within-cluster members, so cost
+    is Σ|cluster|² instead of corpus² — with k ∝ √n clusters the
+    expected work is ~n^1.5 spread over an equi-join shuffle keyed on
+    ``centroid_id``, never a cross join.
+
+    Quantizer is pluggable:
+
+    - ``centroids=None`` (oracle-checked variant): seeded *relational*
+      quantizer — the first ``n_centroids`` corpus vectors (by id) are
+      the centroids, joined as one broadcast array row and argmax-
+      scanned per vector (shuffle-free assignment, ties toward the
+      lower centroid id). Every step replays verbatim in an external
+      SQL engine.
+    - ``centroids=[[...], ...]`` (production): a trained quantizer
+      (e.g. :func:`similarity._train_centroids` Lloyd's on a bounded
+      sample); centroids ship as literals — assignment stays a
+      map-only projection.
+
+    Returns one row per input vector: ``(id_col, centroid_id,
+    is_dup)``.
+    """
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _nearest_centroids, dot, norm)
+
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"))
+    if centroids is not None:
+        assigned = base.withColumn(
+            "centroid_id",
+            _nearest_centroids(F.col("vec"), centroids, 1)[0])
+    else:
+        cent = base.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col("vec").alias("cent_vec"),
+            F.col("nrm").alias("cent_norm"))
+        carr = cent.agg(F.array_sort(F.collect_list(
+            F.struct("cid", "cent_vec", "cent_norm"))).alias("cents"))
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (dot(F.col("vec"), c["cent_vec"])
+                 / (F.col("nrm") * c["cent_norm"])).alias("sim"),
+                (-c["cid"]).alias("negcid")))
+        # ascending (sim, negcid) reversed -> sim DESC, cid ASC: same
+        # tie-break as the oracle's row_number ORDER BY sim DESC, cid
+        assigned = (
+            base.crossJoin(F.broadcast(carr))
+            .withColumn(
+                "centroid_id",
+                -F.reverse(F.array_sort(scored))[0]["negcid"])
+            .drop("cents"))
+    pair_sim = F.round(
+        dot(F.col("a.vec"), F.col("b.vec"))
+        / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    dups = (
+        assigned.alias("a").join(
+            assigned.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .filter(pair_sim >= threshold)
+        .select(F.col(f"b.{id_col}").alias("dup_id"))
+        .distinct())
+    return (
+        assigned.join(dups, assigned[id_col] == dups["dup_id"], "left")
+        .select(F.col(id_col), F.col("centroid_id"),
+                F.col("dup_id").isNotNull().alias("is_dup")))

@@ -1956,3 +1956,73 @@ def ss_ivfpq_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return ivfpq_topk_seeded(emb, queries, k=5)
+
+
+_SEM_CORPUS_SQL = """
+        corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+            FROM embeddings WHERE vec_id % 25 = 0
+        )"""
+
+
+@query(
+    "dd_semantic_dedup",
+    survey=("DD-embed",),
+    oracle=f"""
+        WITH {_SEM_CORPUS_SQL},
+        cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM corpus
+            WHERE vec_id < 16
+        ), scored AS (
+            SELECT v.vec_id, v.embedding, c.cid,
+                   {_DOT_SQL.format(a="v.embedding", b="c.cvec")}
+                   / (sqrt({_DOT_SQL.format(a="v.embedding", b="v.embedding")})
+                      * sqrt({_DOT_SQL.format(a="c.cvec", b="c.cvec")})) AS sim
+            FROM corpus v CROSS JOIN cents c
+        ), assigned AS (
+            SELECT vec_id, embedding, cid AS centroid_id FROM (
+                SELECT vec_id, embedding, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY sim DESC, cid
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ), dups AS (
+            SELECT DISTINCT b.vec_id AS dup_id
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                        / (sqrt({_DOT_SQL.format(a="a.embedding", b="a.embedding")})
+                           * sqrt({_DOT_SQL.format(a="b.embedding", b="b.embedding")})),
+                        6) >= 0.97
+        )
+        SELECT a.vec_id, a.centroid_id,
+               (d.dup_id IS NOT NULL) AS is_dup
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id
+    """,
+)
+def dd_semantic_dedup(spark, sf_dir):
+    """SemDeDup over a corpus augmented with scaled copies (cosine 1.0
+    to their source by construction): k-means-style clustering bounds
+    the pairwise cosine scan to within-cluster members, lowest id per
+    duplicate group survives. This registration runs the seeded
+    relational quantizer (first-16-vectors centroids) so DuckDB can
+    replay assignment + within-cluster pair scan verbatim; the trained
+    Lloyd's quantizer is the production path (see
+    extensions/dedup.semantic_dedup and its companion test)."""
+    from bdc_collection_builder_spark.extensions.dedup import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: (x * 1.01).cast("float")).alias("embedding"),
+        )
+    )
+    return semantic_dedup(emb.unionByName(scaled), n_centroids=16,
+                          threshold=0.97)

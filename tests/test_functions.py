@@ -654,3 +654,33 @@ def test_dsir_weights_defined_without_target_docs(spark):
         out = fn(spark, d).collect()
         assert len(out) == 2
         assert all(math.isfinite(r.dsir_weight) for r in out)
+
+
+def test_semantic_dedup_trained_quantizer(spark, sf_dir):
+    """Production SemDeDup path: Lloyd's-trained centroids (literals,
+    map-only assignment) must flag exactly the planted scaled copies
+    that the seeded relational quantizer flags — the dedup decision is
+    quantizer-robust because parallel vectors always share a cluster."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.extensions.dedup import semantic_dedup
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _train_centroids,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * 1.01).cast("float")).alias("embedding"))
+    corpus = emb.unionByName(scaled)
+    cents = _train_centroids(corpus, "embedding", n_centroids=16, dim=64)
+    got = semantic_dedup(corpus, threshold=0.97, centroids=cents)
+    flagged = {r.vec_id for r in got.filter("is_dup").collect()}
+    planted = {r.vec_id for r in scaled.select("vec_id").collect()}
+    # every planted copy is a dup (its source has the smaller id and
+    # cosine 1.0, and parallel vectors share every quantizer's argmax);
+    # nothing else in the synthetic corpus clears 0.97
+    assert flagged == planted
+    assert got.count() == corpus.count()

@@ -85,6 +85,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "cu_dsir_resample",      # one-row vocab-total attach
         "tx_bigram_logprob",     # one-row vocab-size attach
         "a19_price_histogram",   # one-row min/max-bounds attach
+        "dd_semantic_dedup",     # one-row centroid-array attach
     }
     offenders = {}
     for name, fn in all_queries().items():
