@@ -68,12 +68,19 @@ def tx_span_dedup(spark, sf_dir):
     licence blocks that whole-document dedup can't see.
 
     Scale shape: span generation is map-only (one ``transform`` over a
-    ``sequence`` of offsets — no self-join, no posexplode pyramid);
-    the only shuffles are one partial-agg on the 16-byte span hash and
-    one hash-keyed join back, both AQE-coalesced. At 100 TB the span
-    table is ~L×(doc bytes) for overlap L=8, the same blow-up the
-    published pipelines accept; cutting it needs the suffix-array
-    sidecar, which is the documented non-Spark path.
+    ``sequence`` of offsets — no self-join, no posexplode pyramid) and
+    runs ONCE: the raw span stream collapses immediately into the
+    distinct ``(span_hash, doc_id, multiplicity)`` table (map-side
+    combined partial agg — the only shuffle that carries span volume);
+    ``ndocs`` and the per-doc profile both derive from that collapsed
+    table, so the tokenize+md5 subtree is never re-evaluated and the
+    join-back moves multiplicities, not spans. Both post-collapse
+    shuffles are AQE-coalesced, and the ndocs equi-join is AQE
+    skew-splittable (boilerplate spans shared by millions of docs are
+    the expected hot keys at 100 TB). The span table is ~L×(doc bytes)
+    for overlap L=8, the same blow-up the published pipelines accept;
+    cutting it needs the suffix-array sidecar, which is the documented
+    non-Spark path.
     Reference anchor: collection_builder's scene-level F10 dedup
     (celery/tasks.py download dedup) generalized to sub-document spans.
     """
@@ -94,16 +101,20 @@ def tx_span_dedup(spark, sf_dir):
             ).alias("span_hash"),
         )
     )
-    counts = spans.groupBy("span_hash").agg(
-        F.countDistinct("doc_id").alias("ndocs"))
-    dup = (F.col("ndocs") > 1).cast("int")
+    per_doc_span = spans.groupBy("span_hash", "doc_id").agg(
+        F.count("*").alias("cnt"))
+    counts = per_doc_span.groupBy("span_hash").agg(
+        F.count("*").alias("ndocs"))
+    dup = (F.col("ndocs") > 1).cast("long")
+    dup_cnt = F.sum(F.col("cnt") * dup)
+    tot_cnt = F.sum("cnt")
     return (
-        spans.join(counts, "span_hash")
+        per_doc_span.join(counts, "span_hash")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_spans"),
-            F.sum(dup).cast("bigint").alias("n_dup_spans"),
-            F.round(F.avg(dup.cast("double")), 6).alias("dup_ratio"),
+            tot_cnt.cast("bigint").alias("n_spans"),
+            dup_cnt.cast("bigint").alias("n_dup_spans"),
+            F.round(dup_cnt.cast("double") / tot_cnt, 6).alias("dup_ratio"),
         )
     )
 
