@@ -257,3 +257,91 @@ def seeded_shuffle(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("shard", (F.col("shuffle_key") % n_shards).cast("int"))
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def _md5_hash60_hi(col) -> "F.Column":
+    """Second independent 60-bit slice of the same md5 digest (hex
+    chars 16-30) — pairs with :func:`~.dedup.md5_hash60` for
+    Kirsch-Mitzenmacher double hashing (pos_i = h1 + i*h2), the
+    standard way to derive k Bloom probes from two hashes."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("bigint")
+
+
+def bloom_bitmap(items: DataFrame, key_col: str = "shingle",
+                 m_bits: int = 1 << 15, n_hashes: int = 3) -> DataFrame:
+    """Distributed Bloom-filter BUILD: fold a key column into an
+    ``(word_idx, bits)`` bitmap table of ``ceil(m_bits/63)`` rows.
+
+    Each key sets ``n_hashes`` bits (double hashing over two md5
+    slices); bits pack 63 per signed-long word (bit 63 unused, so the
+    shift never wraps sign in any engine). The build is one map-side
+    explode + one ``bit_or`` partial agg on the word index — at 100 TB
+    the filter for a billion-key benchmark set is still only
+    ``m_bits/8`` bytes, the whole point: the PROBE side broadcasts this
+    bitmap instead of the raw keys."""
+    m = F.lit(m_bits)
+    r1 = md5_hash60(F.col(key_col)) % m
+    r2 = _md5_hash60_hi(F.col(key_col)) % m
+    pos = F.explode(F.array(
+        *[(r1 + F.lit(i) * r2) % m for i in range(n_hashes)])).alias("pos")
+    return (
+        items.select(pos)
+        .select(F.expr("pos DIV 63").alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+                .alias("mask"))
+        .groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_decontaminate(train: DataFrame, benchmark: DataFrame, k: int = 5,
+                        m_bits: int = 1 << 15, n_hashes: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination, Bloom-filter scale path: flag
+    training documents whose k-token shingles hit the benchmark
+    shingle set's Bloom filter on all ``n_hashes`` probes.
+
+    :func:`decontaminate` broadcasts the benchmark shingle hashes
+    themselves — right whenever the eval set is small. When it is NOT
+    (industrial dedup against thousands of benchmarks, or
+    corpus-vs-corpus leakage checks), the broadcast side becomes the
+    bottleneck; the Bloom form compresses it to ``m_bits/8`` bytes at a
+    tunable false-positive rate (``(1-e^{-kn/m})^k``), with zero false
+    negatives — the guarantee that matters for decontamination, where
+    flagged docs get the expensive exact recheck or are dropped
+    outright. Probe = map-side explode of k positions + broadcast
+    equi-join on the word index + one count-matching-probes agg; the
+    corpus never shuffles.
+
+    Deterministic end-to-end (md5 double hashing), so an external
+    engine replays bitmap and probe bit-for-bit. Returns one row per
+    flagged training doc: ``(train_doc_id, n_flagged_shingles)`` —
+    a SUPERSET of :func:`decontaminate`'s docs by construction."""
+    m = F.lit(m_bits)
+    bitmap = bloom_bitmap(
+        shingles(benchmark, text_col=text_col, id_col=id_col, k=k),
+        key_col="shingle", m_bits=m_bits, n_hashes=n_hashes)
+    tr = shingles(train, text_col=text_col, id_col=id_col, k=k).select(
+        F.col("doc_id").alias("train_doc_id"),
+        (md5_hash60(F.col("shingle")) % m).alias("r1"),
+        (_md5_hash60_hi(F.col("shingle")) % m).alias("r2"),
+    ).distinct()
+    probes = tr.select(
+        "train_doc_id", "r1", "r2",
+        F.explode(F.array(*[
+            (F.col("r1") + F.lit(i) * F.col("r2")) % m
+            for i in range(n_hashes)])).alias("pos"))
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(
+               F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"))
+              != 0))
+    return (
+        probes
+        .join(F.broadcast(bitmap),
+              F.expr("pos DIV 63") == F.col("word_idx"), "left")
+        .groupBy("train_doc_id", "r1", "r2")
+        .agg(F.sum(hit.cast("int")).alias("n_hits"))
+        .filter(F.col("n_hits") == n_hashes)
+        .groupBy("train_doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_flagged_shingles"))
+    )

@@ -2026,3 +2026,71 @@ def dd_semantic_dedup(spark, sf_dir):
     )
     return semantic_dedup(emb.unionByName(scaled), n_centroids=16,
                           threshold=0.97)
+
+
+_HEX60B = "CAST(concat('0x', substr(md5({x}), 16, 15)) AS BIGINT)"
+_BLOOM_M = 1 << 15
+
+
+@query(
+    "cu_bloom_decontaminate",
+    survey=("CU-decon",),
+    oracle=f"""
+        WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+        tr AS ({_SHINGLE5_SQL.format(toks=_TOKS, src="train")}),
+        be AS ({_SHINGLE5_SQL.format(toks=_TOKS, src="bench")}),
+        probes(i) AS (VALUES (0), (1), (2)),
+        bpos AS (
+            SELECT (({_HEX60.format(x='sh')} % {_BLOOM_M})
+                    + i * ({_HEX60B.format(x='sh')} % {_BLOOM_M}))
+                   % {_BLOOM_M} AS pos
+            FROM be CROSS JOIN probes
+        ),
+        bitmap AS (
+            SELECT pos // 63 AS word_idx,
+                   bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+            FROM bpos GROUP BY pos // 63
+        ),
+        trh AS (
+            SELECT DISTINCT doc_id AS train_doc_id,
+                   {_HEX60.format(x='sh')} % {_BLOOM_M} AS r1,
+                   {_HEX60B.format(x='sh')} % {_BLOOM_M} AS r2
+            FROM tr
+        ),
+        tpos AS (
+            SELECT train_doc_id, r1, r2,
+                   (r1 + i * r2) % {_BLOOM_M} AS pos
+            FROM trh CROSS JOIN probes
+        ),
+        hits AS (
+            SELECT train_doc_id, r1, r2,
+                   sum(CASE WHEN b.bits IS NOT NULL
+                            AND (b.bits
+                                 & (1::BIGINT << CAST(pos % 63 AS INT))) <> 0
+                       THEN 1 ELSE 0 END) AS n_hits
+            FROM tpos LEFT JOIN bitmap b ON tpos.pos // 63 = b.word_idx
+            GROUP BY train_doc_id, r1, r2
+        )
+        SELECT train_doc_id,
+               CAST(count(*) AS BIGINT) AS n_flagged_shingles
+        FROM hits WHERE n_hits = 3
+        GROUP BY train_doc_id
+    """,
+)
+def cu_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination — the scale path of
+    cu_decontaminate for when the benchmark shingle set is too big to
+    broadcast raw: the benchmark folds into a 4 KiB bitmap (m=2^15
+    bits, 3 probes, md5 double hashing), the corpus probes it with a
+    broadcast word-index join, and flagged docs (zero false negatives,
+    deterministic ~0.3% false-positive grams) go to exact recheck.
+    Companion test pins flagged ⊇ exact-contaminated."""
+    from bdc_collection_builder_spark.extensions.curation import (
+        bloom_decontaminate,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bloom_decontaminate(docs.filter(F.col("doc_id") % 17 != 0),
+                               docs.filter(F.col("doc_id") % 17 == 0),
+                               k=5, m_bits=_BLOOM_M, n_hashes=3)

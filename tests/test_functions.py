@@ -684,3 +684,31 @@ def test_semantic_dedup_trained_quantizer(spark, sf_dir):
     # nothing else in the synthetic corpus clears 0.97
     assert flagged == planted
     assert got.count() == corpus.count()
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """Bloom decontamination must flag every exactly-contaminated doc
+    (zero false negatives — the guarantee the scale path sells) and
+    per flagged doc report at least as many shingles as the exact
+    overlap count; false positives stay a small deterministic tail."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.extensions.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    exact = {r.train_doc_id: r.n_common_shingles
+             for r in decontaminate(train, bench, k=5).collect()}
+    bloom = {r.train_doc_id: r.n_flagged_shingles
+             for r in bloom_decontaminate(train, bench, k=5).collect()}
+    assert set(exact) <= set(bloom)
+    for doc, n in exact.items():
+        assert bloom[doc] >= n
+    # the filter must actually filter: flagged docs stay a small
+    # fraction of the corpus (fp-rate sanity, not a tautology)
+    assert len(bloom) < train.count() / 2
