@@ -830,3 +830,49 @@ def st_incremental_near_dedup(spark, sf_dir):
         spark.read.parquet(f"{scratch}/out")
         .select("doc_id").orderBy("doc_id")
     )
+
+
+@query(
+    "st_stream_stream_join",
+    survey=("Y2", "TJ-range"),
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id AS error_id, {_TS} AS ts FROM events
+            WHERE event_type = 'error'
+        ),
+        a AS (
+            SELECT user_id, event_id AS followup_id, {_TS} AS ts FROM events
+        )
+        SELECT e.error_id, a.followup_id
+        FROM e JOIN a
+          ON a.user_id = e.user_id
+         AND a.ts >= e.ts
+         AND a.ts <= e.ts + INTERVAL 10 MINUTE
+    """,
+)
+def st_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (errors ⋈ same-user follow-ups
+    within 10 minutes) drained with Trigger.AvailableNow — the
+    continuously-runnable form of tj_range_error_followups. Dual
+    watermarks + the bounded event-time condition let the engine evict
+    join state past the lateness horizon, so state is O(watermark),
+    not O(history). The inner join's emitted pairs equal the batch
+    interval join exactly, which the DuckDB oracle replays — a FULL
+    value check, not rows-only, unlike the stateful st_* queries."""
+    import tempfile
+    import uuid
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        streaming_interval_join,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bdc_ssj_")
+    events_dir = f"{scratch}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
+        events_dir)
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = streaming_interval_join(spark, events_dir, events_dir,
+                                f"{scratch}/ckpt", qname)
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT error_id, followup_id FROM {qname}")

@@ -368,3 +368,54 @@ def incremental_near_dedup(spark: SparkSession, incoming_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_interval_join(spark: SparkSession, errors_dir: str,
+                            events_dir: str, checkpoint_dir: str,
+                            query_name: str,
+                            watermark: str = "30 minutes",
+                            window_minutes: int = 10):
+    """Y-series stream-stream INTERVAL join: a live stream of error
+    events joined against the live event firehose, matching same-user
+    follow-ups inside ``[error.ts, error.ts + window]``.
+
+    This is the join family batch tj_range_error_followups expresses
+    offline, kept runnable continuously: both sides carry watermarks
+    and the join condition bounds event-time distance, so Spark can
+    compute how long an unmatched row might still find a partner and
+    EVICT state past that horizon — state is O(watermark window of both
+    streams), never O(history). Inner join + availableNow drain emits
+    exactly the batch join's pairs, which is what the oracle replays.
+    """
+    err = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(errors_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"),
+                F.col("event_id").alias("error_id"),
+                F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", watermark)
+    )
+    fol = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+        .select(F.col("user_id").alias("f_user"),
+                F.col("event_id").alias("followup_id"),
+                F.col("ts").alias("f_ts"))
+        .withWatermark("f_ts", watermark)
+    )
+    pairs = (
+        err.join(
+            fol,
+            (F.col("e_user") == F.col("f_user"))
+            & (F.col("f_ts") >= F.col("e_ts"))
+            & (F.col("f_ts")
+               <= F.col("e_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")),
+            "inner")
+        .select("error_id", "followup_id")
+    )
+    return (
+        pairs.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -367,3 +367,41 @@ def test_incremental_near_dedup_short_docs_idempotent(spark, tmp_path):
         len({(r.doc_id, r.shingle) for r in
              spark.read.parquet(f"{state}/shingles").collect()}), \
         "redelivery must not duplicate state rows"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-stream interval join over SPLIT sources (errors stream ≠
+    firehose stream) drains to exactly the batch interval-join pairs."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        streaming_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    errors_dir = str(tmp_path / "errors")
+    firehose_dir = str(tmp_path / "firehose")
+    events.filter(F.col("event_type") == "error").write.parquet(errors_dir)
+    events.write.parquet(firehose_dir)
+    qname = f"ssj_test_{uuid.uuid4().hex[:8]}"
+    q = streaming_interval_join(spark, errors_dir, firehose_dir,
+                                str(tmp_path / "ckpt"), qname)
+    q.awaitTermination(300)
+    got = {(r.error_id, r.followup_id)
+           for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"))
+    a = events.select(F.col("user_id").alias("f_user"),
+                      F.col("event_id").alias("followup_id"),
+                      F.col("ts").alias("f_ts"))
+    want = {(r.error_id, r.followup_id) for r in e.join(
+        a, (F.col("e_user") == F.col("f_user"))
+        & (F.col("f_ts") >= F.col("e_ts"))
+        & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES"))
+    ).select("error_id", "followup_id").collect()}
+    assert got == want and len(want) > 0
