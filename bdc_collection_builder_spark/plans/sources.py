@@ -729,14 +729,48 @@ def x15_epsg_detect(spark, sf_dir):
 @query(
     "st_stateful_sessionize",
     survey=("Y1", "Y5", "Y6"),
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, {_TS} AS ts FROM events
+        ),
+        d AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM d
+        ),
+        g AS (
+            SELECT user_id, sid, min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS INT) AS n_events
+            FROM s GROUP BY user_id, sid
+        ),
+        tails AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY user_id)
+        SELECT g.user_id, g.session_start, g.session_end, g.n_events
+        FROM g JOIN tails USING (user_id) WHERE g.sid < tails.last_sid
+    """,
 )
 def st_stateful_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user gap sessionization with state carried across micro-batches
     — the engine feature the reference's Celery topology approximates
-    (SURVEY §2.9). Rows-only: genuinely non-SQL (streaming state).
-    The run drains the bounded events table with Trigger.AvailableNow
-    and returns every session closed by an observed gap."""
+    (SURVEY §2.9). The run drains the bounded events table with
+    Trigger.AvailableNow and returns every session closed by an
+    observed gap — i.e. all sessions except each user's open tail,
+    which stays in state. Under a complete single-source drain that
+    output is deterministic, so the DuckDB oracle (lag/cumsum
+    sessionization minus each user's last session) is a FULL value
+    check; only the always-on multi-restart schedule is engine-order
+    dependent (covered by the streaming tests instead)."""
     import tempfile
     import uuid
 
