@@ -2094,3 +2094,76 @@ def cu_bloom_decontaminate(spark, sf_dir):
     return bloom_decontaminate(docs.filter(F.col("doc_id") % 17 != 0),
                                docs.filter(F.col("doc_id") % 17 == 0),
                                k=5, m_bits=_BLOOM_M, n_hashes=3)
+
+
+def _kmeans_oracle(n_clusters: int = 8, dim: int = 64) -> str:
+    """Two-round Lloyd's replay: the centroid mean is summed in
+    vec_id order (list(... ORDER BY vec_id) -> list_sum), matching the
+    Spark side's ordered fold — double arithmetic is order-sensitive,
+    so the oracle variant pins the order both engines use."""
+    d_c0 = (f"{_DOT_SQL.format(a='c.cvec', b='c.cvec')}"
+            f" - 2 * {_DOT_SQL.format(a='b.embedding', b='c.cvec')}")
+    return f"""
+        WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM base WHERE vec_id < {n_clusters}
+        ),
+        a1 AS (
+            SELECT vec_id, embedding, cid AS cluster_id FROM (
+                SELECT b.vec_id, b.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {d_c0} ASC, c.cid
+                       ) AS rn
+                FROM base b CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ),
+        parts AS (
+            SELECT cluster_id, i,
+                   list_sum(list(CAST(embedding[i] AS DOUBLE)
+                                 ORDER BY vec_id)) AS s,
+                   count(*) AS n
+            FROM a1, UNNEST(generate_series(1, {dim})) AS t(i)
+            GROUP BY cluster_id, i
+        ),
+        c1 AS (
+            SELECT cluster_id AS cid, list(s / n ORDER BY i) AS cvec
+            FROM parts GROUP BY cluster_id
+        ),
+        a2 AS (
+            SELECT vec_id, cid AS cluster_id FROM (
+                SELECT b.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY {d_c0} ASC, c.cid
+                       ) AS rn
+                FROM base b CROSS JOIN c1 c
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, cluster_id FROM a2
+    """
+
+
+@query(
+    "ss_kmeans_assign",
+    survey=("SS-ivf", "Z3"),
+    oracle=_kmeans_oracle(),
+)
+def ss_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd's k-means (2 rounds, 8 clusters) over the
+    embedding corpus — the pipeline-scale trainer behind IVF/SemDeDup
+    quantizers: per round one map-only broadcast argmin assignment +
+    one bounded n_clusters×dim mean aggregate; the corpus never
+    reaches the driver. This registration runs the ordered-sum oracle
+    variant so DuckDB replays the double arithmetic bit-for-bit; the
+    production path uses plain partial-agg means (companion test pins
+    identical assignments)."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        kmeans_assign_distributed,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assign_distributed(emb, n_clusters=8, iters=2,
+                                     ordered=True)

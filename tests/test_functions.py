@@ -712,3 +712,24 @@ def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
     # the filter must actually filter: flagged docs stay a small
     # fraction of the corpus (fp-rate sanity, not a tautology)
     assert len(bloom) < train.count() / 2
+
+
+def test_kmeans_distributed_production_matches_ordered(spark, sf_dir):
+    """The production k-means update (plain partial-agg avg, arbitrary
+    summation order) must land every vector in the same cluster as the
+    order-pinned oracle variant — means can differ in final ulps, but
+    argmin assignments are ulp-robust on real data. Also pins that the
+    clustering is non-trivial (several clusters populated)."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        kmeans_assign_distributed,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    prod = {r.vec_id: r.cluster_id
+            for r in kmeans_assign_distributed(emb, ordered=False).collect()}
+    pinned = {r.vec_id: r.cluster_id
+              for r in kmeans_assign_distributed(emb, ordered=True).collect()}
+    assert prod == pinned
+    assert len(set(prod.values())) >= 4
