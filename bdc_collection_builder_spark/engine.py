@@ -78,11 +78,12 @@ class CollectionBuilderEngine:
 
     # -- monitoring/analytics plane (§3.3) ------------------------------
 
-    def list_activities(self, page: int = 1, per_page: int = 10,
-                        collection_id: int | None = None,
-                        activity_type_contains: str | None = None,
-                        ) -> DataFrame:
-        """F5 filters + W3 pagination + W1 latest-execution join."""
+    def activities_filtered(self, collection_id: int | None = None,
+                            activity_type_contains: str | None = None,
+                            ) -> DataFrame:
+        """F5 filters + W1 latest-execution join, unpaginated — shared
+        by ``list_activities`` and the web layer's ``total`` count so
+        both always apply identical predicates."""
         acts = self.store.read("activities")
         if collection_id is not None:
             acts = acts.filter(F.col("collection_id") == collection_id)
@@ -91,9 +92,17 @@ class CollectionBuilderEngine:
                 F.col("activity_type").contains(activity_type_contains))
         hist = latest_per_group(
             self.store.read("activity_history"), ["activity_id"], "start")
-        enriched = acts.join(
+        return acts.join(
             hist.select("activity_id", F.col("start").alias("last_execution")),
             acts["id"] == F.col("activity_id"), "left").drop("activity_id")
+
+    def list_activities(self, page: int = 1, per_page: int = 10,
+                        collection_id: int | None = None,
+                        activity_type_contains: str | None = None,
+                        ) -> DataFrame:
+        """F5 filters + W3 pagination + W1 latest-execution join."""
+        enriched = self.activities_filtered(
+            collection_id, activity_type_contains)
         return paginate(enriched, ["id"], page, per_page)
 
     def count_activities(self) -> DataFrame:
