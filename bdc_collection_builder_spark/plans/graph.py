@@ -1,0 +1,221 @@
+"""Graph analytics over a derived citation graph — PageRank, triangle
+counting, degree distribution.
+
+A large-scale curation pipeline ranks documents by link/citation
+centrality (quality signal for web corpora) and measures graph shape
+(triangles, degree histograms) to detect spam farms and boilerplate
+link rings. The testdata has no edge table, so the suite derives a
+DETERMINISTIC pseudo-random 3-regular-out citation graph from
+``documents`` with the engine-neutral md5-60bit hash (the same
+cross-engine base hash the dedup oracles pin, extensions/dedup.py):
+
+    dst(src, i) = md5_hash60(concat(src, ':', i)) % n_docs,  i in 1..3
+
+Both engines recompute the identical graph, so every result is fully
+value-checked by the DuckDB oracle — no fixture files needed.
+
+Scale design (100 TB / billions of edges):
+
+- **PageRank** runs a fixed number of unrolled iterations; each is one
+  shuffle on ``dst`` (the contribution aggregate) plus an equi-join on
+  ``src`` against the (rank, outdeg) table — the standard distributed
+  formulation. Self-loops are KEPT, which guarantees outdeg >= 1 and
+  removes the dangling-mass correction (a driver-side scalar reduce
+  per iteration) entirely. At production depth (tens of iterations)
+  each round would ``localCheckpoint`` like the connected-components
+  operator (extensions/dedup.py) to truncate lineage; three unrolled
+  rounds stay plan-only here.
+- **Triangles** use the oriented-edge trick: orient every undirected
+  edge low→high, then count wedge closures with two equi-joins — each
+  triangle is counted exactly once, no ``distinct`` on candidate
+  triples and no cartesian anywhere.
+- The only driver action is the ``count()`` of the node dimension (the
+  same bounded scalar-attach pattern the ANN/centroid queries use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans.registry import query
+
+_FANOUT = 3
+_DAMPING = 0.85
+_ITERATIONS = 3
+
+# DuckDB CTEs recomputing the identical derived graph: nn (node count),
+# edges (distinct, existence-guarded), outdeg.
+_GRAPH_SQL = f"""
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    raw_edges AS (
+        SELECT d.doc_id AS src,
+               CAST(concat('0x', substr(md5(concat(
+                   CAST(d.doc_id AS VARCHAR), ':', CAST(g.i AS VARCHAR)
+               )), 1, 15)) AS BIGINT) % (SELECT n FROM nn) AS dst
+        FROM documents d, generate_series(1, {_FANOUT}) AS g(i)
+    ),
+    edges AS (
+        SELECT DISTINCT r.src, r.dst
+        FROM raw_edges r JOIN documents x ON r.dst = x.doc_id
+    ),
+    outdeg AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    )
+"""
+
+
+def citation_edges(spark: SparkSession, sf_dir: str
+                   ) -> tuple[DataFrame, DataFrame, int]:
+    """(nodes, distinct edges, n) for the derived citation graph.
+
+    The existence join guards against a non-contiguous id domain (the
+    hash targets the 0..n-1 ordinal space); with the synthetic tables'
+    contiguous ids it keeps every edge. Self-loops retained by design
+    (see module docstring)."""
+    nodes = t(spark, sf_dir, "documents").select("doc_id")
+    n = nodes.count()
+    fan = nodes.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[F.lit(str(i)) for i in
+                            range(1, _FANOUT + 1)])).alias("i"),
+    )
+    dst = md5_hash60(
+        F.concat(F.col("src").cast("string"), F.lit(":"), F.col("i"))
+    ) % F.lit(n)
+    edges = (
+        fan.select("src", dst.alias("dst"))
+        .join(nodes.select(F.col("doc_id").alias("dst")), "dst")
+        .select("src", "dst").distinct()
+    )
+    return nodes, edges, n
+
+
+def _pagerank_iteration_sql(k: int) -> str:
+    prev = f"p{k - 1}"
+    return f"""
+    p{k} AS (
+        SELECT d.doc_id,
+               CAST({1 - _DAMPING} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({_DAMPING} AS DOUBLE)
+                 * COALESCE(sum(p.rank / o.deg), 0) AS rank
+        FROM documents d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN {prev} p ON p.doc_id = e.src
+        LEFT JOIN outdeg o ON o.src = e.src
+        GROUP BY d.doc_id
+    )"""
+
+
+_PAGERANK_ORACLE = (
+    "WITH " + _GRAPH_SQL + ",\n"
+    "    p0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / (SELECT n FROM nn)"
+    " AS rank FROM documents),"
+    + ",".join(_pagerank_iteration_sql(k)
+               for k in range(1, _ITERATIONS + 1))
+    + f"""
+    SELECT doc_id, round(rank, 10) AS pagerank FROM p{_ITERATIONS}
+"""
+)
+
+
+@query(
+    "gr_pagerank",
+    survey=("GR-pagerank",),
+    oracle=_PAGERANK_ORACLE,
+)
+def gr_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (damping 0.85, 3 unrolled rounds) over
+    the derived citation graph — the link-centrality quality signal of
+    a web-corpus curation pipeline.
+
+    Per iteration: contributions aggregate in ONE shuffle on ``dst``
+    (map-side combined), ranks rejoin on the node id. Self-loops keep
+    outdeg >= 1, so there is no dangling-mass scalar reduce."""
+    nodes, edges, n = citation_edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("double").alias("deg"))
+    src_deg = edges.join(outdeg, "src")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(_ITERATIONS):
+        contrib = (
+            src_deg.join(ranks.select(F.col("doc_id").alias("src"), "rank"),
+                         "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                (F.lit((1 - _DAMPING) / n)
+                 + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
+                 ).alias("rank"))
+        )
+    return ranks.select("doc_id", F.round("rank", 10).alias("pagerank"))
+
+
+@query(
+    "gr_triangle_count",
+    survey=("GR-triangles",),
+    oracle="WITH " + _GRAPH_SQL + """,
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+)
+def gr_triangle_count(spark, sf_dir):
+    """Triangle count via oriented wedges: orient each undirected edge
+    low→high, close wedges with two equi-joins. Each triangle
+    (a<b<c) appears exactly once as (a,b)+(b,c)+(a,c) — no distinct
+    over triples, no cartesian. At 100 TB this is the standard
+    high-degree-vertex-safe formulation (orientation bounds each
+    vertex's join fan-out by its out-orientation degree)."""
+    _, edges, _ = citation_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+    closed = wedges.join(
+        e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
+@query(
+    "gr_degree_histogram",
+    survey=("GR-degrees",),
+    oracle="WITH " + _GRAPH_SQL + """,
+    indeg AS (
+        SELECT d.doc_id, CAST(count(e.src) AS BIGINT) AS degree
+        FROM documents d LEFT JOIN edges e ON e.dst = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM indeg GROUP BY degree
+""",
+)
+def gr_degree_histogram(spark, sf_dir):
+    """In-degree distribution of the citation graph — the spam/link-
+    farm shape check (heavy right tail = rings of mutually citing
+    boilerplate). Two map-side-combined aggregates; zero-in-degree
+    nodes are kept via the left join so the histogram is complete."""
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    indeg = (
+        nodes.join(edges, nodes["doc_id"] == edges["dst"], "left")
+        .groupBy(nodes["doc_id"])
+        .agg(F.count(edges["src"]).alias("degree"))
+    )
+    return indeg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

@@ -58,6 +58,7 @@ def _load_all() -> None:
         aggregates,
         extensions,
         filters,
+        graph,
         joins,
         layout,
         pixels,
