@@ -68,6 +68,7 @@ def _load_all() -> None:
         sorts,
         sources,
         temporal,
+        tokenizer,
         training,
         windows,
     )

