@@ -65,6 +65,7 @@ def _load_all() -> None:
         quality,
         scalars,
         setops,
+        sketches,
         sorts,
         sources,
         temporal,
