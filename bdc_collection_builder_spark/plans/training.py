@@ -650,3 +650,49 @@ def tx_token_entropy(spark, sf_dir):
         .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"),
                 "token_entropy_bits")
     )
+
+
+@query(
+    "cu_weighted_sample_es",
+    survey=("CU-sample",),
+    oracle="""
+        SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY
+                         ln((CAST(concat('0x', substr(md5(
+                                 CAST(doc_id AS VARCHAR) || ':es'), 1, 15))
+                               AS BIGINT) + 1)
+                            / CAST(1152921504606846976 AS DOUBLE))
+                         / greatest(n_chars, 1) DESC,
+                         doc_id
+                   ) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 8
+    """,
+)
+def cu_weighted_sample_es(spark, sf_dir):
+    """Weight-proportional sampling WITHOUT replacement per source
+    (Efraimidis–Spirakis A-ES): key_i = ln(u_i)/w_i with u_i a keyed-
+    hash uniform in (0,1] and w_i = n_chars — the top-k keys per group
+    are an exact weighted sample without replacement. Like the
+    reservoir twin it is RNG-free and rerun-stable (u is a pure
+    function of doc_id), and distributed the same way: one shuffle on
+    the group key, a per-group rank window, k rows kept. This is how
+    a curation pipeline oversamples long/high-quality documents
+    without a replacement loop or a driver-side pass."""
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                "n_chars")
+    u = (md5_hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":es")))
+         + F.lit(1)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    w = Window.partitionBy("source").orderBy(key.desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 8)
+        .select("doc_id", "source", "sample_rank")
+    )
