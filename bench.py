@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "tx_span_dedup",             # k-gram substring dedup (hash join-back)
     "cu_dsir_weights",           # DSIR importance weights (vocab join)
     "ss_ivfpq_topk",             # IVF-PQ composed ANN
+    "gr_pagerank",               # iterative graph centrality (3 rounds)
+    "sk_heavy_hitters_cms",      # count-min sketch build + probe
+    "tk_bpe_pair_counts",        # BPE pair stats over the word dict
 ]
 
 
