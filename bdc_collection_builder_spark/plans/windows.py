@@ -468,3 +468,61 @@ def w12_conversion_latency(spark, sf_dir):
         .alias("p90_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+@query(
+    "w13_ewma_smoothing",
+    survey=("W-ewma", "Y1"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT event_type, {_TS} AS ts, value FROM events
+        ),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   avg(value) AS mean_v
+            FROM norm GROUP BY 1, 2
+        ),
+        framed AS (
+            SELECT event_type, day,
+                   array_agg(mean_v) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+            FROM daily
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               round(CAST(list_reduce(xs, (acc, x) ->
+                     CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)
+                   AS DOUBLE), 6) AS ewma
+        FROM framed
+    """,
+)
+def w13_ewma_smoothing(spark, sf_dir):
+    """Bounded-lookback EWMA (α=0.3 over the trailing 20 days) of the
+    daily mean metric per event type — the loss-curve / drift-monitor
+    smoother of a training pipeline. The recursive EWMA is not a
+    windowed aggregate SQL engines ship, but restricted to a bounded
+    frame it IS expressible exactly: collect the frame into an array
+    (20 doubles max, regardless of corpus size) and left-fold
+    s' = αx + (1-α)s. Cost at 100 TB: the daily pre-aggregate is the
+    only corpus-scale shuffle; the window then runs over the (days ×
+    types) dimension, and the per-row fold is O(20) arithmetic inside
+    codegen — no UDF, no self-join fan-out of the naive Σ α(1-α)^k
+    formulation."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("mean_v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-19, 0)
+    framed = daily.withColumn("xs", F.collect_list("mean_v").over(w))
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), F.lit(2), F.size("xs") - 1),
+        F.element_at("xs", 1).cast("double"),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return framed.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(ewma, 6).alias("ewma"))
