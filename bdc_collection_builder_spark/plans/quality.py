@@ -157,3 +157,119 @@ def dq_expectations(spark, sf_dir):
           'doc_id_unique',        v_unique,     n_checked
         ) AS (rule, n_violations, n_checked)
     """))
+
+
+@query(
+    "dq_psi_drift",
+    survey=("DQ-drift",),
+    oracle="""
+        WITH norm AS (
+            SELECT event_type, value, event_id % 2 AS half FROM events
+        ),
+        bounds AS (
+            SELECT event_type, min(value) AS mn,
+                   CASE WHEN max(value) > min(value)
+                        THEN max(value) - min(value)
+                        ELSE CAST(1 AS DOUBLE) END AS span
+            FROM norm GROUP BY event_type
+        ),
+        binned AS (
+            SELECT n.event_type, n.half,
+                   least(9, greatest(0, CAST(floor(
+                       (n.value - b.mn) * CAST(10 AS DOUBLE) / b.span
+                   ) AS BIGINT))) AS bin
+            FROM norm n JOIN bounds b USING (event_type)
+        ),
+        counts AS (
+            SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS c
+            FROM binned GROUP BY 1, 2, 3
+        ),
+        dense AS (
+            SELECT b.event_type, h.half, g.bin
+            FROM bounds b,
+                 (SELECT unnest([0, 1]) AS half) h,
+                 (SELECT unnest(generate_series(0, 9)) AS bin) g
+        ),
+        filled AS (
+            SELECT d.event_type, d.half, d.bin, COALESCE(c.c, 0) AS c
+            FROM dense d LEFT JOIN counts c
+              ON c.event_type = d.event_type AND c.half = d.half
+             AND c.bin = d.bin
+        ),
+        tot AS (
+            SELECT event_type, half, sum(c) AS t
+            FROM filled GROUP BY 1, 2
+        ),
+        props AS (
+            SELECT f.event_type, f.bin, f.half,
+                   (f.c + CAST(0.5 AS DOUBLE))
+                   / (t.t + CAST(5 AS DOUBLE)) AS prop
+            FROM filled f JOIN tot t
+              ON t.event_type = f.event_type AND t.half = f.half
+        ),
+        pq AS (
+            SELECT event_type, bin,
+                   max(CASE WHEN half = 0 THEN prop END) AS p,
+                   max(CASE WHEN half = 1 THEN prop END) AS q
+            FROM props GROUP BY 1, 2
+        )
+        SELECT event_type,
+               round(sum((p - q) * ln(p / q)), 8) AS psi,
+               round(sum(p * ln(p / q)), 8) AS kl_pq
+        FROM pq GROUP BY event_type
+    """,
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population-stability-index + KL drift between two halves of the
+    event stream (even/odd event_id stands in for reference vs
+    current snapshot) — the per-feature distribution-drift monitor a
+    training pipeline runs before trusting a new data batch.
+
+    Shape: per-type bounds (tiny dim, broadcast) → equi-width binning
+    in codegen → count aggregate whose key space is |types|×2×10 —
+    the one corpus-scale shuffle is map-side combined down to ≤20
+    rows per type. Empty bins are densified from a generated (type ×
+    half × bin) frame so the Laplace-smoothed proportions are defined
+    everywhere; PSI/KL then reduce over the bounded bin dimension.
+    Binning uses only exact min/max (no averages), so bucket edges
+    are bit-identical across engines."""
+    events = t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 2).alias("half"))
+    bounds = events.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.when(F.max("value") > F.min("value"),
+               F.max("value") - F.min("value"))
+        .otherwise(F.lit(1.0)).alias("span"))
+    binned = events.join(F.broadcast(bounds), "event_type").select(
+        "event_type", "half",
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor(
+            (F.col("value") - F.col("mn")) * F.lit(10.0) / F.col("span")
+        ))).cast("bigint").alias("bin"))
+    counts = binned.groupBy("event_type", "half", "bin").agg(
+        F.count("*").alias("c"))
+    dense = (
+        bounds.select("event_type")
+        .select("event_type", F.explode(F.array(
+            F.lit(0).cast("bigint"), F.lit(1).cast("bigint"))).alias("half"))
+        .select("event_type", "half",
+                F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                     F.lit(9).cast("bigint"))).alias("bin"))
+    )
+    filled = (
+        dense.join(counts, ["event_type", "half", "bin"], "left")
+        .select("event_type", "half", "bin",
+                F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = filled.groupBy("event_type", "half").agg(F.sum("c").alias("t"))
+    props = filled.join(tot, ["event_type", "half"]).select(
+        "event_type", "bin", "half",
+        ((F.col("c") + F.lit(0.5)) / (F.col("t") + F.lit(5.0)))
+        .alias("prop"))
+    pq = props.groupBy("event_type", "bin").agg(
+        F.max(F.when(F.col("half") == 0, F.col("prop"))).alias("p"),
+        F.max(F.when(F.col("half") == 1, F.col("prop"))).alias("q"))
+    return pq.groupBy("event_type").agg(
+        F.round(F.sum((F.col("p") - F.col("q"))
+                      * F.log(F.col("p") / F.col("q"))), 8).alias("psi"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 8)
+        .alias("kl_pq"))
