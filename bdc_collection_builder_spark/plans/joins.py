@@ -585,3 +585,50 @@ def j14_full_outer_reconciliation(spark, sf_dir):
             F.col("k_final").isNotNull().alias("in_final"),
         )
     )
+
+
+@query(
+    "j15_large_volume_orders",
+    survey=("J1", "J4", "A3", "T5"),
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250
+        )
+        SELECT c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def j15_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape — aggregate-then-filter (HAVING on a grouped
+    sum) driving a join back to the order/customer dims: the "which
+    orders are unusually large" report. The scale-relevant property:
+    the HAVING collapses the fact table to a small key set BEFORE any
+    join, so the order/customer joins run on the filtered key
+    dimension (AQE turns them into broadcasts), and the top-100 is
+    TakeOrdered — per-partition heaps, never a global sort of the
+    join output. One fact-table shuffle total (the group-by)."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("c_name", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("o_orderdate"),
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(100)
+    )
