@@ -542,3 +542,49 @@ def a19_price_histogram(spark, sf_dir):
              .alias("bin_lo"),
              F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "a20_unpivot_measures",
+    survey=("A2", "A8"),
+    oracle="""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   CAST(sum(l_extendedprice) AS DOUBLE) AS sum_price,
+                   CAST(count(*) AS DOUBLE) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, measure, round(val, 2) AS val FROM (
+            SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val
+            FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'n_rows', n_rows FROM wide
+        )
+    """,
+)
+def a20_unpivot_measures(spark, sf_dir):
+    """Unpivot/melt — a14's inverse reshape: a wide per-group measure
+    row becomes (group, measure, value) tall form, the shape metric
+    stores and dataset cards ingest. Spark's native ``unpivot``
+    (Expand node) emits all measure rows in the SAME pass as the
+    aggregate — no self-union, no re-scan per measure, exactly one
+    shuffle (the group-by); the DuckDB mirror spells it as the
+    equivalent UNION ALL over a shared CTE."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_extendedprice").cast("double").alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "n_rows"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .select("l_returnflag", "measure", F.round("val", 2).alias("val"))
+    )
