@@ -137,7 +137,12 @@ def gr_pagerank(spark, sf_dir):
     nodes, edges, n = citation_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("double").alias("deg"))
-    src_deg = edges.join(outdeg, "src")
+    # Every unrolled round reuses the same (src, dst, deg) table;
+    # without a persist Catalyst inlines the whole edge-derivation
+    # subplan (explode + existence join + distinct) into each round —
+    # 3x the shuffles for identical data. Persist once, like the
+    # connected-components rounds (extensions/dedup.py).
+    src_deg = edges.join(outdeg, "src").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(_ITERATIONS):
         contrib = (
@@ -184,6 +189,7 @@ def gr_triangle_count(spark, sf_dir):
         .select(F.least("src", "dst").alias("a"),
                 F.greatest("src", "dst").alias("b"))
         .distinct()
+        .persist()  # scanned three times by the wedge joins
     )
     e1 = und.alias("e1")
     e2 = und.alias("e2")
