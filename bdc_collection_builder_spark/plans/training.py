@@ -696,3 +696,107 @@ def cu_weighted_sample_es(spark, sf_dir):
         .filter(F.col("sample_rank") <= 8)
         .select("doc_id", "source", "sample_rank")
     )
+
+
+@query(
+    "cu_temperature_mix",
+    survey=("CU-mix",),
+    oracle="""
+        WITH sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        powed AS (
+            SELECT source, n_docs,
+                   pow(CAST(n_docs AS DOUBLE), CAST(0.7 AS DOUBLE)) AS npow
+            FROM sizes
+        ),
+        tot AS (SELECT sum(npow) AS z FROM powed)
+        SELECT p.source, p.n_docs,
+               round(p.npow / t.z, 8) AS mix_weight,
+               round(p.npow / t.z * 10000 / p.n_docs, 8)
+                   AS per_doc_sample_rate
+        FROM powed p, tot t
+    """,
+)
+def cu_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (α=0.7): the multilingual/
+    multi-domain rebalancing rule p_i ∝ n_i^α that upsamples small
+    sources without letting the biggest domains drown the mixture.
+    Emits each source's mixture weight and the per-document sampling
+    rate for a 10k-doc target epoch — the numbers a sampler like
+    cu_weighted_sample_es or cu_hash_split consumes. One count
+    aggregate over the corpus; everything after runs on the source
+    dimension (the one-row normalizer attaches via broadcast)."""
+    docs = t(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    powed = sizes.withColumn(
+        "npow", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)))
+    tot = powed.agg(F.sum("npow").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs",
+            F.round(F.col("npow") / F.col("z"), 8).alias("mix_weight"),
+            F.round(F.col("npow") / F.col("z") * 10000 / F.col("n_docs"), 8)
+            .alias("per_doc_sample_rate"))
+    )
+
+
+@query(
+    "cu_length_bucketing",
+    survey=("CU-pack",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT n_tokens,
+                   CASE WHEN n_tokens <= 16 THEN 16
+                        WHEN n_tokens <= 32 THEN 32
+                        WHEN n_tokens <= 64 THEN 64
+                        WHEN n_tokens <= 128 THEN 128
+                        WHEN n_tokens <= 256 THEN 256
+                        WHEN n_tokens <= 512 THEN 512
+                        WHEN n_tokens <= 1024 THEN 1024
+                        ELSE 2048 END AS bucket
+            FROM toks
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+               CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+               round(CAST(sum(n_tokens) AS DOUBLE)
+                     / (count(*) * bucket), 6) AS fill_ratio
+        FROM bucketed GROUP BY bucket
+    """,
+)
+def cu_length_bucketing(spark, sf_dir):
+    """Length-bucketed batching report: docs binned to power-of-two
+    sequence buckets (the pad-to-bucket batching that replaces
+    pad-to-max), with per-bucket padding efficiency — the fill_ratio
+    column is the fraction of compute that lands on real tokens. The
+    bucket ladder is a fixed integer CASE (no float log2, which
+    disagrees across engines at exact powers of two). Token counting
+    is the shared whitespace contract; one scan, one bounded-key
+    aggregate."""
+    from bdc_collection_builder_spark.extensions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    n = token_count(F.col("text")).cast("bigint")
+    ladder = F.when(n <= 16, 16)
+    for b in (32, 64, 128, 256, 512, 1024):
+        ladder = ladder.when(n <= b, b)
+    bucketed = docs.select(
+        n.alias("n_tokens"), ladder.otherwise(2048).alias("bucket"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("real_tokens"),
+             (F.count("*") * F.col("bucket")).cast("bigint")
+             .alias("padded_tokens"),
+             F.round(F.sum("n_tokens").cast("double")
+                     / (F.count("*") * F.col("bucket")), 6)
+             .alias("fill_ratio"))
+    )

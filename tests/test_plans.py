@@ -87,6 +87,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "a19_price_histogram",   # one-row min/max-bounds attach
         "dd_semantic_dedup",     # one-row centroid-array attach
         "ss_kmeans_assign",      # one-row centroid-array attach per round
+        "cu_temperature_mix",    # one-row mixture-normalizer attach
     }
     offenders = {}
     for name, fn in all_queries().items():
