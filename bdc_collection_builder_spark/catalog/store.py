@@ -51,6 +51,7 @@ class CatalogStore:
         self.root = root
         self.keep_generations = keep_generations
         os.makedirs(root, exist_ok=True)
+        self.recover()  # complete any half-applied transaction
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -171,10 +172,15 @@ class CatalogStore:
         re-publishing a scene replaces its row, publish.py:575-605).
         Incoming rows win; within incoming, exactly one row per key is
         required (enforce upstream with dropDuplicates — Y5)."""
+        self._commit(table, self._merged(table, self.read(table),
+                                         incoming, keys))
+
+    def _merged(self, table: str, current: DataFrame, incoming: DataFrame,
+                keys: list[str] | None = None) -> DataFrame:
+        """MERGE plan: incoming ∪ (current ⟕̸ incoming on keys)."""
         keys = keys or MERGE_KEYS[table]
         cols = [f.name for f in SCHEMAS[table].fields]
         incoming = incoming.select(*cols)
-        current = self.read(table)
         # Broadcast the incoming keys: a merge batch is one publish run
         # (bounded), while `current` is the whole catalog — a broadcast
         # anti-join streams the catalog through without shuffling it.
@@ -183,16 +189,66 @@ class CatalogStore:
         # stage from every merge.
         kept = current.join(
             F.broadcast(incoming.select(*keys)), keys, "left_anti")
-        self._commit(table, kept.unionByName(incoming))
+        return kept.unionByName(incoming)
 
-    def _commit(self, table: str, df: DataFrame) -> None:
+    def transaction(self) -> "Transaction":
+        """Multi-table atomic commit — the semantics the reference gets
+        from one SQLAlchemy session committing items + activities +
+        tasks together (publish.py:575-605 runs inside a single DB
+        transaction). Delta itself has no multi-table transactions;
+        this store gets them with a write-ahead intent log:
+
+        1. every staged write materializes its generation directory
+           (data on disk, pointer untouched — invisible);
+        2. commit atomically creates ``_TXN.intent`` listing every
+           (table → generation), then flips each pointer, then removes
+           the intent;
+        3. :meth:`recover` (run on every store open) redoes the flips
+           of a surviving intent file — so a crash anywhere leaves the
+           transaction either fully invisible (pre-intent: orphan
+           generations only) or fully applied (post-intent: recovery
+           completes the remaining flips). Flips are idempotent.
+
+        Single-writer, like the rest of the store. Usage::
+
+            with store.transaction() as txn:
+                txn.merge_upsert("items", new_items)
+                txn.merge_upsert("activities", done_acts)
+        """
+        return Transaction(self)
+
+    def _intent_path(self) -> str:
+        return os.path.join(self.root, "_TXN.intent")
+
+    def recover(self) -> bool:
+        """Complete a half-applied transaction (see :meth:`transaction`).
+        Returns True if an intent was found and applied."""
+        import json
+
+        path = self._intent_path()
+        if not os.path.exists(path):
+            return False
+        with open(path) as fh:
+            staged: dict[str, str] = json.load(fh)
+        for table, gen in staged.items():
+            if os.path.isdir(os.path.join(self.path(table), gen)):
+                self._flip(table, gen)
+        os.remove(path)
+        return True
+
+    def _stage(self, table: str, df: DataFrame) -> str:
+        """Materialize a generation directory WITHOUT flipping the
+        pointer — invisible until :meth:`_flip`."""
         cols = [f.name for f in SCHEMAS[table].fields]
         tdir = self.path(table)
         os.makedirs(tdir, exist_ok=True)
         gen = f"gen-{uuid.uuid4().hex[:12]}"
         df.select(*cols).write.mode("overwrite").parquet(
             os.path.join(tdir, gen))
-        self._flip(table, gen)
+        return gen
+
+    def _commit(self, table: str, df: DataFrame) -> None:
+        self._flip(table, self._stage(table, df))
 
     def _flip(self, table: str, gen: str) -> None:
         """Atomically point _CURRENT at an already-materialized
@@ -212,6 +268,86 @@ class CatalogStore:
             if stale != keep:
                 shutil.rmtree(os.path.join(self.path(table), stale),
                               ignore_errors=True)
+
+
+class Transaction:
+    """Staged multi-table writes committed atomically — see
+    :meth:`CatalogStore.transaction`. Reads inside the transaction see
+    its own staged state (read-your-writes), so chained operations on
+    the same table compose; nothing outside sees anything until
+    commit. Exceptions abort: staged generation directories are
+    removed, pointers never moved."""
+
+    def __init__(self, store: CatalogStore):
+        self.store = store
+        self._staged: dict[str, str] = {}
+
+    # -- staged reads/writes -------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        if table in self._staged:
+            return self.store.spark.read.schema(SCHEMAS[table]).parquet(
+                os.path.join(self.store.path(table), self._staged[table]))
+        return self.store.read(table)
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        self._put(table, df)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        self._put(table, self.read(table).unionByName(
+            df.select(*[f.name for f in SCHEMAS[table].fields])))
+
+    def merge_upsert(self, table: str, incoming: DataFrame,
+                     keys: list[str] | None = None) -> None:
+        self._put(table, self.store._merged(
+            table, self.read(table), incoming, keys))
+
+    def _put(self, table: str, df: DataFrame) -> None:
+        pcols = getattr(self.store, "partition_cols", None)
+        if pcols and table in pcols:
+            raise NotImplementedError(
+                f"{table} is partitioned: partitioned tables commit per "
+                "partition (their own atomicity unit) outside transactions")
+        old = self._staged.get(table)
+        self._staged[table] = self.store._stage(table, df)
+        if old:  # superseded staged generation — orphan, remove eagerly
+            shutil.rmtree(os.path.join(self.store.path(table), old),
+                          ignore_errors=True)
+
+    # -- two-phase commit ----------------------------------------------
+
+    def commit(self) -> None:
+        """Write the intent (atomic), flip every pointer, drop the
+        intent. A crash after the intent is durable is completed by
+        :meth:`CatalogStore.recover` on the next store open."""
+        import json
+
+        if not self._staged:
+            return
+        intent = self.store._intent_path()
+        tmp = f"{intent}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(self._staged, fh)
+        os.replace(tmp, intent)
+        for table, gen in self._staged.items():
+            self.store._flip(table, gen)
+        os.remove(intent)
+        self._staged = {}
+
+    def abort(self) -> None:
+        for table, gen in self._staged.items():
+            shutil.rmtree(os.path.join(self.store.path(table), gen),
+                          ignore_errors=True)
+        self._staged = {}
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+        else:
+            self.abort()
 
 
 class PartitionedCatalogStore(CatalogStore):

@@ -532,3 +532,96 @@ def test_partitioned_store_time_travel(spark, tmp_path, fixtures):
     # optimize returns a resolvable partition-scoped id
     g_opt = s.optimize("items")
     assert s.read_at("items", g_opt).count() >= 0
+
+
+def test_transaction_commits_all_tables_atomically(spark, tmp_path, fixtures):
+    """The multi-table publish shape (items + activities in one txn):
+    nothing visible mid-transaction, everything visible after."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    s = CatalogStore(spark, str(tmp_path / "txn_cat"))
+    s.overwrite("items", fixtures["items"].limit(10))
+    s.overwrite("activities", fixtures["activities"].limit(10))
+    items_before = s.read("items").count()
+    acts_before = s.read("activities").count()
+
+    with s.transaction() as txn:
+        txn.merge_upsert("items", fixtures["items"].limit(25))
+        txn.append("activities",
+                   fixtures["activities"].limit(12).filter(F.lit(True)))
+        # mid-transaction: the store still serves the old snapshots
+        assert s.read("items").count() == items_before
+        assert s.read("activities").count() == acts_before
+        # ...but the transaction reads its own writes
+        assert txn.read("items").count() == 25
+
+    assert s.read("items").count() == 25
+    assert s.read("activities").count() == acts_before + 12
+
+
+def test_transaction_abort_leaves_no_trace(spark, tmp_path, fixtures):
+    import os
+
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    s = CatalogStore(spark, str(tmp_path / "txn_abort"))
+    s.overwrite("items", fixtures["items"].limit(10))
+    before = s.read("items").count()
+    gen_before = s._current_gen("items")
+
+    with pytest.raises(RuntimeError):
+        with s.transaction() as txn:
+            txn.merge_upsert("items", fixtures["items"])
+            raise RuntimeError("boom")
+
+    assert s._current_gen("items") == gen_before
+    assert s.read("items").count() == before
+    # staged generation directory was removed on abort
+    gens = [d for d in os.listdir(s.path("items")) if d.startswith("gen-")]
+    assert gens == [gen_before]
+    assert not os.path.exists(s._intent_path())
+
+
+def test_transaction_crash_after_intent_recovers_fully(
+        spark, tmp_path, fixtures):
+    """Crash between intent write and pointer flips: the intent file
+    survives, so re-opening the store redoes every flip — the txn is
+    all-or-nothing even across the crash."""
+    import json
+    import os
+
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    s = CatalogStore(spark, str(tmp_path / "txn_crash"))
+    s.overwrite("items", fixtures["items"].limit(10))
+    s.overwrite("activities", fixtures["activities"].limit(10))
+
+    # stage both tables by hand, write the intent, then "crash" before
+    # any flip (the worst window)
+    txn = s.transaction()
+    txn.merge_upsert("items", fixtures["items"].limit(30))
+    txn.append("activities", fixtures["activities"].limit(5))
+    staged = dict(txn._staged)
+    with open(s._intent_path(), "w") as fh:
+        json.dump(staged, fh)
+    # crash: no flips happen, txn object dropped
+
+    assert s.read("items").count() == 10, "nothing visible pre-recovery"
+
+    s2 = CatalogStore(spark, str(tmp_path / "txn_crash"))  # reopen = recover
+    assert not os.path.exists(s2._intent_path())
+    assert s2.read("items").count() == 30
+    assert s2.read("activities").count() == 15
+
+
+def test_transaction_rejects_partitioned_tables(spark, tmp_path, fixtures):
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "txn_part"))
+    with pytest.raises(NotImplementedError):
+        with s.transaction() as txn:
+            txn.overwrite("items", fixtures["items"])
