@@ -58,6 +58,50 @@ def incremental_publish(spark: SparkSession, incoming_dir: str,
     )
 
 
+def incremental_publish_transactional(spark: SparkSession, incoming_dir: str,
+                                      store: CatalogStore,
+                                      checkpoint_dir: str):
+    """Y3/Y4 with the reference's FULL commit scope: publish.py's task
+    commits the STAC item AND its task status inside one SQLAlchemy
+    session (publish.py:575-605) — either both land or neither. Here
+    each micro-batch runs the items MERGE and the SUCCESS task-row
+    MERGE inside one :meth:`CatalogStore.transaction`, so a crash
+    between the two writes can never leave a published item without
+    its ledger row (or vice versa); the intent log replays the commit
+    on the next store open.
+
+    Idempotent under re-delivery twice over: the items MERGE collapses
+    on (name, collection_id), and the task row's id is a deterministic
+    hash of the same key — re-processing a batch rewrites identical
+    rows instead of appending duplicates."""
+    stream = (
+        spark.readStream.schema(SCHEMAS["items"]).parquet(incoming_dir)
+    )
+
+    def publish_batch(batch: DataFrame, epoch_id: int) -> None:
+        items = batch.dropDuplicates(["name", "collection_id"])
+        tasks = items.select(
+            F.xxhash64(F.concat_ws(
+                ":", F.lit("publish"), "name",
+                F.col("collection_id").cast("string"))).alias("id"),
+            F.concat_ws(":", F.lit("publish"), "name").alias("task_id"),
+            F.lit("SUCCESS").alias("status"),
+            F.current_timestamp().cast("timestamp_ntz").alias("date_done"),
+            F.lit(None).cast("string").alias("traceback"),
+        )
+        with store.transaction() as txn:
+            txn.merge_upsert("items", items)
+            txn.merge_upsert("tasks", tasks, keys=["id"])
+
+    return (
+        stream.writeStream
+        .foreachBatch(publish_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_status_counts(spark: SparkSession, events_dir: str,
                             checkpoint_dir: str, gap: str = "10 minutes"):
     """Y6 — live per-window per-type counts: the streaming form of the

@@ -405,3 +405,37 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
         & (F.col("f_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES"))
     ).select("error_id", "followup_id").collect()}
     assert got == want and len(want) > 0
+
+
+def test_transactional_publish_items_and_ledger_atomic(spark, tmp_path):
+    """The streaming publish commits item + SUCCESS task row in one
+    store transaction; re-delivery (fresh checkpoint) rewrites the
+    same rows — no duplicate ledger entries, no item/ledger skew."""
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_publish_transactional,
+    )
+
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    store = CatalogStore(spark, str(tmp_path / "txn_cat"))
+    store.overwrite("items", fx["items"].limit(5))
+    incoming = str(tmp_path / "txn_incoming")
+    fx["items"].limit(20).write.parquet(incoming)
+
+    q = incremental_publish_transactional(
+        spark, incoming, store, str(tmp_path / "txn_ckpt"))
+    q.awaitTermination(300)
+    n_items = store.read("items").count()
+    n_tasks = store.read("tasks").count()
+    assert n_items == 20
+    published = store.read("items").join(
+        store.read("tasks").filter(F.col("status") == "SUCCESS"),
+        F.concat_ws(":", F.lit("publish"), "name") == F.col("task_id"),
+        "left_semi").count()
+    assert published == 20, "every published item has its ledger row"
+
+    # redelivery: fresh checkpoint reprocesses everything — idempotent
+    q2 = incremental_publish_transactional(
+        spark, incoming, store, str(tmp_path / "txn_ckpt2"))
+    q2.awaitTermination(300)
+    assert store.read("items").count() == n_items
+    assert store.read("tasks").count() == n_tasks
