@@ -225,3 +225,91 @@ def gr_degree_histogram(spark, sf_dir):
         .agg(F.count(edges["src"]).alias("degree"))
     )
     return indeg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+_SEED_MOD = 50  # doc_id % 50 == 0 → the seed (query) set
+
+
+def _ppr_iteration_sql(k: int) -> str:
+    prev = f"p{k - 1}"
+    return f"""
+    p{k} AS (
+        SELECT d.doc_id,
+               CAST({1 - _DAMPING} AS DOUBLE)
+                 * (CASE WHEN d.doc_id % {_SEED_MOD} = 0
+                         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+                 / (SELECT ns FROM nseeds)
+               + CAST({_DAMPING} AS DOUBLE)
+                 * COALESCE(sum(p.rank / o.deg), 0) AS rank
+        FROM documents d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN {prev} p ON p.doc_id = e.src
+        LEFT JOIN outdeg o ON o.src = e.src
+        GROUP BY d.doc_id
+    )"""
+
+
+_PPR_ORACLE = (
+    "WITH " + _GRAPH_SQL + f""",
+    nseeds AS (
+        SELECT CAST(count(*) AS DOUBLE) AS ns FROM documents
+        WHERE doc_id % {_SEED_MOD} = 0
+    ),
+    p0 AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % {_SEED_MOD} = 0
+                     THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+               / (SELECT ns FROM nseeds) AS rank
+        FROM documents
+    ),"""
+    + ",".join(_ppr_iteration_sql(k) for k in range(1, _ITERATIONS + 1))
+    + f"""
+    SELECT doc_id, round(rank, 10) AS ppr FROM p{_ITERATIONS}
+    WHERE rank > 0
+"""
+)
+
+
+@query(
+    "gr_personalized_pagerank",
+    survey=("GR-pagerank",),
+    oracle=_PPR_ORACLE,
+)
+def gr_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank: teleport mass returns to a SEED set
+    (doc_id % 50 == 0) instead of everywhere — relevance propagation
+    from a trusted/query subset, the corpus-expansion primitive
+    ("find documents the seed set structurally endorses"). Same
+    per-iteration shape as gr_pagerank (one contribution shuffle on
+    dst + a node-key rejoin); only the teleport vector changes. Nodes
+    never reached from the seeds keep rank exactly 0 and are dropped,
+    matching the sparse-frontier behavior a 100 TB deployment exploits
+    (the frontier DataFrame stays small until mass spreads)."""
+    nodes, edges, n = citation_edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("double").alias("deg"))
+    src_deg = edges.join(outdeg, "src").persist()
+    is_seed = (F.col("doc_id") % _SEED_MOD == 0)
+    n_seeds = nodes.filter(is_seed).count()
+    teleport = (F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
+                / F.lit(float(n_seeds)))
+    ranks = nodes.withColumn("rank", teleport)
+    for _ in range(_ITERATIONS):
+        contrib = (
+            src_deg.join(ranks.select(F.col("doc_id").alias("src"), "rank"),
+                         "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                (F.lit(1 - _DAMPING) * teleport
+                 + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
+                 ).alias("rank"))
+        )
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select("doc_id", F.round("rank", 10).alias("ppr"))
+    )
