@@ -987,3 +987,129 @@ def s19_csv_roundtrip(spark, sf_dir):
         .csv(path)
         .select(*[c.strip() for c in _DOCS_COLS.split(",")])
     )
+
+
+# -- S20: real-TIFF raster scan (pure-Python codec, no GDAL) ------------
+
+_TIFF_DIRS: dict[str, str] = {}
+
+
+def _tiff_scene_dir(spark) -> str:
+    """Write the synthetic 4-scene pixel grid as REAL single-band
+    int16 GeoTIFF files, once per process. The write happens
+    executor-side inside ``applyInPandas`` (each scene group encodes
+    and writes its own file — the distributed sink shape; the returned
+    manifest is 4 rows). On a cluster the open() targets shared
+    storage; locally it's a temp dir."""
+    if "dir" not in _TIFF_DIRS:
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        from bdc_collection_builder_spark.functions.pixel import (
+            synthetic_pixels,
+        )
+        from bdc_collection_builder_spark.sources.tiff import write_tiff
+
+        out = tempfile.mkdtemp(prefix="bdc_tiff_scenes_")
+        px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+
+        def write_group(key, pdf):
+            sid = int(key[0])
+            pdf = pdf.sort_values(["y", "x"])
+            arr = pdf["B04"].to_numpy().reshape(16, 16).astype("int16")
+            data = write_tiff(
+                arr, pixel_scale=(10.0, 10.0, 0.0),
+                tiepoint=(0.0, 0.0, 0.0, -46.0, -13.0, 0.0))
+            path = os.path.join(out, f"scene_{sid}.tif")
+            with open(path, "wb") as fh:
+                fh.write(data)
+            return pd.DataFrame(
+                {"scene_id": [sid], "path": [path], "bytes": [len(data)]})
+
+        manifest = px.groupBy("scene_id").applyInPandas(
+            write_group, "scene_id long, path string, bytes long")
+        assert manifest.count() == 4  # materializes the writes
+        _TIFF_DIRS["dir"] = out
+    return _TIFF_DIRS["dir"]
+
+
+@query(
+    "s20_tiff_raster_scan",
+    survey=("S6", "S11"),
+    oracle=f"""
+        WITH px AS ({_PIXELS})
+        SELECT scene_id,
+               CAST(floor(y / 8) * 2 + floor(x / 8) AS BIGINT) AS window_id,
+               count(*) AS n_px,
+               round(avg(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END), 4)
+                   AS mean_b04
+        FROM px
+        GROUP BY 1, 2
+    """,
+)
+def s20_tiff_raster_scan(spark, sf_dir):
+    """S6/S11 over REAL raster bytes: scenes are written as actual
+    single-band int16 GeoTIFF files (pure-Python codec,
+    sources/tiff.py — uncompressed TIFF 6.0 + GeoTIFF tags, no GDAL),
+    scanned back with the ``binaryFile`` source, decoded in an
+    Arrow-batched ``mapInPandas``, and reduced to 8×8-block window
+    statistics. Unlike s06 (which models the dataflow on a synthetic
+    grid), every byte here crosses a genuine encode→file→scan→decode
+    boundary; swapping the codec for rasterio changes one call.
+
+    Scale shape: the decoder emits PER-WINDOW partial aggregates
+    (sum/count per 8×8 block), never pixel rows — at 100 TB only
+    window summaries cross the Python/JVM boundary and the final
+    groupBy merges partials from (potentially) multi-strip splits.
+    The oracle is the same analytic pixel SQL as s06: the TIFF
+    round-trip must be value-exact for the means to hash-match."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from bdc_collection_builder_spark.sources.tiff import read_tiff
+
+    path = _tiff_scene_dir(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif").load(path)
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "scene_id": [], "window_id": [], "n_px": [],
+                "sum_b04": [], "n_valid": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                img = read_tiff(bytes(content))
+                sid = int(_re.search(r"scene_(\d+)", p).group(1))
+                a = img.array.astype("float64")
+                for wy in range(2):
+                    for wx in range(2):
+                        blk = a[wy * 8:(wy + 1) * 8, wx * 8:(wx + 1) * 8]
+                        valid = blk[blk != -9999.0]
+                        out["scene_id"].append(sid)
+                        out["window_id"].append(wy * 2 + wx)
+                        out["n_px"].append(blk.size)
+                        out["sum_b04"].append(float(valid.sum()))
+                        out["n_valid"].append(int(valid.size))
+            yield pd.DataFrame(out)
+
+    partials = files.mapInPandas(
+        decode,
+        "scene_id long, window_id long, n_px long, sum_b04 double, "
+        "n_valid long")
+    return (
+        partials.groupBy("scene_id", "window_id")
+        .agg(F.sum("n_px").alias("n_px"),
+             F.sum("sum_b04").alias("s"),
+             F.sum("n_valid").alias("v"))
+        .select(
+            "scene_id", "window_id", "n_px",
+            F.when(F.col("v") > 0,
+                   F.round(F.col("s") / F.col("v"), 4)).alias("mean_b04"))
+    )

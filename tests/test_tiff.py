@@ -1,0 +1,101 @@
+"""Unit tests for the pure-Python TIFF codec (sources/tiff.py) — the
+no-GDAL raster seam. Round-trip exactness across dtypes and strip
+splits is what lets s20_tiff_raster_scan share s06's analytic oracle."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bdc_collection_builder_spark.sources.tiff import (
+    TiffImage,
+    read_tiff,
+    write_tiff,
+)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "int32",
+                                   "float32", "float64"])
+@pytest.mark.parametrize("rows_per_strip", [None, 1, 3, 7])
+def test_roundtrip_exact(dtype, rows_per_strip):
+    rng = np.random.default_rng(7)
+    if dtype.startswith("float"):
+        a = rng.normal(size=(11, 5)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        a = rng.integers(info.min, info.max, size=(11, 5)).astype(dtype)
+    img = read_tiff(write_tiff(a, rows_per_strip=rows_per_strip))
+    assert img.array.dtype == a.dtype
+    assert np.array_equal(img.array, a)
+    assert (img.width, img.height) == (5, 11)
+
+
+def test_geotiff_tags_roundtrip():
+    a = np.zeros((4, 4), dtype="int16")
+    img = read_tiff(write_tiff(
+        a, pixel_scale=(10.0, 10.0, 0.0),
+        tiepoint=(0.0, 0.0, 0.0, -46.0, -13.0, 0.0)))
+    assert img.pixel_scale == (10.0, 10.0, 0.0)
+    assert img.tiepoint == (0.0, 0.0, 0.0, -46.0, -13.0, 0.0)
+
+
+def test_geotiff_tags_absent_is_none():
+    img = read_tiff(write_tiff(np.zeros((2, 2), dtype="uint8")))
+    assert img.pixel_scale is None and img.tiepoint is None
+
+
+def test_big_endian_read():
+    """The reader accepts MM files (written here by byte-swapping a
+    little-endian one field-by-field through the public layout)."""
+    a = np.arange(12, dtype="uint16").reshape(3, 4)
+    little = bytearray(write_tiff(a))
+    # Build the MM equivalent manually: header + strip (swapped) + IFD
+    # (swapped entry-by-entry). Simpler: write a fresh MM file.
+    strip = a.astype(">u2").tobytes()
+    entries = [
+        (256, 4, 1, 4), (257, 4, 1, 3), (258, 3, 1, 16 << 16),
+        (259, 3, 1, 1 << 16), (262, 3, 1, 1 << 16),
+        (273, 4, 1, 8), (277, 3, 1, 1 << 16), (278, 4, 1, 3),
+        (279, 4, 1, len(strip)), (339, 3, 1, 1 << 16),
+    ]
+    ifd_offset = 8 + len(strip)
+    ifd = struct.pack(">H", len(entries))
+    for tag, typ, n, value in entries:
+        ifd += struct.pack(">HHII", tag, typ, n, value)
+    ifd += struct.pack(">I", 0)
+    mm = struct.pack(">2sHI", b"MM", 42, ifd_offset) + strip + ifd
+    img = read_tiff(mm)
+    assert np.array_equal(img.array, a)
+    assert little[:2] == b"II"  # and the LE twin still reads
+    assert np.array_equal(read_tiff(bytes(little)).array, a)
+
+
+def test_rejects_compressed_and_garbage():
+    a = np.zeros((2, 2), dtype="uint8")
+    raw = bytearray(write_tiff(a))
+    # flip the Compression tag value to 5 (LZW): entries are sorted by
+    # tag, find tag 259 in the IFD and overwrite its value field
+    (ifd_offset,) = struct.unpack_from("<I", raw, 4)
+    (n,) = struct.unpack_from("<H", raw, ifd_offset)
+    for i in range(n):
+        base = ifd_offset + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", raw, base)
+        if tag == 259:
+            struct.pack_into("<I", raw, base + 8, 5)
+    with pytest.raises(NotImplementedError):
+        read_tiff(bytes(raw))
+    with pytest.raises(ValueError):
+        read_tiff(b"PK\x03\x04 not a tiff")
+
+
+def test_nodata_sentinel_survives_int16():
+    a = np.full((3, 3), -9999, dtype="int16")
+    img = read_tiff(write_tiff(a))
+    assert (img.array == -9999).all()
+
+
+def test_dataclass_dims():
+    img = TiffImage(array=np.zeros((7, 9), dtype="uint8"))
+    assert img.height == 7 and img.width == 9
