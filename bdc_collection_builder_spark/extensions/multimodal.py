@@ -60,18 +60,42 @@ def decode_image_features(media: DataFrame, codec: str = "stub",
     With ``codec='stub'`` features are a deterministic byte-histogram
     projection; a real codec (Pillow/torchvision) drops into `_decode`.
     """
-    if codec != "stub":
-        raise NotImplementedError(
-            f"codec {codec!r}: real decoders are not available in this "
-            "environment; the stub documents the seam")
+    if codec == "tiff":
+        # REAL image decode (pure-Python TIFF codec, sources/tiff.py):
+        # the payload is parsed as an actual raster and the feature is
+        # its flattened block-mean downsample — the genuine decode →
+        # fixed-dim-embedding shape. Pillow/torchvision drop into the
+        # same branch for other containers.
+        from bdc_collection_builder_spark.sources.tiff import read_tiff
 
-    def _decode(payload: bytes) -> np.ndarray:
-        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-        # byte-histogram projection → fixed-dim feature (deterministic)
-        hist = np.bincount(arr.astype(np.int64) % feature_dim,
-                           weights=arr, minlength=feature_dim)
-        norm = np.linalg.norm(hist)
-        return (hist / norm if norm else hist).astype(np.float32)
+        def _decode(payload: bytes) -> np.ndarray:
+            img = read_tiff(bytes(payload))
+            a = img.array.astype(np.float32)
+            side = max(1, int(feature_dim ** 0.5))
+            h_step = max(1, a.shape[0] // side)
+            w_step = max(1, a.shape[1] // side)
+            blocks = [
+                float(a[y:y + h_step, x:x + w_step].mean())
+                for y in range(0, h_step * side, h_step)
+                for x in range(0, w_step * side, w_step)
+            ]
+            feat = np.zeros(feature_dim, np.float32)
+            feat[:len(blocks)] = blocks[:feature_dim]
+            norm = np.linalg.norm(feat)
+            return (feat / norm if norm else feat).astype(np.float32)
+    elif codec != "stub":
+        raise NotImplementedError(
+            f"codec {codec!r}: only 'stub' (byte histogram) and 'tiff' "
+            "(pure-Python raster decode) run in this environment; "
+            "Pillow/torchvision plug into the same seam")
+    else:
+        def _decode(payload: bytes) -> np.ndarray:
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+            # byte-histogram projection → fixed-dim feature (deterministic)
+            hist = np.bincount(arr.astype(np.int64) % feature_dim,
+                               weights=arr, minlength=feature_dim)
+            norm = np.linalg.norm(hist)
+            return (hist / norm if norm else hist).astype(np.float32)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1186,3 +1186,70 @@ def s21_zip_archive_validate(spark, sf_dir):
     return scenes.mapInPandas(
         build_and_validate,
         "scene_id string, member string, size_bytes long, crc_ok boolean")
+
+
+@query(
+    "mm_decode_tiff_stats",
+    survey=("MM-decode", "S6"),
+    oracle=f"""
+        WITH px AS ({_PIXELS})
+        SELECT scene_id,
+               CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+               round(avg(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END), 4)
+                   AS mean_valid,
+               min(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END)
+                   AS min_valid,
+               max(B04) AS max_valid,
+               CAST(-46.0 AS DOUBLE) AS origin_x
+        FROM px GROUP BY scene_id
+    """,
+)
+def mm_decode_tiff_stats(spark, sf_dir):
+    """Multimodal decode over REAL image bytes: the binary payload
+    column holds actual GeoTIFF files (written by the same pure-Python
+    codec the raster scan uses), decoded executor-side into per-image
+    statistics + the georeferencing origin. This is the stub-free form
+    of mm_decode_features — payload bytes stay executor-local, only
+    fixed-width stats cross the Arrow boundary, and every value is
+    pinned by the analytic pixel oracle (the decode must be bit-exact
+    for the means to hash-match)."""
+    import re as _re
+
+    import pandas as pd
+
+    from bdc_collection_builder_spark.sources.tiff import read_tiff
+
+    path = _tiff_scene_dir(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif").load(path)
+        .select("path", "content")
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = {"scene_id": [], "width": [], "height": [],
+                   "mean_valid": [], "min_valid": [], "max_valid": [],
+                   "origin_x": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                img = read_tiff(bytes(content))
+                sid = int(_re.search(r"scene_(\d+)", p).group(1))
+                a = img.array.astype("float64")
+                valid = a[a != -9999.0]
+                out["scene_id"].append(sid)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["mean_valid"].append(
+                    round(float(valid.sum()) / valid.size, 4)
+                    if valid.size else None)
+                out["min_valid"].append(
+                    float(valid.min()) if valid.size else None)
+                out["max_valid"].append(float(a.max()))
+                out["origin_x"].append(
+                    img.tiepoint[3] if img.tiepoint else None)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        stats,
+        "scene_id long, width long, height long, mean_valid double, "
+        "min_valid double, max_valid double, origin_x double")

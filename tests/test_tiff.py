@@ -119,3 +119,32 @@ def test_zip_corruption_detected():
         except Exception:
             bad = "B04_10m.jp2"
         assert bad is not None
+
+
+def test_decode_features_tiff_codec(spark):
+    """decode_image_features(codec='tiff') runs a REAL decode: the
+    feature is the normalized block-mean downsample of the actual
+    raster, deterministic and payload-derived."""
+    import pandas as pd
+
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        decode_image_features,
+    )
+
+    rows = []
+    rng = np.random.default_rng(3)
+    for i in range(6):
+        arr = rng.integers(0, 1000, size=(16, 16)).astype("int16")
+        rows.append({"media_id": i, "kind": "image",
+                     "payload": write_tiff(arr)})
+    media = spark.createDataFrame(pd.DataFrame(rows))
+    feats = decode_image_features(media, codec="tiff", feature_dim=4)
+    got = {r.media_id: r.feature for r in feats.collect()}
+    assert len(got) == 6
+    for i, f in got.items():
+        assert len(f) == 4
+        assert abs(sum(x * x for x in f) - 1.0) < 1e-5  # unit norm
+    again = {r.media_id: r.feature for r in
+             decode_image_features(media, codec="tiff",
+                                   feature_dim=4).collect()}
+    assert got == again
