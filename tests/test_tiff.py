@@ -148,3 +148,22 @@ def test_decode_features_tiff_codec(spark):
              decode_image_features(media, codec="tiff",
                                    feature_dim=4).collect()}
     assert got == again
+
+
+def test_png_roundtrip_and_errors():
+    from bdc_collection_builder_spark.sources.png import read_png, write_png
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, size=(13, 7)).astype("uint8")
+    assert np.array_equal(read_png(write_png(g)), g)
+    rgb = rng.integers(0, 256, size=(5, 9, 3)).astype("uint8")
+    assert np.array_equal(read_png(write_png(rgb)), rgb)
+    with pytest.raises(ValueError):
+        read_png(b"GIF89a not a png")
+    with pytest.raises(ValueError):
+        write_png(g.astype("uint16"))
+    # CRC corruption is detected
+    raw = bytearray(write_png(g))
+    raw[20] ^= 0xFF  # inside IHDR payload
+    with pytest.raises(ValueError, match="CRC"):
+        read_png(bytes(raw))
