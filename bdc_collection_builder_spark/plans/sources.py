@@ -1253,3 +1253,71 @@ def mm_decode_tiff_stats(spark, sf_dir):
         stats,
         "scene_id long, width long, height long, mean_valid double, "
         "min_valid double, max_valid double, origin_x double")
+
+
+@query(
+    "s22_xml_mtd_parse",
+    survey=("S8", "X16"),
+    oracle="""
+        SELECT n_nationkey AS scene_key,
+               CAST(n_nationkey % 100 AS DOUBLE) AS cloud_pct,
+               concat(CAST(n_nationkey * 2 AS VARCHAR), ' ',
+                      CAST(n_nationkey * 3 AS VARCHAR), ' ',
+                      CAST(n_nationkey * 2 + 1 AS VARCHAR), ' ',
+                      CAST(n_nationkey * 3 + 1 AS VARCHAR)) AS pos_list,
+               CAST(2 AS BIGINT) AS n_bands
+        FROM nation
+    """,
+)
+def s22_xml_mtd_parse(spark, sf_dir):
+    """S8 with a REAL XML parser: full nested MTD_MSIL2A-shaped
+    documents (cloud percentage, footprint EXT_POS_LIST, band file
+    list — publish.py:159-174's actual read targets) are built and
+    parsed with ``xml.etree`` inside an Arrow-batched stage, not
+    regex-matched as flat strings (s08 keeps that cheap path). The
+    document never leaves the executor; only the typed fields cross
+    the boundary. This is the shape for real MTD files arriving via
+    binaryFile — swap the synthesized string for the file content
+    column."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    nation = t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def parse(batches):
+        for pdf in batches:
+            out = {"scene_key": [], "cloud_pct": [], "pos_list": [],
+                   "n_bands": []}
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                xml = (
+                    "<n1:Level-2A_User_Product>"
+                    "<n1:Quality_Indicators_Info>"
+                    f"<Cloud_Coverage_Assessment>{k % 100}"
+                    "</Cloud_Coverage_Assessment>"
+                    "</n1:Quality_Indicators_Info>"
+                    "<n1:Geometric_Info><Product_Footprint>"
+                    f"<EXT_POS_LIST>{k * 2} {k * 3} {k * 2 + 1} {k * 3 + 1}"
+                    "</EXT_POS_LIST>"
+                    "</Product_Footprint></n1:Geometric_Info>"
+                    "<n1:Product_Organisation>"
+                    f"<IMAGE_FILE>GRANULE/B04_10m</IMAGE_FILE>"
+                    f"<IMAGE_FILE>GRANULE/B08_10m</IMAGE_FILE>"
+                    "</n1:Product_Organisation>"
+                    "</n1:Level-2A_User_Product>"
+                ).replace("n1:", "")  # namespace-free for the test doc
+                root = ET.fromstring(xml)
+                cloud = float(root.findtext(
+                    ".//Cloud_Coverage_Assessment"))
+                pos = root.findtext(".//EXT_POS_LIST")
+                bands = root.findall(".//IMAGE_FILE")
+                out["scene_key"].append(k)
+                out["cloud_pct"].append(cloud)
+                out["pos_list"].append(pos)
+                out["n_bands"].append(len(bands))
+            yield pd.DataFrame(out)
+
+    return nation.mapInPandas(
+        parse,
+        "scene_key long, cloud_pct double, pos_list string, n_bands long")
