@@ -526,3 +526,57 @@ def w13_ewma_smoothing(spark, sf_dir):
     return framed.select(
         "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(ewma, 6).alias("ewma"))
+
+
+@query(
+    "w14_rolling_median",
+    survey=("W-ewma", "A8"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT event_type, {_TS} AS ts, value FROM events
+        ),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   avg(value) AS mean_v
+            FROM norm GROUP BY 1, 2
+        ),
+        framed AS (
+            SELECT event_type, day,
+                   array_agg(mean_v) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+            FROM daily
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               round(list_sort(xs)[CAST((len(xs) + 1) // 2 AS INTEGER)], 6)
+                   AS rolling_median
+        FROM framed
+    """,
+)
+def w14_rolling_median(spark, sf_dir):
+    """Trailing-20-day rolling median of the daily metric — the
+    outlier-robust twin of w13's EWMA (a single bad day cannot move
+    it). Same bounded-frame trick: collect the ≤20-element frame,
+    sort it in codegen, pick the lower median BY SELECTION (no
+    interpolation, so no float-arithmetic divergence between engines).
+    SQL has no windowed exact median at scale; restricted to a bounded
+    frame it's O(20 log 20) per row over the (days × types) dimension,
+    with the daily pre-aggregate as the only corpus-scale shuffle."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("mean_v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-19, 0)
+    framed = daily.withColumn("xs", F.collect_list("mean_v").over(w))
+    # lower median by selection; both sides use FLOOR division (a bare
+    # cast diverges: DuckDB rounds 1.5→2, Spark truncates 1.5→1)
+    median = F.element_at(
+        F.array_sort("xs"),
+        F.floor((F.size("xs") + 1) / 2).cast("int"))
+    return framed.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(median, 6).alias("rolling_median"))
