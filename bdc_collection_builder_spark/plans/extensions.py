@@ -2167,3 +2167,70 @@ def ss_kmeans_assign(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_assign_distributed(emb, n_clusters=8, iters=2,
                                      ordered=True)
+
+
+@query(
+    "ss_hard_negative_mining",
+    survey=("SS-brute", "CU-mix"),
+    oracle=f"""
+        WITH queries AS (
+            SELECT vec_id AS anchor_id, embedding AS q FROM embeddings
+            WHERE vec_id < 8
+        ), scored AS (
+            SELECT anchor_id, vec_id,
+                   round({_DOT_SQL.format(a="q", b="embedding")}
+                         / (sqrt({_DOT_SQL.format(a="q", b="q")})
+                            * sqrt({_DOT_SQL.format(a="embedding",
+                                                    b="embedding")})),
+                         6) AS cosine
+            FROM embeddings CROSS JOIN queries
+            WHERE vec_id <> anchor_id
+        )
+        SELECT anchor_id, vec_id AS negative_id, cosine, rank FROM (
+            SELECT anchor_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY anchor_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+            WHERE cosine >= 0.3 AND cosine < 0.8
+        ) WHERE rank <= 10
+    """,
+)
+def ss_hard_negative_mining(spark, sf_dir):
+    """Semi-hard negative mining for contrastive embedding training:
+    for each anchor of the training batch, the top candidates whose
+    similarity falls in the semi-hard band [0.3, 0.8) — similar enough
+    to be informative, dissimilar enough not to be a near-duplicate
+    (those are positives or dd_* material). The batch is bounded by
+    construction (it's a training batch), so the broadcast-batch ×
+    corpus-scan shape of ss_brute_force_topk is the honest plan at any
+    corpus size: one pass over the embeddings per batch, the band
+    filter applied before the per-anchor rank window."""
+    from bdc_collection_builder_spark.extensions.similarity import dot, norm
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"))
+    corpus = emb.select("vec_id", F.col("embedding").alias("c_vec"),
+                        norm(F.col("embedding")).alias("c_norm"))
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id", "vec_id",
+            F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm")), 6)
+            .alias("cosine"))
+        .filter((F.col("cosine") >= 0.3) & (F.col("cosine") < 0.8))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("anchor_id", F.col("vec_id").alias("negative_id"),
+                "cosine", "rank")
+    )

@@ -88,6 +88,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "dd_semantic_dedup",     # one-row centroid-array attach
         "ss_kmeans_assign",      # one-row centroid-array attach per round
         "cu_temperature_mix",    # one-row mixture-normalizer attach
+        "ss_hard_negative_mining",  # by design: broadcast batch × corpus
     }
     offenders = {}
     for name, fn in all_queries().items():
