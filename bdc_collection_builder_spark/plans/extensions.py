@@ -2234,3 +2234,115 @@ def ss_hard_negative_mining(spark, sf_dir):
         .select("anchor_id", F.col("vec_id").alias("negative_id"),
                 "cosine", "rank")
     )
+
+
+@query(
+    "ss_ivf_recall_eval",
+    survey=("SS-ivf", "DQ-drift"),
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cent
+            FROM embeddings WHERE vec_id < 16
+        ),
+        corpus_assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rnk <= 1
+        ),
+        query_assign AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT e.vec_id AS query_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+                WHERE e.vec_id < 8
+            ) WHERE rnk <= 4
+        ),
+        cands AS (
+            SELECT DISTINCT q.query_id, c.vec_id
+            FROM corpus_assign c JOIN query_assign q USING (centroid_id)
+            WHERE c.vec_id <> q.query_id
+        ),
+        ivf AS (
+            SELECT query_id, vec_id FROM (
+                SELECT p.query_id, p.vec_id,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY
+                             {_DOT_SQL.format(a='q.embedding',
+                                              b='c.embedding')}
+                             / (sqrt({_DOT_SQL.format(a='q.embedding',
+                                                      b='q.embedding')})
+                                * sqrt({_DOT_SQL.format(a='c.embedding',
+                                                        b='c.embedding')}))
+                             DESC, p.vec_id
+                       ) AS rank
+                FROM cands p
+                JOIN embeddings c ON c.vec_id = p.vec_id
+                JOIN embeddings q ON q.vec_id = p.query_id
+            ) WHERE rank <= 5
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT e2.vec_id AS query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY e2.vec_id
+                           ORDER BY
+                             {_DOT_SQL.format(a='e2.embedding',
+                                              b='e.embedding')}
+                             / (sqrt({_DOT_SQL.format(a='e2.embedding',
+                                                      b='e2.embedding')})
+                                * sqrt({_DOT_SQL.format(a='e.embedding',
+                                                        b='e.embedding')}))
+                             DESC, e.vec_id
+                       ) AS rank
+                FROM embeddings e CROSS JOIN embeddings e2
+                WHERE e2.vec_id < 8 AND e.vec_id <> e2.vec_id
+            ) WHERE rank <= 5
+        )
+        SELECT x.query_id,
+               CAST(count(i.vec_id) AS BIGINT) AS n_matched,
+               round(CAST(count(i.vec_id) AS DOUBLE) / 5, 4) AS recall_at_5
+        FROM exact x
+        LEFT JOIN ivf i
+          ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+        GROUP BY x.query_id
+    """,
+)
+def ss_ivf_recall_eval(spark, sf_dir):
+    """Index-quality monitoring: recall@5 of the IVF index against
+    exact brute-force ground truth, per query — the evaluation loop
+    every ANN deployment runs after (re)building an index or after
+    drift (new embedding model, corpus growth). Ground truth over the
+    bounded probe set is the standard protocol: exact top-k for a
+    sampled query batch (broadcast × scan, one pass), IVF top-k from
+    the index, then a keyed join counts agreement. Both sides reuse
+    the production operators unchanged — the eval measures the real
+    plans, not reimplementations."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk_seeded,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id")
+    approx = ivf_topk_seeded(emb, queries, k=5).select(
+        F.col("query_id").alias("qi"), F.col("vec_id").alias("vi"))
+    return (
+        exact.join(approx, (F.col("query_id") == F.col("qi"))
+                   & (F.col("vec_id") == F.col("vi")), "left")
+        .groupBy("query_id")
+        .agg(F.count("vi").alias("n_matched"),
+             F.round(F.count("vi").cast("double") / 5, 4)
+             .alias("recall_at_5"))
+    )
