@@ -89,6 +89,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "ss_kmeans_assign",      # one-row centroid-array attach per round
         "cu_temperature_mix",    # one-row mixture-normalizer attach
         "ss_hard_negative_mining",  # by design: broadcast batch × corpus
+        "ss_ivf_recall_eval",    # eval protocol: brute-force ground truth
     }
     offenders = {}
     for name, fn in all_queries().items():
