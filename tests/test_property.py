@@ -220,3 +220,45 @@ def test_polygon_intersects_agrees_across_engines(shared_spark, pair):
         f"SELECT {duck_polygon_intersects(duck_ring(pa), duck_ring(pb))}"
     ).fetchone()[0]
     assert got_spark == got_duck, f"engines disagree on {pa} vs {pb}"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dtype=st.sampled_from(["uint8", "uint16", "int16", "int32",
+                           "float32", "float64"]),
+    height=st.integers(1, 40),
+    width=st.integers(1, 40),
+    rows_per_strip=st.one_of(st.none(), st.integers(1, 45)),
+    seed=st.integers(0, 2**31),
+)
+def test_tiff_roundtrip_property(dtype, height, width, rows_per_strip, seed):
+    """Any shape × dtype × strip split round-trips bit-exactly through
+    the pure-Python TIFF codec."""
+    from bdc_collection_builder_spark.sources.tiff import read_tiff, write_tiff
+
+    rng = np.random.default_rng(seed)
+    if dtype.startswith("float"):
+        a = rng.normal(scale=1e4, size=(height, width)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        a = rng.integers(info.min, info.max, size=(height, width),
+                         endpoint=True).astype(dtype)
+    img = read_tiff(write_tiff(a, rows_per_strip=rows_per_strip))
+    assert img.array.dtype == a.dtype
+    assert np.array_equal(img.array, a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    height=st.integers(1, 40),
+    width=st.integers(1, 40),
+    rgb=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(height, width, rgb, seed):
+    from bdc_collection_builder_spark.sources.png import read_png, write_png
+
+    rng = np.random.default_rng(seed)
+    shape = (height, width, 3) if rgb else (height, width)
+    a = rng.integers(0, 256, size=shape).astype("uint8")
+    assert np.array_equal(read_png(write_png(a)), a)
