@@ -46,6 +46,13 @@ class RadcorQuery:
             raise ValueError(
                 "exactly one of bbox, scenes, tiles is required "
                 "(forms.py:166-196 mutual exclusion)")
+        if self.bbox is not None:
+            w, s, e, n = self.bbox
+            # forms.py:190-196 — the reference's corner-order checks
+            if w > e:
+                raise ValueError("Xmin is greater than XMax")
+            if s > n:
+                raise ValueError("Ymin is greater than YMax")
 
 
 def search(remote: DataFrame, query: RadcorQuery) -> DataFrame:

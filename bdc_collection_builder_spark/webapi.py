@@ -238,6 +238,9 @@ class WebApi:
         """views.py:52-79 — search + (optionally) dispatch."""
         query = _radcor_query(args)
         action = args.get("action")
+        if action not in (None, "preview", "start"):
+            # forms.py:142 OneOf(['preview', 'start'])
+            raise HttpError(400, f"action must be preview|start, got {action!r}")
         if action == "start":
             result = rows(self.engine.radcor_start(query))
         else:

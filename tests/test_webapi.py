@@ -166,3 +166,23 @@ def test_errors(app):
     assert status == 400
     status, _ = call(app, "GET", "/api/activities", query="page=0")
     assert status == 400
+
+
+def test_radcor_bbox_order_and_action_validation(app):
+    base = {"satsen": "S2MSI2A", "start": "2024-01-01", "end": "2024-12-31",
+            "collection_id": 1}
+    # w > e → the reference's 'Xmin is greater than XMax' (forms.py:193)
+    status, body = call(app, "POST", "/api/radcor",
+                        body={**base, "w": 10.0, "s": 0.0, "e": -10.0,
+                              "n": 1.0})
+    assert status == 400 and "Xmin" in body["error"]
+    # s > n
+    status, body = call(app, "POST", "/api/radcor",
+                        body={**base, "w": -10.0, "s": 5.0, "e": 10.0,
+                              "n": -5.0})
+    assert status == 400 and "Ymin" in body["error"]
+    # unknown action (forms.py:142 OneOf)
+    status, body = call(app, "POST", "/api/radcor",
+                        body={**base, "w": -10.0, "s": -5.0, "e": 10.0,
+                              "n": 5.0, "action": "explode"})
+    assert status == 400 and "preview|start" in body["error"]
