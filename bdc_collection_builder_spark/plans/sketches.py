@@ -11,11 +11,17 @@ counts per partition ARE per-partition sketches, and the single
 shuffle that combines them carries at most ``d·w × n_partitions``
 rows, independent of corpus size.
 
+Hashing: the d row-hashes derive from ONE base digest per token via
+Carter-Wegman multiply-adds mod the Mersenne prime 2³¹−1 — the same
+one-hash-many-functions scheme the MinHash family uses
+(extensions/dedup.py). One md5 per token instead of d; the derived
+arithmetic is identical bigint math in Spark and DuckDB (operands stay
+below 2⁶², so no overflow divergence).
+
 The estimate ``min_r counter[r][hash_r(tok)]`` is biased high by
 collisions only, with the standard (ε=e/w, δ=e^-d) guarantee. The
 query reports estimate vs exact side by side so the oracle pins the
-whole construction (engine-neutral md5-60bit bucket hash, same as the
-dedup oracles — extensions/dedup.py:117).
+whole construction.
 """
 
 from __future__ import annotations
@@ -30,13 +36,29 @@ from bdc_collection_builder_spark.plans.registry import query
 _D = 4       # sketch rows (independent hash functions)
 _W = 256     # buckets per row
 _TOPK = 50
+_M31 = (1 << 31) - 1
+# fixed Carter-Wegman (a, b) per sketch row; a odd, below 2^31
+_CW = [(0x27d4eb2f, 0x165667b1), (0x85ebca6b, 0x2b2ae35),
+       (0xc2b2ae35, 0x27d4eb2f), (0x165667b1, 0x85ebca6b)]
 
 _TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
 
 _HEX60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
-_BUCKET = _HEX60.format(
-    x="concat(CAST(r AS VARCHAR), ':', tok)") + f" % {_W}"
+# base token hash reduced below 2^31 so a*h + b stays under 2^62
+_BASE = f"({_HEX60.format(x='tok')} % {_M31})"
+
+
+def _bucket_sql(r: int) -> str:
+    a, b = _CW[r]
+    return f"((({a} * h + {b}) % {_M31}) % {_W})"
+
+
+def _cw_cases(col: str = "r") -> str:
+    """CASE over the row index → derived bucket (SQL side)."""
+    whens = " ".join(
+        f"WHEN {r} THEN {_bucket_sql(r)}" for r in range(_D))
+    return f"(CASE {col} {whens} END)"
 
 
 @query(
@@ -46,26 +68,29 @@ _BUCKET = _HEX60.format(
     WITH toks AS (
         SELECT unnest({_TOKS}) AS tok FROM documents
     ),
+    hashed AS (
+        SELECT tok, {_BASE} AS h FROM toks
+    ),
     dict AS (
-        SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
-        FROM toks GROUP BY tok
+        SELECT tok, min(h) AS h, CAST(count(*) AS BIGINT) AS exact_n
+        FROM hashed GROUP BY tok
     ),
     expl AS (
-        SELECT tok, unnest([{", ".join(str(r) for r in range(_D))}]) AS r
-        FROM toks
+        SELECT h, unnest([{", ".join(str(r) for r in range(_D))}]) AS r
+        FROM hashed
     ),
     sketch AS (
-        SELECT r, {_BUCKET} AS b, CAST(count(*) AS BIGINT) AS c
+        SELECT r, {_cw_cases()} AS b, CAST(count(*) AS BIGINT) AS c
         FROM expl GROUP BY 1, 2
     ),
     probes AS (
-        SELECT tok, exact_n,
+        SELECT tok, exact_n, h,
                unnest([{", ".join(str(r) for r in range(_D))}]) AS r
         FROM dict
     ),
     est AS (
         SELECT p.tok, p.exact_n, min(s.c) AS est_n
-        FROM (SELECT tok, exact_n, r, {_BUCKET} AS b FROM probes) p
+        FROM (SELECT tok, exact_n, r, {_cw_cases()} AS b FROM probes) p
         JOIN sketch s ON s.r = p.r AND s.b = p.b
         GROUP BY p.tok, p.exact_n
     )
@@ -78,25 +103,33 @@ def sk_heavy_hitters_cms(spark, sf_dir):
     built straight from the token stream (the dict-free production
     path); the exact dictionary exists here only to expose the
     overestimate. ``est_n >= exact_n`` always; equality for all
-    heavy hitters at this width is the correctness signal."""
+    heavy hitters at this width is the correctness signal. One md5
+    per token; the d=4 row buckets are Carter-Wegman-derived integer
+    arithmetic (codegen, no further hashing)."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    hashed = toks.select("tok", (md5_hash60(F.col("tok")) % _M31).alias("h"))
     rows = F.array(*[F.lit(r) for r in range(_D)])
 
-    def bucket(r_col, tok_col):
-        return md5_hash60(
-            F.concat(r_col.cast("string"), F.lit(":"), tok_col)) % _W
+    def bucket(r_col, h_col):
+        expr = None
+        for r, (a, b) in enumerate(_CW):
+            derived = ((F.lit(a) * h_col + F.lit(b)) % _M31) % _W
+            expr = (F.when(r_col == r, derived) if expr is None
+                    else expr.when(r_col == r, derived))
+        return expr
 
     sketch = (
-        toks.select("tok", F.explode(rows).alias("r"))
-        .select("r", bucket(F.col("r"), F.col("tok")).alias("b"))
+        hashed.select("h", F.explode(rows).alias("r"))
+        .select("r", bucket(F.col("r"), F.col("h")).alias("b"))
         .groupBy("r", "b").agg(F.count("*").alias("c"))
     )
-    dict_df = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    dict_df = hashed.groupBy("tok").agg(
+        F.min("h").alias("h"), F.count("*").alias("exact_n"))
     probes = (
-        dict_df.select("tok", "exact_n", F.explode(rows).alias("r"))
+        dict_df.select("tok", "exact_n", "h", F.explode(rows).alias("r"))
         .select("tok", "exact_n", "r",
-                bucket(F.col("r"), F.col("tok")).alias("b"))
+                bucket(F.col("r"), F.col("h")).alias("b"))
     )
     est = (
         probes.join(sketch, ["r", "b"])
