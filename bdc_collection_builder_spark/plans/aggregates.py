@@ -588,3 +588,33 @@ def a20_unpivot_measures(spark, sf_dir):
         )
         .select("l_returnflag", "measure", F.round("val", 2).alias("val"))
     )
+
+
+@query(
+    "a21_hourly_seasonality",
+    survey=("A2",),
+    oracle=f"""
+        WITH norm AS (SELECT {duck_ts()} AS ts, value FROM events)
+        SELECT CAST(date_part('dow', ts) AS INTEGER) AS dow,
+               CAST(date_part('hour', ts) AS INTEGER) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(value), 4) AS mean_value
+        FROM norm GROUP BY 1, 2
+    """,
+)
+def a21_hourly_seasonality(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap — the seasonality
+    profile behind capacity planning and anomaly baselines (an
+    observed count far from its (dow, hour) cell's norm is the alert
+    condition). One scan, one map-side-combined aggregate over a
+    fixed 7×24 key space; Spark's dayofweek is 1-based Sunday so it
+    shifts to DuckDB/ISO's 0-based Sunday convention explicitly."""
+    events = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value")
+    return (
+        events.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.avg("value"), 4).alias("mean_value"))
+    )

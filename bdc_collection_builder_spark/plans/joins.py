@@ -632,3 +632,48 @@ def j15_large_volume_orders(spark, sf_dir):
                 "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(100)
     )
+
+
+@query(
+    "j16_null_safe_join",
+    survey=("J4", "J6"),
+    oracle="""
+        WITH left_side AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE CAST(event_id % 97 AS BIGINT) END AS join_key
+            FROM events WHERE event_id % 3 = 0
+        ),
+        right_side AS (
+            SELECT CASE WHEN k % 13 = 0 THEN NULL
+                        ELSE CAST(k AS BIGINT) END AS join_key,
+                   CAST(k AS BIGINT) AS payload
+            FROM (SELECT unnest(generate_series(0, 96)) AS k)
+        )
+        SELECT l.event_id, r.payload
+        FROM left_side l
+        JOIN right_side r ON l.join_key IS NOT DISTINCT FROM r.join_key
+    """,
+)
+def j16_null_safe_join(spark, sf_dir):
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics reconciliation
+    jobs need when "unknown" is a legitimate join value (unset
+    collection, missing tile). A plain equi-join silently drops every
+    NULL-keyed row on both sides; this query plants NULLs on a stride
+    to pin the difference. Spark plans `eqNullSafe` as a regular
+    hash join (NULL hashes like any value under <=>), so the shape and
+    cost are identical to the plain join — only the semantics change."""
+    events = t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    left = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("event_id") % 97).cast("bigint").alias("join_key"))
+    right = spark.range(0, 97).select(
+        F.when(F.col("id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("id")).cast("bigint").alias("join_key"),
+        F.col("id").cast("bigint").alias("payload"))
+    return left.join(
+        F.broadcast(right),
+        left["join_key"].eqNullSafe(right["join_key"])
+    ).select("event_id", "payload")

@@ -384,3 +384,50 @@ def y05_session_window(spark, sf_dir):
         numbered.groupBy("user_id", "session_no")
         .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
     )
+
+
+@query(
+    "x23_url_normalize",
+    survey=("X2", "X20"),
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   concat('HTTPS://Example', CAST(doc_id % 7 AS VARCHAR),
+                          '.COM:443/Docs/', CAST(doc_id AS VARCHAR),
+                          '?z=1&a=', CAST(doc_id % 3 AS VARCHAR),
+                          '&m=2#frag', CAST(doc_id AS VARCHAR)) AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               concat(
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)), '://',
+                   lower(regexp_extract(url, '://([^/:?#]+)', 1)),
+                   regexp_extract(url, '://[^/?#]+([^?#]*)', 1),
+                   '?',
+                   array_to_string(list_sort(string_split(
+                       regexp_extract(url, '\\?([^#]*)', 1), '&')), '&')
+               ) AS canonical_url
+        FROM urls
+    """,
+)
+def x23_url_normalize(spark, sf_dir):
+    """URL canonicalization for web-corpus dedup: lowercase scheme and
+    host, strip the default port and fragment, sort query parameters —
+    so the same page fetched via trivially-different URLs collapses to
+    one key before any content hashing. All string built-ins
+    (regexp_extract + split/sort/join), zero shuffle, the narrow map
+    stage that prefixes every URL-keyed dedup at any scale."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Example"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/Docs/"), F.col("doc_id").cast("string"),
+        F.lit("?z=1&a="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&m=2#frag"), F.col("doc_id").cast("string"))
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(url, r"://([^/:?#]+)", 1))
+    path = F.regexp_extract(url, r"://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    canonical = F.concat(
+        scheme, F.lit("://"), host, path, F.lit("?"),
+        F.array_join(F.array_sort(F.split(qs, "&")), "&"))
+    return docs.select("doc_id", canonical.alias("canonical_url"))

@@ -156,3 +156,35 @@ def u06_symmetric_difference(spark, sf_dir):
         o.exceptAll(f).withColumn("side", F.lit("open_only"))
         .unionByName(f.exceptAll(o).withColumn("side", F.lit("final_only")))
     )
+
+
+@query(
+    "u07_intersect_all_bag",
+    survey=("U1", "U2"),
+    oracle="""
+        SELECT sceneid FROM (
+            SELECT concat('S', CAST(o_orderkey % 500 AS VARCHAR)) AS sceneid
+            FROM orders WHERE o_orderkey % 2 = 0
+        )
+        INTERSECT ALL
+        SELECT sceneid FROM (
+            SELECT concat('S', CAST(o_orderkey % 500 AS VARCHAR)) AS sceneid
+            FROM orders WHERE o_orderkey % 3 = 0
+        )
+    """,
+)
+def u07_intersect_all_bag(spark, sf_dir):
+    """INTERSECT ALL — bag intersection with multiplicity
+    min(count_l, count_r), completing the bag-algebra trio next to
+    u05's EXCEPT ALL: the overlap-with-duplicates question
+    reconciliation runs when BOTH sides legitimately repeat (multiple
+    attempts of the same scene on each side). Spark plans this as one
+    partial-count aggregate per side + a join on the key — the same
+    single-shuffle-per-side cost as the DISTINCT variant."""
+    orders = t(spark, sf_dir, "orders")
+    mk = F.concat(F.lit("S"), (F.col("o_orderkey") % 500).cast("string"))
+    left = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        mk.alias("sceneid"))
+    right = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        mk.alias("sceneid"))
+    return left.intersectAll(right)
