@@ -677,3 +677,41 @@ def j16_null_safe_join(spark, sf_dir):
         F.broadcast(right),
         left["join_key"].eqNullSafe(right["join_key"])
     ).select("event_id", "payload")
+
+
+@query(
+    "j17_priority_exists_check",
+    survey=("J4", "A1"),
+    oracle="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1995-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def j17_priority_exists_check(spark, sf_dir):
+    """TPC-H Q4 shape — correlated EXISTS decorrelated to a LEFT SEMI
+    join: orders (in a half-year window) with at least one lineitem
+    shipped more than 60 days after the order date, counted per
+    priority. The semi join never materializes the multiplicity of
+    matching lineitems (first match wins, probe stops), so the plan's
+    cost is one fact-scan + one semi-join shuffle — the pattern every
+    "has at least one late/failed/missing child" report should compile
+    to instead of a join + distinct."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-07-01"))
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"))
