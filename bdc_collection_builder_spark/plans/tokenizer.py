@@ -128,3 +128,89 @@ def tk_seed_vocab_substrings(spark, sf_dir):
         pieces.groupBy("piece").agg(F.sum("cnt").alias("piece_count"))
         .orderBy(F.col("piece_count").desc(), "piece").limit(200)
     )
+
+
+@query(
+    "tk_pmi_cooccurrence",
+    survey=("TK-bpe", "TX-vocab"),
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> ''
+            )) AS tok FROM documents
+        ),
+        df AS (
+            SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY tok
+        ),
+        top AS (
+            SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 100
+        ),
+        incidence AS (
+            SELECT DISTINCT t.doc_id, t.tok
+            FROM toks t JOIN top USING (tok)
+        ),
+        nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               FROM documents),
+        pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   CAST(count(*) AS BIGINT) AS n_docs_both
+            FROM incidence a JOIN incidence b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+        )
+        SELECT tok_a, tok_b, n_docs_both,
+               round(ln(
+                   (n_docs_both * (SELECT n FROM nn))
+                   / (da.df * db.df)
+               ), 6) AS pmi
+        FROM pairs
+        JOIN top da ON da.tok = tok_a
+        JOIN top db ON db.tok = tok_b
+        ORDER BY n_docs_both DESC, tok_a, tok_b LIMIT 50
+    """,
+)
+def tk_pmi_cooccurrence(spark, sf_dir):
+    """Pointwise mutual information over document-level co-occurrence
+    of the top-100 vocabulary — the collocation/topic-affinity signal
+    (high-PMI pairs = phrases and topical clusters; near-zero = words
+    that merely share frequency). Scale shape: the candidate
+    vocabulary is CAPPED (top-k by document frequency, a broadcast
+    dimension), so the incidence table is ≤ k rows per document and
+    the pair self-join on doc_id fans out at most k²/2 per doc —
+    bounded by construction, never corpus-quadratic. Two corpus-scale
+    shuffles (token df, incidence distinct); everything after runs on
+    capped dimensions."""
+    from pyspark.sql import Window  # noqa: F401  (parity with family)
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    top = df.orderBy(F.col("df").desc(), "tok").limit(100)
+    incidence = (
+        toks.join(F.broadcast(top.select("tok")), "tok")
+        .select("doc_id", "tok").distinct()
+    )
+    n = docs.select("doc_id").distinct().count()
+    a = incidence.alias("a")
+    b = incidence.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"),
+                 F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").alias("n_docs_both"))
+    )
+    da = top.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = top.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a").join(F.broadcast(db), "tok_b")
+        .select(
+            "tok_a", "tok_b", "n_docs_both",
+            F.round(F.log(
+                F.col("n_docs_both") * F.lit(float(n))
+                / (F.col("df_a") * F.col("df_b"))), 6).alias("pmi"))
+        .orderBy(F.col("n_docs_both").desc(), "tok_a", "tok_b").limit(50)
+    )

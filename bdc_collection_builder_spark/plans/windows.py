@@ -580,3 +580,54 @@ def w14_rolling_median(spark, sf_dir):
     return framed.select(
         "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(median, 6).alias("rolling_median"))
+
+
+@query(
+    "w15_longest_streak",
+    survey=("W1", "Y5"),
+    oracle=f"""
+        WITH norm AS (SELECT user_id, {_TS} AS ts FROM events),
+        active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM norm
+        ),
+        islands AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS INTEGER) AS grp
+            FROM active
+        ),
+        streaks AS (
+            SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_len
+            FROM islands GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               max(streak_len) AS longest_streak,
+               CAST(sum(streak_len) AS BIGINT) AS n_active_days
+        FROM streaks GROUP BY user_id
+    """,
+)
+def w15_longest_streak(spark, sf_dir):
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user — the retention/engagement streak metric, and the canonical
+    islands pattern missing from the window family until now. The
+    trick: day minus the user's day-ordinal is CONSTANT within a
+    consecutive run, so one ranking window turns runs into group keys
+    and two bounded aggregates finish the job — no self-join, no
+    recursive CTE. Shuffle budget: the distinct + the window share one
+    user-keyed partitioning; streak/summary aggregates run on the
+    (user × runs) dimension."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    active = events.select(
+        "user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = active.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w)))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("n_active_days"))
