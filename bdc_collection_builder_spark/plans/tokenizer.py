@@ -181,8 +181,6 @@ def tk_pmi_cooccurrence(spark, sf_dir):
     bounded by construction, never corpus-quadratic. Two corpus-scale
     shuffles (token df, incidence distinct); everything after runs on
     capped dimensions."""
-    from pyspark.sql import Window  # noqa: F401  (parity with family)
-
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
