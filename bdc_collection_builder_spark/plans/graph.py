@@ -313,3 +313,93 @@ def gr_personalized_pagerank(spark, sf_dir):
         ranks.filter(F.col("rank") > 0)
         .select("doc_id", F.round("rank", 10).alias("ppr"))
     )
+
+
+_HITS_NORM = "sqrt((SELECT sum(x * x) FROM (SELECT {col} AS x FROM {src})))"
+
+
+@query(
+    "gr_hits_hubs_authorities",
+    survey=("GR-pagerank",),
+    oracle="WITH " + _GRAPH_SQL + f""",
+    a1 AS (
+        SELECT d.doc_id, CAST(count(e.src) AS DOUBLE) AS score
+        FROM documents d LEFT JOIN edges e ON e.dst = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    a1n AS (
+        SELECT doc_id, score / {_HITS_NORM.format(col='score', src='a1')}
+                   AS score
+        FROM a1
+    ),
+    h1 AS (
+        SELECT d.doc_id, COALESCE(sum(a.score), 0) AS score
+        FROM documents d
+        LEFT JOIN edges e ON e.src = d.doc_id
+        LEFT JOIN a1n a ON a.doc_id = e.dst
+        GROUP BY d.doc_id
+    ),
+    h1n AS (
+        SELECT doc_id, score / {_HITS_NORM.format(col='score', src='h1')}
+                   AS score
+        FROM h1
+    ),
+    a2 AS (
+        SELECT d.doc_id, COALESCE(sum(h.score), 0) AS score
+        FROM documents d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN h1n h ON h.doc_id = e.src
+        GROUP BY d.doc_id
+    ),
+    a2n AS (
+        SELECT doc_id, score / {_HITS_NORM.format(col='score', src='a2')}
+                   AS score
+        FROM a2
+    )
+    SELECT a.doc_id,
+           round(a.score, 8) AS authority,
+           round(h.score, 8) AS hub
+    FROM a2n a JOIN h1n h USING (doc_id)
+""",
+)
+def gr_hits_hubs_authorities(spark, sf_dir):
+    """HITS (Kleinberg hubs & authorities), two normalized rounds over
+    the citation graph — the bipartite mutual-reinforcement complement
+    to PageRank's random walk: directories/link pages surface as hubs,
+    canonical sources as authorities (web-corpus curation uses the hub
+    score to DOWN-weight link farms that PageRank alone can inflate).
+    Per half-iteration: one shuffle on the join key + an L2
+    normalizer, a one-row scalar attach (same pattern as the
+    centroid/vocab-total attaches). Edges persist once across all four
+    half-steps."""
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    e = edges.persist()
+
+    def l2_attach(df):
+        nrm = df.agg(
+            F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("nrm"))
+        return (df.crossJoin(F.broadcast(nrm))
+                .select("doc_id", (F.col("score") / F.col("nrm"))
+                        .alias("score")))
+
+    def pull(scores, edge_from, edge_to):
+        contrib = (
+            e.join(scores.withColumnRenamed("doc_id", edge_from), edge_from)
+            .groupBy(edge_to).agg(F.sum("score").alias("c"))
+        )
+        return (
+            nodes.join(contrib, nodes["doc_id"] == F.col(edge_to), "left")
+            .select("doc_id", F.coalesce("c", F.lit(0.0)).alias("score"))
+        )
+
+    a1 = l2_attach(
+        nodes.join(e, nodes["doc_id"] == e["dst"], "left")
+        .groupBy(nodes["doc_id"])
+        .agg(F.count(e["src"]).cast("double").alias("score")))
+    h1 = l2_attach(pull(a1, "dst", "src"))
+    a2 = l2_attach(pull(h1, "src", "dst"))
+    return (
+        a2.select("doc_id", F.round("score", 8).alias("authority"))
+        .join(h1.select("doc_id", F.round("score", 8).alias("hub")),
+              "doc_id")
+    )
