@@ -431,3 +431,50 @@ def x23_url_normalize(spark, sf_dir):
         scheme, F.lit("://"), host, path, F.lit("?"),
         F.array_join(F.array_sort(F.split(qs, "&")), "&"))
     return docs.select("doc_id", canonical.alias("canonical_url"))
+
+
+@query(
+    "x24_fuzzy_id_match",
+    survey=("X1", "F10"),
+    oracle="""
+        WITH ids AS (
+            SELECT DISTINCT concat('S2A_', o_orderpriority, '_',
+                            CAST(o_orderkey % 300 AS VARCHAR)) AS scene_id
+            FROM orders
+        ),
+        bucketed AS (
+            SELECT scene_id, substr(scene_id, 1, 6) AS bucket FROM ids
+        )
+        SELECT a.scene_id AS id_a, b.scene_id AS id_b,
+               CAST(levenshtein(a.scene_id, b.scene_id) AS INTEGER)
+                   AS edit_dist
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.scene_id < b.scene_id
+        WHERE levenshtein(a.scene_id, b.scene_id) <= 2
+    """,
+)
+def x24_fuzzy_id_match(spark, sf_dir):
+    """Edit-distance identifier matching: near-identical scene ids
+    (typos, re-processing suffixes) within Levenshtein distance 2 —
+    the fuzzy-key reconciliation that exact F10 dedup can't see.
+    Scale guard: candidates are PRE-BUCKETED on a shared prefix
+    (an equi-join), so the quadratic edit-distance only runs inside
+    buckets — the blocking-key pattern of record linkage; all-pairs
+    levenshtein over a corpus is never planned. Both engines share the
+    standard unit-cost Levenshtein definition as a built-in."""
+    orders = t(spark, sf_dir, "orders")
+    ids = orders.select(
+        F.concat(F.lit("S2A_"), F.col("o_orderpriority"), F.lit("_"),
+                 (F.col("o_orderkey") % 300).cast("string"))
+        .alias("scene_id")).distinct()
+    b = ids.withColumn("bucket", F.substring("scene_id", 1, 6))
+    a_side = b.select(F.col("scene_id").alias("id_a"), "bucket")
+    b_side = b.select(F.col("scene_id").alias("id_b"), "bucket")
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist",
+                    F.levenshtein("id_a", "id_b").cast("int"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -176,3 +176,67 @@ def tj_resample_interpolate(spark, sf_dir):
         F.col("vb") + (F.col("vf") - F.col("vb")) * frac)
     return (back.join(fwd, ["user_id", "t_us"])
             .select("user_id", "t_us", F.round(interp, 4).alias("v_interp")))
+
+
+@query(
+    "tj_interval_coalesce",
+    survey=("TJ-range", "Y5"),
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, {duck_ts()} AS s,
+                   {duck_ts()} + INTERVAL 5 MINUTE AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s > max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) THEN 1 ELSE 0 END AS new_span
+            FROM iv
+        ),
+        spans AS (
+            SELECT user_id, s, e,
+                   sum(new_span) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS span_id
+            FROM flagged
+        )
+        SELECT user_id, span_id,
+               min(s) AS span_start, max(e) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM spans GROUP BY user_id, span_id
+    """,
+)
+def tj_interval_coalesce(spark, sf_dir):
+    """Interval coalescing: each event opens a 5-minute activity
+    interval; overlapping/touching intervals per user merge into
+    maximal spans — the temporal-normalization primitive behind
+    "total active time", on-call coverage, and validity-period
+    compaction. The classic two-window formulation: a running
+    ``max(end)`` over all PRIOR intervals flags span starts (an
+    interval that begins after everything before it has closed), a
+    running sum of flags numbers the spans, and one bounded aggregate
+    emits them. Both windows share a single user-keyed sort — one
+    shuffle total, no self-join, no recursion."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("s"))
+    iv = events.withColumn(
+        "e", F.col("s") + F.expr("INTERVAL 5 MINUTES"))
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prior_max_end = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_span",
+        F.when(F.col("s") > prior_max_end, 1).otherwise(0))
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)))
+    return spans.groupBy("user_id", "span_id").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count("*").alias("n_events"))
