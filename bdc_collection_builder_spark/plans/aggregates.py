@@ -375,10 +375,10 @@ def a13_grouping_sets(spark, sf_dir):
     survey=("A2",),
     oracle=f"""
         SELECT strftime({_TS}, '%Y-%m-%d') AS day,
-               sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-               sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
-               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+               CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
         FROM events
         GROUP BY strftime({_TS}, '%Y-%m-%d')
     """,

@@ -350,10 +350,10 @@ def y02_sliding_window(spark, sf_dir):
             FROM norm
         ), numbered AS (
             SELECT user_id, ts,
-                   sum(new_session) OVER (
+                   CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts
                        ROWS UNBOUNDED PRECEDING
-                   ) AS session_no
+                   ) AS BIGINT) AS session_no
             FROM flagged
         )
         SELECT user_id, session_no, count(*) AS n_events,

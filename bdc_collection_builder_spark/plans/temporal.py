@@ -197,10 +197,10 @@ def tj_resample_interpolate(spark, sf_dir):
         ),
         spans AS (
             SELECT user_id, s, e,
-                   sum(new_span) OVER (
+                   CAST(sum(new_span) OVER (
                        PARTITION BY user_id ORDER BY s, e
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS span_id
+                   ) AS BIGINT) AS span_id
             FROM flagged
         )
         SELECT user_id, span_id,

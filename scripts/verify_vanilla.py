@@ -73,6 +73,20 @@ def main() -> int:
             if sorted(got.columns) != sorted(want.columns):
                 failures.append((name, "column mismatch"))
                 continue
+            # The driver's value hash is dtype-sensitive: DuckDB sum(int)
+            # yields HUGEINT which pandas surfaces as float64, so 3.0
+            # hashes differently from Spark's 3 (round-2 a14/y05 fails).
+            # Flag any integer-vs-float kind split before value compare.
+            kind_splits = [
+                c for c in got.columns
+                if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}
+                or {got[c].dtype.kind, want[c].dtype.kind} == {"u", "f"}
+            ]
+            if kind_splits:
+                failures.append(
+                    (name, "int/float dtype split (driver hash would "
+                           f"differ): {kind_splits}"))
+                continue
             pd.testing.assert_frame_equal(
                 canonicalize(got), canonicalize(want),
                 check_dtype=False, check_exact=True)

@@ -41,6 +41,19 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         f"{name}: rows {len(result)} != oracle {len(expected)}")
     assert sorted(result.columns) == sorted(expected.columns), (
         f"{name}: columns {sorted(result.columns)} != {sorted(expected.columns)}")
+    # Driver's value hash is dtype-sensitive: DuckDB HUGEINT sums surface
+    # as float64 in pandas, hashing 3.0 vs Spark's 3 unequal even though
+    # values match (round-2 a14/y05 failure class). An int-vs-float kind
+    # split between engines is therefore a FAIL, not a tolerable cast.
+    kind_splits = [
+        c for c in result.columns
+        if {result[c].dtype.kind, expected[c].dtype.kind} in
+        ({"i", "f"}, {"u", "f"})
+    ]
+    assert not kind_splits, (
+        f"{name}: int/float dtype split (driver hash would differ): "
+        f"{kind_splits} — CAST the DuckDB aggregate to BIGINT or align "
+        f"the Spark column type")
     got = canonicalize(result)
     want = canonicalize(expected)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
