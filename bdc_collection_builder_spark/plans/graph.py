@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+from bdc_collection_builder_spark.functions.iterate import iterate
 from bdc_collection_builder_spark.plans._util import t
 from bdc_collection_builder_spark.plans.registry import query
 
@@ -93,6 +94,38 @@ def citation_edges(spark: SparkSession, sf_dir: str
     return nodes, edges, n
 
 
+def pagerank_loop(nodes: DataFrame, src_deg: DataFrame, teleport,
+                  n_iter: int, checkpoint_every: int = 5) -> DataFrame:
+    """Shared PageRank power-iteration: ``rank <- (1-d)*teleport +
+    d * sum(in-neighbor rank/outdeg)``, run ``n_iter`` rounds through
+    :func:`iterate` so lineage is truncated every ``checkpoint_every``
+    rounds (production depth = tens of iterations; without truncation
+    the logical plan grows ~16 shuffle nodes per round).
+
+    ``teleport`` is a per-node Column of restart mass (uniform 1/n for
+    classic PageRank, seed-normalized indicator for personalized);
+    ``src_deg`` is the persisted (src, dst, deg) edge table. Returns
+    (doc_id, rank)."""
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        contrib = (
+            src_deg.join(ranks.select(F.col("doc_id").alias("src"), "rank"),
+                         "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        return (
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                (F.lit(1 - _DAMPING) * teleport
+                 + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
+                 ).alias("rank"))
+        )
+
+    return iterate(nodes.withColumn("rank", teleport), step, n_iter,
+                   checkpoint_every=checkpoint_every)
+
+
 def _pagerank_iteration_sql(k: int) -> str:
     prev = f"p{k - 1}"
     return f"""
@@ -143,22 +176,7 @@ def gr_pagerank(spark, sf_dir):
     # 3x the shuffles for identical data. Persist once, like the
     # connected-components rounds (extensions/dedup.py).
     src_deg = edges.join(outdeg, "src").persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(_ITERATIONS):
-        contrib = (
-            src_deg.join(ranks.select(F.col("doc_id").alias("src"), "rank"),
-                         "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
-            .select(
-                "doc_id",
-                (F.lit((1 - _DAMPING) / n)
-                 + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
-                 ).alias("rank"))
-        )
+    ranks = pagerank_loop(nodes, src_deg, F.lit(1.0 / n), _ITERATIONS)
     return ranks.select("doc_id", F.round("rank", 10).alias("pagerank"))
 
 
@@ -293,26 +311,54 @@ def gr_personalized_pagerank(spark, sf_dir):
     n_seeds = nodes.filter(is_seed).count()
     teleport = (F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
                 / F.lit(float(n_seeds)))
-    ranks = nodes.withColumn("rank", teleport)
-    for _ in range(_ITERATIONS):
-        contrib = (
-            src_deg.join(ranks.select(F.col("doc_id").alias("src"), "rank"),
-                         "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
-            .select(
-                "doc_id",
-                (F.lit(1 - _DAMPING) * teleport
-                 + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
-                 ).alias("rank"))
-        )
+    ranks = pagerank_loop(nodes, src_deg, teleport, _ITERATIONS)
     return (
         ranks.filter(F.col("rank") > 0)
         .select("doc_id", F.round("rank", 10).alias("ppr"))
     )
+
+
+def hits_scores(nodes: DataFrame, edges: DataFrame, n_rounds: int,
+                checkpoint_every: int = 3) -> DataFrame:
+    """Parameterized HITS: ``n_rounds`` full mutual-reinforcement rounds
+    (authority <- ET·hub, normalize; hub <- E·authority, normalize) over
+    a persisted edge set, lineage-truncated every ``checkpoint_every``
+    rounds via :func:`iterate` — the production-depth form the fixed
+    1.5-round ``gr_hits_hubs_authorities`` query points at (its plan
+    grows ~16 shuffles/round unrolled; this one's stays bounded).
+
+    State is ONE DataFrame (doc_id, hub, authority) so a checkpoint
+    truncates both score vectors together. Each half-round is one
+    shuffle on the join key plus a one-row L2 scalar attach. Returns
+    (doc_id, hub, authority) after ``n_rounds`` rounds, hub init = 1."""
+    e = edges.select("src", "dst").persist()
+
+    def half(scores: DataFrame, col: str, edge_from: str, edge_to: str,
+             out: str) -> DataFrame:
+        pulled = (
+            e.join(scores.select(F.col("doc_id").alias(edge_from),
+                                 F.col(col).alias("s")), edge_from)
+            .groupBy(F.col(edge_to).alias("doc_id"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        attached = (
+            nodes.join(pulled, "doc_id", "left")
+            .select("doc_id", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+        )
+        nrm = attached.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
+        return (attached.crossJoin(F.broadcast(nrm))
+                .select("doc_id", (F.col("raw") / F.col("nrm")).alias(out)))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        auth = half(state, "hub", "src", "dst", "authority")
+        hub = half(auth, "authority", "dst", "src", "hub")
+        return (state.select("doc_id")
+                .join(auth, "doc_id").join(hub, "doc_id"))
+
+    init = nodes.select("doc_id", F.lit(1.0).alias("hub"),
+                        F.lit(1.0).alias("authority"))
+    return iterate(init, step, n_rounds, checkpoint_every=checkpoint_every)
 
 
 _HITS_NORM = "sqrt((SELECT sum(x * x) FROM (SELECT {col} AS x FROM {src})))"
@@ -371,7 +417,9 @@ def gr_hits_hubs_authorities(spark, sf_dir):
     Per half-iteration: one shuffle on the join key + an L2
     normalizer, a one-row scalar attach (same pattern as the
     centroid/vocab-total attaches). Edges persist once across all four
-    half-steps."""
+    half-steps. For production depth (tens of rounds) use
+    :func:`hits_scores`, whose lineage is truncated per
+    ``checkpoint_every`` rounds."""
     nodes, edges, _ = citation_edges(spark, sf_dir)
     e = edges.persist()
 

