@@ -50,6 +50,12 @@ class CatalogStore:
         self.spark = spark
         self.root = root
         self.keep_generations = keep_generations
+        #: table -> staged-but-uncommitted generations of OPEN
+        #: transactions; _vacuum must never treat these as stale (a
+        #: non-transactional commit interleaved with an open txn would
+        #: otherwise delete the staged dir and commit() would flip
+        #: _CURRENT to a missing directory)
+        self._protected: dict[str, set[str]] = {}
         os.makedirs(root, exist_ok=True)
         self.recover()  # complete any half-applied transaction
 
@@ -222,7 +228,13 @@ class CatalogStore:
 
     def recover(self) -> bool:
         """Complete a half-applied transaction (see :meth:`transaction`).
-        Returns True if an intent was found and applied."""
+        Returns True if an intent was found and applied.
+
+        A generation listed in the intent but missing on disk breaks
+        the all-or-nothing guarantee — the transaction can only be
+        applied PARTIALLY. That is corruption (staged dirs are never
+        vacuumed while the intent exists), so it raises rather than
+        silently completing and deleting the evidence (ADVICE-r2)."""
         import json
 
         path = self._intent_path()
@@ -230,9 +242,18 @@ class CatalogStore:
             return False
         with open(path) as fh:
             staged: dict[str, str] = json.load(fh)
+        missing = [
+            (table, gen) for table, gen in staged.items()
+            if not os.path.isdir(os.path.join(self.path(table), gen))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"catalog recovery: intent lists generations missing on "
+                f"disk {missing} — transaction can only be applied "
+                f"partially; refusing to complete. Inspect "
+                f"{path!r} and the table directories before removing it.")
         for table, gen in staged.items():
-            if os.path.isdir(os.path.join(self.path(table), gen)):
-                self._flip(table, gen)
+            self._flip(table, gen)
         os.remove(path)
         return True
 
@@ -260,14 +281,21 @@ class CatalogStore:
         self._vacuum(table, keep=gen)
 
     def _vacuum(self, table: str, keep: str) -> None:
+        protected = self._protected.get(table, set())
         gens = sorted(
             (d for d in os.listdir(self.path(table)) if d.startswith("gen-")),
             key=lambda d: os.path.getmtime(os.path.join(self.path(table), d)),
         )
         for stale in gens[:-self.keep_generations]:
-            if stale != keep:
+            if stale != keep and stale not in protected:
                 shutil.rmtree(os.path.join(self.path(table), stale),
                               ignore_errors=True)
+
+    def _protect(self, table: str, gen: str) -> None:
+        self._protected.setdefault(table, set()).add(gen)
+
+    def _unprotect(self, table: str, gen: str) -> None:
+        self._protected.get(table, set()).discard(gen)
 
 
 class Transaction:
@@ -309,8 +337,13 @@ class Transaction:
                 f"{table} is partitioned: partitioned tables commit per "
                 "partition (their own atomicity unit) outside transactions")
         old = self._staged.get(table)
-        self._staged[table] = self.store._stage(table, df)
+        gen = self.store._stage(table, df)
+        self._staged[table] = gen
+        # shield from _vacuum until commit/abort: a non-transactional
+        # commit on the same table must not collect our staged dir
+        self.store._protect(table, gen)
         if old:  # superseded staged generation — orphan, remove eagerly
+            self.store._unprotect(table, old)
             shutil.rmtree(os.path.join(self.store.path(table), old),
                           ignore_errors=True)
 
@@ -330,12 +363,14 @@ class Transaction:
             json.dump(self._staged, fh)
         os.replace(tmp, intent)
         for table, gen in self._staged.items():
+            self.store._unprotect(table, gen)  # now current — vacuum-safe
             self.store._flip(table, gen)
         os.remove(intent)
         self._staged = {}
 
     def abort(self) -> None:
         for table, gen in self._staged.items():
+            self.store._unprotect(table, gen)
             shutil.rmtree(os.path.join(self.store.path(table), gen),
                           ignore_errors=True)
         self._staged = {}

@@ -74,10 +74,13 @@ def decode_image_features(media: DataFrame, codec: str = "stub",
             side = max(1, int(feature_dim ** 0.5))
             h_step = max(1, a.shape[0] // side)
             w_step = max(1, a.shape[1] // side)
+            # clamp the block grid to the raster: for images smaller
+            # than `side` the naive range walks past the edge and the
+            # empty slice's mean() is NaN, poisoning the whole feature
             blocks = [
                 float(a[y:y + h_step, x:x + w_step].mean())
-                for y in range(0, h_step * side, h_step)
-                for x in range(0, w_step * side, w_step)
+                for y in range(0, min(h_step * side, a.shape[0]), h_step)
+                for x in range(0, min(w_step * side, a.shape[1]), w_step)
             ]
             feat = np.zeros(feature_dim, np.float32)
             feat[:len(blocks)] = blocks[:feature_dim]

@@ -266,6 +266,7 @@ class WebApi:
         acts = rows(self.engine.restart_activities(
             ids=ids, status=args.get("status"),
             activity_type=args.get("activity_type"),
+            sceneid=args.get("sceneid"),
             collection_id=collection_id))
         action = args.get("action")
         return {
@@ -285,10 +286,21 @@ class WebApi:
                                 rows(self.engine.collections_available())]}
 
     def _count_activities(self, args, environ):
-        return rows(self.engine.count_activities())
+        # forwards the reference's filter args (controller.py:426-446)
+        return rows(self.engine.count_activities(
+            start_date=args.get("start_date"),
+            last_date=args.get("last_date"),
+            collection=int(args["collection"]) if "collection" in args
+            else None,
+            type_contains=args.get("type")))
 
     def _count_by_date(self, args, environ):
-        return rows(self.engine.count_activities_with_date())
+        return rows(self.engine.count_activities_with_date(
+            start_date=args.get("start_date"),
+            last_date=args.get("last_date"),
+            collection=int(args["collection"]) if "collection" in args
+            else None,
+            type_contains=args.get("type")))
 
     def _count_failed(self, args, environ):
         return rows(self.engine.count_failed_activities())

@@ -5,6 +5,7 @@ horizon), store upsert, streaming incremental publish."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -614,6 +615,57 @@ def test_transaction_crash_after_intent_recovers_fully(
     assert not os.path.exists(s2._intent_path())
     assert s2.read("items").count() == 30
     assert s2.read("activities").count() == 15
+
+
+def test_recover_refuses_partial_transaction(spark, tmp_path, fixtures):
+    """An intent whose staged generation is missing on disk means the
+    transaction can only apply PARTIALLY — recovery must raise, not
+    silently complete and delete the intent (ADVICE-r2)."""
+    import json
+    import shutil as _shutil
+
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    root = str(tmp_path / "txn_partial")
+    s = CatalogStore(spark, root)
+    s.overwrite("items", fixtures["items"].limit(10))
+    s.overwrite("activities", fixtures["activities"].limit(10))
+    txn = s.transaction()
+    txn.merge_upsert("items", fixtures["items"].limit(30))
+    txn.append("activities", fixtures["activities"].limit(5))
+    staged = dict(txn._staged)
+    with open(s._intent_path(), "w") as fh:
+        json.dump(staged, fh)
+    # simulate corruption: one staged generation vanishes
+    _shutil.rmtree(os.path.join(s.path("items"), staged["items"]))
+
+    with pytest.raises(RuntimeError, match="missing on disk"):
+        CatalogStore(spark, root)
+    # intent preserved as evidence, pointers never moved
+    assert os.path.exists(s._intent_path())
+    assert s.read("items").count() == 10
+
+
+def test_vacuum_spares_open_transaction_stage(spark, tmp_path, fixtures):
+    """Non-transactional commits interleaved with an open transaction
+    must not vacuum its staged generation: commit() would otherwise
+    flip _CURRENT to a missing directory (ADVICE-r2)."""
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    s = CatalogStore(spark, str(tmp_path / "txn_vac"), keep_generations=1)
+    s.overwrite("items", fixtures["items"].limit(5))
+    txn = s.transaction()
+    txn.merge_upsert("items", fixtures["items"].limit(30))
+    staged_dir = os.path.join(s.path("items"), txn._staged["items"])
+    # hammer the same table with direct commits; keep_generations=1
+    # makes the vacuum as aggressive as possible
+    for k in (6, 7, 8):
+        s.overwrite("items", fixtures["items"].limit(k))
+    assert os.path.isdir(staged_dir), "open txn's staged gen vacuumed"
+    txn.commit()
+    assert s.read("items").count() == 30
+    # after commit the generation is current and vacuum-managed again
+    assert s._protected.get("items") == set()
 
 
 def test_transaction_rejects_partitioned_tables(spark, tmp_path, fixtures):

@@ -104,6 +104,40 @@ def test_restart_get_and_post(app):
     assert status == 200 and one["total"] == 1
 
 
+def test_restart_sceneid_filter(app):
+    """views.py restart supports a sceneid filter (controller.py:100-
+    105, comma-separated) — round-3 parity fix (ADVICE-r2)."""
+    status, allb = call(app, "GET", "/api/radcor/restart")
+    assert status == 200 and allb["total"] > 1
+    scenes = sorted({a["sceneid"] for a in allb["activities"]})[:2]
+    status, body = call(app, "GET", "/api/radcor/restart",
+                        query=f"sceneid={','.join(scenes)}")
+    assert status == 200
+    assert body["total"] > 0
+    assert {a["sceneid"] for a in body["activities"]} <= set(scenes)
+    assert body["total"] == sum(
+        1 for a in allb["activities"] if a["sceneid"] in scenes)
+
+
+def test_count_activities_forwards_filters(app):
+    """count-activities must honor the reference's filter args
+    (controller.py:426-446) — round-3 parity fix (ADVICE-r2)."""
+    status, unfiltered = call(app, "GET", "/api/utils/count-activities")
+    assert status == 200
+    total = sum(r["n"] for r in unfiltered)
+    status, typed = call(app, "GET", "/api/utils/count-activities",
+                         query="type=download")
+    assert status == 200
+    assert 0 < sum(r["n"] for r in typed) < total
+    status, dated = call(app, "GET", "/api/utils/count-activities",
+                         query="last_date=1970-01-01")
+    assert status == 200 and sum(r["n"] for r in dated) == 0
+    status, by_date = call(app, "GET", "/api/utils/count-activities-date",
+                           query="type=download")
+    assert status == 200
+    assert sum(r["n"] for r in by_date) == sum(r["n"] for r in typed)
+
+
 def test_restart_get_query_cap_is_414(app):
     long_ids = ",".join(str(i) for i in range(2000))
     status, body = call(app, "GET", "/api/radcor/restart",
