@@ -28,7 +28,54 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--limit", type=int, default=20,
                      help="rows to show (0 = count only)")
 
+    # provider administration — reference cli.py:44-175 surface
+    cp = sub.add_parser("create-provider",
+                        help="create a data-provider definition")
+    cp.add_argument("--store", required=True, help="catalog store root dir")
+    cp.add_argument("-n", "--name", required=True)
+    cp.add_argument("--driver-name", required=True,
+                    help="collector driver name")
+    cp.add_argument("-d", "--description")
+    cp.add_argument("-u", "--url")
+    cp.add_argument("--username")
+    cp.add_argument("--password")
+    cp.add_argument("--credentials", help="JSON credentials")
+
+    lp = sub.add_parser("load-providers",
+                        help="load provider JSON definitions")
+    lp.add_argument("--store", required=True)
+    lp.add_argument("-i", "--ifile", help="single provider JSON file")
+    lp.add_argument("--from-dir", help="directory of provider *.json")
+    lp.add_argument("--update", action="store_true",
+                    help="update entries that already exist")
+    lp.add_argument("-v", "--verbose", action="store_true")
+
+    sp = sub.add_parser("set-provider",
+                        help="attach/detach a provider to a collection")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("-c", "--collection", required=True, type=int,
+                    help="collection id")
+    sp.add_argument("--provider", required=True, help="provider name")
+    sp.add_argument("--priority", type=int, default=1,
+                    help="priority order, high priority near 0")
+    sp.add_argument("--disable", action="store_true")
+    sp.add_argument("--remove", action="store_true")
+
+    ov = sub.add_parser("overview",
+                        help="describe a collection incl. provider order")
+    ov.add_argument("--store", required=True)
+    ov.add_argument("-c", "--collection", required=True, type=int)
+
     return p
+
+
+def _engine_for(store_root: str):
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+    from bdc_collection_builder_spark.engine import CollectionBuilderEngine
+    from bdc_collection_builder_spark.session import get_spark
+
+    spark = get_spark("cli-admin")
+    return CollectionBuilderEngine(spark, CatalogStore(spark, store_root)), spark
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -65,6 +112,81 @@ def main(argv: list[str] | None = None) -> int:
             print(f"rows: {df.count()}")
         finally:
             df.unpersist()
+            spark.stop()
+        return 0
+
+    if args.command == "create-provider":
+        # cli.py:53-56 — at least one credential form is required
+        if not (args.username or args.password or args.credentials):
+            print("No credential set. Use username/password or credentials.",
+                  file=sys.stderr)
+            return 2
+        credentials = (args.credentials if args.credentials else
+                       {"username": args.username, "password": args.password})
+        engine, spark = _engine_for(args.store)
+        try:
+            created = engine.create_provider(
+                args.name, driver_name=args.driver_name,
+                description=args.description, url=args.url,
+                credentials=credentials)
+            print(f"Provider {args.name} "
+                  f"{'created' if created else 'skipped.'}")
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "load-providers":
+        import json
+        from pathlib import Path
+
+        entries = []
+        if args.ifile:
+            entries.append(Path(args.ifile))
+        elif args.from_dir:
+            entries.extend(sorted(Path(args.from_dir).glob("*.json")))
+        else:
+            print("Missing --ifile or --from-dir parameter.",
+                  file=sys.stderr)
+            return 2
+        engine, spark = _engine_for(args.store)
+        try:
+            for entry in entries:
+                data = json.loads(entry.read_text())
+                credentials = data.pop("credentials", {})
+                created = engine.create_provider(
+                    update=args.update, credentials=credentials, **data)
+                msg = ("created" if created
+                       else "updated" if args.update else "skipped")
+                print(f"Provider {data['name']} {msg}")
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "set-provider":
+        engine, spark = _engine_for(args.store)
+        try:
+            engine.set_provider(
+                args.collection, args.provider, priority=args.priority,
+                disable=args.disable, remove=args.remove)
+            verb = "removed" if args.remove else "updated"
+            print(f"Collection Provider {args.collection} {verb}")
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "overview":
+        engine, spark = _engine_for(args.store)
+        try:
+            info = engine.collection_overview(args.collection)
+            print(f"Collection {info.get('identifier') or info['name']}")
+            for prop in ("title", "name", "version", "collection_type"):
+                print(f"-> {prop}: {info.get(prop)}")
+            print("-> Providers:")
+            for entry in info["providers"]:
+                print(f"  - {entry['name']}, driver={entry['driver']}, "
+                      f"priority={entry['priority']}, "
+                      f"active={entry['active']}")
+        finally:
             spark.stop()
         return 0
 

@@ -73,10 +73,12 @@ def make_fixtures(spark: SparkSession, n_scenes: int = 200,
                           lo, hi, scale, res, res, meta))
 
     providers = [
-        (1, "ESA-SciHub", "SciHub", json.dumps({"username": "u"}), "https://apihub.example"),
-        (2, "USGS", "USGS", json.dumps({"username": "u"}), "https://m2m.example"),
-        (3, "CREODIAS", "CREODIAS", None, "https://creodias.example"),
-        (4, "GCS", "Google", None, "https://storage.example"),
+        (1, "ESA-SciHub", "SciHub", json.dumps({"username": "u"}),
+         "https://apihub.example", None),
+        (2, "USGS", "USGS", json.dumps({"username": "u"}),
+         "https://m2m.example", None),
+        (3, "CREODIAS", "CREODIAS", None, "https://creodias.example", None),
+        (4, "GCS", "Google", None, "https://storage.example", None),
     ]
     collection_providers = [
         (1, 1, True, 1), (3, 1, True, 2), (4, 1, False, 3),

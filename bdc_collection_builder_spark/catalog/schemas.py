@@ -52,6 +52,7 @@ SCHEMAS: dict[str, T.StructType] = {
         T.StructField("driver_name", T.StringType(), True),
         T.StructField("credentials", T.StringType(), True),
         T.StructField("url", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
     ]),
     "collection_providers": T.StructType([
         T.StructField("provider_id", T.IntegerType(), False),
@@ -121,4 +122,6 @@ SCHEMAS: dict[str, T.StructType] = {
 MERGE_KEYS: dict[str, list[str]] = {
     "items": ["name", "collection_id"],                        # publish.py:581-582
     "activities": ["collection_id", "activity_type", "sceneid"],  # models.py:60-63
+    "providers": ["name"],                         # cli.py create-provider get_or_create
+    "collection_providers": ["provider_id", "collection_id"],  # models.py PK
 }

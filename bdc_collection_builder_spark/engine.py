@@ -105,15 +105,42 @@ class CollectionBuilderEngine:
             collection_id, activity_type_contains)
         return paginate(enriched, ["id"], page, per_page)
 
-    def count_activities(self) -> DataFrame:
-        return _radcor.count_activities(self.store)
+    def count_activities(self, start_date: str | None = None,
+                         last_date: str | None = None,
+                         collection: int | None = None,
+                         type_contains: str | None = None) -> DataFrame:
+        return _radcor.count_activities(
+            self.store, start_date=start_date, last_date=last_date,
+            collection=collection, type_contains=type_contains)
 
-    def count_activities_with_date(self) -> DataFrame:
-        """A2 — per-day per-status histogram."""
+    def count_activities_with_date(self, start_date: str | None = None,
+                                   last_date: str | None = None,
+                                   collection: int | None = None,
+                                   type_contains: str | None = None
+                                   ) -> DataFrame:
+        """A2 — per-day per-status histogram, same optional filters as
+        the reference (controller.py:448-470)."""
         hist = self.store.read("activity_history")
         tasks = self.store.read("tasks")
+        if start_date:
+            hist = hist.filter(
+                F.col("start") >= F.lit(f"{start_date} 00:00:00"))
+        if last_date:
+            hist = hist.filter(
+                F.col("start") <= F.lit(f"{last_date} 23:59:00"))
+        joined = hist.join(tasks, hist["task_id"] == tasks["id"])
+        if collection is not None or type_contains:
+            acts = self.store.read("activities")
+            if collection is not None:
+                acts = acts.filter(F.col("collection_id") == collection)
+            if type_contains:
+                acts = acts.filter(
+                    F.col("activity_type").contains(type_contains))
+            joined = joined.join(
+                acts.select(F.col("id").alias("activity_id")), "activity_id",
+                "left_semi")
         return (
-            hist.join(tasks, hist["task_id"] == tasks["id"])
+            joined
             .groupBy(F.to_date("start").alias("date"), "status")
             .agg(F.count("*").alias("n"))
             .orderBy("date")
@@ -211,15 +238,95 @@ class CollectionBuilderEngine:
             self.store.read("providers"),
             self.store.read("collection_providers"), collection_id)
 
+    # -- provider administration (reference cli.py:44-175) --------------
+
+    def create_provider(self, name: str, driver_name: str | None = None,
+                        description: str | None = None,
+                        url: str | None = None,
+                        credentials: dict | str | None = None,
+                        update: bool = False) -> bool:
+        """``create-provider`` / ``load-providers`` semantics
+        (cli.py:44-66, 69-121): get-or-create on the provider NAME —
+        returns True if created, False if it already existed (in which
+        case the row is left untouched unless ``update``)."""
+        import json as _json
+
+        providers = self.store.read("providers")
+        existing = providers.filter(F.col("name") == name).count()
+        if existing and not update:
+            return False
+        if isinstance(credentials, dict):
+            credentials = _json.dumps(credentials)
+        max_id = providers.agg(F.max("id")).collect()[0][0] or 0
+        row_id = (max_id + 1 if not existing else
+                  providers.filter(F.col("name") == name)
+                  .collect()[0]["id"])
+        incoming = self.spark.createDataFrame(
+            [(row_id, name, driver_name, credentials, url, description)],
+            self.store.read("providers").schema)
+        self.store.merge_upsert("providers", incoming, keys=["name"])
+        return not existing
+
+    def set_provider(self, collection_id: int, provider_name: str,
+                     priority: int = 1, disable: bool = False,
+                     remove: bool = False) -> None:
+        """``set-provider`` (cli.py:124-155): upsert or delete the
+        (collection, provider) setting row. Delete is expressed as an
+        anti-join overwrite — the MVCC store's DELETE form."""
+        providers = self.store.read("providers").filter(
+            F.col("name") == provider_name).collect()
+        if not providers:
+            raise KeyError(f"unknown provider: {provider_name!r}")
+        pid = providers[0]["id"]
+        cp = self.store.read("collection_providers")
+        if remove:
+            self.store.overwrite(
+                "collection_providers",
+                cp.filter(~((F.col("provider_id") == pid)
+                            & (F.col("collection_id") == collection_id))))
+            return
+        incoming = self.spark.createDataFrame(
+            [(pid, collection_id, not disable, priority)],
+            cp.schema)
+        self.store.merge_upsert(
+            "collection_providers", incoming,
+            keys=["provider_id", "collection_id"])
+
+    def collection_overview(self, collection_id: int) -> dict:
+        """``overview`` (cli.py:158-175): collection properties plus
+        the full provider order (inactive included, like the
+        reference's listing which prints active=False rows)."""
+        rows = (self.store.read("collections")
+                .filter(F.col("id") == collection_id).collect())
+        if not rows:
+            raise KeyError(f"unknown collection id: {collection_id}")
+        coll = rows[0].asDict()
+        order = provider_order(
+            self.store.read("providers"),
+            self.store.read("collection_providers"), collection_id,
+            include_inactive=True).collect()
+        coll["providers"] = [
+            {"name": r["name"], "driver": r["driver_name"],
+             "priority": r["priority"], "active": r["active"]}
+            for r in order
+        ]
+        return coll
+
     def restart_activities(self, ids: list[int] | None = None,
                            status: str | None = None,
                            activity_type: str | None = None,
+                           sceneid: str | list[str] | None = None,
                            collection_id: int | None = None) -> DataFrame:
         """F4 — restart filters (controller.py:86-108); returns the
-        activities that would be re-dispatched."""
+        activities that would be re-dispatched. ``sceneid`` accepts a
+        comma-separated string or list (controller.py:100-105)."""
         acts = self.store.read("activities")
         if ids:
             acts = acts.filter(F.col("id").isin(*ids))
+        if sceneid:
+            scenes = (sceneid.split(",") if isinstance(sceneid, str)
+                      else list(sceneid))
+            acts = acts.filter(F.col("sceneid").isin(*scenes))
         if activity_type:
             acts = acts.filter(F.col("activity_type") == activity_type)
         if collection_id is not None:

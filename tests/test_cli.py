@@ -28,3 +28,66 @@ def test_list_queries():
     lines = out.stdout.strip().splitlines()
     assert len(lines) >= 100
     assert any(line.startswith("q1_pricing_summary") for line in lines)
+
+
+def test_provider_admin_cli_flow(tmp_path):
+    """Reference cli.py:44-175 parity: create-provider, load-providers,
+    set-provider (incl. --disable/--remove) and overview against a
+    fixture store, in ONE subprocess (one JVM boot, main() per
+    command like the reference's CliRunner invocations)."""
+    import json
+
+    store = tmp_path / "cli_store"
+    pfile = tmp_path / "nasa-usgs.json"
+    pfile.write_text(json.dumps({
+        "name": "USGS-M2M", "driver_name": "USGS",
+        "url": "https://m2m.example",
+        "credentials": {"username": "u", "password": "p"}}))
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from bdc_collection_builder_spark.__main__ import main, _engine_for
+from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+
+# seed the store with collections + providers fixtures once
+engine, spark = _engine_for({str(store)!r})
+fx = make_fixtures(spark, n_scenes=6, n_tiles=2)
+for t in ("collections", "providers", "collection_providers"):
+    engine.store.overwrite(t, fx[t])
+
+rc = 0
+rc |= main(["create-provider", "--store", {str(store)!r},
+            "-n", "NEW-PROV", "--driver-name", "SciHub",
+            "--username", "u", "--password", "p"])
+# second create with same name: skipped, still exit 0
+rc |= main(["create-provider", "--store", {str(store)!r},
+            "-n", "NEW-PROV", "--driver-name", "SciHub",
+            "--username", "u", "--password", "p"])
+# missing credentials: exit 2
+assert main(["create-provider", "--store", {str(store)!r},
+             "-n", "X", "--driver-name", "Y"]) == 2
+rc |= main(["load-providers", "--store", {str(store)!r},
+            "--ifile", {str(pfile)!r}])
+rc |= main(["set-provider", "--store", {str(store)!r},
+            "-c", "1", "--provider", "NEW-PROV", "--priority", "0"])
+rc |= main(["set-provider", "--store", {str(store)!r},
+            "-c", "1", "--provider", "USGS-M2M", "--priority", "9",
+            "--disable"])
+rc |= main(["overview", "--store", {str(store)!r}, "-c", "1"])
+rc |= main(["set-provider", "--store", {str(store)!r},
+            "-c", "1", "--provider", "NEW-PROV", "--remove"])
+sys.exit(rc)
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=300,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Provider NEW-PROV created" in out.stdout
+    assert "Provider NEW-PROV skipped." in out.stdout
+    assert "Provider USGS-M2M created" in out.stdout
+    # overview printed the provider order with NEW-PROV first (prio 0)
+    prov_lines = [ln for ln in out.stdout.splitlines()
+                  if ln.startswith("  - ")]
+    assert prov_lines and "NEW-PROV" in prov_lines[0]
+    assert any("USGS-M2M" in ln and "active=False" in ln
+               for ln in prov_lines)
