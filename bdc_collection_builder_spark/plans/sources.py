@@ -228,63 +228,139 @@ def s06_windowed_raster_scan(spark, sf_dir):
     )
 
 
+def _hdf_scene_dir(spark) -> str:
+    """Write the synthetic pixel grid as REAL HDF4 files (pure-Python
+    codec, sources/hdf4.py): per scene one container holding the
+    sur_refl_b01/sur_refl_b02/QA subdatasets plus a metadata text blob
+    carrying the cloud cover — the MOD09/MOD13-style layout hdf.py
+    iterates with GDAL. Same distributed applyInPandas sink shape as
+    :func:`_tiff_scene_dir`."""
+    if "hdf_dir" not in _TIFF_DIRS:
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        from bdc_collection_builder_spark.functions.pixel import (
+            synthetic_pixels,
+        )
+        from bdc_collection_builder_spark.sources.hdf4 import write_hdf4
+
+        out = tempfile.mkdtemp(prefix="bdc_hdf_scenes_")
+        px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+
+        def write_group(key, pdf):
+            sid = int(key[0])
+            pdf = pdf.sort_values(["y", "x"])
+            grids = {
+                "sur_refl_b01": pdf["B04"].to_numpy()
+                .reshape(16, 16).astype("int16"),
+                "sur_refl_b02": pdf["B08"].to_numpy()
+                .reshape(16, 16).astype("int16"),
+                "QA": pdf["SCL"].to_numpy().reshape(16, 16).astype("uint16"),
+            }
+            cloud = (sid * 37 % 101) / 2.0
+            data = write_hdf4(grids, metadata=f"cloudcover={cloud}")
+            path = os.path.join(out, f"scene_{sid}.hdf")
+            with open(path, "wb") as fh:
+                fh.write(data)
+            return pd.DataFrame(
+                {"scene_id": [sid], "path": [path], "bytes": [len(data)]})
+
+        manifest = px.groupBy("scene_id").applyInPandas(
+            write_group, "scene_id long, path string, bytes long")
+        assert manifest.count() == 4
+        _TIFF_DIRS["hdf_dir"] = out
+    return _TIFF_DIRS["hdf_dir"]
+
+
 @query(
     "s07_hdf_subdataset_scan",
     survey=("S7",),
-    oracle="""
-        WITH scenes AS (
-            SELECT 'S2A_MSIL1C_' || CAST(o_orderkey AS VARCHAR) AS scene_id
-            FROM orders WHERE o_orderkey % 50 = 0
-            ORDER BY scene_id LIMIT 40
-        ),
-        clouded AS (
-            SELECT scene_id,
-                   ((((strpos('0123456789abcdef', substr(md5(scene_id),1,1))-1)*16
-                     + strpos('0123456789abcdef', substr(md5(scene_id),2,1))-1)*16
-                     + strpos('0123456789abcdef', substr(md5(scene_id),3,1))-1)*16
-                     + strpos('0123456789abcdef', substr(md5(scene_id),4,1))-1)
-                   % 10000 / 100.0 AS cloud_cover
-            FROM scenes
+    oracle=f"""
+        WITH px AS ({_PIXELS}),
+        per_band AS (
+            SELECT scene_id, 'sur_refl_b01' AS band,
+                   round(avg(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END),
+                         4) AS mean_value,
+                   CAST(count(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04
+                              END) AS BIGINT) AS n_valid
+            FROM px GROUP BY scene_id
+            UNION ALL
+            SELECT scene_id, 'sur_refl_b02',
+                   round(avg(CASE WHEN B08 = -9999.0 THEN NULL ELSE B08 END),
+                         4),
+                   CAST(count(CASE WHEN B08 = -9999.0 THEN NULL ELSE B08
+                              END) AS BIGINT)
+            FROM px GROUP BY scene_id
+            UNION ALL
+            SELECT scene_id, 'QA', round(avg(SCL), 4),
+                   CAST(count(*) AS BIGINT)
+            FROM px GROUP BY scene_id
         )
         SELECT scene_id, band,
-               '/archive/' || scene_id || '/' || band || '.tif' AS dest,
-               cloud_cover
-        FROM clouded
-        CROSS JOIN (VALUES ('sur_refl_b01'), ('sur_refl_b02'),
-                           ('QA')) AS b(band)
+               concat('/archive/scene_', scene_id, '/', band, '.tif')
+                   AS dest,
+               CAST(scene_id * 37 % 101 AS DOUBLE) / 2 AS cloud_cover,
+               mean_value, n_valid
+        FROM per_band
     """,
 )
 def s07_hdf_subdataset_scan(spark, sf_dir):
     """S7 — HDF subdataset scan → per-band outputs + cloud metadata
-    (hdf.py:38-108). One file row expands to per-subdataset band rows
-    with an extracted cloud_cover column. The GDAL decode is stubbed
-    deterministically (no GDAL in this environment); the Spark plumbing
-    — mapInPandas over binary-file rows, 1→N row expansion, typed
-    output schema — is the real design; the stub's md5 chain is
-    re-expressed in the oracle so the expansion is value-checked."""
-    import hashlib
-    from collections.abc import Iterator
+    (hdf.py:38-108) over REAL HDF4 container bytes: scenes are written
+    as actual HDF4 scientific datasets (pure-Python codec,
+    sources/hdf4.py — classic DD list, NT/SDD/SD/NDG tags, DIL labels,
+    FD metadata; no GDAL), scanned back via ``binaryFile`` and decoded
+    in one Arrow-batched ``mapInPandas`` that expands each container
+    into per-subdataset band rows with the cloud cover parsed from the
+    file-level metadata blob — the exact 1→N expansion hdf.py performs
+    with gdal.Open(...).GetSubDatasets(). Only per-band aggregates
+    cross the Python/JVM boundary; the oracle recomputes the band
+    means analytically, so the encode→file→scan→decode round-trip must
+    be value-exact to hash-match."""
+    import re as _re
 
     import pandas as pd
 
-    scenes = _scenes(spark, sf_dir).orderBy("scene_id").limit(40)
+    from bdc_collection_builder_spark.sources.hdf4 import read_hdf4
 
-    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bands = ["sur_refl_b01", "sur_refl_b02", "QA"]
+    path = _hdf_scene_dir(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.hdf").load(path)
+        .select("path", "content")
+    )
+
+    def expand(batches):
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                digest = hashlib.md5(row.scene_id.encode()).hexdigest()
-                cloud = int(digest[:4], 16) % 10000 / 100.0
-                for band in bands:
-                    out.append((row.scene_id, band,
-                                f"/archive/{row.scene_id}/{band}.tif", cloud))
-            yield pd.DataFrame(out, columns=[
-                "scene_id", "band", "dest", "cloud_cover"])
+            out: dict[str, list] = {
+                "scene_id": [], "band": [], "dest": [],
+                "cloud_cover": [], "sum_value": [], "n_valid": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                hdf = read_hdf4(bytes(content))
+                sid = int(_re.search(r"scene_(\d+)", p).group(1))
+                cloud = float(hdf.metadata.split("=", 1)[1])
+                for band, arr in hdf.datasets.items():
+                    a = arr.astype("float64")
+                    valid = a[a != -9999.0]
+                    out["scene_id"].append(sid)
+                    out["band"].append(band)
+                    out["dest"].append(f"/archive/scene_{sid}/{band}.tif")
+                    out["cloud_cover"].append(cloud)
+                    out["sum_value"].append(float(valid.sum()))
+                    out["n_valid"].append(int(valid.size))
+            yield pd.DataFrame(out)
 
-    return scenes.select("scene_id").mapInPandas(
-        expand, "scene_id string, band string, dest string, cloud_cover double"
-    ).orderBy("scene_id", "band")
+    partials = files.mapInPandas(
+        expand,
+        "scene_id long, band string, dest string, cloud_cover double, "
+        "sum_value double, n_valid long")
+    return partials.select(
+        "scene_id", "band", "dest", "cloud_cover",
+        F.round(F.col("sum_value") / F.col("n_valid"), 4)
+        .alias("mean_value"),
+        "n_valid")
 
 
 @query(
@@ -1112,6 +1188,129 @@ def s20_tiff_raster_scan(spark, sf_dir):
             "scene_id", "window_id", "n_px",
             F.when(F.col("v") > 0,
                    F.round(F.col("s") / F.col("v"), 4)).alias("mean_b04"))
+    )
+
+
+def _tiff_multiband_dir(spark) -> str:
+    """Write the synthetic pixel grid as REAL 3-band (B04, B08, SCL)
+    pixel-interleaved int16 GeoTIFFs — the band-stack shape the
+    reference's SR outputs and RGB quicklooks use (publish.py:77-88).
+    Same distributed applyInPandas sink as :func:`_tiff_scene_dir`."""
+    if "mb_dir" not in _TIFF_DIRS:
+        import os
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+
+        from bdc_collection_builder_spark.functions.pixel import (
+            synthetic_pixels,
+        )
+        from bdc_collection_builder_spark.sources.tiff import write_tiff
+
+        out = tempfile.mkdtemp(prefix="bdc_tiff_mb_scenes_")
+        px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+
+        def write_group(key, pdf):
+            sid = int(key[0])
+            pdf = pdf.sort_values(["y", "x"])
+            stack = np.stack(
+                [pdf[b].to_numpy().reshape(16, 16).astype("int16")
+                 for b in ("B04", "B08", "SCL")], axis=-1)
+            data = write_tiff(
+                stack, pixel_scale=(10.0, 10.0, 0.0),
+                tiepoint=(0.0, 0.0, 0.0, -46.0, -13.0, 0.0))
+            path = os.path.join(out, f"scene_{sid}.tif")
+            with open(path, "wb") as fh:
+                fh.write(data)
+            return pd.DataFrame(
+                {"scene_id": [sid], "path": [path], "bytes": [len(data)]})
+
+        manifest = px.groupBy("scene_id").applyInPandas(
+            write_group, "scene_id long, path string, bytes long")
+        assert manifest.count() == 4
+        _TIFF_DIRS["mb_dir"] = out
+    return _TIFF_DIRS["mb_dir"]
+
+
+@query(
+    "s23_tiff_multiband_scan",
+    survey=("S6", "S11", "S13"),
+    oracle=f"""
+        WITH px AS ({_PIXELS})
+        SELECT scene_id,
+               CAST(floor(y / 8) * 2 + floor(x / 8) AS BIGINT) AS window_id,
+               round(avg(CASE WHEN B04 = -9999.0 THEN NULL ELSE B04 END), 4)
+                   AS mean_b04,
+               round(avg(CASE WHEN B08 = -9999.0 THEN NULL ELSE B08 END), 4)
+                   AS mean_b08,
+               round(avg(SCL), 4) AS mean_scl
+        FROM px
+        GROUP BY 1, 2
+    """,
+)
+def s23_tiff_multiband_scan(spark, sf_dir):
+    """s20's real-bytes raster scan over MULTI-BAND TIFFs: 3-band
+    pixel-interleaved int16 stacks (B04/B08/SCL) encoded by the
+    pure-Python codec, scanned back via ``binaryFile`` and decoded in
+    one Arrow-batched ``mapInPandas`` that emits per-window partial
+    aggregates for every band at once — ONE file read covers all
+    bands, vs s20's one-file-per-band layout (the chunky-stack
+    trade-off the reference's publish.py makes for quicklooks). Only
+    window summaries cross the Python/JVM boundary; the final groupBy
+    merges partials across file splits."""
+    import re as _re
+
+    import pandas as pd
+
+    from bdc_collection_builder_spark.sources.tiff import read_tiff
+
+    path = _tiff_multiband_dir(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif").load(path)
+        .select("path", "content")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "scene_id": [], "window_id": [],
+                "s04": [], "v04": [], "s08": [], "v08": [],
+                "sscl": [], "vscl": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                img = read_tiff(bytes(content))
+                assert img.bands == 3
+                sid = int(_re.search(r"scene_(\d+)", p).group(1))
+                a = img.array.astype("float64")
+                for wy in range(2):
+                    for wx in range(2):
+                        blk = a[wy * 8:(wy + 1) * 8, wx * 8:(wx + 1) * 8, :]
+                        out["scene_id"].append(sid)
+                        out["window_id"].append(wy * 2 + wx)
+                        for band, (sk, vk) in zip(
+                                range(3),
+                                (("s04", "v04"), ("s08", "v08"),
+                                 ("sscl", "vscl"))):
+                            vals = blk[:, :, band]
+                            valid = vals[vals != -9999.0]
+                            out[sk].append(float(valid.sum()))
+                            out[vk].append(int(valid.size))
+            yield pd.DataFrame(out)
+
+    partials = files.mapInPandas(
+        decode,
+        "scene_id long, window_id long, s04 double, v04 long, "
+        "s08 double, v08 long, sscl double, vscl long")
+    return (
+        partials.groupBy("scene_id", "window_id")
+        .agg(*[F.sum(c).alias(c)
+               for c in ("s04", "v04", "s08", "v08", "sscl", "vscl")])
+        .select(
+            "scene_id", "window_id",
+            F.round(F.col("s04") / F.col("v04"), 4).alias("mean_b04"),
+            F.round(F.col("s08") / F.col("v08"), 4).alias("mean_b08"),
+            F.round(F.col("sscl") / F.col("vscl"), 4).alias("mean_scl"))
     )
 
 

@@ -10,7 +10,10 @@ implemented from the public TIFF 6.0 / GeoTIFF specs with struct +
 numpy only.
 
 Deliberately NOT a general TIFF library: no compression (COG deflate
-belongs to the real GDAL seam), no tiling, no multi-band pages. The
+belongs to the real GDAL seam), no tiling, no planar-separate pages.
+Multi-band rasters ARE supported in the chunky (pixel-interleaved,
+PlanarConfiguration=1) layout — the (height, width, bands) shape the
+reference's RGB quicklooks and SR stacks use (publish.py:77-88). The
 point is that the Spark plumbing — executor-side file writes from
 ``applyInPandas``, ``binaryFile`` scans, windowed pixel aggregation —
 runs against REAL raster bytes end-to-end, so swapping in rasterio on
@@ -53,6 +56,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTES = 279
+_TAG_PLANAR_CONFIG = 284         # 1 = chunky (pixel-interleaved)
 _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550   # GeoTIFF: (sx, sy, sz) doubles
 _TAG_MODEL_TIEPOINT = 33922      # GeoTIFF: (i, j, k, x, y, z) doubles
@@ -60,7 +64,7 @@ _TAG_MODEL_TIEPOINT = 33922      # GeoTIFF: (i, j, k, x, y, z) doubles
 
 @dataclass
 class TiffImage:
-    array: np.ndarray                      # (height, width)
+    array: np.ndarray          # (height, width) or (height, width, bands)
     pixel_scale: tuple[float, float, float] | None = None
     tiepoint: tuple[float, ...] | None = None
 
@@ -72,20 +76,27 @@ class TiffImage:
     def height(self) -> int:
         return self.array.shape[0]
 
+    @property
+    def bands(self) -> int:
+        return 1 if self.array.ndim == 2 else self.array.shape[2]
+
 
 def write_tiff(array: np.ndarray,
                pixel_scale: tuple[float, float, float] | None = None,
                tiepoint: tuple[float, ...] | None = None,
                rows_per_strip: int | None = None) -> bytes:
-    """Encode a 2-D numpy array as a single-band uncompressed TIFF
-    (little-endian), optionally georeferenced."""
-    if array.ndim != 2:
-        raise ValueError("write_tiff takes a 2-D (height, width) array")
+    """Encode a 2-D (height, width) or 3-D (height, width, bands) numpy
+    array as an uncompressed chunky-layout TIFF (little-endian),
+    optionally georeferenced."""
+    if array.ndim not in (2, 3):
+        raise ValueError(
+            "write_tiff takes (height, width) or (height, width, bands)")
     dtype = np.dtype(array.dtype).name
     if dtype not in _DTYPE_TO_FORMAT:
         raise ValueError(f"unsupported dtype {dtype}")
     fmt, bits = _DTYPE_TO_FORMAT[dtype]
-    height, width = array.shape
+    height, width = array.shape[:2]
+    n_bands = 1 if array.ndim == 2 else array.shape[2]
     rows_per_strip = rows_per_strip or height
     arr = np.ascontiguousarray(array.astype(f"<{array.dtype.str[1:]}"))
 
@@ -123,14 +134,15 @@ def write_tiff(array: np.ndarray,
 
     entry(_TAG_WIDTH, _TYPE_LONG, [width])
     entry(_TAG_LENGTH, _TYPE_LONG, [height])
-    entry(_TAG_BITS, _TYPE_SHORT, [bits])
+    entry(_TAG_BITS, _TYPE_SHORT, [bits] * n_bands)
     entry(_TAG_COMPRESSION, _TYPE_SHORT, [1])
     entry(_TAG_PHOTOMETRIC, _TYPE_SHORT, [1])
     entry(_TAG_STRIP_OFFSETS, _TYPE_LONG, strip_offsets)
-    entry(_TAG_SAMPLES_PER_PIXEL, _TYPE_SHORT, [1])
+    entry(_TAG_SAMPLES_PER_PIXEL, _TYPE_SHORT, [n_bands])
     entry(_TAG_ROWS_PER_STRIP, _TYPE_LONG, [rows_per_strip])
     entry(_TAG_STRIP_BYTES, _TYPE_LONG, [len(s) for s in strips])
-    entry(_TAG_SAMPLE_FORMAT, _TYPE_SHORT, [fmt])
+    entry(_TAG_PLANAR_CONFIG, _TYPE_SHORT, [1])
+    entry(_TAG_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * n_bands)
     if pixel_scale is not None:
         entry(_TAG_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, list(pixel_scale))
     if tiepoint is not None:
@@ -180,13 +192,19 @@ def read_tiff(data: bytes) -> TiffImage:
     if tags.get(_TAG_COMPRESSION, [1])[0] != 1:
         raise NotImplementedError(
             "compressed TIFF: the rasterio/GDAL seam handles these")
-    if tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
-        raise NotImplementedError("multi-band TIFF: single-band codec")
+    n_bands = int(tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0])
+    if n_bands > 1 and tags.get(_TAG_PLANAR_CONFIG, [1])[0] != 1:
+        raise NotImplementedError(
+            "planar-separate TIFF: only the chunky (pixel-interleaved) "
+            "layout is decoded; GDAL handles planar pages")
 
     width = int(tags[_TAG_WIDTH][0])
     height = int(tags[_TAG_LENGTH][0])
-    bits = int(tags.get(_TAG_BITS, [8])[0])
-    fmt = int(tags.get(_TAG_SAMPLE_FORMAT, [1])[0])
+    bits_list = tags.get(_TAG_BITS, [8])
+    fmt_list = tags.get(_TAG_SAMPLE_FORMAT, [1])
+    if len(set(bits_list)) > 1 or len(set(fmt_list)) > 1:
+        raise NotImplementedError("mixed per-band sample formats")
+    bits, fmt = int(bits_list[0]), int(fmt_list[0])
     dtype = _FORMATS.get((fmt, bits))
     if dtype is None:
         raise NotImplementedError(f"sample format {fmt}/{bits}")
@@ -194,7 +212,8 @@ def read_tiff(data: bytes) -> TiffImage:
         data[off:off + n] for off, n in
         zip(tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_BYTES]))
     arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(e))
-    arr = arr.reshape(height, width).astype(dtype)
+    shape = (height, width) if n_bands == 1 else (height, width, n_bands)
+    arr = arr.reshape(shape).astype(dtype)
     scale = tags.get(_TAG_MODEL_PIXEL_SCALE)
     tie = tags.get(_TAG_MODEL_TIEPOINT)
     return TiffImage(

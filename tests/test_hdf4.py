@@ -1,0 +1,61 @@
+"""Unit tests for the pure-Python HDF4-SD codec (sources/hdf4.py) —
+the no-GDAL container seam behind s07's real-bytes subdataset scan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bdc_collection_builder_spark.sources.hdf4 import (
+    Hdf4File,
+    read_hdf4,
+    write_hdf4,
+)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "uint16", "int32",
+                                   "float32", "float64"])
+def test_roundtrip_exact(dtype):
+    rng = np.random.default_rng(5)
+    if dtype.startswith("float"):
+        a = rng.normal(size=(7, 5)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        a = rng.integers(info.min, info.max, size=(7, 5)).astype(dtype)
+    back = read_hdf4(write_hdf4({"band": a}))
+    assert set(back.datasets) == {"band"}
+    assert back.datasets["band"].dtype == a.dtype
+    assert np.array_equal(back.datasets["band"], a)
+
+
+def test_multiple_subdatasets_and_metadata():
+    grids = {
+        "sur_refl_b01": np.arange(12, dtype="int16").reshape(3, 4),
+        "sur_refl_b02": np.arange(12, 24, dtype="int16").reshape(3, 4),
+        "QA": np.ones((3, 4), dtype="uint16"),
+    }
+    back = read_hdf4(write_hdf4(grids, metadata="cloudcover=12.5"))
+    assert list(back.datasets) == list(grids)  # DD order preserved
+    for name, arr in grids.items():
+        assert np.array_equal(back.datasets[name], arr), name
+    assert back.metadata == "cloudcover=12.5"
+
+
+def test_nodata_sentinel_survives():
+    a = np.full((4, 4), -9999, dtype="int16")
+    back = read_hdf4(write_hdf4({"b": a}))
+    assert (back.datasets["b"] == -9999).all()
+
+
+def test_rejects_garbage_and_bad_shapes():
+    with pytest.raises(ValueError, match="magic"):
+        read_hdf4(b"\x89HDF not actually hdf4")
+    with pytest.raises(ValueError, match="2-D"):
+        write_hdf4({"x": np.zeros(3, dtype="uint8")})
+    with pytest.raises(ValueError, match="dtype"):
+        write_hdf4({"x": np.zeros((2, 2), dtype="complex64")})
+
+
+def test_empty_file_roundtrip():
+    back = read_hdf4(write_hdf4({}, metadata="nothing=true"))
+    assert back == Hdf4File(datasets={}, metadata="nothing=true")

@@ -32,6 +32,47 @@ def test_roundtrip_exact(dtype, rows_per_strip):
     assert (img.width, img.height) == (5, 11)
 
 
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "float32"])
+@pytest.mark.parametrize("n_bands", [2, 3, 4])
+@pytest.mark.parametrize("rows_per_strip", [None, 2])
+def test_roundtrip_multiband(dtype, n_bands, rows_per_strip):
+    """Multi-band chunky layout across band-count x dtype x strip split
+    (VERDICT-r2 task 5: the reference emits 3-band int16/float32
+    stacks, publish.py:77-88)."""
+    rng = np.random.default_rng(13)
+    shape = (9, 6, n_bands)
+    if dtype.startswith("float"):
+        a = rng.normal(size=shape).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        a = rng.integers(info.min, info.max, size=shape).astype(dtype)
+    img = read_tiff(write_tiff(a, rows_per_strip=rows_per_strip))
+    assert img.array.dtype == a.dtype
+    assert np.array_equal(img.array, a)
+    assert (img.width, img.height, img.bands) == (6, 9, n_bands)
+
+
+def test_multiband_geotiff_tags():
+    a = np.zeros((4, 4, 3), dtype="int16")
+    img = read_tiff(write_tiff(a, pixel_scale=(10.0, 10.0, 0.0)))
+    assert img.bands == 3 and img.pixel_scale == (10.0, 10.0, 0.0)
+
+
+def test_rejects_planar_separate():
+    """PlanarConfiguration=2 is the documented GDAL seam."""
+    a = np.zeros((2, 2, 3), dtype="uint8")
+    raw = bytearray(write_tiff(a))
+    (ifd_offset,) = struct.unpack_from("<I", raw, 4)
+    (n,) = struct.unpack_from("<H", raw, ifd_offset)
+    for i in range(n):
+        base = ifd_offset + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", raw, base)
+        if tag == 284:
+            struct.pack_into("<I", raw, base + 8, 2)
+    with pytest.raises(NotImplementedError, match="planar"):
+        read_tiff(bytes(raw))
+
+
 def test_geotiff_tags_roundtrip():
     a = np.zeros((4, 4), dtype="int16")
     img = read_tiff(write_tiff(
@@ -148,6 +189,28 @@ def test_decode_features_tiff_codec(spark):
              decode_image_features(media, codec="tiff",
                                    feature_dim=4).collect()}
     assert got == again
+
+
+def test_decode_features_tiny_raster_no_nan(spark):
+    """Rasters smaller than the block grid (side = floor(sqrt(dim)))
+    must not emit NaN features: the grid is clamped to the image shape
+    (ADVICE-r2: empty slice mean() poisoned the norm)."""
+    import math
+
+    import pandas as pd
+
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        decode_image_features,
+    )
+
+    rows = [{"media_id": i, "kind": "image",
+             "payload": write_tiff(np.full((i + 1, 1), 7, dtype="uint16"))}
+            for i in range(3)]  # 1x1, 2x1, 3x1 — all smaller than side=3
+    media = spark.createDataFrame(pd.DataFrame(rows))
+    feats = decode_image_features(media, codec="tiff", feature_dim=9)
+    for r in feats.collect():
+        assert all(math.isfinite(x) for x in r.feature), r
+        assert any(x != 0 for x in r.feature)
 
 
 def test_png_roundtrip_and_errors():
