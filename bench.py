@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "gr_pagerank",               # iterative graph centrality (3 rounds)
     "sk_heavy_hitters_cms",      # count-min sketch build + probe
     "tk_bpe_pair_counts",        # BPE pair stats over the word dict
+    # round-3 additions (VERDICT-r2 task 8: keep the bench honest as
+    # the suite grows)
+    "gr_hits_hubs_authorities",  # HITS mutual reinforcement (4 half-steps)
+    "tx_line_dedup",             # per-line exact dedup (explode + count)
+    "dd_semantic_dedup",         # embedding-LSH semantic dedup
+    "st_stateful_sessionize",    # Structured Streaming drain cost
 ]
 
 
@@ -103,11 +109,27 @@ def main() -> None:
         times[key] = min(proxy(), proxy())
 
     total = round(sum(times.values()), 3)
+    # Per-query delta vs the last recorded round: surfaces regressions
+    # query-by-query instead of letting suite growth mask them.
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_r02.json")
+    deltas: dict[str, float] = {}
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                doc = json.load(fh)
+            # the driver wraps the bench line under "parsed"
+            prev = (doc.get("parsed", doc) or {}).get("queries", {})
+            deltas = {n: round(t - prev[n], 3)
+                      for n, t in times.items() if n in prev}
+        except (json.JSONDecodeError, OSError):
+            pass
     print(json.dumps({
         "metric": "headline_query_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "delta_vs_r02": deltas,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
