@@ -425,6 +425,7 @@ class PartitionedCatalogStore(CatalogStore):
         sub = CatalogStore.__new__(CatalogStore)
         sub.spark, sub.root = self.spark, self._pdir(table, value)
         sub.keep_generations = self.keep_generations
+        sub._protected = {}  # per-partition stores never host transactions
         os.makedirs(sub.root, exist_ok=True)
         return sub
 
