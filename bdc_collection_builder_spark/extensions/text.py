@@ -85,6 +85,31 @@ def quality_score(text: Column) -> Column:
     return len_ok + stop_ok + punct_ok + word_ok
 
 
+def logreg_quality(text: Column) -> Column:
+    """Model-based quality score: a linear model over the rule features
+    (stopword ratio, punctuation ratio, mean word length, length) put
+    through a RATIONAL sigmoid ``0.5 + 0.5*z/(1+|z|)`` — the fast
+    sigmoid, chosen over exp() so the score is bit-reproducible across
+    engines (only +,-,*,/,abs; exp's last-ulp varies by libm). The
+    weights are fixed stand-ins for a trained classifier
+    (fasttext-style corpus quality models apply exactly this shape: a
+    broadcastable weight vector dotted with cheap per-doc features);
+    retraining swaps constants, not the plan."""
+    z = logreg_logit(text)
+    return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+
+
+def logreg_logit(text: Column) -> Column:
+    """The raw linear score behind :func:`logreg_quality` (sign decides
+    keep/drop without touching the sigmoid's rounding boundary)."""
+    stop_r = stopword_ratio(text)
+    punct_r = punct_ratio(text)
+    mwl = mean_word_length(text)
+    len_norm = F.least(F.length(text).cast("double"), F.lit(4000.0)) / 4000.0
+    return (F.lit(-1.2) + F.lit(2.4) * stop_r - F.lit(3.0) * punct_r
+            + F.lit(0.2) * (mwl - F.lit(4.0)) + F.lit(1.5) * len_norm)
+
+
 def fingerprint(text: Column) -> Column:
     """Rolling polynomial document fingerprint over tokens:
     fold(acc*31 + (len(tok)*17 + ascii(tok[0]))) mod 1e9+7.

@@ -654,6 +654,59 @@ def tx_quality_score(spark, sf_dir):
 
 
 @query(
+    "tx_quality_logreg",
+    survey=("TX-quality", "CU-mix"),
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS},
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / len({_TOKS}) AS stop_r,
+                   CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       AS DOUBLE) / len(text) AS punct_r,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x)))
+                       AS DOUBLE) / len({_TOKS}) AS mwl,
+                   least(CAST(len(text) AS DOUBLE), CAST(4000.0 AS DOUBLE))
+                       / CAST(4000.0 AS DOUBLE) AS len_norm
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(-1.2 AS DOUBLE) + CAST(2.4 AS DOUBLE) * stop_r
+                   - CAST(3.0 AS DOUBLE) * punct_r
+                   + CAST(0.2 AS DOUBLE) * (mwl - CAST(4.0 AS DOUBLE))
+                   + CAST(1.5 AS DOUBLE) * len_norm AS z
+            FROM feats
+        )
+        SELECT doc_id,
+               round(CAST(0.5 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE) * z
+                       / (CAST(1.0 AS DOUBLE) + abs(z)), 6) AS score,
+               (z >= 0) AS keep
+        FROM scored
+    """,
+)
+def tx_quality_logreg(spark, sf_dir):
+    """Model-based quality filtering: a (stand-in trained) logistic
+    scorer over the rule features, the fasttext-classifier shape LLM
+    corpus pipelines run after rule filters. Rational sigmoid keeps the
+    score engine-reproducible (no exp); keep = score >= 0.5 ⇔ z >= 0.
+    One codegen'd scan, zero Python, zero shuffles — the cheapest
+    possible per-document model application at 100 TB."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    score = tx.logreg_quality(F.col("text"))
+    # keep on the raw logit sign, not the rounded score: score==0.5
+    # exactly only when z==0, but fp rounding near the boundary could
+    # disagree between the two formulations
+    z = tx.logreg_logit(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (z >= 0).alias("keep"))
+
+
+@query(
     "tx_fingerprint",
     survey=("TX-fingerprint",),
     oracle=f"""

@@ -212,3 +212,96 @@ def tk_pmi_cooccurrence(spark, sf_dir):
                 / (F.col("df_a") * F.col("df_b"))), 6).alias("pmi"))
         .orderBy(F.col("n_docs_both").desc(), "tok_a", "tok_b").limit(50)
     )
+
+
+_SEG_HASH = "CAST(concat('0x', substr(md5(substr(rem, 1, {L})), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "tk_greedy_segment_encode",
+    survey=("TK-bpe", "TK-seed"),
+    oracle=f"""
+        WITH RECURSIVE words AS (
+            SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
+                )) AS tok FROM documents
+            ) GROUP BY tok
+        ),
+        seg AS (
+            SELECT w, substr(w, 1, 24) AS rem, CAST(0 AS BIGINT) AS n
+            FROM words
+            UNION ALL
+            SELECT w,
+                   substr(rem, CASE
+                       WHEN len(rem) >= 4 AND {_SEG_HASH.format(L=4)} % 5 = 0
+                           THEN 4
+                       WHEN len(rem) >= 3 AND {_SEG_HASH.format(L=3)} % 5 = 0
+                           THEN 3
+                       WHEN len(rem) >= 2 AND {_SEG_HASH.format(L=2)} % 5 = 0
+                           THEN 2
+                       ELSE 1 END + 1),
+                   n + 1
+            FROM seg WHERE rem <> ''
+        )
+        SELECT s.w, wd.cnt, s.n AS n_pieces
+        FROM seg s JOIN words wd USING (w)
+        WHERE s.rem = ''
+        ORDER BY wd.cnt DESC, s.w LIMIT 50
+    """,
+)
+def tk_greedy_segment_encode(spark, sf_dir):
+    """Tokenizer APPLICATION (the step after training): greedy
+    longest-prefix segmentation of every word against a vocabulary —
+    the WordPiece/BPE-encode loop — run as a pure Catalyst
+    ``aggregate`` HOF with a (remaining-suffix, count) struct
+    accumulator, zero Python and zero extra shuffles. Vocabulary
+    membership is a deterministic hash rule (md5-60bit % 5 == 0 for
+    2..4-char pieces; single chars always match) so both engines share
+    the exact vocab without a fixture table; a trained vocab swaps in
+    as a broadcast map lookup with the same loop. Segmentation runs
+    over the word DICT, not the corpus — at 100 TB that is ~10^7
+    distinct words once, then a broadcast join back to documents
+    (tk_bpe_pair_counts' docstring scale argument, applied to encode).
+    The DuckDB oracle replays the same greedy loop as a recursive CTE,
+    value-checking every strip decision. Words truncate to 24 chars on
+    both sides (bounds the unrolled loop; real vocabularies cap token
+    length the same way)."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+
+    def h60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+    def piece_len(rem):
+        return (
+            F.when((F.length(rem) >= 4)
+                   & (h60(F.substring(rem, 1, 4)) % 5 == 0), F.lit(4))
+            .when((F.length(rem) >= 3)
+                  & (h60(F.substring(rem, 1, 3)) % 5 == 0), F.lit(3))
+            .when((F.length(rem) >= 2)
+                  & (h60(F.substring(rem, 1, 2)) % 5 == 0), F.lit(2))
+            .otherwise(F.lit(1))
+        )
+
+    def step(acc, _i):
+        rem = acc["rem"]
+        stripped = F.substr(rem, piece_len(rem) + 1, F.lit(24))
+        return F.when(rem == "", acc).otherwise(
+            F.struct(stripped.alias("rem"),
+                     (acc["n"] + F.lit(1).cast("bigint")).alias("n")))
+
+    n_pieces = F.aggregate(
+        F.sequence(F.lit(1), F.lit(24)),
+        F.struct(F.substring(F.col("w"), 1, 24).alias("rem"),
+                 F.lit(0).cast("bigint").alias("n")),
+        step,
+        lambda acc: acc["n"],
+    )
+    return (
+        words.select("w", "cnt", n_pieces.alias("n_pieces"))
+        .orderBy(F.col("cnt").desc(), "w").limit(50)
+    )

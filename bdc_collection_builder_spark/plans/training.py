@@ -800,3 +800,96 @@ def cu_length_bucketing(spark, sf_dir):
                      / (F.count("*") * F.col("bucket")), 6)
              .alias("fill_ratio"))
     )
+
+
+_CDC_MIN = 12  # chunks shorter than this are noise, not dedup signal
+
+
+@query(
+    "tx_cdc_chunk_dedup",
+    survey=("DD-exact", "TX-fingerprint"),
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE len(text) >= 1
+        ),
+        bounds AS (
+            SELECT doc_id, text,
+                   list_concat(list_concat([0], list_filter(
+                       generate_series(1, len(text)),
+                       i -> ascii(substr(text, i, 1)) % 17 = 0)),
+                       [len(text)]) AS b
+            FROM docs
+        ),
+        chunks AS (
+            SELECT doc_id, text, unnest(list_transform(
+                generate_series(2, len(b)),
+                k -> substr(text, b[k-1] + 1, b[k] - b[k-1]))) AS chunk
+            FROM bounds
+        ),
+        sized AS (
+            SELECT doc_id, text, chunk, md5(chunk) AS h
+            FROM chunks WHERE len(chunk) >= {_CDC_MIN}
+        ),
+        freq AS (
+            SELECT h, count(DISTINCT doc_id) AS ndocs
+            FROM sized GROUP BY h
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               round(CAST(sum(CASE WHEN f.ndocs > 1 THEN len(s.chunk)
+                                   ELSE 0 END) AS DOUBLE)
+                     / any_value(len(s.text)), 6) AS dup_char_ratio
+        FROM sized s JOIN freq f USING (h)
+        GROUP BY s.doc_id
+    """,
+)
+def tx_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup (the rsync/FastCDC family): chunk
+    boundaries are decided by the CONTENT (boundary chars whose code
+    satisfies a hash rule — here ascii % 17 == 0, the 1-byte gear
+    table), so an insertion early in a document shifts at most one
+    chunk instead of re-aligning every fixed window — the property
+    that makes chunk-level dedup robust where fixed k-gram windows
+    (tx_span_dedup) smear. Per doc: boundary positions via a filtered
+    `sequence` HOF, chunk slices via `transform` over consecutive
+    boundary pairs — one codegen'd scan, no Python; then one shuffle
+    on the chunk hash for cross-corpus frequency and one join back.
+    Emits per-doc duplicated-chunk counts and the duplicated-character
+    ratio (the contamination share a curation pass would strip). At
+    100 TB the chunk table is the only corpus-sized intermediate and
+    carries 8-byte hashes, not text (prod swaps md5 for xxhash64 like
+    the other dedup twins)."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.length("text") >= 1).select("doc_id", "text")
+    text = F.col("text")
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substr(text, i, F.lit(1))) % 17 == 0)
+    b = F.concat(F.array(F.lit(0)), bpos, F.array(F.length(text)))
+    chunks = F.transform(
+        F.sequence(F.lit(2), F.size(b)),
+        lambda k: F.substr(
+            text, F.element_at(b, k - 1) + 1,
+            F.element_at(b, k) - F.element_at(b, k - 1)))
+    sized = (
+        docs.select("doc_id", F.length(text).alias("doc_len"),
+                    F.explode(chunks).alias("chunk"))
+        .filter(F.length("chunk") >= _CDC_MIN)
+        .withColumn("h", F.md5("chunk"))
+    )
+    freq = sized.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("ndocs"))
+    dup = F.when(F.col("ndocs") > 1, 1).otherwise(0)
+    return (
+        sized.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.when(F.col("ndocs") > 1, F.length("chunk"))
+                      .otherwise(0)).cast("double")
+                / F.first("doc_len"), 6).alias("dup_char_ratio"))
+    )
