@@ -623,6 +623,10 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
                 "centroid_id",
                 -F.reverse(F.array_sort(scored))[0]["negcid"])
             .drop("cents"))
+    # assigned feeds BOTH sides of the within-cluster pair join plus the
+    # final flag join — without a persist the whole assignment subplan
+    # (centroid broadcast + argmax scan) runs three times
+    assigned = assigned.persist()
     pair_sim = F.round(
         dot(F.col("a.vec"), F.col("b.vec"))
         / (F.col("a.nrm") * F.col("b.nrm")), 6)
