@@ -440,11 +440,14 @@ def gr_hits_hubs_authorities(spark, sf_dir):
             .select("doc_id", F.coalesce("c", F.lit(0.0)).alias("score"))
         )
 
+    # each score vector feeds the next half-step AND (for h1/a2) the
+    # final join; persisting stops the whole upstream chain (a1 -> h1
+    # -> a2) re-evaluating once per consumer
     a1 = l2_attach(
         nodes.join(e, nodes["doc_id"] == e["dst"], "left")
         .groupBy(nodes["doc_id"])
-        .agg(F.count(e["src"]).cast("double").alias("score")))
-    h1 = l2_attach(pull(a1, "dst", "src"))
+        .agg(F.count(e["src"]).cast("double").alias("score"))).persist()
+    h1 = l2_attach(pull(a1, "dst", "src")).persist()
     a2 = l2_attach(pull(h1, "src", "dst"))
     return (
         a2.select("doc_id", F.round("score", 8).alias("authority"))
