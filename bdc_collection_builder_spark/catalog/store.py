@@ -16,9 +16,17 @@ log. Old generations are retained for a few versions, so DataFrames
 created before an upsert keep reading their snapshot (the same
 isolation Delta gives readers), then garbage-collected.
 
-Single-writer assumption matches the reference's per-scene task
-serialization via unique constraints (models.py:60-63). With Delta
-available, ``merge_upsert`` maps 1:1 onto MERGE INTO.
+Concurrency is OPTIMISTIC, Delta-style: keyed writers (``merge_upsert``
+/ ``append``) snapshot the current generation, stage off that pinned
+base, and compare-and-swap the pointer under a per-table advisory
+flock — a concurrent commit in the window raises
+:class:`CommitConflict` and the writer re-derives from the new base
+(bounded retries), so no keyed write is ever silently lost.
+Transactions validate every touched table under sorted pointer locks
+before any flip (all-or-nothing multi-table OCC). ``overwrite`` stays
+deliberately last-writer-wins. With Delta available, ``merge_upsert``
+maps 1:1 onto MERGE INTO and the CAS loop onto Delta's
+ConcurrentModificationException retry.
 
 At 100 TB use :class:`PartitionedCatalogStore`: data lives under
 ``table/<pcol>=<value>/gen-*`` with a per-partition pointer, and a merge
@@ -41,6 +49,17 @@ from bdc_collection_builder_spark.catalog.schemas import MERGE_KEYS, SCHEMAS
 
 _KEEP_GENERATIONS = 3
 
+#: sentinel: flip unconditionally (last-writer-wins), no CAS check
+_UNCONDITIONAL = object()
+
+
+class CommitConflict(RuntimeError):
+    """Raised when a CAS commit loses: the table's current generation
+    moved between snapshot read and pointer flip. Keyed writers
+    (merge/append) retry automatically; transaction callers re-run the
+    transaction — the same contract as Delta's
+    ConcurrentModificationException."""
+
 
 class CatalogStore:
     """A directory of parquet tables with typed schemas and upsert."""
@@ -50,12 +69,15 @@ class CatalogStore:
         self.spark = spark
         self.root = root
         self.keep_generations = keep_generations
-        #: table -> staged-but-uncommitted generations of OPEN
-        #: transactions; _vacuum must never treat these as stale (a
-        #: non-transactional commit interleaved with an open txn would
-        #: otherwise delete the staged dir and commit() would flip
-        #: _CURRENT to a missing directory)
-        self._protected: dict[str, set[str]] = {}
+        #: table -> {generation: refcount} of generations _vacuum must
+        #: not collect: staged-but-uncommitted generations of OPEN
+        #: transactions, and the pinned BASE snapshots of in-flight CAS
+        #: writers (deleting either under a writer mid-stage breaks the
+        #: commit). Refcounted because concurrent writers may pin the
+        #: same base.
+        self._protected: dict[str, dict[str, int]] = {}
+        import threading
+        self._protect_mutex = threading.Lock()
         os.makedirs(root, exist_ok=True)
         self.recover()  # complete any half-applied transaction
 
@@ -165,21 +187,66 @@ class CatalogStore:
     def overwrite(self, table: str, df: DataFrame) -> None:
         self._commit(table, df)
 
+    def _read_pinned(self, table: str, gen: str | None) -> DataFrame:
+        """The snapshot AT a specific generation (empty if absent) —
+        keyed writers pin their base so a concurrent commit between
+        read and flip is DETECTED (CAS) instead of silently read
+        half-old/half-new."""
+        if gen is None:
+            return self.spark.createDataFrame([], SCHEMAS[table])
+        return self.spark.read.schema(SCHEMAS[table]).parquet(
+            os.path.join(self.path(table), gen))
+
+    def _cas_commit(self, table: str, build, retries: int = 3) -> None:
+        """Optimistic keyed commit: snapshot the current generation,
+        stage ``build(base_snapshot)``, CAS-flip. A concurrent writer
+        moving the pointer mid-stage raises CommitConflict; the loop
+        re-snapshots and re-derives (bounded retries), so concurrent
+        keyed writers serialize without locks around the (expensive)
+        data write — Delta's OCC loop over this store's MVCC."""
+        last: CommitConflict | None = None
+        for _ in range(1 + retries):
+            base_gen = self._current_gen(table)
+            # pin the base against concurrent writers' vacuums: under
+            # churn (contending CAS writers, small keep_generations) an
+            # unpinned base can be collected while this stage is still
+            # reading it, failing the write mid-job
+            if base_gen:
+                self._protect(table, base_gen)
+            try:
+                gen = self._stage(
+                    table, build(self._read_pinned(table, base_gen)))
+            finally:
+                if base_gen:
+                    self._unprotect(table, base_gen)
+            try:
+                self._flip(table, gen, expected=base_gen)
+                return
+            except CommitConflict as exc:
+                last = exc
+                shutil.rmtree(os.path.join(self.path(table), gen),
+                              ignore_errors=True)
+        raise last  # type: ignore[misc]
+
     def append(self, table: str, df: DataFrame) -> None:
         """Append = union with current snapshot into a new generation
         (keeps snapshot isolation; for high-frequency appends use the
-        ledger's event-log pattern instead)."""
-        self._commit(table, self.read(table).unionByName(
-            df.select(*[f.name for f in SCHEMAS[table].fields])))
+        ledger's event-log pattern instead). CAS + retry: concurrent
+        appends serialize, neither is lost."""
+        cols = [f.name for f in SCHEMAS[table].fields]
+        self._cas_commit(
+            table, lambda base: base.unionByName(df.select(*cols)))
 
     def merge_upsert(self, table: str, incoming: DataFrame,
                      keys: list[str] | None = None) -> None:
         """Idempotent upsert on the table's merge keys (Y3 semantics:
         re-publishing a scene replaces its row, publish.py:575-605).
         Incoming rows win; within incoming, exactly one row per key is
-        required (enforce upstream with dropDuplicates — Y5)."""
-        self._commit(table, self._merged(table, self.read(table),
-                                         incoming, keys))
+        required (enforce upstream with dropDuplicates — Y5).
+        CAS + retry: a concurrent merge's rows are never lost."""
+        self._cas_commit(
+            table,
+            lambda base: self._merged(table, base, incoming, keys))
 
     def _merged(self, table: str, current: DataFrame, incoming: DataFrame,
                 keys: list[str] | None = None) -> DataFrame:
@@ -271,31 +338,78 @@ class CatalogStore:
     def _commit(self, table: str, df: DataFrame) -> None:
         self._flip(table, self._stage(table, df))
 
-    def _flip(self, table: str, gen: str) -> None:
+    def _pointer_lock(self, table: str):
+        """Advisory flock serializing check-and-flip on one table's
+        pointer — across processes AND across threads/stores in one
+        process (flock conflicts between distinct open files). Held
+        only around the pointer read+replace, never around data
+        writes, so staging stays fully concurrent."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            os.makedirs(self.path(table), exist_ok=True)
+            fh = open(os.path.join(self.path(table), "_PTR.lock"), "w")
+            try:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+                fh.close()
+
+        return held()
+
+    def _flip(self, table: str, gen: str, expected=_UNCONDITIONAL) -> None:
         """Atomically point _CURRENT at an already-materialized
-        generation directory, then vacuum stale generations."""
+        generation directory, then vacuum stale generations.
+
+        With ``expected`` set (a generation id or None-for-absent) the
+        flip is a compare-and-swap under the pointer lock: if another
+        writer moved the pointer since the caller snapshotted it, the
+        flip raises :class:`CommitConflict` and changes nothing —
+        Delta-style optimistic concurrency. The default is an
+        unconditional last-writer-wins flip (overwrite semantics)."""
+        with self._pointer_lock(table):
+            if expected is not _UNCONDITIONAL \
+                    and self._current_gen(table) != expected:
+                raise CommitConflict(
+                    f"{table}: generation moved from {expected!r} to "
+                    f"{self._current_gen(table)!r} during commit")
+            self._replace_pointer(table, gen)
+        self._vacuum(table, keep=gen)
+
+    def _replace_pointer(self, table: str, gen: str) -> None:
+        """The raw atomic pointer write (no lock, no CAS) — callers
+        hold :meth:`_pointer_lock` or accept last-writer-wins."""
         tmp_ptr = f"{self._pointer(table)}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp_ptr, "w") as fh:
             fh.write(gen)
         os.replace(tmp_ptr, self._pointer(table))
-        self._vacuum(table, keep=gen)
 
     def _vacuum(self, table: str, keep: str) -> None:
-        protected = self._protected.get(table, set())
+        protected = self._protected.get(table, {})
         gens = sorted(
             (d for d in os.listdir(self.path(table)) if d.startswith("gen-")),
             key=lambda d: os.path.getmtime(os.path.join(self.path(table), d)),
         )
         for stale in gens[:-self.keep_generations]:
-            if stale != keep and stale not in protected:
+            if stale != keep and protected.get(stale, 0) <= 0:
                 shutil.rmtree(os.path.join(self.path(table), stale),
                               ignore_errors=True)
 
     def _protect(self, table: str, gen: str) -> None:
-        self._protected.setdefault(table, set()).add(gen)
+        with self._protect_mutex:
+            counts = self._protected.setdefault(table, {})
+            counts[gen] = counts.get(gen, 0) + 1
 
     def _unprotect(self, table: str, gen: str) -> None:
-        self._protected.get(table, set()).discard(gen)
+        with self._protect_mutex:
+            counts = self._protected.get(table, {})
+            if gen in counts:
+                counts[gen] -= 1
+                if counts[gen] <= 0:
+                    del counts[gen]
 
 
 class Transaction:
@@ -309,14 +423,23 @@ class Transaction:
     def __init__(self, store: CatalogStore):
         self.store = store
         self._staged: dict[str, str] = {}
+        #: table -> the generation current at this txn's FIRST touch;
+        #: commit CAS-validates against it (optimistic concurrency) and
+        #: reads pin to it (repeatable reads inside the transaction)
+        self._base: dict[str, str | None] = {}
 
     # -- staged reads/writes -------------------------------------------
+
+    def _touch(self, table: str) -> None:
+        if table not in self._base:
+            self._base[table] = self.store._current_gen(table)
 
     def read(self, table: str) -> DataFrame:
         if table in self._staged:
             return self.store.spark.read.schema(SCHEMAS[table]).parquet(
                 os.path.join(self.store.path(table), self._staged[table]))
-        return self.store.read(table)
+        self._touch(table)
+        return self.store._read_pinned(table, self._base[table])
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         self._put(table, df)
@@ -336,6 +459,7 @@ class Transaction:
             raise NotImplementedError(
                 f"{table} is partitioned: partitioned tables commit per "
                 "partition (their own atomicity unit) outside transactions")
+        self._touch(table)
         old = self._staged.get(table)
         gen = self.store._stage(table, df)
         self._staged[table] = gen
@@ -350,23 +474,45 @@ class Transaction:
     # -- two-phase commit ----------------------------------------------
 
     def commit(self) -> None:
-        """Write the intent (atomic), flip every pointer, drop the
-        intent. A crash after the intent is durable is completed by
+        """Validate-then-flip: take every touched table's pointer lock
+        (sorted — no deadlock between two committers), CAS-check that
+        no table moved since this txn's first touch, write the intent
+        (atomic), flip every pointer, drop the intent. A concurrent
+        commit to ANY touched table aborts the whole transaction with
+        :class:`CommitConflict` before anything flips (all-or-nothing
+        optimistic concurrency, the multi-table form of Delta's OCC);
+        a crash after the intent is durable is completed by
         :meth:`CatalogStore.recover` on the next store open."""
         import json
+        from contextlib import ExitStack
 
         if not self._staged:
             return
         intent = self.store._intent_path()
-        tmp = f"{intent}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(self._staged, fh)
-        os.replace(tmp, intent)
+        with ExitStack() as locks:
+            for table in sorted(self._staged):
+                locks.enter_context(self.store._pointer_lock(table))
+            moved = [
+                t for t in sorted(self._staged)
+                if self.store._current_gen(t) != self._base.get(t)
+            ]
+            if moved:
+                self.abort()
+                raise CommitConflict(
+                    f"transaction lost the race on {moved}: tables "
+                    f"moved since first touch — re-run the transaction")
+            tmp = f"{intent}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(self._staged, fh)
+            os.replace(tmp, intent)
+            for table, gen in self._staged.items():
+                self.store._unprotect(table, gen)  # now current
+                self.store._replace_pointer(table, gen)
+            os.remove(intent)
         for table, gen in self._staged.items():
-            self.store._unprotect(table, gen)  # now current — vacuum-safe
-            self.store._flip(table, gen)
-        os.remove(intent)
+            self.store._vacuum(table, keep=gen)
         self._staged = {}
+        self._base = {}
 
     def abort(self) -> None:
         for table, gen in self._staged.items():
@@ -374,6 +520,7 @@ class Transaction:
             shutil.rmtree(os.path.join(self.store.path(table), gen),
                           ignore_errors=True)
         self._staged = {}
+        self._base = {}
 
     def __enter__(self) -> "Transaction":
         return self
@@ -426,6 +573,7 @@ class PartitionedCatalogStore(CatalogStore):
         sub.spark, sub.root = self.spark, self._pdir(table, value)
         sub.keep_generations = self.keep_generations
         sub._protected = {}  # per-partition stores never host transactions
+        sub._protect_mutex = self._protect_mutex
         os.makedirs(sub.root, exist_ok=True)
         return sub
 

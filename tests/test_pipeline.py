@@ -648,9 +648,14 @@ def test_recover_refuses_partial_transaction(spark, tmp_path, fixtures):
 
 def test_vacuum_spares_open_transaction_stage(spark, tmp_path, fixtures):
     """Non-transactional commits interleaved with an open transaction
-    must not vacuum its staged generation: commit() would otherwise
-    flip _CURRENT to a missing directory (ADVICE-r2)."""
-    from bdc_collection_builder_spark.catalog.store import CatalogStore
+    must not vacuum its staged generation (ADVICE-r2) — and since the
+    table MOVED mid-transaction, commit must now detect the race and
+    raise CommitConflict instead of silently clobbering the
+    interleaved writes (round-3 optimistic concurrency)."""
+    from bdc_collection_builder_spark.catalog.store import (
+        CatalogStore,
+        CommitConflict,
+    )
 
     s = CatalogStore(spark, str(tmp_path / "txn_vac"), keep_generations=1)
     s.overwrite("items", fixtures["items"].limit(5))
@@ -662,10 +667,119 @@ def test_vacuum_spares_open_transaction_stage(spark, tmp_path, fixtures):
     for k in (6, 7, 8):
         s.overwrite("items", fixtures["items"].limit(k))
     assert os.path.isdir(staged_dir), "open txn's staged gen vacuumed"
-    txn.commit()
+    with pytest.raises(CommitConflict, match="items"):
+        txn.commit()
+    # conflict aborted the txn: staged gen cleaned, table untouched
+    assert not os.path.isdir(staged_dir)
+    assert s.read("items").count() == 8
+    assert not s._protected.get("items")
+    # re-running the transaction off the new base succeeds
+    with s.transaction() as txn2:
+        txn2.merge_upsert("items", fixtures["items"].limit(30))
     assert s.read("items").count() == 30
-    # after commit the generation is current and vacuum-managed again
-    assert s._protected.get("items") == set()
+
+
+def test_cas_merge_retries_past_concurrent_commit(spark, tmp_path, fixtures):
+    """Optimistic concurrency: a keyed merge whose base moves mid-stage
+    must retry off the new base so NEITHER writer's rows are lost —
+    Delta's ConcurrentModificationException loop over the MVCC store."""
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    s = CatalogStore(spark, str(tmp_path / "cas_merge"))
+    s.overwrite("items", fixtures["items"].filter(F.col("id") <= 5))
+    batch_a = fixtures["items"].filter(F.col("id") <= 20)
+    batch_b = fixtures["items"].filter(F.col("id") > 40)  # disjoint
+    n_a, n_b = batch_a.count(), batch_b.count()
+    assert n_a > 0 and n_b > 0
+
+    # interleave: every time merge A stages, sneak commit B in first
+    real_stage = s._stage
+    interleaved = {"n": 0}
+
+    def racing_stage(table, df):
+        gen = real_stage(table, df)
+        if interleaved["n"] == 0:
+            interleaved["n"] += 1
+            # concurrent writer lands AFTER our stage, BEFORE our flip
+            real_merged = s._merged(table, s.read(table), batch_b)
+            s._flip(table, real_stage(table, real_merged))
+        return gen
+
+    s._stage = racing_stage
+    try:
+        s.merge_upsert("items", batch_a)
+    finally:
+        s._stage = real_stage
+    assert interleaved["n"] == 1, "race was not exercised"
+    got = s.read("items")
+    assert got.filter(F.col("id") <= 20).count() == n_a, "writer A lost"
+    assert got.filter(F.col("id") > 40).count() == n_b, "writer B lost"
+    assert got.count() == n_a + n_b
+
+
+def test_cas_append_exhausts_retries(spark, tmp_path, fixtures):
+    """When every retry loses the race the keyed writer surfaces
+    CommitConflict rather than spinning forever."""
+    from bdc_collection_builder_spark.catalog.store import (
+        CatalogStore,
+        CommitConflict,
+    )
+
+    s = CatalogStore(spark, str(tmp_path / "cas_exhaust"))
+    s.overwrite("items", fixtures["items"].limit(5))
+    real_stage = s._stage
+
+    def always_racing_stage(table, df):
+        gen = real_stage(table, df)
+        # move the pointer EVERY time (via real_stage: _commit would
+        # re-enter this patched hook and recurse)
+        s._flip(table, real_stage(table, s.read(table).limit(4)))
+        return gen
+
+    s._stage = always_racing_stage
+    try:
+        with pytest.raises(CommitConflict):
+            s.append("items", fixtures["items"].limit(3))
+    finally:
+        s._stage = real_stage
+
+
+def test_cas_concurrent_threaded_merges(spark, tmp_path, fixtures):
+    """Four genuinely concurrent threads merging disjoint id ranges
+    into one table: the CAS loop must serialize them so every range
+    survives (callers retry on conflict exhaustion, as documented)."""
+    import threading
+
+    from bdc_collection_builder_spark.catalog.store import (
+        CatalogStore,
+        CommitConflict,
+    )
+
+    s = CatalogStore(spark, str(tmp_path / "cas_threads"))
+    s.overwrite("items", fixtures["items"].filter(F.col("id") < 0))
+    ranges = [(1, 15), (16, 30), (31, 45), (46, 60)]
+    batches = [fixtures["items"].filter((F.col("id") >= lo)
+                                        & (F.col("id") <= hi))
+               for lo, hi in ranges]
+    expected = sum(b.count() for b in batches)
+    errors = []
+
+    def worker(batch):
+        for _ in range(10):  # app-level retry on conflict exhaustion
+            try:
+                s.merge_upsert("items", batch)
+                return
+            except CommitConflict:
+                continue
+        errors.append("retries exhausted")
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in batches]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=240)
+    assert not errors
+    assert s.read("items").count() == expected
 
 
 def test_transaction_rejects_partitioned_tables(spark, tmp_path, fixtures):
