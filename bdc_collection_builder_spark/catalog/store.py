@@ -665,7 +665,12 @@ class PartitionedCatalogStore(CatalogStore):
     def merge_upsert(self, table: str, incoming: DataFrame,
                      keys: list[str] | None = None) -> None:
         """Partition-pruned MERGE: only partitions present in the
-        incoming batch are rewritten; all others keep their files."""
+        incoming batch are rewritten; all others keep their files.
+        Each partition flip is a CAS against the generation this merge
+        read; a partition that moved concurrently falls back to that
+        partition's own optimistic re-derive loop (Delta's
+        partition-level conflict granularity: writers touching
+        disjoint partitions never conflict at all)."""
         if table not in self.partition_cols:
             return super().merge_upsert(table, incoming, keys)
         pcol = self.partition_cols[table]
@@ -683,10 +688,14 @@ class PartitionedCatalogStore(CatalogStore):
         # per-partition loop serialized one full job per partition, so
         # merge cost grew linearly in touched-partition count even when
         # each partition's data was tiny.
+        base_gens = {
+            str(value): self._sub(table, value)._current_gen(table)
+            for value in touched
+        }
         current_paths = [
-            p for p in (
-                self._sub(table, value).data_path(table) for value in touched)
-            if p is not None
+            os.path.join(self._sub(table, value).path(table), g)
+            for value, g in ((v, base_gens[str(v)]) for v in touched)
+            if g is not None
         ]
         current = (
             self.spark.read.schema(SCHEMAS[table]).parquet(*current_paths)
@@ -713,6 +722,19 @@ class PartitionedCatalogStore(CatalogStore):
                 os.makedirs(sub.path(table), exist_ok=True)
                 os.replace(os.path.join(staging, d),
                            os.path.join(sub.path(table), gen))
-                sub._flip(table, gen)
+                try:
+                    sub._flip(table, gen, expected=base_gens.get(value_str))
+                except CommitConflict:
+                    # this partition moved mid-merge: drop our stale
+                    # result and re-derive JUST this partition off its
+                    # new base (the other partitions are unaffected)
+                    shutil.rmtree(os.path.join(sub.path(table), gen),
+                                  ignore_errors=True)
+                    part_incoming = incoming.filter(
+                        F.col(pcol).cast("string") == value_str)
+                    sub._cas_commit(
+                        table,
+                        lambda base, inc=part_incoming:
+                        self._merged(table, base, inc, keys))
         finally:
             shutil.rmtree(staging, ignore_errors=True)

@@ -782,6 +782,52 @@ def test_cas_concurrent_threaded_merges(spark, tmp_path, fixtures):
     assert s.read("items").count() == expected
 
 
+def test_partitioned_merge_cas_fallback(spark, tmp_path, fixtures):
+    """A partition that moves mid-merge must trigger the per-partition
+    re-derive fallback: neither the concurrent write nor the merge
+    batch is lost, and untouched partitions never enter the loop."""
+    from bdc_collection_builder_spark.catalog import store as store_mod
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "pcas"))
+    s.overwrite("items", fixtures["items"].filter(F.col("id") <= 10))
+    incoming = fixtures["items"].filter(F.col("id") <= 30)
+    n_incoming = incoming.count()
+
+    orig_flip = store_mod.CatalogStore._flip
+    hits = {"n": 0}
+
+    def racing_flip(self, table, gen,
+                    expected=store_mod._UNCONDITIONAL):
+        if expected is not store_mod._UNCONDITIONAL and hits["n"] == 0 \
+                and self.exists(table):
+            hits["n"] = 1
+            # concurrent writer sneaks a NEW-key row into this
+            # partition between the merge's read and its flip
+            extra = self.read(table).limit(1).withColumn(
+                "name", F.lit("ZZZ-concurrent"))
+            merged = self._merged(table, self.read(table), extra)
+            orig_flip(self, table, self._stage(table, merged))
+        return orig_flip(self, table, gen, expected=expected)
+
+    store_mod.CatalogStore._flip = racing_flip
+    try:
+        s.merge_upsert("items", incoming)
+    finally:
+        store_mod.CatalogStore._flip = orig_flip
+    assert hits["n"] == 1, "race was not exercised"
+    got = s.read("items")
+    assert got.filter(F.col("name") == "ZZZ-concurrent").count() == 1, \
+        "concurrent write lost"
+    # the concurrent row reuses an incoming row's id under a NEW merge
+    # key (changed name), so exclude it from the batch count
+    assert got.filter((F.col("id") <= 30)
+                      & (F.col("name") != "ZZZ-concurrent")
+                      ).count() == n_incoming, "merge batch lost"
+
+
 def test_transaction_rejects_partitioned_tables(spark, tmp_path, fixtures):
     from bdc_collection_builder_spark.catalog.store import (
         PartitionedCatalogStore,
