@@ -3,9 +3,12 @@
 Each stage is a DataFrame transformation over scene rows. Metadata work
 is pure Catalyst; side-effecting work (network download, subprocess
 processor, raster IO) runs inside ``mapInPandas`` with the exact
-control flow of the reference — here backed by a deterministic
-simulator (`io_simulate=True`) since this environment has no network,
-Docker, or rasterio. The Spark-side plumbing (schemas, batch shapes,
+control flow of the reference. Download has a REAL wire path
+(:func:`http_download_stage` — genuine HTTP with failover + checksum
+validation; loopback fixture providers in the sandbox, real endpoints
+in production) alongside the deterministic simulator
+(`io_simulate=True`); the processor stage stays simulated (Docker is
+unavailable here). The Spark-side plumbing (schemas, batch shapes,
 partitioning by scene) is the real design: on a cluster each partition
 is a batch of scenes and the stage UDFs run the same loops against real
 providers/processors.
@@ -366,3 +369,122 @@ def post_stage(published: DataFrame, pixels: DataFrame) -> DataFrame:
         F.count("*").alias("n_pixels"))
     return published.select(F.col("name").alias("scene_id"), "collection_id") \
         .join(per_scene, "scene_id", "left")
+
+
+# -- real-IO download: genuine HTTP with failover over loopback -------
+
+
+def http_download_stage(scenes: DataFrame,
+                        providers: list[tuple[str, str]],
+                        out_dir: str,
+                        timeout: float = 10.0) -> DataFrame:
+    """REAL network form of :func:`download_stage`: each scene issues
+    actual HTTP GETs (urllib, executor-side) against an ordered
+    ``(provider_name, base_url)`` failover list, validates the payload
+    md5 against the server's ``X-Content-MD5`` header, and writes the
+    bytes to ``out_dir`` — the exact per-scene control flow of
+    tasks.py:129-240 (try provider, fall through on offline/HTTP
+    error/checksum mismatch) with the wire protocol no longer
+    simulated. Partitioning by scene bounds concurrent connections by
+    partition count, same as the simulator's docstring argues.
+
+    In tests/the sandbox the base URLs point at loopback fixture
+    servers (:func:`start_fixture_provider`); in production they are
+    the real provider endpoints plus auth — the stage does not change.
+    """
+    import hashlib
+    import os
+    import urllib.error
+    import urllib.request
+
+    names = [n for n, _ in providers]
+    urls = [u for _, u in providers]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "scene_id", "collection_id", "provider_used", "attempts",
+                "compressed_file", "checksum", "status")}
+            for sid, cid in zip(pdf["scene_id"], pdf["collection_id"]):
+                used = None
+                checksum = None
+                path = None
+                attempts = 0
+                for name, base in zip(names, urls):
+                    attempts += 1
+                    try:
+                        with urllib.request.urlopen(
+                                f"{base}/{sid}.zip", timeout=timeout) as rsp:
+                            payload = rsp.read()
+                            expected = rsp.headers.get("X-Content-MD5")
+                        digest = hashlib.md5(payload).hexdigest()
+                        if expected is not None and expected != digest:
+                            raise OSError("checksum mismatch")
+                        path = os.path.join(out_dir, f"{sid}.zip")
+                        with open(path, "wb") as fh:
+                            fh.write(payload)
+                        used, checksum = name, digest
+                        break
+                    except (urllib.error.URLError, OSError):
+                        continue
+                out["scene_id"].append(sid)
+                out["collection_id"].append(cid)
+                out["provider_used"].append(used)
+                out["attempts"].append(attempts)
+                out["compressed_file"].append(path if used else None)
+                out["checksum"].append(checksum)
+                out["status"].append("SUCCESS" if used else "OFFLINE")
+            yield pd.DataFrame(out)
+
+    parallelism = scenes.sparkSession.sparkContext.defaultParallelism
+    return (
+        scenes.select("scene_id", "collection_id")
+        .repartition(parallelism, "scene_id")
+        .mapInPandas(run, DOWNLOAD_SCHEMA)
+    )
+
+
+def start_fixture_provider(flaky: bool = False,
+                           offline_key: str = "flaky") -> tuple[str, object]:
+    """Loopback HTTP provider serving deterministic scene archives —
+    the sandbox-safe stand-in for a real LTA endpoint that still
+    exercises genuine sockets, HTTP framing, and checksum headers.
+
+    GET ``/<scene_id>.zip`` returns ``(scene_id + '|') * 16`` with an
+    ``X-Content-MD5`` header. With ``flaky=True`` the server answers
+    503 for scenes where the md5 offline rule fires
+    (int(md5(f"{sid}:{offline_key}")[:2], 16) % 5 == 0) — the same
+    DataOfflineError oracle the simulator and the DuckDB twins decode,
+    so failover behavior stays value-checkable end-to-end.
+
+    Returns ``(base_url, server)``; the server runs on a daemon thread
+    until ``server.shutdown()``."""
+    import hashlib
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            sid = self.path.strip("/")
+            sid = sid[:-4] if sid.endswith(".zip") else sid
+            if self.server.flaky and int(hashlib.md5(
+                    f"{sid}:{offline_key}".encode()
+                    ).hexdigest()[:2], 16) % 5 == 0:
+                self.send_error(503, "offline data")
+                return
+            payload = ((sid + "|") * 16).encode()
+            self.send_response(200)
+            self.send_header("X-Content-MD5",
+                             hashlib.md5(payload).hexdigest())
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):  # silence per-request stderr spam
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    server.flaky = flaky
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return f"http://127.0.0.1:{server.server_address[1]}", server

@@ -1314,6 +1314,84 @@ def s23_tiff_multiband_scan(spark, sf_dir):
     )
 
 
+# loopback HTTP fixture providers, started once per process (daemon
+# threads; live for the process like the _TIFF_DIRS caches)
+_HTTP_SRV: dict[str, object] = {}
+
+
+def _http_providers() -> list[tuple[str, str]]:
+    if "providers" not in _HTTP_SRV:
+        import tempfile
+
+        from bdc_collection_builder_spark.pipeline.stages import (
+            start_fixture_provider,
+        )
+
+        flaky_url, flaky_srv = start_fixture_provider(flaky=True)
+        stable_url, stable_srv = start_fixture_provider(flaky=False)
+        _HTTP_SRV["providers"] = [("flaky", flaky_url),
+                                  ("stable", stable_url)]
+        _HTTP_SRV["servers"] = (flaky_srv, stable_srv)
+        _HTTP_SRV["out_dir"] = tempfile.mkdtemp(prefix="bdc_http_dl_")
+    return _HTTP_SRV["providers"]  # type: ignore[return-value]
+
+
+@query(
+    "s24_http_download_failover",
+    survey=("S2", "S3"),
+    oracle="""
+        WITH scenes AS (
+            SELECT scene_id, collection_id FROM (
+                SELECT 'S2A_MSIL1C_' || CAST(o_orderkey AS VARCHAR)
+                           AS scene_id,
+                       CAST(o_orderkey % 3 + 1 AS INT) AS collection_id
+                FROM orders WHERE o_orderkey % 50 = 0
+            ) ORDER BY scene_id LIMIT 200
+        ),
+        decoded AS (
+            SELECT scene_id, collection_id,
+                   ((strpos('0123456789abcdef',
+                            substr(md5(scene_id || ':flaky'), 1, 1))-1)*16
+                     + strpos('0123456789abcdef',
+                              substr(md5(scene_id || ':flaky'), 2, 1))-1)
+                   % 5 = 0 AS off1
+            FROM scenes
+        )
+        SELECT scene_id, collection_id,
+               CASE WHEN off1 THEN 'stable' ELSE 'flaky' END
+                   AS provider_used,
+               CAST(CASE WHEN off1 THEN 2 ELSE 1 END AS INT) AS attempts,
+               md5(repeat(scene_id || '|', 16)) AS checksum,
+               'SUCCESS' AS status
+        FROM decoded
+    """,
+)
+def s24_http_download_failover(spark, sf_dir):
+    """S2/S3 over a REAL network path: scenes issue genuine HTTP GETs
+    (urllib inside the executor-side stage) against two loopback
+    fixture providers — the first answers 503 for "offline" scenes (the
+    same md5 rule the s02 simulator and its oracle decode), the second
+    always serves — so provider failover, checksum validation
+    (X-Content-MD5 vs the downloaded bytes), and file landing all
+    exercise actual sockets and HTTP framing, not a simulator. The
+    DuckDB oracle predicts provider choice, attempt count, and the
+    md5 of the deterministic payload, value-checking the whole wire
+    round-trip. Production swaps the base URLs (plus auth) for real
+    LTA endpoints; the stage is unchanged (pipeline/stages.py
+    http_download_stage)."""
+    from bdc_collection_builder_spark.pipeline.stages import (
+        http_download_stage,
+    )
+
+    providers = _http_providers()
+    scenes = _scenes(spark, sf_dir).orderBy("scene_id").limit(200)
+    return http_download_stage(
+        scenes.select("scene_id", "collection_id"), providers,
+        str(_HTTP_SRV["out_dir"])
+    ).select("scene_id", "collection_id", "provider_used", "attempts",
+             "checksum", "status")
+
+
 @query(
     "s21_zip_archive_validate",
     survey=("S4", "S5"),

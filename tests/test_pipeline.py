@@ -782,6 +782,63 @@ def test_cas_concurrent_threaded_merges(spark, tmp_path, fixtures):
     assert s.read("items").count() == expected
 
 
+def test_http_download_real_wire(spark, tmp_path):
+    """Genuine HTTP download with failover: a flaky loopback provider
+    (503 on the md5 offline rule), a dead port (connection refused),
+    and a stable provider. Every scene must land via the right
+    provider with a validated checksum; with ONLY flaky providers the
+    offline scenes surface as OFFLINE."""
+    import hashlib
+
+    from bdc_collection_builder_spark.pipeline.stages import (
+        http_download_stage,
+        start_fixture_provider,
+    )
+
+    flaky_url, flaky_srv = start_fixture_provider(flaky=True)
+    stable_url, stable_srv = start_fixture_provider(flaky=False)
+    dead_url = "http://127.0.0.1:1"  # connection refused, instantly
+    scenes = spark.createDataFrame(
+        [(f"SC_{i:03d}", 1 + i % 3) for i in range(40)],
+        "scene_id string, collection_id int")
+
+    def offline(sid):
+        return int(hashlib.md5(f"{sid}:flaky".encode())
+                   .hexdigest()[:2], 16) % 5 == 0
+
+    try:
+        got = {r.scene_id: r for r in http_download_stage(
+            scenes,
+            [("flaky", flaky_url), ("dead", dead_url),
+             ("stable", stable_url)],
+            str(tmp_path / "dl")).collect()}
+        assert len(got) == 40
+        for sid, r in got.items():
+            payload = ((sid + "|") * 16).encode()
+            assert r.status == "SUCCESS", sid
+            assert r.checksum == hashlib.md5(payload).hexdigest(), sid
+            if offline(sid):
+                assert (r.provider_used, r.attempts) == ("stable", 3), sid
+            else:
+                assert (r.provider_used, r.attempts) == ("flaky", 1), sid
+            with open(r.compressed_file, "rb") as fh:
+                assert fh.read() == payload, sid
+        assert any(offline(s) for s in got), "offline path unexercised"
+
+        # all-flaky: offline scenes have nowhere to land
+        only_flaky = {r.scene_id: r for r in http_download_stage(
+            scenes, [("flaky", flaky_url)],
+            str(tmp_path / "dl2")).collect()}
+        for sid, r in only_flaky.items():
+            want = "OFFLINE" if offline(sid) else "SUCCESS"
+            assert r.status == want, sid
+            if want == "OFFLINE":
+                assert r.provider_used is None and r.checksum is None
+    finally:
+        flaky_srv.shutdown()
+        stable_srv.shutdown()
+
+
 def test_partitioned_merge_cas_fallback(spark, tmp_path, fixtures):
     """A partition that moves mid-merge must trigger the per-partition
     re-derive fallback: neither the concurrent write nor the merge
