@@ -7,8 +7,11 @@ control flow of the reference. Download has a REAL wire path
 (:func:`http_download_stage` — genuine HTTP with failover + checksum
 validation; loopback fixture providers in the sandbox, real endpoints
 in production) alongside the deterministic simulator
-(`io_simulate=True`); the processor stage stays simulated (Docker is
-unavailable here). The Spark-side plumbing (schemas, batch shapes,
+(`io_simulate=True`); the processor stage likewise has a real
+child-process path (:func:`subprocess_correction_stage` — actual spawn
++ exit-code-driven version fallback; a local fixture install here, the
+Docker/Singularity argv in production). The Spark-side plumbing
+(schemas, batch shapes,
 partitioning by scene) is the real design: on a cluster each partition
 is a batch of scenes and the stage UDFs run the same loops against real
 providers/processors.
@@ -488,3 +491,84 @@ def start_fixture_provider(flaky: bool = False,
     server.flaky = flaky
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return f"http://127.0.0.1:{server.server_address[1]}", server
+
+
+def write_fixture_processor(path: str) -> None:
+    """Materialize the loopback stand-in for an external processor
+    install (Sen2Cor/LaSRC in the reference): reads the input archive,
+    byte-reverses it into the output file. Invoked with
+    ``argv = [python, path, version, input, output]``; a '2.11.0'
+    invocation deterministically fails (exit 3) for scenes where the
+    version-broken md5 rule fires — the same rule the s02 simulator
+    decodes — so the stage's version-fallback loop is exercised by a
+    REAL child process's returncode, not a flag."""
+    script = '''
+import hashlib, sys
+version, inp, out = sys.argv[1], sys.argv[2], sys.argv[3]
+data = open(inp, "rb").read()
+sid = data.decode().split("|")[0]
+if version == "2.11.0" and int(hashlib.md5(
+        (sid + ":2.11.0").encode()).hexdigest()[:2], 16) % 7 == 0:
+    sys.exit(3)
+open(out, "wb").write(data[::-1])
+'''
+    with open(path, "w") as fh:
+        fh.write(script)
+
+
+def subprocess_correction_stage(downloaded: DataFrame,
+                                versions: list[tuple[str, list[str]]],
+                                out_dir: str,
+                                timeout: float = 60.0) -> DataFrame:
+    """REAL external-processor form of :func:`correction_stage`: each
+    downloaded scene invokes an actual child process per candidate
+    install (``versions`` = ordered (version, argv-template) list with
+    ``{version}``/``{input}``/``{output}`` placeholders), walking the
+    fallback list on nonzero returncodes exactly like processor.py's
+    Sen2Cor install probing — but with genuine process spawn, exit
+    codes, and output files. In this sandbox the argv is a local
+    fixture processor (:func:`write_fixture_processor`); on a cluster
+    it is the Docker/Singularity command line — the stage is unchanged.
+    Emits the md5 of the produced output so downstream (and the DuckDB
+    oracle) can value-check the child process's actual work."""
+    import hashlib
+    import os
+    import subprocess
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "scene_id", "collection_id", "processor_version",
+                "output_file", "output_checksum", "returncode")}
+            for sid, cid, inp in zip(pdf["scene_id"],
+                                     pdf["collection_id"],
+                                     pdf["compressed_file"]):
+                version_used, rc, opath, digest = None, 1, None, None
+                if inp is not None:
+                    for version, argv in versions:
+                        opath = os.path.join(out_dir, f"{sid}.corrected")
+                        cmd = [a.format(version=version, input=inp,
+                                        output=opath) for a in argv]
+                        proc = subprocess.run(
+                            cmd, timeout=timeout, capture_output=True)
+                        rc = proc.returncode
+                        if rc == 0:
+                            version_used = version
+                            with open(opath, "rb") as fh:
+                                digest = hashlib.md5(fh.read()).hexdigest()
+                            break
+                out["scene_id"].append(sid)
+                out["collection_id"].append(cid)
+                out["processor_version"].append(version_used)
+                out["output_file"].append(opath if version_used else None)
+                out["output_checksum"].append(digest)
+                out["returncode"].append(0 if version_used else rc)
+            yield pd.DataFrame(out)
+
+    schema = ("scene_id string, collection_id int, "
+              "processor_version string, output_file string, "
+              "output_checksum string, returncode int")
+    return downloaded.select(
+        "scene_id", "collection_id", "compressed_file"
+    ).mapInPandas(run, schema)

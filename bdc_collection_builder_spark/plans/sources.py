@@ -1393,6 +1393,80 @@ def s24_http_download_failover(spark, sf_dir):
 
 
 @query(
+    "s25_subprocess_correction",
+    survey=("Z2", "S2"),
+    oracle="""
+        WITH scenes AS (
+            SELECT scene_id, collection_id FROM (
+                SELECT 'S2A_MSIL1C_' || CAST(o_orderkey AS VARCHAR)
+                           AS scene_id,
+                       CAST(o_orderkey % 3 + 1 AS INT) AS collection_id
+                FROM orders WHERE o_orderkey % 50 = 0
+            ) ORDER BY scene_id LIMIT 60
+        ),
+        decoded AS (
+            SELECT scene_id, collection_id,
+                   ((strpos('0123456789abcdef',
+                            substr(md5(scene_id || ':2.11.0'), 1, 1))-1)*16
+                     + strpos('0123456789abcdef',
+                              substr(md5(scene_id || ':2.11.0'), 2, 1))-1)
+                   % 7 <> 0 AS works11
+            FROM scenes
+        )
+        SELECT scene_id, collection_id,
+               CASE WHEN works11 THEN '2.11.0' ELSE '2.5.5' END
+                   AS processor_version,
+               md5(reverse(repeat(scene_id || '|', 16)))
+                   AS output_checksum,
+               CAST(0 AS INT) AS returncode
+        FROM decoded
+    """,
+)
+def s25_subprocess_correction(spark, sf_dir):
+    """Z2 with a REAL child process: scenes flow through the genuine
+    HTTP download (s24's loopback providers) and then an ACTUAL
+    subprocess per scene — the fixture processor install
+    (pipeline/stages.write_fixture_processor) byte-reverses the
+    downloaded archive, and its '2.11.0' install deterministically
+    exits nonzero for scenes where the version-broken md5 rule fires,
+    so the version-fallback loop (processor.py:27-101) is driven by
+    real exit codes. The oracle predicts the version each scene lands
+    on AND the md5 of the child process's actual output bytes —
+    download wire, process spawn, and file round-trip are all
+    value-checked. Docker/Singularity deployments swap the argv
+    template only."""
+    import os
+    import sys
+    import tempfile
+
+    from bdc_collection_builder_spark.pipeline.stages import (
+        http_download_stage,
+        subprocess_correction_stage,
+        write_fixture_processor,
+    )
+
+    providers = _http_providers()
+    if "proc_script" not in _HTTP_SRV:
+        script = os.path.join(tempfile.mkdtemp(prefix="bdc_proc_"),
+                              "fixture_processor.py")
+        write_fixture_processor(script)
+        _HTTP_SRV["proc_script"] = script
+        _HTTP_SRV["corr_dir"] = tempfile.mkdtemp(prefix="bdc_corr_")
+    script = str(_HTTP_SRV["proc_script"])
+    argv = [sys.executable, script, "{version}", "{input}", "{output}"]
+    scenes = _scenes(spark, sf_dir).orderBy("scene_id").limit(60)
+    downloaded = http_download_stage(
+        scenes.select("scene_id", "collection_id"), providers,
+        str(_HTTP_SRV["out_dir"]))
+    corrected = subprocess_correction_stage(
+        downloaded, [("2.11.0", argv), ("2.5.5", argv)],
+        str(_HTTP_SRV["corr_dir"]))
+    return corrected.select(
+        "scene_id", "collection_id", "processor_version",
+        "output_checksum", "returncode")
+
+
+@query(
     "s21_zip_archive_validate",
     survey=("S4", "S5"),
     oracle="""
