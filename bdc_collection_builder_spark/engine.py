@@ -417,22 +417,52 @@ class CollectionBuilderEngine:
     # -- data plane (§3.2) ----------------------------------------------
 
     def run_pipeline(self, scenes: DataFrame,
-                     provider_names: list[str] | None = None) -> DataFrame:
+                     provider_names: list[str] | None = None,
+                     http_providers: list[tuple[str, str]] | None = None,
+                     processor_versions: list[tuple[str, list[str]]]
+                     | None = None,
+                     work_dir: str | None = None) -> DataFrame:
         """download → correction → publish → post over scene rows.
 
-        Side-effecting stages run their deterministic simulators here
-        (no network/Docker in this environment); each stage is the real
-        Spark plumbing and the publish MERGE is the real store write.
-        The post stage runs on a deterministic pixel grid per published
-        scene (the raster read is the documented rasterio seam)."""
-        providers = provider_names or [
-            r.driver_name for r in
-            self.store.read("providers").orderBy("id")
-            .select("driver_name").collect()
-        ] or ["usgs", "scihub"]
-        fused = download_correction_stage(scenes, providers,
-                                          self.store.read("collections"))
-        _, corrected = split_fused(fused)
+        By default the side-effecting stages run their deterministic
+        simulators; pass ``http_providers`` (ordered (name, base_url))
+        + ``processor_versions`` ((version, argv-template)) +
+        ``work_dir`` to run the REAL-IO forms instead — genuine HTTP
+        download with failover/checksums and genuine child-process
+        correction with exit-code version fallback
+        (pipeline/stages.http_download_stage /
+        subprocess_correction_stage). Either way the Spark plumbing,
+        the publish MERGE, and the post-stage quality mask are
+        identical; the post stage runs on a deterministic pixel grid
+        per published scene (the raster read is the documented
+        rasterio seam)."""
+        if http_providers is not None:
+            import os as _os
+
+            from bdc_collection_builder_spark.pipeline.stages import (
+                http_download_stage,
+                subprocess_correction_stage,
+            )
+
+            if processor_versions is None or work_dir is None:
+                raise ValueError(
+                    "real-IO pipeline needs processor_versions and "
+                    "work_dir alongside http_providers")
+            downloaded = http_download_stage(
+                scenes.select("scene_id", "collection_id"),
+                http_providers, _os.path.join(work_dir, "downloads"))
+            corrected = subprocess_correction_stage(
+                downloaded.filter(F.col("status") == "SUCCESS"),
+                processor_versions, _os.path.join(work_dir, "corrected"))
+        else:
+            providers = provider_names or [
+                r.driver_name for r in
+                self.store.read("providers").orderBy("id")
+                .select("driver_name").collect()
+            ] or ["usgs", "scihub"]
+            fused = download_correction_stage(
+                scenes, providers, self.store.read("collections"))
+            _, corrected = split_fused(fused)
         published = publish_stage(
             corrected, scenes, self.store.read("bands"),
             self.store.read("tiles"), self.store)
