@@ -59,3 +59,45 @@ def test_rejects_garbage_and_bad_shapes():
 def test_empty_file_roundtrip():
     back = read_hdf4(write_hdf4({}, metadata="nothing=true"))
     assert back == Hdf4File(datasets={}, metadata="nothing=true")
+
+
+# -- property-based round-trips (hypothesis) ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _sds_arrays(draw):
+    dtype = draw(st.sampled_from(
+        ["uint8", "int16", "uint16", "int32", "float32", "float64"]))
+    h = draw(st.integers(min_value=1, max_value=12))
+    w = draw(st.integers(min_value=1, max_value=12))
+    if dtype.startswith("float"):
+        flat = draw(st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            min_size=h * w, max_size=h * w))
+        return np.array(flat, dtype=dtype).reshape(h, w)
+    info = np.iinfo(dtype)
+    flat = draw(st.lists(
+        st.integers(min_value=int(info.min), max_value=int(info.max)),
+        min_size=h * w, max_size=h * w))
+    return np.array(flat, dtype=dtype).reshape(h, w)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(
+    st.text(alphabet="abcdefgh_0123456789", min_size=1, max_size=12),
+    _sds_arrays(), min_size=1, max_size=4),
+    st.text(alphabet=st.characters(codec="ascii",
+                                   exclude_characters="\0"),
+            max_size=64))
+def test_hdf4_roundtrip_property(datasets, metadata):
+    """Any mix of named 2-D SDS arrays + metadata survives the codec
+    bit-exactly, in DD order."""
+    back = read_hdf4(write_hdf4(datasets, metadata=metadata))
+    assert list(back.datasets) == list(datasets)
+    for name, arr in datasets.items():
+        assert back.datasets[name].dtype == arr.dtype, name
+        assert np.array_equal(back.datasets[name], arr), name
+    assert back.metadata == metadata

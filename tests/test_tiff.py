@@ -230,3 +230,43 @@ def test_png_roundtrip_and_errors():
     raw[20] ^= 0xFF  # inside IHDR payload
     with pytest.raises(ValueError, match="CRC"):
         read_png(bytes(raw))
+
+
+# -- property-based multi-band round-trip (hypothesis) -----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _rasters(draw):
+    dtype = draw(st.sampled_from(
+        ["uint8", "uint16", "int16", "int32", "float32", "float64"]))
+    h = draw(st.integers(min_value=1, max_value=10))
+    w = draw(st.integers(min_value=1, max_value=10))
+    bands = draw(st.integers(min_value=1, max_value=4))
+    shape = (h, w) if bands == 1 else (h, w, bands)
+    n = h * w * bands
+    if dtype.startswith("float"):
+        flat = draw(st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            min_size=n, max_size=n))
+    else:
+        info = np.iinfo(dtype)
+        flat = draw(st.lists(
+            st.integers(min_value=int(info.min), max_value=int(info.max)),
+            min_size=n, max_size=n))
+    rps = draw(st.one_of(st.none(),
+                         st.integers(min_value=1, max_value=h)))
+    return np.array(flat, dtype=dtype).reshape(shape), rps
+
+
+@settings(max_examples=40, deadline=None)
+@given(_rasters())
+def test_tiff_roundtrip_property(raster):
+    """Any band-count x dtype x strip split survives bit-exactly."""
+    arr, rows_per_strip = raster
+    img = read_tiff(write_tiff(arr, rows_per_strip=rows_per_strip))
+    assert img.array.dtype == arr.dtype
+    assert np.array_equal(img.array, arr)
+    assert img.bands == (1 if arr.ndim == 2 else arr.shape[2])
