@@ -893,3 +893,151 @@ def tx_cdc_chunk_dedup(spark, sf_dir):
                       .otherwise(0)).cast("double")
                 / F.first("doc_len"), 6).alias("dup_char_ratio"))
     )
+
+
+_WIN_K = 8      # char k-gram width
+_WIN_W = 4      # winnowing window (hashes per window)
+_WIN_HEAD = 512  # fingerprint the document head (bounds cost per doc)
+
+_WIN_HASH = ("CAST(concat('0x', substr(md5(substr(head, CAST(i AS INTEGER), "
+             f"{_WIN_K})), 1, 15)) AS BIGINT)")
+
+
+@query(
+    "tx_winnow_fingerprints",
+    survey=("TX-fingerprint", "DD-exact"),
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, substr(text, 1, {_WIN_HEAD}) AS head
+            FROM documents WHERE len(text) >= {_WIN_K + _WIN_W - 1}
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(head) - {_WIN_K - 1}),
+                       i -> {_WIN_HASH}) AS hs
+            FROM docs
+        ),
+        selected AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, len(hs) - {_WIN_W - 1}),
+                j -> list_min(hs[j:j + {_WIN_W - 1}]))) AS prints
+            FROM hashed
+        ),
+        exploded AS (
+            SELECT doc_id, unnest(prints) AS p FROM selected
+        ),
+        freq AS (
+            SELECT p, count(DISTINCT doc_id) AS ndocs
+            FROM exploded GROUP BY p
+        )
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_prints,
+               CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
+               round(avg(CASE WHEN f.ndocs > 1 THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(0.0 AS DOUBLE) END), 6)
+                   AS shared_ratio
+        FROM exploded e JOIN freq f USING (p)
+        GROUP BY e.doc_id
+    """,
+)
+def tx_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm, public): hash every char k-gram, slide a
+    w-hash window, keep each window's MINIMUM — guaranteeing any
+    shared substring of length >= k+w-1 contributes at least one
+    shared fingerprint while storing only ~2/(w+1) of the hashes.
+    The overlap-robust middle ground between whole-doc fingerprints
+    (tx_fingerprint — breaks on any edit) and all-k-gram span dedup
+    (tx_span_dedup — k x the storage). Per doc everything is one
+    codegen'd HOF chain (transform -> sliding array_min -> distinct);
+    the only corpus-sized shuffle carries the SELECTED 8-byte prints.
+    Fingerprints cover the document head (512 chars) — the
+    plagiarism-detection convention that bounds per-doc cost; full-doc
+    coverage is the same plan with the substr lifted."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _WIN_K + _WIN_W - 1)
+        .select("doc_id",
+                F.substring("text", 1, _WIN_HEAD).alias("head"))
+    )
+    k, w = _WIN_K, _WIN_W
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("head") - (k - 1)),
+        lambda i: F.conv(F.substring(F.md5(F.substr(F.col("head"), i,
+                                                    F.lit(k))), 1, 15),
+                         16, 10).cast("bigint"))
+    prints = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+        lambda j: F.array_min(F.slice("hs", j, w))))
+    exploded = (
+        docs.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(prints).alias("p"))
+    )
+    freq = exploded.groupBy("p").agg(
+        F.countDistinct("doc_id").alias("ndocs"))
+    shared = F.when(F.col("ndocs") > 1, 1).otherwise(0)
+    return (
+        exploded.join(freq, "p")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_prints"),
+             F.sum(shared).cast("bigint").alias("n_shared"),
+             F.round(F.avg(shared.cast("double")), 6)
+             .alias("shared_ratio"))
+    )
+
+
+_RAG_CHUNK = 64   # tokens per chunk
+_RAG_STRIDE = 32  # token stride (50% overlap)
+
+
+@query(
+    "tx_rag_chunking",
+    survey=("CU-pack", "TX-stats"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ),
+        offsets AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(1, len(tk), {_RAG_STRIDE}))
+                       AS o
+            FROM toks WHERE len(tk) >= 1
+        )
+        SELECT doc_id,
+               CAST((o - 1) / {_RAG_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(len(tk[o:o + {_RAG_CHUNK - 1}]) AS BIGINT)
+                   AS n_tokens,
+               md5(array_to_string(tk[o:o + {_RAG_CHUNK - 1}], ' '))
+                   AS chunk_hash
+        FROM offsets
+    """,
+)
+def tx_rag_chunking(spark, sf_dir):
+    """Retrieval-corpus chunking: fixed-size overlapping token windows
+    (64 tokens, 32 stride — the standard RAG ingestion
+    shape) with a content hash per chunk so the embedding stage
+    downstream can dedup identical chunks before paying for vectors.
+    Chunk enumeration is one `sequence` + `explode` per document —
+    map-only, no shuffle, no Python; the emitted rows are
+    (doc, chunk_idx, token_count, hash), i.e. exactly the work list a
+    distributed embedding pass consumes. The oracle replays the same
+    slicing, value-checking chunk boundaries and content hashes."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk"))
+    chunked = (
+        docs.filter(F.size("tk") >= 1)
+        .select("doc_id", "tk",
+                F.explode(F.sequence(F.lit(1), F.size("tk"),
+                                     F.lit(_RAG_STRIDE))).alias("o"))
+    )
+    sliced = F.slice("tk", F.col("o"), _RAG_CHUNK)
+    return chunked.select(
+        "doc_id",
+        ((F.col("o") - 1) / _RAG_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(sliced).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", sliced)).alias("chunk_hash"),
+    )
