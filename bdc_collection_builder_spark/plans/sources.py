@@ -1672,3 +1672,115 @@ def s22_xml_mtd_parse(spark, sf_dir):
     return nation.mapInPandas(
         parse,
         "scene_key long, cloud_pct double, pos_list string, n_bands long")
+
+
+# scratch store for the CDF-maintenance query, one per (process, sf)
+_CDF_STORES: dict[str, tuple[str, str, str]] = {}
+
+
+def _cdf_store(spark, sf_dir) -> tuple[str, str, str]:
+    """Build a real MVCC store, commit v1 (orders %10 subset as items),
+    MERGE v2 (the %20 subset with bumped payloads), and return
+    (root, gen_v1, gen_v2) for change-feed reads."""
+    if sf_dir not in _CDF_STORES:
+        import tempfile
+
+        from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+        root = tempfile.mkdtemp(prefix="bdc_cdf_store_")
+        store = CatalogStore(spark, root)
+        orders = t(spark, sf_dir, "orders")
+
+        def items_of(df, bump):
+            return df.select(
+                F.col("o_orderkey").cast("long").alias("id"),
+                F.col("o_orderkey").cast("string").alias("name"),
+                (F.col("o_orderkey") % 7).cast("int").alias("collection_id"),
+                F.lit(None).cast("timestamp_ntz").alias("start_date"),
+                F.lit(None).cast("timestamp_ntz").alias("end_date"),
+                (F.col("o_totalprice") + bump).alias("cloud_cover"),
+                *[F.lit(None).cast("double").alias(c) for c in
+                  ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")],
+                F.lit(None).cast("string").alias("footprint_wkt"),
+                F.lit(None).cast("int").alias("srid"),
+                F.lit(None).cast("int").alias("tile_id"),
+                F.lit(None).cast("int").alias("provider_id"),
+                F.lit(None).cast("string").alias("assets"),
+                F.lit(True).alias("is_available"),
+                F.lit(None).cast("timestamp_ntz").alias("updated"),
+            )
+
+        store.overwrite(
+            "items", items_of(orders.filter(F.col("o_orderkey") % 10 == 0),
+                              0.0))
+        gen1 = store._current_gen("items")
+        store.merge_upsert(
+            "items", items_of(orders.filter(F.col("o_orderkey") % 20 == 0),
+                              1.0))
+        gen2 = store._current_gen("items")
+        _CDF_STORES[sf_dir] = (root, gen1, gen2)
+    return _CDF_STORES[sf_dir]
+
+
+@query(
+    "s26_incremental_cdf_maintenance",
+    survey=("S15", "S16", "Y3"),
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey AS k, CAST(o_orderkey % 7 AS INT) AS bucket,
+                   o_totalprice AS payload
+            FROM orders WHERE o_orderkey % 10 = 0
+        ), incoming AS (
+            SELECT o_orderkey AS k, CAST(o_orderkey % 7 AS INT) AS bucket,
+                   o_totalprice + 1.0 AS payload
+            FROM orders WHERE o_orderkey % 20 = 0
+        ), v2 AS (
+            SELECT * FROM incoming
+            UNION ALL
+            SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM incoming)
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               round(sum(payload), 2) AS total
+        FROM v2 GROUP BY bucket
+    """,
+)
+def s26_incremental_cdf_maintenance(spark, sf_dir):
+    """Incremental view maintenance off the store's CHANGE DATA FEED:
+    a per-bucket (count, sum) summary of the items table is advanced
+    from snapshot v1 to v2 by applying ONLY the insert/delete deltas
+    of ``changes_between(gen_v1, gen_v2)`` — the summary never rescans
+    v2 (the v2 snapshot is read exclusively by the oracle, which
+    recomputes the summary directly; the hash match proves
+    delta-apply == recompute). This is the consumer side of the
+    lakehouse CDF pattern: at 100 TB a merge touching 0.1% of rows
+    costs the summary 0.1% of the work instead of a full pass. The
+    store commits are REAL MVCC generations (CAS-committed); an
+    update surfaces as delete+insert of the key, so sums move by the
+    difference automatically."""
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    root, gen1, gen2 = _cdf_store(spark, sf_dir)
+    store = CatalogStore(spark, root)
+    v1 = store.read_at("items", gen1)
+    summary_v1 = (
+        v1.groupBy(F.col("collection_id").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("cloud_cover").alias("total"))
+    )
+    feed = store.changes_between("items", gen1, gen2)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    deltas = (
+        feed.groupBy(F.col("collection_id").alias("bucket"))
+        .agg(F.sum(sign).cast("long").alias("dn"),
+             F.sum(sign * F.col("cloud_cover")).alias("dtotal"))
+    )
+    return (
+        summary_v1.join(deltas, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint").alias("n"),
+            F.round(F.coalesce("total", F.lit(0.0))
+                    + F.coalesce("dtotal", F.lit(0.0)), 2).alias("total"))
+        .filter(F.col("n") > 0)
+    )
