@@ -109,14 +109,18 @@ def main() -> None:
         times[key] = min(proxy(), proxy())
 
     total = round(sum(times.values()), 3)
-    # Per-query delta vs the last recorded round: surfaces regressions
-    # query-by-query instead of letting suite growth mask them.
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_r02.json")
+    # Per-query delta vs the LATEST recorded round: surfaces
+    # regressions query-by-query instead of letting suite growth mask
+    # them.
+    here = os.path.dirname(os.path.abspath(__file__))
+    recorded = sorted(f for f in os.listdir(here)
+                      if f.startswith("BENCH_r") and f.endswith(".json"))
     deltas: dict[str, float] = {}
-    if os.path.exists(prev_path):
+    prev_round = None
+    if recorded:
+        prev_round = recorded[-1].removesuffix(".json")
         try:
-            with open(prev_path) as fh:
+            with open(os.path.join(here, recorded[-1])) as fh:
                 doc = json.load(fh)
             # the driver wraps the bench line under "parsed"
             prev = (doc.get("parsed", doc) or {}).get("queries", {})
@@ -129,7 +133,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
-        "delta_vs_r02": deltas,
+        "delta_vs_prev": deltas,
+        "prev_round": prev_round,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
