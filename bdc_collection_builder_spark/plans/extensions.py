@@ -2399,3 +2399,119 @@ def ss_ivf_recall_eval(spark, sf_dir):
              F.round(F.count("vi").cast("double") / 5, 4)
              .alias("recall_at_5"))
     )
+
+
+_CONT_FILLER = 50   # per-doc unique filler tokens for the extended twin
+_CONT_MAXDF = 32    # shingles in more docs than this are boilerplate
+_CONT_THRESH = 0.9
+
+
+@query(
+    "dd_containment_pairs",
+    survey=("DD-minhash", "DD-exact"),
+    oracle=f"""
+        WITH ext AS (
+            SELECT doc_id + 3000000 AS doc_id,
+                   text || ' ' || array_to_string(list_transform(
+                       generate_series(1, {_CONT_FILLER}),
+                       i -> 'x' || CAST(doc_id AS VARCHAR) || '_'
+                            || CAST(i AS VARCHAR)), ' ') AS text
+            FROM documents WHERE doc_id % 40 = 0
+        ),
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM ext
+        ),
+        sh AS ({{shingles}}),
+        rare AS (
+            SELECT sh FROM sh GROUP BY sh
+            HAVING count(DISTINCT doc_id) <= {_CONT_MAXDF}
+        ),
+        inc AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+        sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+            FROM inc GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM inc a JOIN inc b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, shared,
+               round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6)
+                   AS containment,
+               round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(shared AS DOUBLE) / least(sa.sz, sb.sz)
+              >= {_CONT_THRESH}
+    """.replace("{shingles}", _SHINGLE5_SQL.format(toks=_TOKS,
+                                                   src="corpus")),
+)
+def dd_containment_pairs(spark, sf_dir):
+    """CONTAINMENT dedup (Broder's containment coefficient
+    |A∩B| / min(|A|,|B|)): catches a document EMBEDDED inside a longer
+    one — quote-plus-commentary, boilerplate-wrapped reposts — which
+    resemblance-based MinHash structurally under-scores (the extended
+    twin here has Jaccard ~0.6 to its source but containment 1.0, and
+    the output carries both so the gap is visible). Candidates come
+    from a shared-shingle equi-join, NEVER all pairs, with a
+    frequent-shingle cut (df > {{maxdf}} docs) that both removes
+    boilerplate shingles and bounds the join's per-key fan-out — the
+    anti-skew guarantee at 100 TB where a stop-phrase shingle would
+    otherwise fan a single key across the corpus. Synthetic
+    containment twins (per-doc unique filler appended to every 40th
+    doc) make the expected answer analytic for the oracle."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    filler = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(_CONT_FILLER)),
+        lambda i: F.concat(F.lit("x"), F.col("doc_id").cast("string"),
+                           F.lit("_"), i.cast("string"))))
+    ext = (
+        docs.filter(F.col("doc_id") % 40 == 0)
+        .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" "), filler).alias("text"))
+    )
+    corpus = docs.unionByName(ext).select(
+        "doc_id", tokens(F.col("text")).alias("tk"))
+    sh = (
+        corpus.filter(F.size("tk") >= 5)
+        .select("doc_id", F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 5),
+            lambda i: F.concat_ws(" ", F.slice("tk", i + 1, 5)))))
+            .alias("sh"))
+    )
+    rare = sh.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df") <= _CONT_MAXDF).select("sh")
+    inc = sh.join(rare, "sh").persist()
+    sizes = inc.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = inc.alias("a"), inc.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    containment = (F.col("shared").cast("double")
+                   / F.least("sz_a", "sz_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(containment >= _CONT_THRESH)
+        .select("id_a", "id_b", "shared",
+                F.round(containment, 6).alias("containment"),
+                F.round(F.col("shared").cast("double")
+                        / (F.col("sz_a") + F.col("sz_b")
+                           - F.col("shared")), 6).alias("jaccard"))
+    )
