@@ -136,3 +136,78 @@ def sk_heavy_hitters_cms(spark, sf_dir):
         .groupBy("tok", "exact_n").agg(F.min("c").alias("est_n"))
     )
     return est.orderBy(F.col("exact_n").desc(), "tok").limit(_TOPK)
+
+
+_KMV_K = 64  # bottom-k size (below the user-domain cardinality
+             # at the harness scales, so the estimator path runs)
+
+
+@query(
+    "sk_kmv_distinct",
+    survey=("A8", "SK-hll"),
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rk
+            FROM hashed
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(max(CASE WHEN rk = {_KMV_K} THEN h END)
+                        AS BIGINT) AS vk
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n_exact,
+               round(CASE WHEN vk IS NULL THEN CAST(n_exact AS DOUBLE)
+                     ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                          / (CAST(vk AS DOUBLE)
+                             / CAST(1152921504606846976 AS DOUBLE))
+                     END, 2) AS kmv_estimate
+        FROM stats
+    """,
+)
+def sk_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch:
+    distinct users per event type estimated from the k smallest 60-bit
+    hashes — the k-th minimum v_k gives (k-1)/(v_k/2^60)
+    (Bar-Yossef et al., public). Unlike HLL (a18_hll_rollup —
+    rows-only because register layouts are engine-specific), KMV's
+    estimate is a PURE FUNCTION of the hash values, so the DuckDB
+    oracle reproduces it bit-for-bit — a fully value-checked
+    approximate-distinct estimator, reported beside the exact count so
+    the error is visible. Sketch properties at 100 TB: the k smallest
+    hashes are trivially mergeable (union then re-take bottom-k),
+    per-group state is k x 8 bytes, and resemblance/union/intersection
+    estimates compose from the same sketches. Groups with fewer than k
+    distinct values report exactly (the standard KMV small-set
+    rule)."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    hashed = (
+        events.select(
+            "event_type",
+            md5_hash60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    rk = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    ranked = hashed.withColumn("rk", rk)
+    stats = ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("h")))
+        .cast("bigint").alias("vk"))
+    estimate = F.when(
+        F.col("vk").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / (F.col("vk").cast("double") / F.lit(float(1 << 60))))
+    return stats.select(
+        "event_type", "n_exact", F.round(estimate, 2).alias("kmv_estimate"))
