@@ -871,16 +871,23 @@ def st_stateful_sessionize(spark, sf_dir):
 @query(
     "st_incremental_dedup",
     survey=("Y3", "Y5", "DD-exact"),
+    oracle="""
+        SELECT DISTINCT md5(text) AS content_hash FROM documents
+    """,
 )
 def st_incremental_dedup(spark, sf_dir):
     """Streaming exact dedup with a persistent seen-set
     (streaming/incremental.incremental_dedup): drain the documents
     table (plus planted re-uploads of every 10th doc) through an
     AvailableNow file stream; each micro-batch anti-joins the
-    persisted hash set, so re-uploads never reach the sink. Rows-only:
-    the SURVIVOR for a duplicate hash depends on micro-batch arrival
-    order (engine-specific), but the survivor COUNT — one per distinct
-    text — is deterministic and is what the rows check pins."""
+    persisted hash set, so re-uploads never reach the sink. WHICH
+    duplicate survives depends on micro-batch arrival order
+    (engine-specific), but the emitted content_hash SET does not —
+    exactly one survivor per distinct text, and the hash is
+    engine-neutral md5 — so the drained hash column is fully
+    value-checkable: the oracle is simply the distinct text digests
+    (the planted re-uploads duplicate existing texts and must
+    contribute nothing)."""
     import tempfile
 
     from bdc_collection_builder_spark.sources.tables import load_table
