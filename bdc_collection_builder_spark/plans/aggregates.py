@@ -250,7 +250,10 @@ def a11_approx_distinct(spark, sf_dir):
     exact-distinct reconciliation (sketches merge map-side; no
     key-shuffle). Rows-only: HLL estimates are engine-specific; the
     companion check asserts the estimate lands within the documented
-    5% of exact (which the oracle-checked a04 computes exactly)."""
+    5% of exact (which the oracle-checked a04 computes exactly). For a
+    FULLY value-checked approximate-distinct estimator see
+    sk_kmv_distinct (plans/sketches.py) — KMV's estimate is a pure
+    function of the hashes, so its oracle is exact."""
     events = t(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")

@@ -2515,3 +2515,105 @@ def dd_containment_pairs(spark, sf_dir):
                         / (F.col("sz_a") + F.col("sz_b")
                            - F.col("shared")), 6).alias("jaccard"))
     )
+
+
+@query(
+    "dd_survivorship",
+    survey=("DD-cluster", "TX-quality", "CU-mix"),
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM jpairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS component_id
+            FROM reach GROUP BY a
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS},
+                       x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                       / len({_TOKS}) AS stop_r,
+                   CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       AS DOUBLE) / len(text) AS punct_r,
+                   CAST(list_sum(list_transform({_TOKS}, x -> len(x)))
+                       AS DOUBLE) / len({_TOKS}) AS mwl,
+                   least(CAST(len(text) AS DOUBLE), CAST(4000.0 AS DOUBLE))
+                       / CAST(4000.0 AS DOUBLE) AS len_norm
+            FROM corpus
+        ),
+        quality AS (
+            SELECT doc_id,
+                   CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * z
+                       / (CAST(1.0 AS DOUBLE) + abs(z)) AS q
+            FROM (
+                SELECT doc_id,
+                       CAST(-1.2 AS DOUBLE) + CAST(2.4 AS DOUBLE) * stop_r
+                       - CAST(3.0 AS DOUBLE) * punct_r
+                       + CAST(0.2 AS DOUBLE) * (mwl - CAST(4.0 AS DOUBLE))
+                       + CAST(1.5 AS DOUBLE) * len_norm AS z
+                FROM feats
+            )
+        ),
+        ranked AS (
+            SELECT c.component_id, c.doc_id, q.q,
+                   row_number() OVER (
+                       PARTITION BY c.component_id
+                       ORDER BY q.q DESC, c.doc_id) AS rk
+            FROM comp c JOIN quality q USING (doc_id)
+        )
+        SELECT component_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+                   AS survivor_id,
+               round(max(q), 6) AS best_quality
+        FROM ranked GROUP BY component_id
+    """,
+)
+def dd_survivorship(spark, sf_dir):
+    """Dedup SURVIVORSHIP — the last step of the near-dup pipeline:
+    pairs (n-gram Jaccard) -> connected components (star contraction)
+    -> pick ONE canonical document per cluster by the model quality
+    score (tx_quality_logreg's scorer; ties break to the lowest id).
+    This is what actually ships to training: not the pair list, not
+    the cluster labels, but the keep-set — and choosing the HIGHEST-
+    QUALITY member (rather than MinHash's arbitrary min-id) is the
+    documented reason curation pipelines run survivorship as its own
+    pass. Per cluster: one max_by over a (quality, -id) ordering
+    struct — deterministic, no sort of the full corpus. The oracle
+    replays pairs, transitive closure (recursive CTE), the quality
+    formula, and the argmax end-to-end."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+    from bdc_collection_builder_spark.extensions.text import logreg_quality
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    corpus = docs.unionByName(near)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    comps = connected_components_star(pairs)
+    quality = corpus.select("doc_id", logreg_quality(F.col("text")).alias("q"))
+    return (
+        comps.join(quality, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max_by("doc_id", F.struct(
+                F.col("q"), (-F.col("doc_id")).alias("neg")))
+            .cast("bigint").alias("survivor_id"),
+            F.round(F.max("q"), 6).alias("best_quality"))
+    )
