@@ -95,3 +95,116 @@ def lo_compaction_plan(spark, sf_dir):
     )
     return plan_compaction(manifest, target_bytes=128 * 1024 * 1024,
                            partition_cols=["part"])
+
+
+_PRUNE_FILES = 64  # simulated file count per layout
+# the probe predicate: a 16x16 tile of the 256x256 key space
+_PX_LO, _PX_HI, _PY_LO, _PY_HI = 32, 47, 96, 111
+
+
+@query(
+    "lo_pruning_effectiveness",
+    survey=("F2", "J8"),
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey,
+                   c_custkey % 256 AS zx,
+                   CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 256 AS zy,
+                   {zorder_oracle_sql(
+                       ["c_custkey % 256",
+                        "CAST(concat('0x', substr(md5(CAST(c_custkey "
+                        "AS VARCHAR)), 1, 15)) AS BIGINT) % 256"],
+                       bits=_Z_BITS)} AS zval
+            FROM customer
+        ),
+        binned AS (
+            SELECT zx, zy,
+                   ntile({_PRUNE_FILES}) OVER (ORDER BY c_custkey)
+                       AS f_linear,
+                   ntile({_PRUNE_FILES}) OVER (ORDER BY zval, c_custkey)
+                       AS f_zorder
+            FROM pts
+        ),
+        per_file AS (
+            SELECT 'linear' AS layout, f_linear AS f,
+                   min(zx) AS x0, max(zx) AS x1,
+                   min(zy) AS y0, max(zy) AS y1
+            FROM binned GROUP BY f_linear
+            UNION ALL
+            SELECT 'zorder', f_zorder,
+                   min(zx), max(zx), min(zy), max(zy)
+            FROM binned GROUP BY f_zorder
+        ),
+        matched AS (
+            SELECT CAST(count(*) AS BIGINT) AS rows_matched FROM binned
+            WHERE zx BETWEEN {_PX_LO} AND {_PX_HI}
+              AND zy BETWEEN {_PY_LO} AND {_PY_HI}
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN x1 >= {_PX_LO} AND x0 <= {_PX_HI}
+                             AND y1 >= {_PY_LO} AND y0 <= {_PY_HI}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_scanned,
+               (SELECT rows_matched FROM matched) AS rows_matched
+        FROM per_file GROUP BY layout
+    """,
+)
+def lo_pruning_effectiveness(spark, sf_dir):
+    """Quantifies WHY Z-ordering exists: bin the same points into the
+    same number of equal-count 'files' twice — insertion order vs
+    Morton order — record each file's min/max footer stats, and count
+    how many files a 2-D box predicate fails to prune. Linear layout
+    smears both columns across every file (min/max spans ~everything,
+    nothing prunes); Z-order keeps each file a compact tile, so the
+    same predicate touches a handful. This is the file-skipping
+    arithmetic a lakehouse OPTIMIZE ZORDER buys at 100 TB, measured
+    instead of asserted — the numbers land in the oracle so the gap is
+    value-checked, and rows_matched is identical for both layouts
+    (layout never changes ANSWERS, only IO). The global ntile windows
+    are the SIMULATION harness, not the production path — a real
+    OPTIMIZE reads per-file footer stats instead of binning (this
+    diagnostic runs on a bounded sample of the keyspace)."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % 256).alias("zx"),
+        # hash-scattered second dimension (an affine function of the
+        # key would put every point on one lattice line and leave the
+        # probe box empty)
+        (md5_hash60(F.col("c_custkey").cast("string")) % 256).alias("zy"),
+    ).withColumn("zval", zorder_value(["zx", "zy"], bits=_Z_BITS))
+    binned = pts.select(
+        "zx", "zy",
+        F.ntile(_PRUNE_FILES).over(Window.orderBy("c_custkey"))
+        .alias("f_linear"),
+        F.ntile(_PRUNE_FILES).over(Window.orderBy("zval", "c_custkey"))
+        .alias("f_zorder"),
+    )
+    in_box = (F.col("zx").between(_PX_LO, _PX_HI)
+              & F.col("zy").between(_PY_LO, _PY_HI))
+    rows_matched = binned.filter(in_box).count()
+
+    def stats(layout, fcol):
+        hits = ((F.col("x1") >= _PX_LO) & (F.col("x0") <= _PX_HI)
+                & (F.col("y1") >= _PY_LO) & (F.col("y0") <= _PY_HI))
+        return (
+            binned.groupBy(fcol)
+            .agg(F.min("zx").alias("x0"), F.max("zx").alias("x1"),
+                 F.min("zy").alias("y0"), F.max("zy").alias("y1"))
+            .agg(F.count("*").cast("bigint").alias("n_files"),
+                 F.sum(hits.cast("int")).cast("bigint")
+                 .alias("files_scanned"))
+            .select(F.lit(layout).alias("layout"), "n_files",
+                    "files_scanned",
+                    F.lit(rows_matched).cast("bigint")
+                    .alias("rows_matched"))
+        )
+
+    return stats("linear", "f_linear").unionByName(
+        stats("zorder", "f_zorder"))
