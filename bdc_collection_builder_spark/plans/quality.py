@@ -273,3 +273,63 @@ def dq_psi_drift(spark, sf_dir):
                       * F.log(F.col("p") / F.col("q"))), 8).alias("psi"),
         F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 8)
         .alias("kl_pq"))
+
+
+@query(
+    "dq_skew_profile",
+    survey=("A8", "J6"),
+    oracle="""
+        WITH profiled AS (
+            SELECT 'l_orderkey' AS key_col, l_orderkey AS k
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', l_partkey FROM lineitem
+        ),
+        per_key AS (
+            SELECT key_col, k, CAST(count(*) AS BIGINT) AS cnt
+            FROM profiled GROUP BY key_col, k
+        )
+        SELECT key_col,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(max(cnt) AS BIGINT) AS max_cnt,
+               round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS avg_cnt,
+               round(CAST(max(cnt) AS DOUBLE)
+                     / (CAST(sum(cnt) AS DOUBLE) / count(*)), 4)
+                   AS skew_ratio,
+               CAST(least(32, CAST(ceil(
+                   CAST(max(cnt) AS DOUBLE)
+                   / (CAST(sum(cnt) AS DOUBLE) / count(*))) AS BIGINT))
+                   AS INT) AS recommended_salts
+        FROM per_key GROUP BY key_col
+    """,
+)
+def dq_skew_profile(spark, sf_dir):
+    """Join-key skew pre-flight: per candidate key, the distribution
+    stats that decide the physical join strategy BEFORE a 100 TB
+    shuffle is attempted — key count, hottest-key count, hot/average
+    ratio, and the salt factor the salted-join operator
+    (operators/skew.py) would need to level it (ceil of the ratio,
+    capped). AQE's skew-join split handles sort-merge skew reactively;
+    this profile is the proactive form for choosing broadcast vs salt
+    vs plain hash up front, and it is ONE map-side-combined count per
+    key column. All arithmetic is exact (no percentile sketches), so
+    the oracle pins every number."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def profile(key_col):
+        per_key = li.groupBy(F.col(key_col).alias("k")).agg(
+            F.count("*").alias("cnt"))
+        avg_cnt = F.sum("cnt").cast("double") / F.count("*")
+        ratio = F.max("cnt").cast("double") / avg_cnt
+        return per_key.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.max("cnt").cast("bigint").alias("max_cnt"),
+            F.round(avg_cnt, 4).alias("avg_cnt"),
+            F.round(ratio, 4).alias("skew_ratio"),
+            F.least(F.lit(32), F.ceil(ratio).cast("bigint"))
+            .cast("int").alias("recommended_salts"),
+        ).select(F.lit(key_col).alias("key_col"), "*")
+
+    return profile("l_orderkey").unionByName(profile("l_partkey"))
