@@ -240,3 +240,82 @@ def tj_interval_coalesce(spark, sf_dir):
         F.min("s").alias("span_start"),
         F.max("e").alias("span_end"),
         F.count("*").alias("n_events"))
+
+
+@query(
+    "tj_scd2_dimension_join",
+    survey=("TJ-asof", "J6", "W1"),
+    oracle=f"""
+        WITH dim AS (
+            SELECT user_id, tier,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                   + CASE tier WHEN 'basic' THEN 0
+                               WHEN 'plus' THEN user_id % 7 + 1
+                               ELSE user_id % 7 + 10 END
+                     * INTERVAL 1 DAY AS valid_from
+            FROM (SELECT DISTINCT user_id FROM events),
+                 (VALUES ('basic'), ('plus'), ('pro')) AS t(tier)
+        ),
+        ev AS (
+            SELECT user_id, {duck_ts()} AS ts, value FROM events
+        ),
+        matched AS (
+            SELECT user_id, ts, value, tier FROM (
+                SELECT e.user_id, e.ts, e.value, d.tier,
+                       row_number() OVER (
+                           PARTITION BY e.user_id, e.ts, e.value
+                           ORDER BY d.valid_from DESC
+                       ) AS rk
+                FROM ev e JOIN dim d
+                  ON e.user_id = d.user_id AND d.valid_from <= e.ts
+            ) WHERE rk = 1
+        )
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM matched GROUP BY tier
+    """,
+)
+def tj_scd2_dimension_join(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) temporal lookup: each
+    event resolves the dimension VERSION valid at its event time — the
+    warehouse-standard versioned-dimension join the reference leans on
+    PostgreSQL point-in-time queries for. With non-overlapping
+    contiguous validity periods, SCD2 is exactly a backward as-of join
+    on valid_from, so it reuses the engine's asof_join operator (one
+    union + carry-forward window pass per side, one shuffle each, no
+    range explosion and no nested loop — operators/temporal.py). The
+    dimension here is analytic (per-user tier upgrades at
+    user-dependent dates) so the DuckDB oracle replays the same
+    point-in-time resolution; per-tier event counts and value sums
+    hash-check the whole assignment. The events side never has rows
+    before every tier's epoch, and the output is the aggregated rollup
+    (tier mix over time), the shape billing/attribution actually
+    consumes."""
+    import datetime as dt
+
+    from bdc_collection_builder_spark.operators.temporal import asof_join
+
+    events = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    users = events.select("user_id").distinct()
+    epoch = dt.datetime(2024, 1, 1)
+    tiers = F.array(F.lit("basic"), F.lit("plus"), F.lit("pro"))
+    offset_days = (
+        F.when(F.col("tier") == "basic", F.lit(0))
+        .when(F.col("tier") == "plus", F.col("user_id") % 7 + 1)
+        .otherwise(F.col("user_id") % 7 + 10))
+    dim = (
+        users.select("user_id", F.explode(tiers).alias("tier"))
+        .select(
+            "user_id", "tier",
+            (F.lit(epoch) + F.make_dt_interval(days=offset_days))
+            .alias("valid_from"))
+    )
+    matched = asof_join(
+        events, dim, on=["user_id"], left_ts="ts",
+        right_ts="valid_from", right_values=["tier"],
+        direction="backward")
+    return (
+        matched.groupBy("tier")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
