@@ -251,21 +251,38 @@ class CollectionBuilderEngine:
         case the row is left untouched unless ``update``)."""
         import json as _json
 
-        providers = self.store.read("providers")
-        existing = providers.filter(F.col("name") == name).count()
-        if existing and not update:
-            return False
         if isinstance(credentials, dict):
             credentials = _json.dumps(credentials)
-        max_id = providers.agg(F.max("id")).collect()[0][0] or 0
-        row_id = (max_id + 1 if not existing else
-                  providers.filter(F.col("name") == name)
-                  .collect()[0]["id"])
-        incoming = self.spark.createDataFrame(
-            [(row_id, name, driver_name, credentials, url, description)],
-            self.store.read("providers").schema)
-        self.store.merge_upsert("providers", incoming, keys=["name"])
-        return not existing
+
+        # The id is derived INSIDE the CAS build function, from the
+        # pinned base snapshot (ADVICE-r3): a read-then-merge max(id)+1
+        # outside the commit lets two concurrent creates compute the
+        # same id and both land (merge key is `name`). Inside the CAS
+        # loop, the loser's retry re-derives off the winner's base, so
+        # ids are unique by construction.
+        class _NoChange(Exception):
+            pass
+
+        outcome: dict[str, bool] = {}
+
+        def build(base: DataFrame) -> DataFrame:
+            rows = base.filter(F.col("name") == name).collect()
+            outcome["created"] = not rows
+            if rows and not update:
+                raise _NoChange()
+            row_id = (rows[0]["id"] if rows else
+                      (base.agg(F.max("id")).collect()[0][0] or 0) + 1)
+            incoming = self.spark.createDataFrame(
+                [(row_id, name, driver_name, credentials, url, description)],
+                base.schema)
+            return self.store._merged("providers", base, incoming,
+                                      keys=["name"])
+
+        try:
+            self.store._cas_commit("providers", build)
+        except _NoChange:
+            return False
+        return outcome["created"]
 
     def set_provider(self, collection_id: int, provider_name: str,
                      priority: int = 1, disable: bool = False,

@@ -24,26 +24,11 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-def canonicalize(df):
-    import pandas as pd
-
-    df = df[sorted(df.columns)].copy()
-    for col in df.columns:
-        s = df[col]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[col] = pd.to_datetime(s).astype("datetime64[us]")
-        elif s.dtype == object:
-            df[col] = s.map(lambda v: None if v is None else str(v))
-    if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort") \
-               .reset_index(drop=True)
-    return df
-
-
 def main() -> int:
     import duckdb
-    import pandas as pd
     from pyspark.sql import SparkSession
+
+    from bdc_collection_builder_spark.compare import strict_mismatch
 
     import __spark_entry__ as mod
 
@@ -67,29 +52,9 @@ def main() -> int:
             if name not in oracles:
                 continue  # rows-only contract
             want = con.execute(oracles[name]).fetchdf()
-            if len(got) != len(want):
-                failures.append((name, f"rows {len(got)} != {len(want)}"))
-                continue
-            if sorted(got.columns) != sorted(want.columns):
-                failures.append((name, "column mismatch"))
-                continue
-            # The driver's value hash is dtype-sensitive: DuckDB sum(int)
-            # yields HUGEINT which pandas surfaces as float64, so 3.0
-            # hashes differently from Spark's 3 (round-2 a14/y05 fails).
-            # Flag any integer-vs-float kind split before value compare.
-            kind_splits = [
-                c for c in got.columns
-                if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}
-                or {got[c].dtype.kind, want[c].dtype.kind} == {"u", "f"}
-            ]
-            if kind_splits:
-                failures.append(
-                    (name, "int/float dtype split (driver hash would "
-                           f"differ): {kind_splits}"))
-                continue
-            pd.testing.assert_frame_equal(
-                canonicalize(got), canonicalize(want),
-                check_dtype=False, check_exact=True)
+            why = strict_mismatch(got, want)
+            if why is not None:
+                failures.append((name, why))
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             failures.append((name, str(exc).splitlines()[0][:120]))
     print(f"queries: {len(queries)}  oracles: {len(oracles)}  "

@@ -1,26 +1,18 @@
 """Cross-engine correctness: every registered query's Spark result must
-match its DuckDB oracle (row count + schema width + exact values after
-column-name sort), mirroring the driver's t2 harness."""
+match its DuckDB oracle (row count + schema width + BYTE-exact values
+after column-name sort), mirroring the driver's t2 harness.  The strict
+compare lives in bdc_collection_builder_spark.compare — float columns
+are compared as IEEE-754 bytes, so signed zero and NaN-payload splits
+fail here the way they fail the driver's value hash."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
+from bdc_collection_builder_spark.compare import strict_mismatch
 from bdc_collection_builder_spark.plans.registry import QUERY_REGISTRY, all_queries
-
-
-def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for col in df.columns:
-        s = df[col]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[col] = pd.to_datetime(s).astype("datetime64[us]")
-        elif s.dtype == object:
-            df[col] = s.map(lambda v: None if v is None else str(v))
-    if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
 
 
 def _ids():
@@ -37,24 +29,35 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         assert result is not None
         return
     expected = duck.execute(qd.oracle).fetchdf()
-    assert len(result) == len(expected), (
-        f"{name}: rows {len(result)} != oracle {len(expected)}")
-    assert sorted(result.columns) == sorted(expected.columns), (
-        f"{name}: columns {sorted(result.columns)} != {sorted(expected.columns)}")
-    # Driver's value hash is dtype-sensitive: DuckDB HUGEINT sums surface
-    # as float64 in pandas, hashing 3.0 vs Spark's 3 unequal even though
-    # values match (round-2 a14/y05 failure class). An int-vs-float kind
-    # split between engines is therefore a FAIL, not a tolerable cast.
-    kind_splits = [
-        c for c in result.columns
-        if {result[c].dtype.kind, expected[c].dtype.kind} in
-        ({"i", "f"}, {"u", "f"})
-    ]
-    assert not kind_splits, (
-        f"{name}: int/float dtype split (driver hash would differ): "
-        f"{kind_splits} — CAST the DuckDB aggregate to BIGINT or align "
-        f"the Spark column type")
-    got = canonicalize(result)
-    want = canonicalize(expected)
-    pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                  check_exact=True, obj=name)
+    why = strict_mismatch(result, expected)
+    assert why is None, f"{name}: {why}"
+
+
+def test_gate_catches_negative_zero():
+    """Regression for the round-3 x17b class: -0.0 == +0.0 under
+    value comparison, but the driver hashes the 8 float bytes, so the
+    local gate must flag it."""
+    got = pd.DataFrame({"k": [1, 2], "v": [0.0, 1.5]})
+    want = pd.DataFrame({"k": [1, 2], "v": [-0.0, 1.5]})
+    # sanity: the old value-level compare would pass this
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    why = strict_mismatch(got, want)
+    assert why is not None and "byte mismatch" in why and "-0.0" in why
+
+
+def test_gate_catches_nan_payload_and_kind_split():
+    neg_nan = np.array([np.uint64(0xFFF8000000000000)]).view("float64")[0]
+    got = pd.DataFrame({"v": [neg_nan]})
+    want = pd.DataFrame({"v": [np.float64("nan")]})
+    assert strict_mismatch(got, want) is not None
+    got = pd.DataFrame({"n": [3]})
+    want = pd.DataFrame({"n": [3.0]})
+    why = strict_mismatch(got, want)
+    assert why is not None and "dtype split" in why
+
+
+def test_gate_passes_equal_frames():
+    got = pd.DataFrame({"a": [1, 2], "b": [0.5, float("nan")],
+                        "c": ["x", None]})
+    want = got.copy()
+    assert strict_mismatch(got, want) is None
