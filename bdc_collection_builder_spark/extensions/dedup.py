@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.extensions.text import tokens
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -82,7 +83,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     Self-join on shingle → count common shingles per pair → Jaccard from
     per-doc shingle counts. Exact baseline the LSH path is verified
     against."""
-    sh = shingles(docs, text_col, id_col, k).cache()
+    sh = tracked_persist(shingles(docs, text_col, id_col, k))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -190,7 +191,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     in DuckDB)."""
     rows_per_band = n_hashes // bands
     if engine_neutral:
-        sh = shingles(docs, text_col, id_col, k).persist()
+        sh = tracked_persist(shingles(docs, text_col, id_col, k))
         sig = minhash_signatures_from_shingles(sh, n_hashes, "md5")
     else:
         # Production path: collapse each shingle string to its xxhash64
@@ -202,7 +203,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         # when two distinct shingles collide in xxhash64, with no
         # post-explode shuffle. The md5 path keeps strings: its DuckDB
         # oracle recomputes every intermediate from them.
-        sh = shingles(docs, text_col, id_col, k, hashed=True).persist()
+        sh = tracked_persist(shingles(docs, text_col, id_col, k, hashed=True))
         sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
 
     def band_key(band: int):
@@ -626,7 +627,7 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
     # assigned feeds BOTH sides of the within-cluster pair join plus the
     # final flag join — without a persist the whole assignment subplan
     # (centroid broadcast + argmax scan) runs three times
-    assigned = assigned.persist()
+    assigned = tracked_persist(assigned)
     pair_sim = F.round(
         dot(F.col("a.vec"), F.col("b.vec"))
         / (F.col("a.nrm") * F.col("b.nrm")), 6)

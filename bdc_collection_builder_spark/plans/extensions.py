@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans._util import t
 from bdc_collection_builder_spark.plans.registry import query
 
@@ -2490,7 +2491,7 @@ def dd_containment_pairs(spark, sf_dir):
     rare = sh.groupBy("sh").agg(
         F.countDistinct("doc_id").alias("df")).filter(
         F.col("df") <= _CONT_MAXDF).select("sh")
-    inc = sh.join(rare, "sh").persist()
+    inc = tracked_persist(sh.join(rare, "sh"))
     sizes = inc.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = inc.alias("a"), inc.alias("b")
     pairs = (

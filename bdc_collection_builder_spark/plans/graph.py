@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.extensions.dedup import md5_hash60
 from bdc_collection_builder_spark.functions.iterate import iterate
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans._util import t
 from bdc_collection_builder_spark.plans.registry import query
 
@@ -175,7 +176,7 @@ def gr_pagerank(spark, sf_dir):
     # subplan (explode + existence join + distinct) into each round —
     # 3x the shuffles for identical data. Persist once, like the
     # connected-components rounds (extensions/dedup.py).
-    src_deg = edges.join(outdeg, "src").persist()
+    src_deg = tracked_persist(edges.join(outdeg, "src"))
     ranks = pagerank_loop(nodes, src_deg, F.lit(1.0 / n), _ITERATIONS)
     return ranks.select("doc_id", F.round("rank", 10).alias("pagerank"))
 
@@ -306,7 +307,7 @@ def gr_personalized_pagerank(spark, sf_dir):
     nodes, edges, n = citation_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("double").alias("deg"))
-    src_deg = edges.join(outdeg, "src").persist()
+    src_deg = tracked_persist(edges.join(outdeg, "src"))
     is_seed = (F.col("doc_id") % _SEED_MOD == 0)
     n_seeds = nodes.filter(is_seed).count()
     teleport = (F.when(is_seed, F.lit(1.0)).otherwise(F.lit(0.0))
@@ -331,7 +332,7 @@ def hits_scores(nodes: DataFrame, edges: DataFrame, n_rounds: int,
     truncates both score vectors together. Each half-round is one
     shuffle on the join key plus a one-row L2 scalar attach. Returns
     (doc_id, hub, authority) after ``n_rounds`` rounds, hub init = 1."""
-    e = edges.select("src", "dst").persist()
+    e = tracked_persist(edges.select("src", "dst"))
 
     def half(scores: DataFrame, col: str, edge_from: str, edge_to: str,
              out: str) -> DataFrame:
@@ -421,7 +422,7 @@ def gr_hits_hubs_authorities(spark, sf_dir):
     :func:`hits_scores`, whose lineage is truncated per
     ``checkpoint_every`` rounds."""
     nodes, edges, _ = citation_edges(spark, sf_dir)
-    e = edges.persist()
+    e = tracked_persist(edges)
 
     def l2_attach(df):
         nrm = df.agg(
@@ -443,11 +444,11 @@ def gr_hits_hubs_authorities(spark, sf_dir):
     # each score vector feeds the next half-step AND (for h1/a2) the
     # final join; persisting stops the whole upstream chain (a1 -> h1
     # -> a2) re-evaluating once per consumer
-    a1 = l2_attach(
+    a1 = tracked_persist(l2_attach(
         nodes.join(e, nodes["doc_id"] == e["dst"], "left")
         .groupBy(nodes["doc_id"])
-        .agg(F.count(e["src"]).cast("double").alias("score"))).persist()
-    h1 = l2_attach(pull(a1, "dst", "src")).persist()
+        .agg(F.count(e["src"]).cast("double").alias("score"))))
+    h1 = tracked_persist(l2_attach(pull(a1, "dst", "src")))
     a2 = l2_attach(pull(h1, "src", "dst"))
     return (
         a2.select("doc_id", F.round("score", 8).alias("authority"))

@@ -399,19 +399,48 @@ def s08_xml_metadata_scan(spark, sf_dir):
     )
 
 
+_S09_FILES = [  # (name, size) — deterministic fixture; decoys excluded
+    ("S2A_B02_10m.tif", 173), ("S2A_B03_10m.tif", 211),
+    ("S2A_B04_10m.tif", 97), ("S2A_B08_10m.tif", 401),
+    ("MTD_MSIL2A.xml", 59), ("manifest.safe.tif", 23),
+]
+
+
 @query(
     "s09_glob_discovery",
     survey=("S9",),
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{n}', CAST({s} AS BIGINT))" for n, s in _S09_FILES
+                if n.endswith(".tif"))
+    + ") AS t(file_name, size_bytes)",
 )
 def s09_glob_discovery(spark, sf_dir):
     """S9 — glob-pattern file discovery (publish.py:263-270, 374):
-    the binaryFile source with pathGlobFilter lists matching files as a
-    DataFrame — distributed listing, no driver-side rglob. Rows-only
-    (paths are environment-specific)."""
+    the binaryFile source with pathGlobFilter lists matching files as
+    a DataFrame — distributed listing, no driver-side rglob. The
+    listing runs over a deterministic fixture directory (scene-shaped
+    names, exact byte sizes, plus non-matching decoys the ``*.tif``
+    glob must exclude), so the (file_name, size_bytes) result is fully
+    value-checkable against a constant-table oracle — this was a
+    rows-only entry through round 3 only because it listed the
+    environment-specific sf_dir."""
+    import os as _os
+    import tempfile
+
+    fixture = _os.path.join(tempfile.gettempdir(), "bdc_s09_glob_fixture")
+    _os.makedirs(fixture, exist_ok=True)
+    for name, size in _S09_FILES:
+        p = _os.path.join(fixture, name)
+        if not (_os.path.exists(p) and _os.path.getsize(p) == size):
+            with open(p, "wb") as fh:
+                fh.write(bytes((i * 31) % 256 for i in range(size)))
+    for decoy in ("scratch.tmp", "quicklook.png"):
+        with open(_os.path.join(fixture, decoy), "wb") as fh:
+            fh.write(b"x")
     return (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", "*.tif")
+        .load(fixture)
         .select(
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("length").alias("size_bytes"),
@@ -913,18 +942,36 @@ def st_incremental_dedup(spark, sf_dir):
 @query(
     "st_incremental_near_dedup",
     survey=("Y3", "Y5", "DD-minhash"),
+    oracle="""
+        SELECT CAST(doc_id AS BIGINT) AS cluster_rep
+        FROM documents WHERE doc_id < 60
+    """,
 )
 def st_incremental_near_dedup(spark, sf_dir):
     """Streaming NEAR-dup dedup against a persisted LSH state
     (streaming/incremental.incremental_near_dedup): the documents table
-    plus planted near-copies (every 10th doc + ' xy zz wq') drains
-    through an AvailableNow stream; each micro-batch probes the
-    accepted corpus's banded MinHash signatures with an equi-join and
-    verifies candidates with exact Jaccard, so near-copies are dropped
-    whether they arrive in the same batch or a later one. Rows-only:
-    batch chop is engine-specific, but the ACCEPTED id set is pinned
-    by the companion test (tests/test_streaming.py) against the batch
-    operator's pair semantics."""
+    plus planted near-copies (every 10th doc + ' xy zz wq', re-keyed
+    +1000000) drains through an AvailableNow stream; each micro-batch
+    probes the accepted corpus's banded MinHash signatures with an
+    equi-join and verifies candidates with exact Jaccard, so
+    near-copies are dropped whether they arrive in the same batch or a
+    later one.
+
+    WHICH member of a near-dup cluster survives depends on micro-batch
+    chop (engine-specific), but exactly ONE member per cluster survives
+    — so the emitted ``doc_id % 1000000`` (the planted copies' offset
+    folds each copy onto its original) is an order-independent cluster
+    representative, making the query fully value-checkable: the oracle
+    is simply every original id (VERDICT-r3 task 8; this was the last
+    rows-only streaming entry).
+
+    That invariant requires the near-dup graph to be EXACTLY the
+    planted matching — the raw documents text has organic near-dup
+    chains whose greedy survivor count is genuinely order-dependent —
+    so the corpus is deterministic md5-derived token text per doc_id
+    (engine-neutral, cross-doc Jaccard ~0, planted-pair Jaccard
+    36/39 ≈ 0.92 >= the 0.5 threshold; asserted by the companion
+    streaming test), which exercises the operator identically."""
     import tempfile
 
     from bdc_collection_builder_spark.sources.tables import load_table
@@ -932,9 +979,21 @@ def st_incremental_near_dedup(spark, sf_dir):
         incremental_near_dedup,
     )
 
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+
     scratch = tempfile.mkdtemp(prefix="bdc_stream_neardup_")
+    # deterministic 40-token corpus keyed by doc_id (see docstring):
+    # token j of doc d = 'w' + (md5_60(d:j) % 100000)
+    synth_text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda j: F.concat(
+            F.lit("w"),
+            (md5_hash60(F.concat(F.col("doc_id").cast("string"),
+                                 F.lit(":"), j.cast("string")))
+             % 100000).cast("string"))))
     docs = (load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text").filter(F.col("doc_id") < 60))
+            .filter(F.col("doc_id") < 60)
+            .select("doc_id", synth_text.alias("text")))
     docs.coalesce(1).write.mode("append").parquet(f"{scratch}/in")
     (docs.filter(F.col("doc_id") % 10 == 0)
      .select((F.col("doc_id") + 1000000).alias("doc_id"),
@@ -945,7 +1004,8 @@ def st_incremental_near_dedup(spark, sf_dir):
     q.awaitTermination(300)
     return (
         spark.read.parquet(f"{scratch}/out")
-        .select("doc_id").orderBy("doc_id")
+        .select((F.col("doc_id") % 1000000).alias("cluster_rep"))
+        .orderBy("cluster_rep")
     )
 
 

@@ -76,21 +76,32 @@ def main() -> None:
         lambda it: it, "id long").write.format("noop").mode(
         "overwrite").save()
 
-    # Best-of-2 per query: local-mode wall times carry scheduler/GC
-    # noise that a real cluster amortizes; min-of-runs is the steadier
-    # estimator of the plan's cost.
+    # Median-of-N per query (VERDICT-r3: best-of-2 let unchanged plans
+    # bounce ±25% round-to-round — dd_minhash 2.06→1.37→1.74s — so the
+    # delta table cried wolf). Local-mode wall times carry scheduler/GC
+    # noise a real cluster amortizes; the median over N runs is the
+    # steady estimator, and min/max are kept in the JSON so real
+    # regressions are distinguishable from spread.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERY_REGISTRY[name].spark_fn
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(n_runs):
             start = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - start)
-        # Queries that persist() intermediates (dedup paths) would
-        # otherwise leak cache blocks into every later measurement.
-        spark.catalog.clearCache()
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - start)
+            # Queries that persist() intermediates (dedup paths) would
+            # otherwise serve later runs from cache.
+            spark.catalog.clearCache()
+        samples.sort()
+        mid = len(samples) // 2
+        median = (samples[mid] if len(samples) % 2
+                  else (samples[mid - 1] + samples[mid]) / 2)
+        times[name] = round(median, 3)
+        spread[name] = {"min": round(samples[0], 3),
+                        "max": round(samples[-1], 3)}
 
     # BASELINE.md §4 proxies: band-expression pixel throughput, scene
     # pipeline throughput, incremental merge cost. Best-of-2 like the
@@ -106,7 +117,9 @@ def main() -> None:
         ("proxy_pipeline_scenes", lambda: _pipeline_proxy(spark, sf_dir)),
         ("proxy_merge_batch", lambda: _merge_proxy(spark, sf_dir)),
     ]:
-        times[key] = min(proxy(), proxy())
+        samples = sorted(proxy() for _ in range(3))
+        times[key] = samples[1]  # median of 3
+        spread[key] = {"min": samples[0], "max": samples[-1]}
 
     total = round(sum(times.values()), 3)
     # Per-query delta vs the LATEST recorded round: surfaces
@@ -132,7 +145,9 @@ def main() -> None:
         "metric": "headline_query_suite_wall",
         "value": total,
         "unit": "sec",
+        "n": n_runs,
         "queries": times,
+        "query_spread": spread,
         "delta_vs_prev": deltas,
         "prev_round": prev_round,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -733,3 +733,32 @@ def test_kmeans_distributed_production_matches_ordered(spark, sf_dir):
               for r in kmeans_assign_distributed(emb, ordered=True).collect()}
     assert prod == pinned
     assert len(set(prod.values())) >= 4
+
+
+def test_tracked_persist_drains_between_queries(spark, sf_dir):
+    """ADVICE-r3: persisted intermediates must not accumulate across a
+    long query session. Invoking a query that uses tracked_persist,
+    then ANY other query, must release the first query's cache blocks;
+    nested query composition must NOT drain its caller's."""
+    from bdc_collection_builder_spark.functions import persist as P
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    P.drain_tracked()
+    QUERY_REGISTRY["gr_pagerank"].spark_fn(spark, sf_dir).collect()
+    assert len(P._TRACKED) >= 1  # src_deg persisted, not yet drained
+    tracked_before = list(P._TRACKED)
+    # next top-level query invocation drains the previous one's blocks
+    QUERY_REGISTRY["a01_status_histogram"].spark_fn(spark, sf_dir).collect()
+    assert not any(df is t for t in P._TRACKED for df in tracked_before)
+    for df in tracked_before:
+        assert df.storageLevel.useMemory is False, "cache block leaked"
+    # nested composition: personalized pagerank calls gr_pagerank
+    # internally — its persists survive to the outer result
+    out = QUERY_REGISTRY["gr_personalized_pagerank"].spark_fn(
+        spark, sf_dir)
+    assert out.count() > 0
+    P.drain_tracked()

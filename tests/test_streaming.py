@@ -439,3 +439,54 @@ def test_transactional_publish_items_and_ledger_atomic(spark, tmp_path):
     q2.awaitTermination(300)
     assert store.read("items").count() == n_items
     assert store.read("tasks").count() == n_tasks
+
+
+def test_near_dedup_query_corpus_graph_is_planted_matching(spark, sf_dir):
+    """The st_incremental_near_dedup oracle's order-independence rests
+    on the synthetic corpus's exact-Jaccard graph being EXACTLY the
+    planted orig<->copy matching: no organic cross-doc edge at the 0.5
+    threshold, every planted pair well above it. Verify both by exact
+    all-pairs Jaccard over 5-token shingles."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.extensions.dedup import (
+        md5_hash60,
+        shingles,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    synth_text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda j: F.concat(
+            F.lit("w"),
+            (md5_hash60(F.concat(F.col("doc_id").cast("string"),
+                                 F.lit(":"), j.cast("string")))
+             % 100000).cast("string"))))
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60)
+            .select("doc_id", synth_text.alias("text")))
+    copies = (docs.filter(F.col("doc_id") % 10 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat("text", F.lit(" xy zz wq")).alias("text")))
+    sh = shingles(docs.unionByName(copies), "text", "doc_id", k=5)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a").join(sh.alias("b"),
+                           (F.col("a.shingle") == F.col("b.shingle"))
+                           & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"),
+                 F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("ida"),
+                           F.col("sz").alias("sza")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"),
+                           F.col("sz").alias("szb")), "idb")
+        .withColumn("jac", F.col("inter")
+                    / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jac") >= 0.5)
+        .collect()
+    )
+    edges = {(r["ida"], r["idb"]) for r in pairs}
+    planted = {(d, d + 1000000) for d in range(0, 60, 10)}
+    assert edges == planted, f"graph != planted matching: {edges ^ planted}"
+    assert all(r["jac"] > 0.8 for r in pairs)
