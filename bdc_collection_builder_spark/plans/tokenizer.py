@@ -177,28 +177,41 @@ def tk_pmi_cooccurrence(spark, sf_dir):
     that merely share frequency). Scale shape: the candidate
     vocabulary is CAPPED (top-k by document frequency, a broadcast
     dimension), so the incidence table is ≤ k rows per document and
-    the pair self-join on doc_id fans out at most k²/2 per doc —
-    bounded by construction, never corpus-quadratic. Two corpus-scale
-    shuffles (token df, incidence distinct); everything after runs on
-    capped dimensions."""
+    per-doc vocabulary incidence is ≤ k tokens, so pairs are generated
+    INSIDE each doc's sorted array with a combinations HOF (≤ k²/2 per
+    doc, bounded by construction, never corpus-quadratic) — no pair
+    self-join at all. Two corpus-scale shuffles (token df, per-doc
+    incidence sets); the pair aggregate runs on the capped k²/2 key
+    space."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     df = toks.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df"))
     top = df.orderBy(F.col("df").desc(), "tok").limit(100)
-    incidence = (
+    # ONE shuffle builds the deduped per-doc vocab set (collect_set is
+    # the distinct); the earlier formulation's incidence-distinct +
+    # doc_id self-join spent three corpus-scale shuffles on the same
+    # result. Pairs then come from a combinations HOF over the sorted
+    # array — map-side, codegen'd, output bounded by k²/2 per doc.
+    doc_sets = (
         toks.join(F.broadcast(top.select("tok")), "tok")
-        .select("doc_id", "tok").distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("ts"))
     )
+    ts, sz = F.col("ts"), F.size("ts")
+    pair_arr = F.when(sz >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), sz - 1),
+        lambda i: F.transform(
+            F.slice(ts, i + 1, sz - i),
+            lambda y: F.struct(F.element_at(ts, i).alias("tok_a"),
+                               y.alias("tok_b"))),
+    ))).otherwise(F.array().cast("array<struct<tok_a:string,tok_b:string>>"))
     n = docs.select("doc_id").distinct().count()
-    a = incidence.alias("a")
-    b = incidence.alias("b")
     pairs = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-               & (F.col("a.tok") < F.col("b.tok")))
-        .groupBy(F.col("a.tok").alias("tok_a"),
-                 F.col("b.tok").alias("tok_b"))
+        doc_sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"),
+                 F.col("p.tok_b").alias("tok_b"))
         .agg(F.count("*").alias("n_docs_both"))
     )
     da = top.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))

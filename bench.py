@@ -82,6 +82,14 @@ def main() -> None:
     # noise a real cluster amortizes; the median over N runs is the
     # steady estimator, and min/max are kept in the JSON so real
     # regressions are distinguishable from spread.
+    #
+    # Every run is COLD: the cache clears after each run, so repeat
+    # runs of persist()-reusing queries (graph suite, semantic dedup)
+    # no longer hit the previous run's cache blocks through Spark's
+    # canonicalized-plan cache lookup. Rounds ≤3 measured min-of-2
+    # where run 2 was cache-warm, so r3→r4 deltas on those queries
+    # (e.g. gr_hits ~1.3→~2.3s) are the estimator change, not a plan
+    # regression — plan fingerprints in PLANMAP.md are unchanged.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
