@@ -328,6 +328,85 @@ def build_ivf_index(corpus: DataFrame, path: str, id_col: str = "vec_id",
     )
 
 
+def _seeded_carr(cent: DataFrame):
+    """One broadcastable row holding every (cid, vec, norm) centroid
+    struct, ordered by cid regardless of collect order."""
+    return cent.agg(F.array_sort(F.collect_list(
+        F.struct("cid", "cent_vec", "cent_norm"))).alias("cents"))
+
+
+def _assign_nearest(df: DataFrame, carr, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """(id, c_vec, c_norm, centroid_id) with centroid_id the cosine
+    argmax over the broadcast centroid array — ties to the LOW cid,
+    matching an oracle's ORDER BY sim DESC, cid. Shuffle-free: one
+    projection per vector."""
+    vec = F.col("c_vec")
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(vec, c["cent_vec"])
+             / (F.col("c_norm") * c["cent_norm"])).alias("sim"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    best = F.element_at(F.reverse(F.array_sort(scored)), 1)
+    return (
+        df.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
+                  norm(F.col(vec_col)).alias("c_norm"))
+        .crossJoin(F.broadcast(carr))
+        .select(id_col, "c_vec", "c_norm",
+                (-best["negcid"]).cast("int").alias("centroid_id"))
+    )
+
+
+def build_ivf_index_seeded(corpus: DataFrame, path: str,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_centroids: int = 16) -> None:
+    """Seeded (relational) variant of :func:`build_ivf_index`: the
+    quantizer is the first ``n_centroids`` corpus vectors by id, so an
+    external engine can replay the assignment verbatim — the
+    oracle-checked path, same on-disk layout (centroid table +
+    ``partitionBy(centroid_id)`` vectors). Production path keeps the
+    k-means quantizer of build_ivf_index."""
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_norm"))
+    cent.select(F.col("cid").alias("centroid_id"),
+                F.col("cent_vec").alias("centroid")) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (_assign_nearest(corpus, _seeded_carr(cent), id_col, vec_col)
+     .write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(f"{path}/vectors"))
+
+
+def upsert_ivf_index(spark, path: str, incoming: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Incremental IVF maintenance — the Y3 exactly-once pattern over
+    the ANN index: assign incoming vectors to the EXISTING on-disk
+    quantizer (centroids are immutable between rebuilds, so old and
+    new vectors stay comparable), drop already-indexed ids with an
+    anti-join (at-least-once redelivery is a no-op), and APPEND into
+    the partitioned layout — only the touched centroid partitions gain
+    files, every existing file keeps its inode. At 100 TB this is the
+    difference between absorbing a day's embeddings in minutes and
+    rewriting the corpus: the append is O(batch), probes keep their
+    static PartitionFilter, and recall drift from a stale quantizer is
+    monitored by the recall-eval operator until the next rebuild."""
+    cent = spark.read.parquet(f"{path}/centroids").select(
+        F.col("centroid_id").cast("int").alias("cid"),
+        F.col("centroid").alias("cent_vec")
+    ).withColumn("cent_norm", norm(F.col("cent_vec")))
+    existing = spark.read.parquet(f"{path}/vectors").select(id_col)
+    fresh = incoming.join(existing, id_col, "left_anti")
+    (_assign_nearest(fresh, _seeded_carr(cent), id_col, vec_col)
+     .write.mode("append").partitionBy("centroid_id")
+     .parquet(f"{path}/vectors"))
+
+
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "query_id",

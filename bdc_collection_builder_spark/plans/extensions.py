@@ -2618,3 +2618,71 @@ def dd_survivorship(spark, sf_dir):
             .cast("bigint").alias("survivor_id"),
             F.round(F.max("q"), 6).alias("best_quality"))
     )
+
+
+@query(
+    "ss_ivf_incremental_upsert",
+    survey=("SS-ivf", "Y3", "S15"),
+    oracle=f"""
+        WITH cent AS (
+            SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec,
+                   sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
+                     AS cnorm
+            FROM embeddings WHERE vec_id < 16
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY
+                             {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+                             / (sqrt({_DOT_SQL.format(a='e.embedding',
+                                                      b='e.embedding')})
+                                * c.cnorm) DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rnk = 1
+        )
+        SELECT cid AS centroid_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(vec_id) AS BIGINT) AS id_sum
+        FROM assign GROUP BY cid
+    """,
+)
+def ss_ivf_incremental_upsert(spark, sf_dir):
+    """Incremental ANN index maintenance (extensions/similarity.py
+    upsert_ivf_index): build the seeded IVF index over the EVEN half
+    of the embedding corpus, then absorb the odd half as an
+    incremental batch — plus a redelivery of every 10th even vector,
+    which the idempotence anti-join must discard (the Y3 at-least-once
+    contract, applied to the index instead of the catalog). Only the
+    touched centroid partitions gain files; nothing is rewritten.
+
+    The returned per-centroid inventory (count + id checksum) is
+    exactly the full corpus assigned once each — byte-identical to the
+    oracle's from-scratch assignment, proving the incremental path
+    converges to the batch rebuild."""
+    import tempfile
+
+    from bdc_collection_builder_spark.extensions.similarity import (
+        build_ivf_index_seeded,
+        upsert_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="bdc_ivf_upsert_")
+    # base = even half plus the 16 seed vectors (the quantizer must see
+    # its own seeds; odd seeds redelivered in the batch then no-op)
+    build_ivf_index_seeded(
+        emb.filter((F.col("vec_id") % 2 == 0) | (F.col("vec_id") < 16)),
+        path)
+    batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0))  # redelivered, must no-op
+    upsert_ivf_index(spark, path, batch)
+    return (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+        .agg(F.count("*").cast("bigint").alias("n_vectors"),
+             F.sum("vec_id").cast("bigint").alias("id_sum"))
+    )

@@ -762,3 +762,49 @@ def test_tracked_persist_drains_between_queries(spark, sf_dir):
         spark, sf_dir)
     assert out.count() > 0
     P.drain_tracked()
+
+
+def test_ivf_upsert_appends_without_rewriting(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance contract: the upsert appends ONLY
+    into touched centroid partitions (existing data files keep their
+    paths), redelivered ids are discarded (idempotence), and a second
+    identical upsert is a complete no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.extensions.similarity import (
+        build_ivf_index_seeded,
+        upsert_ivf_index,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    build_ivf_index_seeded(
+        emb.filter((F.col("vec_id") % 2 == 0) | (F.col("vec_id") < 16)),
+        path)
+
+    def data_files():
+        out = set()
+        for root, _, names in os.walk(f"{path}/vectors"):
+            out |= {os.path.join(root, n) for n in names
+                    if n.endswith(".parquet")}
+        return out
+
+    before = data_files()
+    n_base = spark.read.parquet(f"{path}/vectors").count()
+    batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0))
+    upsert_ivf_index(spark, path, batch)
+    after = data_files()
+    assert before <= after, "existing index files were rewritten"
+    total = spark.read.parquet(f"{path}/vectors").count()
+    assert total == emb.count()  # every vector exactly once
+    assert total > n_base
+    # replay the whole batch: nothing new may land
+    upsert_ivf_index(spark, path, batch)
+    assert spark.read.parquet(f"{path}/vectors").count() == total
+    ids = spark.read.parquet(f"{path}/vectors").select("vec_id")
+    assert ids.distinct().count() == total, "duplicate ids in index"
