@@ -1053,3 +1053,61 @@ def test_transaction_rejects_partitioned_tables(spark, tmp_path, fixtures):
     with pytest.raises(NotImplementedError):
         with s.transaction() as txn:
             txn.overwrite("items", fixtures["items"])
+
+
+def test_cas_cross_process_merges(tmp_path, sf_dir):
+    """TRUE cross-process contention: two separate driver PROCESSES
+    (each its own JVM and CatalogStore instance) merge disjoint ranges
+    into one store root concurrently. Serialization rests entirely on
+    the on-disk protocol — flock pointer CAS + _PIN markers — since
+    in-memory refcounts can't be shared. Every range must survive."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "xproc_cas")
+    script = textwrap.dedent("""
+        import os, sys
+        os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+        sys.path.insert(0, {repo!r})
+        lo, hi = int(sys.argv[1]), int(sys.argv[2])
+        from pyspark.sql import functions as F
+        from bdc_collection_builder_spark.session import get_spark
+        from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+        from bdc_collection_builder_spark.catalog.store import (
+            CatalogStore, CommitConflict)
+        spark = get_spark("xproc-%d" % lo, master="local[4]",
+                          shuffle_partitions=4)
+        s = CatalogStore(spark, {root!r}, keep_generations=1)
+        batch = make_fixtures(spark)["items"].filter(
+            (F.col("id") >= lo) & (F.col("id") <= hi))
+        for _ in range(10):
+            try:
+                s.merge_upsert("items", batch)
+                break
+            except CommitConflict:
+                continue
+        else:
+            print("RETRIES_EXHAUSTED"); sys.exit(2)
+        print("OK", batch.count())
+        spark.stop()
+    """).format(repo="/root/repo", root=root)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(lo), str(hi)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+        for lo, hi in [(1, 25), (26, 50)]
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"writer failed: {out}\n{err[-2000:]}"
+        assert "OK" in out
+    expected = sum(int(out.split()[-1]) for out, _ in outs)
+    # read back with a third store instance
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+    from bdc_collection_builder_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    s = CatalogStore(spark, root)
+    assert s.read("items").count() == expected
+    assert s.clean_stale_pins(max_age_seconds=0) == 0, "leaked pins"
