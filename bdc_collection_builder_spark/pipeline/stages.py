@@ -134,7 +134,11 @@ def correction_stage(downloaded: DataFrame, collections: DataFrame,
     collections dimension is broadcast-joined — the scene side never
     shuffles."""
     if not io_simulate:
-        raise NotImplementedError("real processors need Docker; see docstring")
+        raise NotImplementedError(
+            "for real containerized processors use "
+            "docker_correction_stage (the reference's `docker run` "
+            "boundary with timeout + stop cleanup, tested against a "
+            "PATH shim) or subprocess_correction_stage (plain argv)")
 
     with_proc = downloaded.filter(F.col("status") == "SUCCESS").join(
         F.broadcast(collections.select(
@@ -572,3 +576,164 @@ def subprocess_correction_stage(downloaded: DataFrame,
     return downloaded.select(
         "scene_id", "collection_id", "compressed_file"
     ).mapInPandas(run, schema)
+
+
+def docker_correction_stage(downloaded: DataFrame,
+                            versions: list[str],
+                            out_dir: str,
+                            image: str = "sen2cor",
+                            timeout: float = 60.0,
+                            docker_bin: str = "docker") -> DataFrame:
+    """Containerized processor stage — the reference's actual Docker
+    boundary (processor.py:27-101: Sen2Cor ``docker run --rm -i
+    --name <scene> -v <mounts> <image>:<version> <scene>.SAFE`` with
+    per-version fallback, a wall-clock timeout, and ``docker stop
+    <scene>`` cleanup when the container hangs), as a mapInPandas
+    stage over scene partitions.
+
+    Control flow per scene, mirroring the reference exactly:
+
+    1. for each candidate ``version`` (ordered, like
+       SEN2COR_VERSIONS_SUPPORTED): spawn ``docker run`` with the
+       scene's input directory and a per-scene output directory
+       mounted; ``--name <scene_id>`` so a hung container is
+       addressable;
+    2. ``wait(timeout)`` — on TimeoutExpired, ``docker stop
+       <scene_id>`` (the reference's cleanup, processor.py:81-85),
+       then fall through to the next version;
+    3. nonzero returncode → next version; returncode 0 → the first
+       entry of the scene's output dir is the product
+       (processor.py:76-78), checksummed for downstream validation.
+
+    ``docker_bin`` is injectable so the stage's full control flow —
+    spawn, timeout, stop, fallback, output discovery — is testable
+    against a PATH shim in environments without a Docker daemon (this
+    sandbox); in production it is literally ``docker`` (or
+    ``singularity run``, same argv shape). Scene partitions bound
+    concurrent containers per executor exactly as partition count
+    bounds provider connections in the download stage."""
+    import hashlib
+    import os
+    import subprocess
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "scene_id", "collection_id", "processor_version",
+                "output_file", "output_checksum", "returncode",
+                "timed_out_versions")}
+            for sid, cid, inp in zip(pdf["scene_id"],
+                                     pdf["collection_id"],
+                                     pdf["compressed_file"]):
+                version_used, rc, product, digest = None, 1, None, None
+                n_timeouts = 0
+                if inp is not None:
+                    scene_out = os.path.join(out_dir, sid)
+                    os.makedirs(scene_out, exist_ok=True)
+                    for version in versions:
+                        args = [
+                            docker_bin, "run", "--rm", "-i",
+                            "--name", sid,
+                            "-v", f"{os.path.dirname(inp)}:/input",
+                            "-v", f"{scene_out}:/output",
+                            f"{image}:{version}", f"{sid}.SAFE",
+                        ]
+                        proc = subprocess.Popen(
+                            args, stdin=subprocess.PIPE,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+                        try:
+                            proc.wait(timeout=timeout)
+                        except subprocess.TimeoutExpired:
+                            # ensure the container is stopped, then
+                            # treat as a failed version (reference
+                            # raises and falls through, :81-85)
+                            stopper = subprocess.Popen(
+                                [docker_bin, "stop", sid],
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+                            stopper.wait(timeout=30)
+                            proc.kill()
+                            proc.wait()
+                            n_timeouts += 1
+                            continue
+                        rc = proc.returncode
+                        if rc == 0:
+                            entries = sorted(os.listdir(scene_out))
+                            if entries:
+                                product = os.path.join(scene_out,
+                                                       entries[0])
+                                with open(product, "rb") as fh:
+                                    digest = hashlib.md5(
+                                        fh.read()).hexdigest()
+                            version_used = version
+                            break
+                out["scene_id"].append(sid)
+                out["collection_id"].append(cid)
+                out["processor_version"].append(version_used)
+                out["output_file"].append(product)
+                out["output_checksum"].append(digest)
+                out["returncode"].append(0 if version_used else rc)
+                out["timed_out_versions"].append(n_timeouts)
+            yield pd.DataFrame(out)
+
+    schema = ("scene_id string, collection_id int, "
+              "processor_version string, output_file string, "
+              "output_checksum string, returncode int, "
+              "timed_out_versions int")
+    return downloaded.select(
+        "scene_id", "collection_id", "compressed_file"
+    ).mapInPandas(run, schema)
+
+
+def write_fake_docker(path: str) -> None:
+    """Materialize a PATH shim that speaks the exact ``docker run`` /
+    ``docker stop`` argv the reference's processor boundary emits
+    (processor.py:55-85), so :func:`docker_correction_stage` is
+    exercised end-to-end — spawn, version-broken exit codes, hanging
+    containers, stop cleanup, mounted output discovery — without a
+    Docker daemon. The simulated processor byte-reverses
+    ``/input/<scene>.dat`` into ``/output/<scene>.L2A``; version
+    2.11.0 is deterministically broken for scenes where the md5 rule
+    fires (the same rule the subprocess fixture uses) and HANGS
+    (until killed) for scene ids containing 'HANG'."""
+    import os
+
+    script = '''#!/usr/bin/env python3
+import hashlib, os, sys, time
+
+args = sys.argv[1:]
+if args and args[0] == "stop":
+    with open(sys.argv[0] + ".log", "a") as fh:
+        fh.write("stop %s\\n" % args[-1])
+    sys.exit(0)
+assert args and args[0] == "run", args
+name, mounts, rest, i = None, {}, [], 1
+while i < len(args):
+    a = args[i]
+    if a == "--name":
+        name = args[i + 1]; i += 2
+    elif a == "-v":
+        host, cont = args[i + 1].split(":", 1)
+        mounts[cont] = host; i += 2
+    elif a in ("--rm", "-i"):
+        i += 1
+    else:
+        rest.append(a); i += 1
+image_tag, safe = rest[0], rest[1]
+version = image_tag.rsplit(":", 1)[1]
+sid = safe[: -len(".SAFE")]
+if "HANG" in sid and version == "2.11.0":
+    time.sleep(300)
+if version == "2.11.0" and int(hashlib.md5(
+        (sid + ":2.11.0").encode()).hexdigest()[:2], 16) % 7 == 0:
+    sys.exit(3)
+data = open(os.path.join(mounts["/input"], sid + ".dat"), "rb").read()
+with open(os.path.join(mounts["/output"], sid + ".L2A"), "wb") as fh:
+    fh.write(data[::-1])
+sys.exit(0)
+'''
+    with open(path, "w") as fh:
+        fh.write(script)
+    os.chmod(path, 0o755)

@@ -1111,3 +1111,55 @@ def test_cas_cross_process_merges(tmp_path, sf_dir):
     s = CatalogStore(spark, root)
     assert s.read("items").count() == expected
     assert s.clean_stale_pins(max_age_seconds=0) == 0, "leaked pins"
+
+
+def test_docker_correction_stage_full_control_flow(spark, tmp_path):
+    """The reference's Docker boundary (processor.py:27-101) end-to-end
+    against a PATH shim speaking real `docker run`/`docker stop` argv:
+    version fallback on nonzero exit codes, TimeoutExpired -> `docker
+    stop <scene>` -> next version, and mounted-output discovery with
+    checksums. No daemon required; in production docker_bin='docker'."""
+    import hashlib
+
+    from bdc_collection_builder_spark.pipeline.stages import (
+        docker_correction_stage,
+        write_fake_docker,
+    )
+
+    fake = str(tmp_path / "docker")
+    write_fake_docker(fake)
+    log = fake + ".log"  # the shim logs `stop` calls beside itself
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    scenes = [f"S2A_SCENE_{i:03d}" for i in range(12)] + ["S2B_HANG_001"]
+    rows = []
+    for sid in scenes:
+        p = in_dir / f"{sid}.dat"
+        p.write_bytes(f"{sid}|payload".encode())
+        rows.append((sid, 1, str(p)))
+    downloaded = spark.createDataFrame(
+        rows, "scene_id string, collection_id int, compressed_file string")
+    out = docker_correction_stage(
+        downloaded, versions=["2.11.0", "2.10.0"],
+        out_dir=str(tmp_path / "out"), timeout=5.0,
+        docker_bin=fake).collect()
+    assert len(out) == len(scenes)
+    by_sid = {r.scene_id: r for r in out}
+    # every scene must eventually succeed (2.10.0 is never broken)
+    assert all(r.returncode == 0 for r in out)
+    # version-broken rule: exactly the md5-flagged scenes fall back
+    broken = {s for s in scenes if "HANG" not in s and int(hashlib.md5(
+        (s + ":2.11.0").encode()).hexdigest()[:2], 16) % 7 == 0}
+    assert broken, "fixture must exercise the fallback"
+    for sid in scenes:
+        expect = "2.10.0" if (sid in broken or "HANG" in sid) else "2.11.0"
+        assert by_sid[sid].processor_version == expect, sid
+    # the hung container was stopped and retried on the next version
+    hang = by_sid["S2B_HANG_001"]
+    assert hang.timed_out_versions == 1
+    with open(log) as fh:
+        assert "stop S2B_HANG_001" in fh.read()
+    # output is the container's real work: byte-reversed input, md5'd
+    for sid in scenes:
+        want = hashlib.md5(f"{sid}|payload".encode()[::-1]).hexdigest()
+        assert by_sid[sid].output_checksum == want, sid
