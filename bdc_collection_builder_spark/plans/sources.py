@@ -1851,3 +1851,80 @@ def s26_incremental_cdf_maintenance(spark, sf_dir):
                     + F.coalesce("dtotal", F.lit(0.0)), 2).alias("total"))
         .filter(F.col("n") > 0)
     )
+
+
+_DOCKER_FIX: dict[str, str] = {}
+
+
+@query(
+    "s27_docker_correction",
+    survey=("Z2", "S2"),
+    oracle="""
+        WITH scenes AS (
+            SELECT scene_id, collection_id FROM (
+                SELECT 'S2A_MSIL1C_' || CAST(o_orderkey AS VARCHAR)
+                           AS scene_id,
+                       CAST(o_orderkey % 3 + 1 AS INT) AS collection_id
+                FROM orders WHERE o_orderkey % 50 = 0
+            ) ORDER BY scene_id LIMIT 40
+        ),
+        decoded AS (
+            SELECT scene_id, collection_id,
+                   ((strpos('0123456789abcdef',
+                            substr(md5(scene_id || ':2.11.0'), 1, 1))-1)*16
+                     + strpos('0123456789abcdef',
+                              substr(md5(scene_id || ':2.11.0'), 2, 1))-1)
+                   % 7 <> 0 AS works11
+            FROM scenes
+        )
+        SELECT scene_id, collection_id,
+               CASE WHEN works11 THEN '2.11.0' ELSE '2.10.0' END
+                   AS processor_version,
+               md5(reverse(scene_id || '|payload')) AS output_checksum,
+               CAST(0 AS INT) AS returncode
+        FROM decoded
+    """,
+)
+def s27_docker_correction(spark, sf_dir):
+    """Z2 through the CONTAINER boundary: each scene runs the full
+    ``docker run`` control flow of the reference (processor.py:27-101
+    — per-version fallback on exit codes, named containers, mounted
+    input/output dirs) via docker_correction_stage against the argv-
+    faithful PATH shim (pipeline/stages.write_fake_docker; a daemon
+    deployment passes docker_bin='docker' and changes nothing else).
+    The shim's '2.11.0' image deterministically exits 3 where the
+    version-broken md5 rule fires — the same rule the s25 subprocess
+    twin decodes — so the oracle predicts the landing version and the
+    md5 of the container's actual mounted output bytes."""
+    import os
+    import tempfile
+
+    from bdc_collection_builder_spark.pipeline.stages import (
+        docker_correction_stage,
+        write_fake_docker,
+    )
+
+    if "bin" not in _DOCKER_FIX:
+        root = tempfile.mkdtemp(prefix="bdc_docker_")
+        fake = os.path.join(root, "docker")
+        write_fake_docker(fake)
+        _DOCKER_FIX.update(bin=fake, in_dir=os.path.join(root, "in"),
+                           out_dir=os.path.join(root, "out"))
+        os.makedirs(_DOCKER_FIX["in_dir"], exist_ok=True)
+    scenes = _scenes(spark, sf_dir).orderBy("scene_id").limit(40)
+    rows = scenes.select("scene_id", "collection_id").collect()
+    paths = []
+    for r in rows:
+        p = os.path.join(_DOCKER_FIX["in_dir"], f"{r.scene_id}.dat")
+        if not os.path.exists(p):
+            with open(p, "wb") as fh:
+                fh.write(f"{r.scene_id}|payload".encode())
+        paths.append((r.scene_id, r.collection_id, p))
+    downloaded = spark.createDataFrame(
+        paths, "scene_id string, collection_id int, compressed_file string")
+    return docker_correction_stage(
+        downloaded, versions=["2.11.0", "2.10.0"],
+        out_dir=_DOCKER_FIX["out_dir"], timeout=30.0,
+        docker_bin=_DOCKER_FIX["bin"],
+    ).select("scene_id", "collection_id", "processor_version",
+             "output_checksum", "returncode")
