@@ -438,7 +438,8 @@ class CollectionBuilderEngine:
                      http_providers: list[tuple[str, str]] | None = None,
                      processor_versions: list[tuple[str, list[str]]]
                      | None = None,
-                     work_dir: str | None = None) -> DataFrame:
+                     work_dir: str | None = None,
+                     docker: dict | None = None) -> DataFrame:
         """download → correction → publish → post over scene rows.
 
         By default the side-effecting stages run their deterministic
@@ -448,29 +449,45 @@ class CollectionBuilderEngine:
         download with failover/checksums and genuine child-process
         correction with exit-code version fallback
         (pipeline/stages.http_download_stage /
-        subprocess_correction_stage). Either way the Spark plumbing,
-        the publish MERGE, and the post-stage quality mask are
-        identical; the post stage runs on a deterministic pixel grid
-        per published scene (the raster read is the documented
-        rasterio seam)."""
+        subprocess_correction_stage). Pass ``docker`` (dict with
+        ``versions`` list, optional ``image``/``bin``/``timeout``)
+        instead of ``processor_versions`` to run correction through
+        the containerized boundary (docker_correction_stage — the
+        reference's `docker run` with timeout + stop cleanup). Either
+        way the Spark plumbing, the publish MERGE, and the post-stage
+        quality mask are identical; the post stage runs on a
+        deterministic pixel grid per published scene (the raster read
+        is the documented rasterio seam)."""
         if http_providers is not None:
             import os as _os
 
             from bdc_collection_builder_spark.pipeline.stages import (
+                docker_correction_stage,
                 http_download_stage,
                 subprocess_correction_stage,
             )
 
-            if processor_versions is None or work_dir is None:
+            if (processor_versions is None and docker is None) \
+                    or work_dir is None:
                 raise ValueError(
-                    "real-IO pipeline needs processor_versions and "
-                    "work_dir alongside http_providers")
+                    "real-IO pipeline needs processor_versions (or "
+                    "docker=) and work_dir alongside http_providers")
             downloaded = http_download_stage(
                 scenes.select("scene_id", "collection_id"),
                 http_providers, _os.path.join(work_dir, "downloads"))
-            corrected = subprocess_correction_stage(
-                downloaded.filter(F.col("status") == "SUCCESS"),
-                processor_versions, _os.path.join(work_dir, "corrected"))
+            ok = downloaded.filter(F.col("status") == "SUCCESS")
+            if docker is not None:
+                corrected = docker_correction_stage(
+                    ok, versions=docker["versions"],
+                    out_dir=_os.path.join(work_dir, "corrected"),
+                    image=docker.get("image", "sen2cor"),
+                    timeout=docker.get("timeout", 60.0),
+                    docker_bin=docker.get("bin", "docker"),
+                ).drop("timed_out_versions")
+            else:
+                corrected = subprocess_correction_stage(
+                    ok, processor_versions,
+                    _os.path.join(work_dir, "corrected"))
         else:
             providers = provider_names or [
                 r.driver_name for r in

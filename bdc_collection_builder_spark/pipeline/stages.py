@@ -729,7 +729,13 @@ if "HANG" in sid and version == "2.11.0":
 if version == "2.11.0" and int(hashlib.md5(
         (sid + ":2.11.0").encode()).hexdigest()[:2], 16) % 7 == 0:
     sys.exit(3)
-data = open(os.path.join(mounts["/input"], sid + ".dat"), "rb").read()
+for ext in (".SAFE", ".zip", ".dat"):
+    src = os.path.join(mounts["/input"], sid + ext)
+    if os.path.exists(src):
+        break
+else:
+    sys.exit(4)  # no input present in the mounted dir
+data = open(src, "rb").read()
 with open(os.path.join(mounts["/output"], sid + ".L2A"), "wb") as fh:
     fh.write(data[::-1])
 sys.exit(0)

