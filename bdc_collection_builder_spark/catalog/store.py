@@ -578,7 +578,17 @@ class Transaction:
     its own staged state (read-your-writes), so chained operations on
     the same table compose; nothing outside sees anything until
     commit. Exceptions abort: staged generation directories are
-    removed, pointers never moved."""
+    removed, pointers never moved.
+
+    Backend note: single-table writers are fully CAS-backend-agnostic
+    (flock or conditional PUT), but MULTI-table atomicity here rests
+    on holding every touched table's advisory pointer lock across
+    validate→intent→flips — a primitive object stores don't offer. An
+    object-store deployment gets multi-table transactions from a
+    catalog service holding ONE pointer for the table set (the
+    Delta/Iceberg catalog-commit pattern) or degrades to per-table
+    commits; the intent-log recovery below is the crash story either
+    way."""
 
     def __init__(self, store: CatalogStore):
         self.store = store
