@@ -740,13 +740,75 @@ def x13_extent_to_wgs84(spark, sf_dir):
 @query(
     "x14_footprint_hull",
     survey=("X14", "Z3"),
+    oracle=f"""
+        WITH RECURSIVE px AS ({_PIXELS}),
+        pts AS (
+            SELECT DISTINCT scene_id, CAST(x AS BIGINT) AS x,
+                   CAST(y AS BIGINT) AS y
+            FROM px WHERE B04 <> -9999.0
+        ),
+        anchor AS (
+            SELECT scene_id, x, y FROM (
+                SELECT scene_id, x, y,
+                       row_number() OVER (PARTITION BY scene_id
+                                          ORDER BY x, y) rn
+                FROM pts) WHERE rn = 1
+        ),
+        -- Jarvis march: from the lexicographic anchor, each step picks
+        -- the unique point with every other point on its left
+        -- (cross >= 0), farthest-first so collinear edge points are
+        -- skipped — the same minimal vertex set, start, and
+        -- orientation as the monotone chain with strict pops.
+        march(scene_id, step, cx, cy) AS (
+            SELECT scene_id, 0, x, y FROM anchor
+            UNION ALL
+            SELECT m.scene_id, m.step + 1, n.x, n.y
+            FROM march m
+            JOIN anchor a ON a.scene_id = m.scene_id
+            JOIN LATERAL (
+                SELECT q.x, q.y FROM pts q
+                WHERE q.scene_id = m.scene_id
+                  AND (q.x <> m.cx OR q.y <> m.cy)
+                  AND NOT EXISTS (
+                      SELECT 1 FROM pts r
+                      WHERE r.scene_id = m.scene_id
+                        AND (r.x <> m.cx OR r.y <> m.cy)
+                        AND (r.x <> q.x OR r.y <> q.y)
+                        AND (q.x - m.cx) * (r.y - m.cy)
+                            - (q.y - m.cy) * (r.x - m.cx) < 0
+                  )
+                ORDER BY (q.x-m.cx)*(q.x-m.cx) + (q.y-m.cy)*(q.y-m.cy)
+                    DESC
+                LIMIT 1
+            ) n ON TRUE
+            WHERE m.step < 512
+              AND NOT (m.step > 0 AND m.cx = a.x AND m.cy = a.y)
+        ),
+        verts AS (
+            SELECT m.scene_id, m.step, m.cx, m.cy
+            FROM march m JOIN anchor a USING (scene_id)
+            WHERE NOT (m.step > 0 AND m.cx = a.x AND m.cy = a.y)
+        )
+        SELECT v.scene_id,
+               CAST(count(*) AS INT) AS hull_vertices,
+               'POLYGON((' || string_agg(v.cx || ' ' || v.cy, ','
+                                         ORDER BY v.step)
+                || ',' || any_value(a.x) || ' ' || any_value(a.y) || '))'
+                 AS footprint_wkt
+        FROM verts v JOIN anchor a USING (scene_id)
+        GROUP BY v.scene_id
+    """,
 )
 def x14_footprint_hull(spark, sf_dir):
     """X14/Z3 — valid-pixel convex-hull footprint (utils.py:240-274) as
     a per-scene applyInPandas group kernel (the reference's per-scene
     publish loop, publish.py:184-617, is exactly this grouping). The
     hull is a monotone-chain over valid pixel coordinates — numpy-only,
-    no shapely needed. Rows-only (hulls aren't SQL)."""
+    no shapely needed. Value-checked since round 4: the DuckDB oracle
+    runs a recursive-CTE Jarvis march over the identical synthetic
+    pixel grid; both constructions yield the same minimal vertex set,
+    starting vertex (lexicographic min), and orientation, so the WKT
+    strings match byte-for-byte (was rows-only)."""
     import numpy as np
     import pandas as pd
 
