@@ -119,10 +119,10 @@ def pack_sequences_ffd(docs: DataFrame, capacity: int = 512,
     any corpus size; packing quality is per-shard FFD (≥ 11/9 OPT + 1
     bins worst case within a shard). Deterministic given the
     (n_tokens desc, doc_id) order — the pytest companion pins output
-    against a pure-Python reference and verifies no pack overflows.
-
-    Not SQL-expressible (stateful loop), so the registered query is
-    rows-only by design."""
+    against a pure-Python reference and verifies no pack overflows,
+    and the registered query is value-checked against a recursive-CTE
+    DuckDB replay of the first-fit loop (bin loads as list-typed
+    recursion state)."""
     shard = F.pmod(F.col(id_col), F.lit(n_shards))
     toks = docs.select(
         F.col(id_col).alias("doc_id"), shard.alias("shard"),

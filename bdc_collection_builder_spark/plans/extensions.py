@@ -1792,18 +1792,68 @@ def tx_unigram_logprob(spark, sf_dir):
     )
 
 
+_FFD_FIT = (
+    "CASE WHEN o.n_tokens <= 512 THEN NULLIF(list_position("
+    "list_transform(s.loads, l -> l + o.n_tokens <= 512), true), 0) "
+    "ELSE NULL END"
+)
+
+
 @query(
     "cu_pack_sequences_ffd",
     survey=("CU-pack",),
-    oracle=None,  # stateful per-shard bin-packing loop — not
-                  # SQL-expressible; pinned against a pure-Python FFD
-                  # reference + overflow/determinism invariants in
-                  # tests/test_curation.py
+    # The per-shard first-fit loop IS SQL-expressible after all: a
+    # recursive CTE carrying the shard's bin-load LIST as state, one
+    # placement per recursion step in the same (n_tokens DESC, doc_id)
+    # order. Was rows-only through round 3 ("stateful loop — not
+    # SQL"); the pure-Python reference + overflow invariants in
+    # tests/test_curation.py remain as the second witness.
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, doc_id % 32 AS shard,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        ordered AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rnk
+            FROM toks
+        ),
+        steps(shard, rnk, doc_id, n_tokens, pack_id, start_offset,
+              loads) AS (
+            SELECT shard, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST([] AS BIGINT[])
+            FROM (SELECT DISTINCT shard FROM ordered)
+            UNION ALL
+            SELECT o.shard, o.rnk, o.doc_id, o.n_tokens,
+                   CASE WHEN ({_FFD_FIT}) IS NOT NULL
+                        THEN ({_FFD_FIT}) - 1
+                        ELSE len(s.loads) END,
+                   CASE WHEN ({_FFD_FIT}) IS NOT NULL
+                        THEN s.loads[({_FFD_FIT})]
+                        ELSE 0 END,
+                   CASE WHEN ({_FFD_FIT}) IS NOT NULL THEN
+                        list_concat(list_concat(
+                            list_slice(s.loads, 1, ({_FFD_FIT}) - 1),
+                            [s.loads[({_FFD_FIT})] + o.n_tokens]),
+                            list_slice(s.loads, ({_FFD_FIT}) + 1,
+                                       len(s.loads)))
+                        ELSE list_append(s.loads, o.n_tokens) END
+            FROM steps s
+            JOIN ordered o ON o.shard = s.shard AND o.rnk = s.rnk + 1
+        )
+        SELECT doc_id, shard, n_tokens, pack_id, start_offset
+        FROM steps WHERE rnk > 0
+    """,
 )
 def cu_pack_sequences_ffd(spark, sf_dir):
     """First-fit-decreasing packing (documents stay whole, padding
     minimized) — the applyInPandas counterpart of cu_pack_sequences'
-    concat-and-chunk window. See extensions/curation.py docstring."""
+    concat-and-chunk window. See extensions/curation.py docstring.
+    Value-checked since round 4: the oracle replays the per-shard
+    first-fit loop as a recursive CTE whose state is the bin-load
+    list, so every (pack_id, start_offset) matches exactly."""
     from bdc_collection_builder_spark.extensions.curation import (
         pack_sequences_ffd,
     )
