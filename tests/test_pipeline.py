@@ -1163,3 +1163,51 @@ def test_docker_correction_stage_full_control_flow(spark, tmp_path):
     for sid in scenes:
         want = hashlib.md5(f"{sid}|payload".encode()[::-1]).hexdigest()
         assert by_sid[sid].output_checksum == want, sid
+
+
+def test_partitioned_store_with_conditional_put_backend(spark, tmp_path,
+                                                        fixtures):
+    """Backend matrix completion: the partitioned store's one-job merge
+    and its per-partition CAS fallback both flip pointers through the
+    injected backend — under ConditionalPutCAS (object-store seam) a
+    multi-partition merge, a conflicting concurrent flip, and the
+    re-derive fallback must all behave exactly as under flock."""
+    from bdc_collection_builder_spark.catalog.store import (
+        ConditionalPutCAS,
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "pstore_cp"),
+                                cas_backend=ConditionalPutCAS())
+    s.overwrite("items", fixtures["items"])
+    total = s.read("items").count()
+    batch = (s.read("items").limit(8)
+             .withColumn("cloud_cover", F.lit(-55.0)))
+    n_batch = batch.count()
+    s.merge_upsert("items", batch)
+    assert s.read("items").count() == total
+    assert s.read("items").filter(
+        F.col("cloud_cover") == -55.0).count() == n_batch
+    # forced conflict: reject the first conditional PUT once
+    rejected = {"n": 0}
+
+    def flaky(path, expected, new):
+        if rejected["n"] == 0:
+            rejected["n"] += 1
+            return False
+        return ConditionalPutCAS._local_put_if_match(
+            flaky.store, "items", expected, new)
+
+    s2 = PartitionedCatalogStore(
+        spark, str(tmp_path / "pstore_cp"),
+        cas_backend=ConditionalPutCAS(put_if_match=flaky))
+    batch2 = (s2.read("items").limit(4)
+              .withColumn("cloud_cover", F.lit(-66.0)))
+    n2 = batch2.count()
+    v2 = batch2.select("collection_id").distinct().collect()[0][0]
+    flaky.store = s2._sub("items", v2)
+    s2.merge_upsert("items", batch2)
+    assert rejected["n"] == 1, "conflict path was not exercised"
+    assert s2.read("items").count() == total
+    assert s2.read("items").filter(
+        F.col("cloud_cover") == -66.0).count() == n2
