@@ -400,11 +400,31 @@ def upsert_ivf_index(spark, path: str, incoming: DataFrame,
         F.col("centroid_id").cast("int").alias("cid"),
         F.col("centroid").alias("cent_vec")
     ).withColumn("cent_norm", norm(F.col("cent_vec")))
-    existing = spark.read.parquet(f"{path}/vectors").select(id_col)
-    fresh = incoming.join(existing, id_col, "left_anti")
-    (_assign_nearest(fresh, _seeded_carr(cent), id_col, vec_col)
-     .write.mode("append").partitionBy("centroid_id")
-     .parquet(f"{path}/vectors"))
+    # Assign FIRST, then prune: the idempotence anti-join only ever
+    # needs ids from the centroid partitions this batch touches, and a
+    # redelivered vector lands on the same (frozen) quantizer as its
+    # first delivery — so the existing-ids read carries a static
+    # PartitionFilter over the touched centroids instead of scanning
+    # the whole index's id column. At 100 TB that is O(batch-touched
+    # partitions), like the probe path, not O(corpus).
+    assigned = _assign_nearest(incoming, _seeded_carr(cent),
+                               id_col, vec_col)
+    assigned.persist()
+    try:
+        touched = sorted(
+            r[0] for r in assigned.select("centroid_id")
+            .distinct().collect())  # driver-sized: #centroids bound
+        if touched:
+            existing = (
+                spark.read.parquet(f"{path}/vectors")
+                .filter(F.col("centroid_id").isin(touched))
+                .select(id_col)
+            )
+            fresh = assigned.join(existing, id_col, "left_anti")
+            (fresh.write.mode("append").partitionBy("centroid_id")
+             .parquet(f"{path}/vectors"))
+    finally:
+        assigned.unpersist()
 
 
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
