@@ -302,6 +302,15 @@ class CatalogStore:
             self._protect(table, gen)
             if base_gen:
                 self._protect(table, base_gen)
+                # pin-then-verify: a vacuum can collect the base in
+                # the read->pin window; if its dir is gone the pin
+                # came too late — re-snapshot rather than fail the
+                # stage mid-job with a non-conflict read error
+                if not os.path.isdir(
+                        os.path.join(self.path(table), base_gen)):
+                    self._unprotect(table, base_gen)
+                    self._unprotect(table, gen)
+                    continue
             try:
                 self._stage(
                     table, build(self._read_pinned(table, base_gen)),
@@ -317,7 +326,9 @@ class CatalogStore:
                 self._unprotect(table, gen)
                 if base_gen:
                     self._unprotect(table, base_gen)
-        raise last  # type: ignore[misc]
+        raise last or CommitConflict(
+            f"{table}: base snapshot repeatedly collected under "
+            f"concurrent vacuum churn before it could be pinned")
 
     def append(self, table: str, df: DataFrame) -> None:
         """Append = union with current snapshot into a new generation
@@ -880,13 +891,22 @@ class PartitionedCatalogStore(CatalogStore):
         # pin every base generation this merge reads (on-disk pins, so
         # concurrent merges in other threads/processes honor them):
         # without this a contending writer's post-flip vacuum can
-        # collect a base partition dir while our one-job read streams it
-        pinned_subs = [
-            (self._sub(table, value), base_gens[str(value)])
-            for value in touched if base_gens[str(value)] is not None
-        ]
-        for sub, g in pinned_subs:
-            sub._protect(table, g)
+        # collect a base partition dir while our one-job read streams
+        # it. Pin-then-verify per partition: if the dir vanished in
+        # the read->pin window, re-read that partition's pointer.
+        pinned_subs = []
+        for value in touched:
+            sub = self._sub(table, value)
+            while True:
+                g = base_gens[str(value)]
+                if g is None:
+                    break
+                sub._protect(table, g)
+                if os.path.isdir(os.path.join(sub.path(table), g)):
+                    pinned_subs.append((sub, g))
+                    break
+                sub._unprotect(table, g)
+                base_gens[str(value)] = sub._current_gen(table)
         current_paths = [
             os.path.join(sub.path(table), g) for sub, g in pinned_subs
         ]
