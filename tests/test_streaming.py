@@ -490,3 +490,52 @@ def test_near_dedup_query_corpus_graph_is_planted_matching(spark, sf_dir):
     planted = {(d, d + 1000000) for d in range(0, 60, 10)}
     assert edges == planted, f"graph != planted matching: {edges ^ planted}"
     assert all(r["jac"] > 0.8 for r in pairs)
+
+
+def test_streaming_ivf_maintenance_converges(spark, tmp_path, sf_dir):
+    """Streaming ANN index maintenance: embeddings arrive as a file
+    stream and every micro-batch upserts into the persisted IVF index
+    via foreachBatch — the Y3 pattern applied to the index. With
+    redelivered vectors planted across batches, the drained index must
+    equal a from-scratch batch build exactly (same ids, same
+    partitions, no duplicates)."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.extensions.similarity import (
+        build_ivf_index_seeded,
+        upsert_ivf_index,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    path = str(tmp_path / "ivf_stream")
+    # seed index: the quantizer's 16 seed vectors only
+    build_ivf_index_seeded(emb.filter(F.col("vec_id") < 16), path)
+    # incoming stream: two files; the second REDELIVERS part of the
+    # first (and some seeds) — cross-batch idempotence on the index
+    incoming = str(tmp_path / "incoming")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(incoming)
+    emb.filter((F.col("vec_id") % 2 == 1) | (F.col("vec_id") % 6 == 0)) \
+        .coalesce(1).write.mode("append").parquet(incoming)
+
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(incoming))
+    q = (stream.writeStream
+         .foreachBatch(lambda batch, _id: upsert_ivf_index(
+             spark, path, batch))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{path}/vectors")
+    assert got.count() == emb.count()
+    assert got.select("vec_id").distinct().count() == emb.count()
+    # partition assignment identical to a from-scratch build
+    ref_path = str(tmp_path / "ivf_ref")
+    build_ivf_index_seeded(emb, ref_path)
+    ref = spark.read.parquet(f"{ref_path}/vectors")
+    diff = (got.select("vec_id", "centroid_id")
+            .exceptAll(ref.select("vec_id", "centroid_id")))
+    assert diff.count() == 0
