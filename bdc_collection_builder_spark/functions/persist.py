@@ -4,7 +4,7 @@ Several plans ``persist()`` an intermediate their plan reads more than
 once (graph edge lists, shingle tables, k-means assignments). The
 DataFrames they return are lazy, so the query function itself cannot
 unpersist after "its" action — it never sees the action. Left alone,
-a driver session that runs all 210 registered queries accumulates
+a driver session that runs all ~212 registered queries accumulates
 every such cache block in executor memory (ADVICE-r3).
 
 The registry's ``@query`` wrapper closes the loop: registering
