@@ -2736,3 +2736,98 @@ def ss_ivf_incremental_upsert(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_vectors"),
              F.sum("vec_id").cast("bigint").alias("id_sum"))
     )
+
+
+@query(
+    "cu_filter_funnel",
+    survey=("CU-mix", "TX-quality", "DD-exact", "A1"),
+    oracle=f"""
+        WITH canon AS (
+            SELECT md5(text) AS h, min(doc_id) AS keeper
+            FROM documents GROUP BY md5(text)
+        ),
+        feats AS (
+            SELECT d.doc_id,
+                   CASE WHEN CAST(len(list_filter({_TOKS},
+                            x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                            / len({_TOKS}) >= 0.08
+                        THEN 'en' ELSE 'unknown' END AS lang_pred,
+                   len(d.text) AS n_chars,
+                   (CASE WHEN len(d.text) BETWEEN 20 AND 20000
+                         THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN CAST(len(list_filter({_TOKS},
+                           x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                           / len({_TOKS}) >= 0.05 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN CAST(len(regexp_replace(d.text,
+                           '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                           / len(d.text) <= 0.2 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN CAST(list_sum(list_transform({_TOKS},
+                           x -> len(x))) AS DOUBLE) / len({_TOKS})
+                           BETWEEN 2 AND 12 THEN 0.1 ELSE 0.0 END)
+                     AS quality,
+                   d.doc_id <> c.keeper AS is_dup
+            FROM documents d JOIN canon c ON md5(d.text) = c.h
+        ),
+        attributed AS (
+            SELECT CASE WHEN lang_pred <> 'en' THEN 'lang'
+                        WHEN n_chars NOT BETWEEN 20 AND 20000 THEN 'length'
+                        WHEN quality < 0.6 THEN 'quality'
+                        WHEN is_dup THEN 'exact_dup'
+                        ELSE 'kept' END AS stage
+            FROM feats
+        ),
+        grouped AS (
+            SELECT stage, CAST(count(*) AS BIGINT) AS n_docs
+            FROM attributed GROUP BY stage
+        )
+        SELECT stage, n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / (SELECT sum(n_docs) FROM grouped), 4) AS pct
+        FROM grouped
+    """,
+)
+def cu_filter_funnel(spark, sf_dir):
+    """Curation-pipeline observability: every release run reports WHERE
+    the corpus went — each document attributed to the FIRST filter
+    stage that would drop it (language → length → quality → exact-dup
+    survivorship), with per-stage counts and corpus share. One scan
+    computes every stage predicate, one md5 aggregate finds exact-dup
+    keepers (min doc_id canonical, broadcast back), one bounded-key
+    aggregate groups the attribution — no per-stage rescans, so the
+    funnel report costs one corpus pass at any scale. The stage
+    predicates are the registered operators' own expressions
+    (tx_language_id, tx_quality_score, dd_exact_duplicates), so the
+    report stays consistent with what the pipeline actually drops."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    canon = (docs.groupBy(F.md5("text").alias("h"))
+             .agg(F.min("doc_id").alias("keeper")))
+    feats = (
+        docs.withColumn("h", F.md5("text"))
+        .join(canon, "h")
+        .select(
+            "doc_id",
+            tx.language_id(F.col("text")).alias("lang_pred"),
+            F.length("text").alias("n_chars"),
+            tx.quality_score(F.col("text")).alias("quality"),
+            (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+        )
+    )
+    stage = (
+        F.when(F.col("lang_pred") != "en", "lang")
+        .when(~F.col("n_chars").between(20, 20000), "length")
+        .when(F.col("quality") < 0.6, "quality")
+        .when(F.col("is_dup"), "exact_dup")
+        .otherwise("kept")
+    )
+    grouped = (feats.select(stage.alias("stage"))
+               .groupBy("stage")
+               .agg(F.count("*").cast("bigint").alias("n_docs")))
+    tot = grouped.agg(F.sum("n_docs").alias("tot"))
+    return (
+        grouped.crossJoin(F.broadcast(tot))
+        .select("stage", "n_docs",
+                F.round(F.col("n_docs").cast("double") / F.col("tot"), 4)
+                .alias("pct"))
+    )
