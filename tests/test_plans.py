@@ -91,6 +91,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "ss_hard_negative_mining",  # by design: broadcast batch × corpus
         "ss_ivf_recall_eval",    # eval protocol: brute-force ground truth
         "gr_hits_hubs_authorities",  # one-row L2-normalizer attaches
+        "cu_filter_funnel",      # one-row corpus-total attach (pct)
     }
     offenders = {}
     for name, fn in all_queries().items():
