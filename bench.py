@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "tx_line_dedup",             # per-line exact dedup (explode + count)
     "dd_semantic_dedup",         # embedding-LSH semantic dedup
     "st_stateful_sessionize",    # Structured Streaming drain cost
+    # round-4 additions (keep the bench honest as the suite grows)
+    "cu_filter_funnel",          # one-pass curation funnel report
+    "ss_ivf_incremental_upsert",  # IVF index build + idempotent upsert
 ]
 
 
