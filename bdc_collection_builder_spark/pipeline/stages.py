@@ -28,7 +28,6 @@ Reference control flow being mirrored:
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 
 import pandas as pd
