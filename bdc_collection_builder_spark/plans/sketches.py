@@ -141,6 +141,159 @@ def sk_heavy_hitters_cms(spark, sf_dir):
 _KMV_K = 64  # bottom-k size (below the user-domain cardinality
              # at the harness scales, so the estimator path runs)
 
+_OV_K = 64    # bottom-k per source for the overlap sketches
+_OV_SH = 3    # token-shingle width
+_TWO60 = 1152921504606846976  # 2^60, the hash-value domain
+
+_GRAMS = f"""
+    SELECT source, unnest(list_transform(
+               generate_series(1, len(tk) - {_OV_SH - 1}),
+               i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))) AS g
+    FROM (SELECT source, {_TOKS} AS tk FROM documents)
+    WHERE len(tk) >= {_OV_SH}
+"""
+
+_UNION_EST = f"""(CASE WHEN e.u_size < {_OV_K} THEN CAST(e.u_size AS DOUBLE)
+         ELSE CAST({_OV_K - 1} AS DOUBLE)
+              / (CAST(e.vk AS DOUBLE) / CAST({_TWO60} AS DOUBLE)) END)"""
+
+
+@query(
+    "sk_kmv_overlap",
+    survey=("SK-kmv", "A8"),
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM ({_GRAMS})
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+            FROM sh)
+        WHERE rk <= {_OV_K}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.source AS source_a, b.source AS source_b
+        FROM sk a JOIN sk b ON a.h = b.h AND a.source < b.source
+    ),
+    uni AS (
+        SELECT p.source_a, p.source_b, s.h,
+               max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p
+        JOIN sk s ON s.source = p.source_a OR s.source = p.source_b
+        GROUP BY 1, 2, 3
+    ),
+    bott AS (
+        SELECT * FROM (
+            SELECT source_a, source_b, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY source_a, source_b
+                                      ORDER BY h) AS rk
+            FROM uni)
+        WHERE rk <= {_OV_K}
+    ),
+    est AS (
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS u_size,
+               max(h) AS vk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS x
+        FROM bott GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_exact
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, ex.n_exact,
+           round({_UNION_EST}, 2) AS union_est,
+           round(CAST(e.x AS DOUBLE) / e.u_size, 4) AS jaccard_est,
+           round(CAST(e.x AS DOUBLE) / e.u_size * {_UNION_EST}, 2)
+               AS inter_est
+    FROM est e JOIN ex ON ex.source_a = e.source_a
+                      AND ex.source_b = e.source_b
+""",
+)
+def sk_kmv_overlap(spark, sf_dir):
+    """Pairwise corpus-overlap estimation from KMV (bottom-k) sketches
+    — the decontamination-at-scale primitive: how much does source A
+    share with source B, WITHOUT an all-pairs shingle join. Per source,
+    the k smallest 60-bit shingle hashes form its sketch; for a pair,
+    the bottom-k of the sketch union U gives the union estimate
+    (k-1)/(v_k/2^60), the fraction of U present in both sketches gives
+    Jaccard, and their product estimates |A∩B| (Bar-Yossef et al. /
+    theta-sketch set algebra, public). Every estimate is a pure
+    function of the md5 hashes, so the DuckDB oracle pins it
+    bit-for-bit, with the exact overlap reported alongside. Scale: the
+    full-corpus work is ONE distinct + ONE per-source bottom-k window
+    (parallel across sources); everything pairwise touches only
+    k-row sketches, broadcast to the (tiny) pair list. Pairs with no
+    shared sketch hash are omitted (their intersection estimate is 0).
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok_df = docs.select("source", tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
+    grams = F.when(
+        F.size(tk) >= _OV_SH,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - _OV_SH),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, _OV_SH))),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        tok_df.select("source", F.explode(F.array_distinct(grams)).alias("g"))
+        .select("source", md5_hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    w_src = Window.partitionBy("source").orderBy("h")
+    sk = (sh.withColumn("rk", F.row_number().over(w_src))
+          .filter(F.col("rk") <= _OV_K).drop("rk"))
+    pairs = (
+        sk.alias("a").join(sk.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"))
+        .distinct()
+    )
+    ua = (F.broadcast(pairs)
+          .join(sk, F.col("source") == F.col("source_a"))
+          .select("source_a", "source_b", "h",
+                  F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    ub = (F.broadcast(pairs)
+          .join(sk, F.col("source") == F.col("source_b"))
+          .select("source_a", "source_b", "h",
+                  F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    uni = ua.unionByName(ub).groupBy("source_a", "source_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy("h")
+    bott = (uni.withColumn("rk", F.row_number().over(w_pair))
+            .filter(F.col("rk") <= _OV_K))
+    est = bott.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("u_size"),
+        F.max("h").alias("vk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("x"))
+    ex = (
+        sh.alias("a").join(sh.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    union_raw = F.when(
+        F.col("u_size") < _OV_K, F.col("u_size").cast("double")
+    ).otherwise(
+        F.lit(float(_OV_K - 1))
+        / (F.col("vk").cast("double") / F.lit(float(_TWO60))))
+    jac_raw = F.col("x").cast("double") / F.col("u_size")
+    return est.join(ex, ["source_a", "source_b"]).select(
+        "source_a", "source_b", "n_exact",
+        F.round(union_raw, 2).alias("union_est"),
+        F.round(jac_raw, 4).alias("jaccard_est"),
+        F.round(jac_raw * union_raw, 2).alias("inter_est"))
+
 
 @query(
     "sk_kmv_distinct",
