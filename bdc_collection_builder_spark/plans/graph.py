@@ -455,3 +455,99 @@ def gr_hits_hubs_authorities(spark, sf_dir):
         .join(h1.select("doc_id", F.round("score", 8).alias("hub")),
               "doc_id")
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_iteration_sql(k: int) -> str:
+    prev = f"lab{k - 1}"
+    return f"""
+    cnt{k} AS (
+        SELECT u.src, l.lab, count(*) AS c
+        FROM und u JOIN {prev} l ON u.dst = l.doc_id
+        GROUP BY 1, 2
+    ),
+    best{k} AS (
+        SELECT src, lab FROM (
+            SELECT src, lab,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, lab) AS rk
+            FROM cnt{k})
+        WHERE rk = 1
+    ),
+    lab{k} AS (
+        SELECT p.doc_id, COALESCE(b.lab, p.lab) AS lab
+        FROM {prev} p LEFT JOIN best{k} b ON b.src = p.doc_id
+    )"""
+
+
+@query(
+    "gr_label_propagation",
+    survey=("GR-communities",),
+    oracle="WITH " + _GRAPH_SQL + """,
+    und AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges)
+        WHERE src <> dst
+    ),
+    lab0 AS (SELECT doc_id, doc_id AS lab FROM documents),
+    """ + ",".join(_lpa_iteration_sql(k)
+                   for k in range(1, _LPA_ROUNDS + 1)) + f"""
+    SELECT doc_id, CAST(lab AS BIGINT) AS community
+    FROM lab{_LPA_ROUNDS}
+""",
+)
+def gr_label_propagation(spark, sf_dir):
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al., public) over the symmetrized citation graph: every node
+    starts as its own label; each round it adopts the most frequent
+    label among its neighbors, ties broken by smallest label —
+    deterministic, so unlike the asynchronous/random-order variant the
+    result is a pure function of the graph and the DuckDB oracle pins
+    every assignment. Complements the dedup suite's connected
+    components (extensions/dedup.py): LPA splits dense link
+    communities that CC would fuse through a single bridge edge.
+
+    Scale: each round is one shuffle on the neighbor join + one
+    map-side-combined count + a per-node window (parallel across
+    nodes); the symmetrized edge table persists once across all
+    rounds, and :func:`iterate` truncates lineage every 2 rounds so
+    production-depth propagation keeps a bounded plan. Isolated nodes
+    (no non-loop edges) keep their own label via the left join."""
+    from pyspark.sql import Window
+
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    und = tracked_persist(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct())
+
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("lab"))
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        cnt = (
+            und.join(labels.select(F.col("doc_id").alias("dst"), "lab"),
+                     "dst")
+            .groupBy("src", "lab").agg(F.count("*").alias("c"))
+        )
+        best = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("doc_id"),
+                    F.col("lab").alias("new_lab"))
+        )
+        return (
+            labels.join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("new_lab", "lab").alias("lab"))
+        )
+
+    init = nodes.select("doc_id", F.col("doc_id").alias("lab"))
+    final = iterate(init, step, _LPA_ROUNDS, checkpoint_every=2)
+    return final.select(
+        "doc_id", F.col("lab").cast("bigint").alias("community"))
