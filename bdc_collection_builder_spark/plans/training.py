@@ -600,6 +600,91 @@ def tx_bigram_logprob(spark, sf_dir):
 
 
 @query(
+    "tx_kneser_ney_bigram",
+    survey=("TX-quality", "TX-vocab"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok,
+                   generate_subscripts({_TOKS}, 1) AS pos
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, tok AS w1,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ),
+        pairs AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+        bg AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+        un AS (
+            SELECT w1, sum(c2) AS c1, count(*) AS n1f
+            FROM bg GROUP BY w1
+        ),
+        cont AS (SELECT w2, count(*) AS n1p FROM bg GROUP BY w2),
+        tot AS (SELECT count(*) AS nbt FROM bg)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln(
+                   greatest(bg.c2 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                       / un.c1
+                   + (CAST(0.75 AS DOUBLE) * un.n1f / un.c1)
+                       * (CAST(cont.n1p AS DOUBLE) / tot.nbt)
+               )), 6) AS avg_kn_logprob
+        FROM pairs JOIN bg USING (w1, w2) JOIN un USING (w1)
+        JOIN cont USING (w2) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+)
+def tx_kneser_ney_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995 /
+    Chen & Goodman 1998, public) — the smoothing that add-one
+    (tx_bigram_logprob) approximates badly: mass is removed by a fixed
+    absolute discount D=0.75 from every seen transition and
+    redistributed via the CONTINUATION probability (how many distinct
+    left-contexts a word follows), which famously fixes the
+    "san francisco" pathology where raw unigram frequency overrates
+    "francisco" in novel contexts. Per-document mean log-probability
+    of its transitions under the corpus model:
+
+        P(w2|w1) = max(c12 - D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/N1+(··)
+
+    Scale shape: identical to tx_bigram_logprob — one doc-keyed window
+    forms transitions, the model tables (bigram counts, left-context
+    stats, continuation counts) are vocabulary-bounded partial aggs,
+    the bigram-type total rides as a one-row broadcast, and scoring is
+    two token-keyed joins. No Python anywhere."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", F.col("tok").alias("w1"),
+                    F.lead("tok").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    un = bg.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f"))
+    cont = bg.groupBy("w2").agg(F.count("*").alias("n1p"))
+    tot = bg.agg(F.count("*").alias("nbt"))
+    p_kn = (
+        F.greatest(F.col("c2") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+        + (F.lit(0.75) * F.col("n1f") / F.col("c1"))
+        * (F.col("n1p").cast("double") / F.col("nbt"))
+    )
+    return (
+        pairs.join(bg, ["w1", "w2"]).join(un, "w1").join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+             F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"))
+    )
+
+
+@query(
     "tx_token_entropy",
     survey=("TX-quality",),
     oracle=f"""

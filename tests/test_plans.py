@@ -84,6 +84,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "tx_ccnet_buckets",      # one-row vocab-total attach
         "cu_dsir_resample",      # one-row vocab-total attach
         "tx_bigram_logprob",     # one-row vocab-size attach
+        "tx_kneser_ney_bigram",  # one-row bigram-type-total attach
         "a19_price_histogram",   # one-row min/max-bounds attach
         "dd_semantic_dedup",     # one-row centroid-array attach
         "ss_kmeans_assign",      # one-row centroid-array attach per round
