@@ -1117,6 +1117,130 @@ def st_stream_stream_join(spark, sf_dir):
     return spark.sql(f"SELECT error_id, followup_id FROM {qname}")
 
 
+_WM_BATCH = 25      # arrival-order micro-batch size
+_WM_SHARDS = 8      # modeled source partitions
+_WM_DELAY_MIN = 10  # watermark delay
+_WM_SKEW_S = 14400  # max client-clock skew (seconds) behind arrival
+
+
+@query(
+    "st_late_data_audit",
+    survey=("Y2", "Y6"),
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_id, user_id % {_WM_SHARDS} AS shard,
+                   event_id // {_WM_BATCH} AS batch,
+                   {_TS} - to_seconds(
+                       CAST(concat('0x', substr(md5(
+                           CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {_WM_SKEW_S}) AS ts
+            FROM events
+        ),
+        pb AS (
+            SELECT shard, batch, max(ts) AS mx FROM ev GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT b.batch, s.shard
+            FROM (SELECT DISTINCT batch FROM ev) b,
+                 (SELECT unnest(generate_series(0, {_WM_SHARDS - 1}))
+                      AS shard) s
+        ),
+        rung AS (
+            SELECT g.shard, g.batch,
+                   max(p.mx) OVER (PARTITION BY g.shard
+                                   ORDER BY g.batch) AS runmax
+            FROM grid g LEFT JOIN pb p
+              ON p.shard = g.shard AND p.batch = g.batch
+        ),
+        wm AS (
+            SELECT batch + 1 AS batch,
+                   CASE WHEN count(runmax) = count(*)
+                        THEN min(runmax) - INTERVAL {_WM_DELAY_MIN} MINUTE
+                   END AS watermark_ts
+            FROM rung GROUP BY 1
+        )
+        SELECT e.batch,
+               any_value(w.watermark_ts) AS watermark_ts,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN e.ts < w.watermark_ts THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late
+        FROM ev e LEFT JOIN wm w ON w.batch = e.batch
+        GROUP BY e.batch
+    """,
+)
+def st_late_data_audit(spark, sf_dir):
+    """Watermark late-data accounting, batch-verified — the exact
+    global-watermark rule Structured Streaming applies (watermark =
+    min over source partitions of each partition's running max event
+    time, lagged one trigger, minus the allowed delay), replayed
+    deterministically so the DuckDB oracle value-checks it: arrival
+    order is the event_id sequence chopped into {_WM_BATCH}-row
+    micro-batches, source partitions are user_id mod {_WM_SHARDS},
+    and an event is LATE (would be dropped from watermarked
+    aggregation state) iff its event time is below the watermark in
+    force for its batch. Event times carry a deterministic
+    client-clock skew (a hash-derived lag of up to {_WM_SKEW_S}s
+    behind arrival order) — the real-world condition watermarks
+    exist for; without it the synthetic feed is perfectly ordered
+    and nothing is ever late. Early batches where some shard has produced
+    nothing yet have NO watermark (NULL) — the min-across-partitions
+    rule — so nothing is late there, matching Spark's conservative
+    startup behavior.
+
+    Scale shape: one (shard, batch) partial agg over the stream, a
+    dense shard×batch grid built by a literal explode (NO cross join
+    — shards are a constant domain), an 8-partition running-max
+    window, a batch-keyed min-aggregate, and one broadcast join back
+    to events. The audit's cost is one pass regardless of history
+    length; state is the per-shard maxima — exactly the O(partitions)
+    state a real watermark tracker keeps."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+
+    skew = F.pmod(md5_hash60(F.col("event_id").cast("string")),
+                  F.lit(_WM_SKEW_S))
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("__skew", skew)
+        .select(
+            "event_id",
+            F.pmod(F.col("user_id"), F.lit(_WM_SHARDS)).alias("shard"),
+            F.floor(F.col("event_id") / _WM_BATCH).cast("bigint")
+            .alias("batch"),
+            F.expr("timestampadd(SECOND, -__skew, ts)").alias("ts"))
+    )
+    pb = ev.groupBy("shard", "batch").agg(F.max("ts").alias("mx"))
+    grid = (
+        ev.select("batch").distinct()
+        .select("batch", F.explode(F.array(
+            *[F.lit(s) for s in range(_WM_SHARDS)])).alias("shard"))
+    )
+    w_shard = (Window.partitionBy("shard").orderBy("batch")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    rung = (
+        grid.join(pb, ["shard", "batch"], "left")
+        .select("shard", "batch", F.max("mx").over(w_shard).alias("runmax"))
+    )
+    wm = (
+        rung.groupBy((F.col("batch") + 1).alias("batch"))
+        .agg(F.when(
+            F.count("runmax") == F.count("*"),
+            F.min("runmax") - F.expr(
+                f"INTERVAL {_WM_DELAY_MIN} MINUTES"))
+            .alias("watermark_ts"))
+    )
+    return (
+        ev.join(F.broadcast(wm), "batch", "left")
+        .groupBy("batch")
+        .agg(
+            F.first("watermark_ts").alias("watermark_ts"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("ts") < F.col("watermark_ts"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_late"))
+    )
+
+
 # -- S18/S19: text-format connectors (JSONL / CSV round-trip) -----------
 
 # One write per (sf_dir, fmt) per process: queries are re-invoked by
