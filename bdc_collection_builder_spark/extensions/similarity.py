@@ -134,6 +134,79 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def multiprobe_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id", n_tables: int = 8,
+                        n_bits: int = 6, n_probes: int = 2, dim: int = 64,
+                        seed: int = 42) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007, public): instead of
+    buying recall with more tables (which multiplies the CORPUS-side
+    index — the expensive side at 100 TB), each query additionally
+    probes the buckets reached by flipping its LOWEST-CONFIDENCE sign
+    bits (smallest |projection| — the bits most likely to differ for a
+    true near neighbor). Here 8 tables x (1 base + 2 flip) probes give
+    a 24-bucket query fan-out comparable to the 24-table single-probe
+    baseline (:func:`lsh_topk`) while the corpus is hashed and stored
+    only 8 times — a 3x smaller index for the same candidate budget.
+
+    The probe choice is a pure function of the projections (sorted by
+    (|proj|, bit), ties impossible in practice but ordered anyway), so
+    the whole approximate query stays engine-reproducible."""
+    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+
+    ckeys = hash_buckets(F.col(vec_col), planes)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        F.posexplode(ckeys).alias("table_id", "bucket"))
+
+    entries = []
+    vec = F.col(vec_col)
+    for t_idx, table in enumerate(planes):
+        projs = [dot(vec, F.array(*[F.lit(float(w)) for w in plane]))
+                 for plane in table]
+        base = F.lit(0).cast("bigint")
+        for bit, proj in enumerate(projs):
+            base = base + F.when(proj > 0,
+                                 F.lit(1 << bit).cast("bigint")).otherwise(0)
+        flip_order = F.array_sort(F.array(*[
+            F.struct(F.abs(proj).alias("a"),
+                     F.lit(1 << bit).cast("bigint").alias("bv"))
+            for bit, proj in enumerate(projs)]))
+        entries.append(F.struct(F.lit(t_idx).alias("table_id"),
+                                base.alias("bucket")))
+        for p in range(n_probes):
+            entries.append(F.struct(
+                F.lit(t_idx).alias("table_id"),
+                base.bitwiseXOR(flip_order[p]["bv"]).alias("bucket")))
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select(query_id_col, "q_vec", "q_norm",
+             F.col("e.table_id").alias("table_id"),
+             F.col("e.bucket").alias("bucket"))
+
+    candidates = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "q_vec", "c_vec", "q_norm", "c_norm")
+        .distinct()
+    )
+    scored = candidates.select(
+        query_id_col, id_col,
+        F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", n_centroids: int = 16,

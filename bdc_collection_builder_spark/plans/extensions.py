@@ -551,6 +551,103 @@ def _lsh_topk_oracle(k: int = 5, n_tables: int = 24, n_bits: int = 5,
     """
 
 
+def _multiprobe_lsh_oracle(k: int = 5, n_tables: int = 8, n_bits: int = 6,
+                           n_probes: int = 2, dim: int = 64,
+                           seed: int = 42) -> str:
+    """Multi-probe variant of :func:`_lsh_topk_oracle`: queries probe
+    their base bucket plus the ``n_probes`` single-bit flips with the
+    smallest |projection| — the probe choice is a pure function of the
+    literal plane matrix, so DuckDB replays it exactly."""
+    from bdc_collection_builder_spark.extensions.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_tables, n_bits, dim, seed)
+    rows = ",\n                ".join(
+        f"({t}, {1 << bit}, [{', '.join(repr(float(w)) for w in plane)}])"
+        for t, table in enumerate(planes)
+        for bit, plane in enumerate(table)
+    )
+    cos = (f"round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}"
+           f" / (sqrt({_DOT_SQL.format(a='q.embedding', b='q.embedding')})"
+           f" * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6)")
+    return f"""
+        WITH planes(table_id, bit_value, w) AS (
+            VALUES {rows}
+        ),
+        proj AS (
+            SELECT e.vec_id, p.table_id, p.bit_value,
+                   list_sum(list_transform(
+                       generate_series(1, {dim}),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) AS pr
+            FROM embeddings e CROSS JOIN planes p
+        ),
+        b AS (
+            SELECT vec_id, table_id,
+                   CAST(sum(CASE WHEN pr > 0 THEN bit_value ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id, table_id
+        ),
+        flips AS (
+            SELECT vec_id, table_id, bit_value FROM (
+                SELECT vec_id, table_id, bit_value,
+                       row_number() OVER (
+                           PARTITION BY vec_id, table_id
+                           ORDER BY abs(pr), bit_value) AS rk
+                FROM proj WHERE vec_id < 8)
+            WHERE rk <= {n_probes}
+        ),
+        qprobes AS (
+            SELECT vec_id, table_id, bucket FROM b WHERE vec_id < 8
+            UNION ALL
+            SELECT f.vec_id, f.table_id,
+                   xor(q.bucket, CAST(f.bit_value AS BIGINT)) AS bucket
+            FROM flips f JOIN b q
+              ON q.vec_id = f.vec_id AND q.table_id = f.table_id
+        ),
+        cands AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM b c JOIN qprobes q
+              ON c.table_id = q.table_id AND c.bucket = q.bucket
+            WHERE c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT p.query_id, p.vec_id, {cos} AS cosine
+            FROM cands p
+            JOIN embeddings c ON c.vec_id = p.vec_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ss_multiprobe_lsh_topk",
+    survey=("SS-lsh",),
+    oracle=_multiprobe_lsh_oracle(),
+)
+def ss_multiprobe_lsh_topk(spark, sf_dir):
+    """Multi-probe LSH top-k: 8 tables x 3 probes (base bucket + the 2
+    lowest-|projection| bit flips) — the same 24-bucket query fan-out
+    as the 24-table single-probe ss_lsh_topk but with the corpus
+    hashed/stored only 8 times (3x smaller index at corpus scale; the
+    query side is the cheap side). Probe selection is deterministic
+    (sorted by |proj| then bit), so the DuckDB oracle replays the full
+    approximate pipeline bit-for-bit."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return multiprobe_lsh_topk(emb, queries, k=5)
+
+
 @query(
     "ss_lsh_topk",
     survey=("SS-lsh",),
