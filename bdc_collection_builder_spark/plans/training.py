@@ -828,6 +828,116 @@ def cu_temperature_mix(spark, sf_dir):
     )
 
 
+_ER_DECAY = 0.7   # per-epoch value decay of repeated data
+_ER_MAX = 8       # epoch cap
+_ER_MULT = 3      # budget = 3x the corpus's unique tokens
+# r^k precomputed as python literals so BOTH engines use identical
+# doubles — no reliance on libm pow() agreeing across engines
+_ER_POW = [_ER_DECAY ** k for k in range(_ER_MAX + 1)]
+# geometric partial sums S_k = (1 - r^k) / (1 - r), same literal rule
+_ER_GSUM = [(1 - _ER_DECAY ** k) / (1 - _ER_DECAY)
+            for k in range(_ER_MAX + 1)]
+
+
+def _er_case(col: str, vals: list[float]) -> str:
+    whens = " ".join(f"WHEN {k} THEN CAST({v!r} AS DOUBLE)"
+                     for k, v in enumerate(vals))
+    return f"(CASE {col} {whens} END)"
+
+
+@query(
+    "cu_epoch_repeat_plan",
+    survey=("CU-mix",),
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS u
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(u) AS total_u, count(*) AS n_src FROM toks
+        ),
+        plan AS (
+            SELECT t.source, t.u,
+                   CAST({_ER_MULT} AS DOUBLE) * x.total_u / x.n_src
+                       AS target_tokens,
+                   least(CAST({_ER_MULT} AS DOUBLE) * x.total_u / x.n_src
+                             / t.u,
+                         CAST({_ER_MAX} AS DOUBLE)) AS epochs
+            FROM toks t CROSS JOIN tot x
+        ),
+        split AS (
+            SELECT source, u, target_tokens, epochs,
+                   CAST(floor(epochs) AS BIGINT) AS full_ep,
+                   epochs - floor(epochs) AS frac_ep
+            FROM plan
+        )
+        SELECT source, u AS unique_tokens,
+               round(target_tokens, 2) AS target_tokens,
+               round(epochs, 4) AS epochs,
+               round(u * ({_er_case('full_ep', _ER_GSUM)}
+                          + frac_ep * {_er_case('full_ep', _ER_POW)}), 2)
+                   AS effective_tokens,
+               round(u * ({_er_case('full_ep', _ER_GSUM)}
+                          + frac_ep * {_er_case('full_ep', _ER_POW)})
+                     / target_tokens, 6) AS efficiency
+        FROM split
+    """,
+)
+def cu_epoch_repeat_plan(spark, sf_dir):
+    """Data-constrained epoch planning (the Muennighoff et al. 2023
+    "Scaling Data-Constrained Language Models" regime, public): when
+    the token budget exceeds a source's unique tokens, the source is
+    REPEATED, and repeated epochs are worth geometrically less
+    (decay r={_ER_DECAY} per epoch here). Each source gets an equal
+    share of a budget {_ER_MULT}x the corpus's unique tokens; the plan
+    reports fractional epochs (capped at {_ER_MAX}), the EFFECTIVE
+    token yield U·(S_full + frac·r^full) with S_k the geometric
+    partial sum, and the efficiency ratio that tells the mixer when
+    further repetition is wasted — the quantity that decides whether
+    to buy more data or more epochs at 100 TB.
+
+    Determinism: r^k and S_k are precomputed Python literals CASE'd on
+    the integer epoch count — both engines consume identical doubles
+    instead of trusting libm pow() to agree. Plan shape: one
+    source-keyed token aggregate; everything after runs on the 20-row
+    source dimension with a one-row total attach."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("u"))
+    tot = toks.agg(F.sum("u").alias("total_u"),
+                   F.count("*").alias("n_src"))
+    target = (F.lit(float(_ER_MULT)) * F.col("total_u") / F.col("n_src"))
+    plan = (
+        toks.crossJoin(F.broadcast(tot))
+        .select("source", "u", target.alias("target_tokens"),
+                F.least(target / F.col("u"),
+                        F.lit(float(_ER_MAX))).alias("epochs"))
+    )
+    split = plan.select(
+        "source", "u", "target_tokens", "epochs",
+        F.floor(F.col("epochs")).cast("bigint").alias("full_ep"),
+        (F.col("epochs") - F.floor(F.col("epochs"))).alias("frac_ep"))
+
+    def case_of(vals: list[float]):
+        expr = None
+        for k, v in enumerate(vals):
+            cond = F.col("full_ep") == k
+            expr = (F.when(cond, F.lit(v)) if expr is None
+                    else expr.when(cond, F.lit(v)))
+        return expr
+
+    eff = F.col("u") * (case_of(_ER_GSUM)
+                        + F.col("frac_ep") * case_of(_ER_POW))
+    return split.select(
+        "source", F.col("u").alias("unique_tokens"),
+        F.round("target_tokens", 2).alias("target_tokens"),
+        F.round("epochs", 4).alias("epochs"),
+        F.round(eff, 2).alias("effective_tokens"),
+        F.round(eff / F.col("target_tokens"), 6).alias("efficiency"))
+
+
 @query(
     "cu_length_bucketing",
     survey=("CU-pack",),
