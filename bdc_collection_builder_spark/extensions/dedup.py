@@ -55,8 +55,10 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # bodies re-evaluate captured expressions per element, so an inline
     # tokens() would recompute the regex split once per shingle index
     # (O(tokens²) per document).
-    tok_df = docs.select(F.col(id_col).alias("doc_id"),
-                         tokens(F.col(text_col)).alias("__toks"))
+    from bdc_collection_builder_spark.functions.parallel import spread
+
+    tok_df = spread(docs).select(F.col(id_col).alias("doc_id"),
+                                 tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     sh = F.when(
         F.size(toks) >= k,
@@ -264,8 +266,10 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     for cross-engine verification). Explode tokens → per-(doc, bit)
     vote sum → assemble bits. Two shuffles on doc_id, both
     partial-aggregated map-side."""
-    toks = docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(tokens(F.col(text_col))).alias("tok"))
+    from bdc_collection_builder_spark.functions.parallel import spread
+
+    toks = spread(docs).select(F.col(id_col).alias("doc_id"),
+                               F.explode(tokens(F.col(text_col))).alias("tok"))
     if base_hash == "md5":
         assert bits <= 60, "md5-60bit base hash carries only 60 bits"
         toks = toks.withColumn("h", md5_hash60(F.col("tok")))
@@ -375,9 +379,11 @@ def embedding_near_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
     from bdc_collection_builder_spark.extensions.similarity import (
         _hyperplanes, dot, hash_buckets, norm)
 
+    from bdc_collection_builder_spark.functions.parallel import spread
+
     planes = _hyperplanes(n_tables, n_bits, dim, seed)
-    keys = hash_buckets(F.col(vec_col), planes)
-    bucketed = embeddings.select(
+    keys = hash_buckets(vec_col, planes)
+    bucketed = spread(embeddings).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
         F.posexplode(keys).alias("table_id", "bucket"))

