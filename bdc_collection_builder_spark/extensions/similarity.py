@@ -106,6 +106,14 @@ def _cached_expr(sql: str) -> Column:
     return _EXPR_CACHE[sql]
 
 
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of :func:`dot` over two array expressions — identical
+    lambda shape and accumulation order."""
+    return (f"aggregate(zip_with({a_sql}, {b_sql}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
 def _dot_sql_lit(vec_sql: str, ws: list[float]) -> str:
     """SQL text of dot(vec, literal weights) — same aggregate/zip_with
     shape (and therefore the same sequential accumulation order) as
@@ -674,15 +682,16 @@ def pq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
     def code_for(j: int) -> Column:
         # L2 argmin via ||c||² − 2·v·c (the ||v||² term is constant per
         # subvector and cannot change the argmin); ascending struct
-        # sort breaks ties toward the low codeword id
-        scored = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (c["selfdots"][j]
-                 - F.lit(2.0) * dot(F.col(f"sub_{j}"), c["subs"][j]))
-                .alias("d"),
-                c["cid"].alias("cid")))
-        return F.element_at(F.array_sort(scored), 1)["cid"]
+        # sort breaks ties toward the low codeword id. Cached SQL text
+        # — the Column composition of m of these dominated invocation
+        # time (py4j), with identical arithmetic.
+        scored = (
+            f"transform(cents, c -> named_struct("
+            f"'d', c.selfdots[{j}] - 2.0D * "
+            f"{_dot_sql(f'sub_{j}', f'c.subs[{j}]')}, "
+            "'cid', c.cid))")
+        return _cached_expr(
+            f"element_at(array_sort({scored}), 1).cid")
 
     enc = (
         spread(corpus).select(
@@ -699,13 +708,12 @@ def pq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        norm(F.col(vec_col)).alias("q_norm"),
                        *[sub(F.col(vec_col), j).alias(f"qsub_{j}")
                          for j in range(m)])
-    approx = None
-    for j in range(m):
-        cwj = F.element_at(F.col("cents"),
-                           (F.element_at(F.col("codes"), j + 1)
-                            + 1).cast("int"))["subs"][j]
-        term = dot(F.col(f"qsub_{j}"), cwj)
-        approx = term if approx is None else approx + term
+    approx = _cached_expr("(" + " + ".join(
+        _dot_sql(
+            f"qsub_{j}",
+            f"element_at(cents, CAST(element_at(codes, {j + 1}) + 1 "
+            f"AS INT)).subs[{j}]")
+        for j in range(m)) + ")")
     scored = (
         enc.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, "c_vec", "c_norm", "q_vec", "q_norm",
@@ -779,36 +787,37 @@ def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cwarr = cw.agg(F.array_sort(F.collect_list(
         F.struct("cid", "subs", "selfdots"))).alias("cws"))
 
-    def probes(vec: Column, nrm: Column, n: int) -> Column:
-        scored = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (dot(vec, c["cent_vec"]) / (nrm * c["cent_norm"]))
-                .alias("sim"),
-                (-c["cid"]).alias("negcid"),
-            ),
-        )
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda s: -s["negcid"])
+    # All quantizer expressions below are CACHED SQL text (see the
+    # _cached_expr note above): building them through the Column API
+    # was ~1.6s of py4j driver time per invocation — more than the
+    # query's execution at bench scale. Arithmetic, tie rules, and
+    # accumulation order are identical to the Column composition.
+    def probes(vec: str, nrm: str, n: int) -> Column:
+        scored = (
+            f"transform(cents, c -> named_struct("
+            f"'sim', {_dot_sql(vec, 'c.cent_vec')} / ({nrm} * c.cent_norm), "
+            "'negcid', -c.cid))")
+        return _cached_expr(
+            f"transform(slice(reverse(array_sort({scored})), 1, {n}), "
+            "s -> -s.negcid)")
 
-    def code_for(j: int) -> Column:
+    def code_for(j: int) -> str:
         # argmin via array_position(ds, array_min(ds)): cws is ordered
         # by cid, and array_position returns the FIRST match, so ties
         # break toward the low codeword id — the same rule as the
         # struct-sort form, at a min+scan instead of a 16-way sort.
         # Reads the row's pre-projected sub_{j} column, not a slice.
-        ds = F.transform(
-            F.col("cws"),
-            lambda c: (c["selfdots"][j]
-                       - F.lit(2.0) * dot(F.col(f"sub_{j}"), c["subs"][j])))
-        return F.array_position(ds, F.array_min(ds)) - 1
+        ds = (f"transform(cws, c -> (c.selfdots[{j}] - 2.0D * "
+              f"{_dot_sql(f'sub_{j}', f'c.subs[{j}]')}))")
+        return f"(array_position({ds}, array_min({ds})) - 1)"
 
-    def nearest_centroid(vec: Column, nrm: Column) -> Column:
+    def nearest_centroid(vec: str, nrm: str) -> Column:
         # argmax cosine, ties to low cid (cents ordered by cid)
-        sims = F.transform(
-            F.col("cents"),
-            lambda c: dot(vec, c["cent_vec"]) / (nrm * c["cent_norm"]))
-        return (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
+        sims = (f"transform(cents, c -> {_dot_sql(vec, 'c.cent_vec')} "
+                f"/ ({nrm} * c.cent_norm))")
+        return _cached_expr(
+            f"CAST(array_position({sims}, array_max({sims})) - 1 "
+            "AS BIGINT)")
 
     enc = (
         spread(corpus).select(
@@ -820,9 +829,9 @@ def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
             *[sub(F.col("c_vec"), j).alias(f"sub_{j}") for j in range(m)])
         .select(
             id_col, "c_vec", "c_norm",
-            nearest_centroid(F.col("c_vec"), F.col("c_norm"))
-            .alias("centroid_id"),
-            F.array(*[code_for(j) for j in range(m)]).alias("codes"))
+            nearest_centroid("c_vec", "c_norm").alias("centroid_id"),
+            _cached_expr("array(" + ", ".join(
+                code_for(j) for j in range(m)) + ")").alias("codes"))
     )
     # ADC lookup table, the FAISS structure: per (query, subspace) the
     # dots against ALL ks codewords are computed ONCE on the m×ks
@@ -830,15 +839,9 @@ def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # not m recomputed dsub-dim dot products per candidate row. The
     # terms and their addition order are identical to the direct form,
     # so results are bit-for-bit unchanged.
-    def _adc_for(j: int) -> Column:
-        # NB: must be a ONE-arg lambda — F.transform treats a second
-        # lambda parameter as the array index, so a `j=j` default
-        # capture would silently rebind j to that index column.
-        return F.transform(
-            F.col("cws"),
-            lambda c: dot(F.col(f"qsub_{j}"), c["subs"][j]))
-
-    adc = F.array(*[_adc_for(j) for j in range(m)])
+    adc = _cached_expr("array(" + ", ".join(
+        f"transform(cws, c -> {_dot_sql(f'qsub_{j}', f'c.subs[{j}]')})"
+        for j in range(m)) + ")")
     q = (
         queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
                        norm(F.col(vec_col)).alias("q_norm"))
@@ -847,15 +850,13 @@ def ivfpq_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 *[sub(F.col("q_vec"), j).alias(f"qsub_{j}")
                   for j in range(m)])
         .select(query_id_col, "q_vec", "q_norm", adc.alias("adc"),
-                F.explode(probes(F.col("q_vec"), F.col("q_norm"), nprobe))
+                F.explode(probes("q_vec", "q_norm", nprobe))
                 .alias("centroid_id"))
     )
-    approx = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at(F.col("adc"), j + 1),
-            (F.element_at(F.col("codes"), j + 1) + 1).cast("int"))
-        approx = term if approx is None else approx + term
+    approx = _cached_expr("(" + " + ".join(
+        f"element_at(element_at(adc, {j + 1}), "
+        f"CAST(element_at(codes, {j + 1}) + 1 AS INT))"
+        for j in range(m)) + ")")
     # Only (query_id, id, approx) rides the shortlist shuffle — the
     # raw 64-float vectors are re-joined AFTER the cut, for the
     # shortlist rows alone. This is the load-bearing ADC property at
