@@ -148,14 +148,24 @@ def minhash_signatures_from_shingles(sh: DataFrame, n_hashes: int = 32,
     else:
         base = sh.withColumn(
             "__h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_31)))
+    # Cached SQL text (see similarity._cached_expr): composing 32
+    # universal-hash aggregates through the Column API costs ~0.5s of
+    # py4j driver time per invocation; the parsed expressions are
+    # identical arithmetic and memoized process-wide.
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _cached_expr,
+    )
+
     mins = [
-        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % _MERSENNE_31).alias(f"h{i}")
+        _cached_expr(f"min((__h * {a} + {b}) % {_MERSENNE_31})")
+        .alias(f"h{i}")
         for i, (a, b) in enumerate(fam)
     ]
     sig = base.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id",
-        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature"),
+        _cached_expr("array(" + ", ".join(
+            f"h{i}" for i in range(n_hashes)) + ")").alias("signature"),
     )
 
 
@@ -208,24 +218,26 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         sh = tracked_persist(shingles(docs, text_col, id_col, k, hashed=True))
         sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
 
-    def band_key(band: int):
-        cols = [F.col("signature")[band * rows_per_band + r]
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _cached_expr,
+    )
+
+    def band_key_sql(band: int) -> str:
+        refs = [f"signature[{band * rows_per_band + r}]"
                 for r in range(rows_per_band)]
         if engine_neutral:
-            return F.concat_ws("|", *[c.cast("string") for c in cols])
+            casted = ", ".join(f"CAST({r} AS STRING)" for r in refs)
+            return f"concat_ws('|', {casted})"
         # 8-byte join key instead of a concat'd string: the band's
         # sub-signature collapses through one xxhash64
-        return F.xxhash64(*cols)
+        return f"xxhash64({', '.join(refs)})"
 
+    banded_sql = "array(" + ", ".join(
+        f"named_struct('band', {band}, 'band_key', {band_key_sql(band)})"
+        for band in range(bands)) + ")"
     banded = sig.select(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(band).alias("band"),
-                         band_key(band).alias("band_key"))
-                for band in range(bands)
-            ])
-        ).alias("bb"),
+        F.explode(_cached_expr(banded_sql)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
