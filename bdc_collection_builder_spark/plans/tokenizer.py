@@ -318,3 +318,212 @@ def tk_greedy_segment_encode(spark, sf_dir):
         words.select("w", "cnt", n_pieces.alias("n_pieces"))
         .orderBy(F.col("cnt").desc(), "w").limit(50)
     )
+
+
+_VIT_CAP = 16    # word-length cap for the bounded DP (cf. greedy's 24)
+_VIT_TOP = 200   # seed-vocab size before single-char coverage union
+
+
+@query(
+    "tk_unigram_viterbi",
+    survey=("TK-seed", "TK-unigram"),
+    oracle=f"""
+        WITH RECURSIVE words AS (
+            SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
+                )) AS tok FROM documents
+            ) GROUP BY tok
+        ),
+        allp AS (
+            SELECT substr(w, CAST(i AS INTEGER), CAST(j AS INTEGER))
+                       AS piece,
+                   cnt
+            FROM (
+                SELECT w, cnt, i,
+                       unnest(generate_series(
+                           1, least(4, length(w) - i + 1))) AS j
+                FROM (SELECT w, cnt,
+                             unnest(generate_series(1, length(w))) AS i
+                      FROM words)
+            )
+        ),
+        pc AS (
+            SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_count
+            FROM allp GROUP BY piece
+        ),
+        vocab AS (
+            -- NB: explicit GROUP BY dedupe, NOT a bare UNION: inside a
+            -- WITH RECURSIVE block DuckDB gives UNION recursive-union
+            -- semantics and the overlap between the top-N arm and the
+            -- single-char arm survives (observed: duplicated pieces
+            -- and an inflated probability mass)
+            SELECT piece, max(piece_count) AS piece_count FROM (
+                SELECT piece, piece_count FROM (
+                    SELECT piece, piece_count,
+                           row_number() OVER (
+                               ORDER BY piece_count DESC, piece) AS rk
+                    FROM pc) WHERE rk <= {_VIT_TOP}
+                UNION ALL
+                SELECT piece, piece_count FROM pc WHERE length(piece) = 1
+            ) GROUP BY piece
+        ),
+        tot AS (SELECT CAST(sum(piece_count) AS DOUBLE) AS z FROM vocab),
+        wcap AS (
+            SELECT w, cnt, substr(w, 1, {_VIT_CAP}) AS cw,
+                   length(substr(w, 1, {_VIT_CAP})) AS l
+            FROM words
+        ),
+        edges AS (
+            SELECT x.w, x.i, x.j, CAST(v.piece_count AS DOUBLE) / t.z AS pr
+            FROM (
+                SELECT w, i - 1 AS i, i - 1 + j AS j,
+                       substr(cw, CAST(i AS INTEGER), CAST(j AS INTEGER))
+                           AS piece
+                FROM (
+                    SELECT w, cw, i,
+                           unnest(generate_series(
+                               1, least(4, l - i + 1))) AS j
+                    FROM (SELECT w, cw, l,
+                                 unnest(generate_series(1, l)) AS i
+                          FROM wcap)
+                )
+            ) x JOIN vocab v ON v.piece = x.piece CROSS JOIN tot t
+        ),
+        dp AS (
+            SELECT w, l, 0 AS step,
+                   [CAST(1.0 AS DOUBLE)] AS best,
+                   [CAST(1.0 AS DOUBLE)] AS alpha
+            FROM wcap
+            UNION ALL
+            SELECT d.w, d.l, d.step + 1,
+                   list_append(d.best, (
+                       SELECT max(d.best[e.i + 1] * e.pr)
+                       FROM edges e
+                       WHERE e.w = d.w AND e.j = d.step + 1)),
+                   list_append(d.alpha, (
+                       SELECT list_sum(
+                           list(d.alpha[e.i + 1] * e.pr ORDER BY e.i))
+                       FROM edges e
+                       WHERE e.w = d.w AND e.j = d.step + 1))
+            FROM dp d WHERE d.step < d.l
+        )
+        SELECT d.w, c.cnt,
+               d.best[d.l + 1] AS viterbi_prob,
+               d.alpha[d.l + 1] AS marginal_prob
+        FROM dp d JOIN wcap c ON c.w = d.w
+        WHERE d.step = d.l
+    """,
+)
+def tk_unigram_viterbi(spark, sf_dir):
+    """Unigram-LM word scoring — the E-step of SentencePiece unigram
+    training (Kudo 2018, public): under a piece vocabulary with
+    probabilities proportional to seed counts (top-{_VIT_TOP}
+    substrings + all single characters for coverage), compute per
+    dictionary word BOTH the Viterbi (best-segmentation) probability
+    and the forward-algorithm MARGINAL probability over all
+    segmentations — the two quantities EM needs (the marginal is the
+    normalizer for expected piece counts; Viterbi is the decode).
+
+    Everything stays in probability space (products, sums, max of
+    exact count ratios) — no ln/exp, so there is NO libm dependency
+    and the doubles are bit-identical across engines; the DP's
+    summation order is pinned (edges sorted (j, i), forward sums in
+    i-ascending order) and the DuckDB oracle replays it with a
+    list-state recursive CTE + ordered list_sum.
+
+    Scale shape: the DP runs over the word DICT (vocabulary-bounded,
+    never the corpus — tk_bpe_pair_counts' argument); edges come from
+    one bounded position×length explode joined to the broadcast vocab;
+    the per-word DP is ONE cached-SQL aggregate HOF over its sorted
+    edge array (≤ 4·{_VIT_CAP} edges, state = two ≤{_VIT_CAP}+1-slot
+    arrays), zero Python, zero extra shuffles."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _cached_expr,
+    )
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+    allp = (
+        words.select(
+            "w", "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"))
+        .select(
+            "w", "cnt", "i",
+            F.explode(F.sequence(
+                F.lit(1),
+                F.least(F.lit(4), F.length("w") - F.col("i") + 1)))
+            .alias("j"))
+        .select(F.col("w").substr(F.col("i"), F.col("j")).alias("piece"),
+                "cnt")
+    )
+    pc = allp.groupBy("piece").agg(
+        F.sum("cnt").cast("bigint").alias("piece_count"))
+    # top-N via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps), not a global row_number window (single-partition sort)
+    top = (pc.orderBy(F.col("piece_count").desc(), "piece")
+           .limit(_VIT_TOP))
+    singles = pc.filter(F.length("piece") == 1)
+    vocab = top.unionByName(singles).distinct()
+    tot = vocab.agg(F.sum("piece_count").cast("double").alias("z"))
+
+    wcap = words.select(
+        "w", "cnt", F.col("w").substr(F.lit(1), F.lit(_VIT_CAP)).alias("cw")
+    ).withColumn("l", F.length("cw"))
+    edges = (
+        wcap.select(
+            "w", "cw", "l",
+            F.explode(F.sequence(F.lit(1), F.col("l"))).alias("i"))
+        .select(
+            "w", "cw", "i",
+            F.explode(F.sequence(
+                F.lit(1),
+                F.least(F.lit(4), F.col("l") - F.col("i") + 1))).alias("j"))
+        .select(
+            "w", (F.col("i") - 1).alias("ei"),
+            (F.col("i") - 1 + F.col("j")).alias("ej"),
+            F.col("cw").substr(F.col("i"), F.col("j")).alias("piece"))
+        .join(F.broadcast(vocab), "piece")
+        .crossJoin(F.broadcast(tot))
+        .select("w", "ei", "ej",
+                (F.col("piece_count").cast("double") / F.col("z"))
+                .alias("pr"))
+    )
+    es = edges.groupBy("w").agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("ej").alias("j"), F.col("ei").alias("i"),
+                     F.col("pr").alias("pr")))).alias("es"))
+    dp_sql = """
+        aggregate(
+            es,
+            named_struct(
+                'best', transform(sequence(0, l),
+                                  p -> IF(p = 0, CAST(1.0 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE))),
+                'alpha', transform(sequence(0, l),
+                                   p -> IF(p = 0, CAST(1.0 AS DOUBLE),
+                                           CAST(0.0 AS DOUBLE)))),
+            (acc, e) -> named_struct(
+                'best', transform(sequence(0, l),
+                    p -> IF(p = e.j,
+                            greatest(acc.best[p], acc.best[e.i] * e.pr),
+                            acc.best[p])),
+                'alpha', transform(sequence(0, l),
+                    p -> IF(p = e.j,
+                            acc.alpha[p] + acc.alpha[e.i] * e.pr,
+                            acc.alpha[p]))),
+            acc -> named_struct('v', acc.best[l], 'm', acc.alpha[l]))
+    """
+    scored = (
+        wcap.join(es, "w")
+        .select("w", "cnt", "l", "es")
+        .select("w", "cnt", _cached_expr(dp_sql).alias("dp"))
+    )
+    return scored.select(
+        "w", "cnt",
+        F.col("dp.v").alias("viterbi_prob"),
+        F.col("dp.m").alias("marginal_prob"))

@@ -85,6 +85,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "cu_dsir_resample",      # one-row vocab-total attach
         "tx_bigram_logprob",     # one-row vocab-size attach
         "tx_kneser_ney_bigram",  # one-row bigram-type-total attach
+        "tk_unigram_viterbi",    # one-row vocab-mass attach
         "a19_price_histogram",   # one-row min/max-bounds attach
         "dd_semantic_dedup",     # one-row centroid-array attach
         "ss_kmeans_assign",      # one-row centroid-array attach per round
