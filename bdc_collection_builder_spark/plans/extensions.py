@@ -2928,3 +2928,113 @@ def cu_filter_funnel(spark, sf_dir):
                 F.round(F.col("n_docs").cast("double") / F.col("tot"), 4)
                 .alias("pct"))
     )
+
+
+_PCA_SCALE = 1048576  # 2^20 fixed-point quantum for contribution sums
+_PCA_DIM = 64
+
+_PCA_ROUND_SQL = """
+    s{k} AS (
+        SELECT e.vec_id, e.embedding,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * {vexpr})) AS s
+        FROM embeddings e{vfrom}
+    ),
+    c{k} AS (
+        SELECT dd.d,
+               CAST(floor(s{k}.s * CAST(s{k}.embedding[dd.d] AS DOUBLE)
+                          * 1048576.0) AS BIGINT) AS c
+        FROM s{k}, (SELECT unnest(generate_series(1, 64)) AS d) dd
+    ),
+    q{k} AS (SELECT d, CAST(sum(c) AS BIGINT) AS q FROM c{k} GROUP BY d),
+    y{k} AS (
+        SELECT list(CAST(q AS DOUBLE) / 1048576.0 ORDER BY d) AS y
+        FROM q{k}
+    ),
+    n{k} AS (
+        SELECT y, sqrt(list_sum(list_transform(y, v -> v * v))) AS nrm
+        FROM y{k}
+    ),
+    v{k} AS (SELECT list_transform(y, v -> v / nrm) AS v FROM n{k})
+"""
+
+
+@query(
+    "ss_pca_power_iteration",
+    survey=("SS-pca",),
+    oracle="WITH "
+    + _PCA_ROUND_SQL.format(k=1, vexpr="CAST(0.125 AS DOUBLE)", vfrom="")
+    + ","
+    + _PCA_ROUND_SQL.format(k=2, vexpr="v1.v[i]", vfrom=", v1")
+    + """
+    SELECT dd.d - 1 AS dim,
+           n2.y[dd.d] / n2.nrm AS component,
+           n2.nrm AS eigenvalue
+    FROM (SELECT unnest(generate_series(1, 64)) AS d) dd, n2
+""",
+)
+def ss_pca_power_iteration(spark, sf_dir):
+    """Top principal direction of the embedding corpus by two power-
+    iteration rounds (y ← Σ_r x_r·(x_rᵀv), normalize) — the embedding
+    whitening/anisotropy primitive (dominant-direction removal is the
+    standard post-processing for sentence embeddings, and the top
+    eigenvalue is the anisotropy diagnostic).
+
+    The load-bearing trick is DETERMINISTIC DISTRIBUTED SUMMATION:
+    a corpus-wide float sum's value depends on partition merge order,
+    so instead each row's per-dimension contribution s·x_d is
+    quantized to fixed-point (floor(·2^20) as BIGINT) and summed as
+    integers — associative, commutative, byte-identical on any
+    cluster, any partitioning, and any engine (the reproducible-
+    reduction pattern production numerics use). Everything else
+    (row-local dots, the 64-term norm, the final division) has a
+    pinned evaluation order. No libm beyond IEEE-exact sqrt/division.
+
+    Scale shape per round: one narrow pass over the corpus (dot +
+    explode), ONE 64-group integer aggregate, and a one-row broadcast
+    carrying v to the next round. State between rounds is 64 doubles.
+    """
+    from bdc_collection_builder_spark.extensions.similarity import dot
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def pca_round(v_row):
+        """One power-iteration round; v_row is a one-row DF (v: array)."""
+        scored = (
+            emb.crossJoin(F.broadcast(v_row))
+            .select("vec_id", "embedding",
+                    dot(F.col("embedding"), F.col("v")).alias("s"))
+        )
+        contrib = scored.select(
+            F.posexplode("embedding").alias("d0", "x"),
+            (F.floor(F.col("s") * F.col("x").cast("double")
+                     * F.lit(float(_PCA_SCALE)))).cast("bigint").alias("c"))
+        q = (contrib.groupBy((F.col("d0") + 1).alias("d"))
+             .agg(F.sum("c").cast("bigint").alias("q")))
+        yrow = q.agg(F.array_sort(F.collect_list(
+            F.struct("d", (F.col("q").cast("double")
+                           / F.lit(float(_PCA_SCALE))).alias("y"))))
+            .alias("dy"))
+        yrow = yrow.select(
+            F.expr("transform(dy, s -> s.y)").alias("y"))
+        nrow = yrow.select(
+            "y",
+            F.sqrt(F.expr(
+                "aggregate(transform(y, v -> v * v), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).alias("nrm"))
+        vrow = nrow.select(
+            F.expr("transform(y, v -> v / nrm)").alias("v"), "y", "nrm")
+        return vrow
+
+    v0 = spark.range(1).select(
+        F.expr(f"transform(sequence(1, {_PCA_DIM}), "
+               "i -> CAST(0.125 AS DOUBLE))").alias("v"))
+    r1 = pca_round(v0).select("v")
+    r2 = pca_round(r1)
+    return (
+        r2.select(
+            F.posexplode(F.expr("transform(y, v -> v / nrm)"))
+            .alias("dim", "component"),
+            F.col("nrm").alias("eigenvalue"))
+        .select("dim", "component", "eigenvalue")
+    )
