@@ -527,3 +527,112 @@ def tk_unigram_viterbi(spark, sf_dir):
         "w", "cnt",
         F.col("dp.v").alias("viterbi_prob"),
         F.col("dp.m").alias("marginal_prob"))
+
+
+# adjacent symbol pairs of a space-segmented word string, as SQL text
+# shared by both engines' merge round
+_SEG_PAIRS = """
+    SELECT w, cnt, toks[i] AS s1, toks[i + 1] AS s2
+    FROM (
+        SELECT w, cnt,
+               list_filter(string_split({seg}, ' '), x -> x <> '') AS toks
+        FROM {src}
+    ), unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    WHERE len(toks) >= 2
+"""
+
+
+@query(
+    "tk_bpe_merge_round",
+    survey=("TK-bpe",),
+    oracle="WITH " + _WORD_DICT + r""",
+    seg0 AS (
+        SELECT w, cnt,
+               ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seg
+        FROM words
+    ),
+    p0 AS (""" + _SEG_PAIRS.format(seg="seg", src="seg0") + """),
+    c0 AS (
+        SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS c
+        FROM p0 GROUP BY s1, s2
+    ),
+    top1 AS (
+        SELECT s1, s2 FROM c0 ORDER BY c DESC, s1, s2 LIMIT 1
+    ),
+    seg1 AS (
+        SELECT g.w, g.cnt,
+               replace(g.seg, ' ' || t.s1 || ' ' || t.s2 || ' ',
+                       ' ' || t.s1 || t.s2 || ' ') AS seg
+        FROM seg0 g CROSS JOIN top1 t
+    ),
+    p1 AS (""" + _SEG_PAIRS.format(seg="seg", src="seg1") + """),
+    c1 AS (
+        SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS c
+        FROM p1 GROUP BY s1, s2
+    )
+    SELECT c1.s1, c1.s2, c1.c AS pair_count,
+           t.s1 || t.s2 AS merged_symbol
+    FROM c1 CROSS JOIN top1 t
+    ORDER BY pair_count DESC, c1.s1, c1.s2 LIMIT 50
+""",
+)
+def tk_bpe_merge_round(spark, sf_dir):
+    """One FULL BPE merge round (Sennrich et al. 2016, public) — not
+    just the pair statistic (tk_bpe_pair_counts) but the training
+    loop's body: pick the argmax pair (ties to the lexicographically
+    smallest, a fixed rule both engines share), apply the merge to
+    every word's segmentation, and recount — the post-merge pair table
+    is exactly the input of merge round 2, so iterating this query IS
+    BPE training. The segmentation is a space-joined symbol string;
+    the merge is a literal (non-regex) replace of ' s1 s2 ' with
+    ' s1s2 ' whose left-to-right non-overlapping semantics are
+    identical in the JVM and DuckDB — no tokenizer state object, the
+    corpus-wide merge is one codegen'd string op over the word DICT
+    (vocabulary-bounded; the corpus is never touched after the dict
+    scan). The chosen pair rides as a one-row broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+    seg0 = words.select(
+        "w", "cnt",
+        F.concat(F.lit(" "),
+                 F.regexp_replace("w", "(.)", "$1 ")).alias("seg"))
+
+    def pair_counts(seg_df):
+        toks = F.filter(F.split(F.col("seg"), " "), lambda x: x != "")
+        with_toks = seg_df.select("cnt", toks.alias("toks")).filter(
+            F.size("toks") >= 2)
+        pairs = with_toks.select(
+            "cnt",
+            F.explode(F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> named_struct('s1', toks[i - 1], 's2', toks[i]))"))
+            .alias("p"))
+        return (pairs.select(F.col("p.s1").alias("s1"),
+                             F.col("p.s2").alias("s2"), "cnt")
+                .groupBy("s1", "s2")
+                .agg(F.sum("cnt").cast("bigint").alias("c")))
+
+    c0 = pair_counts(seg0)
+    top1 = c0.orderBy(F.col("c").desc(), "s1", "s2").limit(1) \
+        .select(F.col("s1").alias("m1"), F.col("s2").alias("m2"))
+    seg1 = (
+        seg0.crossJoin(F.broadcast(top1))
+        .select(
+            "w", "cnt",
+            F.replace(
+                F.col("seg"),
+                F.concat(F.lit(" "), F.col("m1"), F.lit(" "),
+                         F.col("m2"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("m1"), F.col("m2"),
+                         F.lit(" "))).alias("seg"))
+    )
+    c1 = pair_counts(seg1)
+    return (
+        c1.crossJoin(F.broadcast(top1))
+        .select("s1", "s2", F.col("c").alias("pair_count"),
+                F.concat(F.col("m1"), F.col("m2")).alias("merged_symbol"))
+        .orderBy(F.col("pair_count").desc(), "s1", "s2").limit(50)
+    )
