@@ -445,3 +445,90 @@ def dq_volume_anomaly(spark, sf_dir):
         .alias("robust_z"),
         F.when(F.col("mad") == 0, F.col("n_events") != F.col("med"))
         .otherwise(F.abs(z) > _AN_THRESH).alias("is_anomaly"))
+
+
+@query(
+    "dq_ks_drift",
+    survey=("DQ-drift",),
+    oracle="""
+        WITH ev AS (
+            SELECT event_type, value, event_id % 2 AS half FROM events
+        ),
+        per_value AS (
+            SELECT event_type, value,
+                   CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cb
+            FROM ev GROUP BY event_type, value
+        ),
+        totals AS (
+            SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb
+            FROM per_value GROUP BY event_type
+        ),
+        cdf AS (
+            SELECT p.event_type,
+                   sum(p.ca) OVER (PARTITION BY p.event_type
+                                   ORDER BY p.value) AS cuma,
+                   sum(p.cb) OVER (PARTITION BY p.event_type
+                                   ORDER BY p.value) AS cumb,
+                   t.na, t.nb
+            FROM per_value p JOIN totals t USING (event_type)
+        )
+        SELECT event_type, any_value(na) AS n_a, any_value(nb) AS n_b,
+               round(max(abs(CAST(cuma AS DOUBLE) / na
+                             - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_stat,
+               round(max(abs(CAST(cuma AS DOUBLE) / na
+                             - CAST(cumb AS DOUBLE) / nb))
+                     * sqrt(CAST(any_value(na) AS DOUBLE)
+                            * any_value(nb)
+                            / (any_value(na) + any_value(nb))), 6)
+                   AS ks_scaled
+        FROM cdf GROUP BY event_type
+    """,
+)
+def dq_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test per event type — the
+    nonparametric complement to dq_psi_drift's binned PSI/KL: PSI needs
+    a bin design and goes blind to within-bin shifts; KS is the exact
+    sup-distance between the two halves' empirical CDFs, with the
+    scaled statistic D·sqrt(n_a·n_b/(n_a+n_b)) comparable against the
+    standard Kolmogorov critical values (1.36 ≈ α=0.05).
+
+    Exact and deterministic: per-(type, value) counts, one ordered
+    cumulative-sum window per type (parallel across types), and a max
+    aggregate — integer counts, order-free max, IEEE-exact sqrt, so
+    the statistic hashes identically cross-engine. One corpus shuffle
+    (the value-grouped count); the CDF walk runs on the distinct-value
+    table, which is bounded by the value domain, not the event count.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % 2).alias("half"))
+    per_value = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint").alias("cb"))
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"))
+    w = (Window.partitionBy("event_type").orderBy("value")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cdf = (
+        per_value.join(F.broadcast(totals), "event_type")
+        .select("event_type", "na", "nb",
+                F.sum("ca").over(w).alias("cuma"),
+                F.sum("cb").over(w).alias("cumb"))
+    )
+    diff = F.abs(F.col("cuma").cast("double") / F.col("na")
+                 - F.col("cumb").cast("double") / F.col("nb"))
+    return cdf.groupBy("event_type").agg(
+        F.first("na").alias("n_a"), F.first("nb").alias("n_b"),
+        F.round(F.max(diff), 6).alias("ks_stat"),
+        F.round(
+            F.max(diff) * F.sqrt(
+                F.first("na").cast("double") * F.first("nb")
+                / (F.first("na") + F.first("nb"))), 6).alias("ks_scaled"))
