@@ -107,8 +107,17 @@ def _load_all() -> None:
 # deferred (cu_dataset_card, cu_dsir_resample, cu_reservoir_per_group,
 # cu_weighted_sample_es, tx_bigram/unigram_logprob, tx_c4_line_filter,
 # tx_ccnet_buckets, tx_line/span_dedup, tx_token_entropy) rotate in
-# round 5. Everything else follows in registration order — nothing
-# dropped, only reordered.
+# round 5, together with the 6 queries newly oracled this round
+# (s09_glob_discovery, st_incremental_near_dedup, x14_footprint_hull,
+# cu_pack_sequences_ffd, ss_ivf_incremental_upsert,
+# s27_docker_correction) and the 15 round-4-continuation additions
+# (px_focal_mean3x3, px_sobel_edges, sk_kmv_overlap,
+# gr_label_propagation, tx_kneser_ney_bigram, st_late_data_audit,
+# ss_multiprobe_lsh_topk, cu_epoch_repeat_plan, dq_volume_anomaly,
+# tk_unigram_viterbi, ss_pca_power_iteration, tk_bpe_merge_round,
+# dq_ks_drift, cu_filter_funnel, ...) — ~32 of the 50 round-5 slots,
+# plus any round-4 reds as retries. Everything else follows in
+# registration order — nothing dropped, only reordered.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # round-3 hash mismatch — signed zero normalized on both engines
     "x17b_geometry_accessors",
