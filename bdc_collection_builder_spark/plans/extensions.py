@@ -2959,6 +2959,46 @@ _PCA_ROUND_SQL = """
 """
 
 
+def _pca_power_rounds(spark, emb):
+    """Two fixed-point power-iteration rounds over ``emb``; returns a
+    one-row DF (v: unit direction, y: unnormalized image, nrm: |y|).
+    See ss_pca_power_iteration for the determinism contract."""
+    from bdc_collection_builder_spark.extensions.similarity import dot
+
+    def pca_round(v_row):
+        scored = (
+            emb.crossJoin(F.broadcast(v_row))
+            .select("vec_id", "embedding",
+                    dot(F.col("embedding"), F.col("v")).alias("s"))
+        )
+        contrib = scored.select(
+            F.posexplode("embedding").alias("d0", "x"),
+            (F.floor(F.col("s") * F.col("x").cast("double")
+                     * F.lit(float(_PCA_SCALE)))).cast("bigint").alias("c"))
+        q = (contrib.groupBy((F.col("d0") + 1).alias("d"))
+             .agg(F.sum("c").cast("bigint").alias("q")))
+        yrow = q.agg(F.array_sort(F.collect_list(
+            F.struct("d", (F.col("q").cast("double")
+                           / F.lit(float(_PCA_SCALE))).alias("y"))))
+            .alias("dy"))
+        yrow = yrow.select(
+            F.expr("transform(dy, s -> s.y)").alias("y"))
+        nrow = yrow.select(
+            "y",
+            F.sqrt(F.expr(
+                "aggregate(transform(y, v -> v * v), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).alias("nrm"))
+        return nrow.select(
+            F.expr("transform(y, v -> v / nrm)").alias("v"), "y", "nrm")
+
+    v0 = spark.range(1).select(
+        F.expr(f"transform(sequence(1, {_PCA_DIM}), "
+               "i -> CAST(0.125 AS DOUBLE))").alias("v"))
+    r1 = pca_round(v0).select("v")
+    return pca_round(r1)
+
+
+
 @query(
     "ss_pca_power_iteration",
     survey=("SS-pca",),
@@ -2994,43 +3034,8 @@ def ss_pca_power_iteration(spark, sf_dir):
     explode), ONE 64-group integer aggregate, and a one-row broadcast
     carrying v to the next round. State between rounds is 64 doubles.
     """
-    from bdc_collection_builder_spark.extensions.similarity import dot
-
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def pca_round(v_row):
-        """One power-iteration round; v_row is a one-row DF (v: array)."""
-        scored = (
-            emb.crossJoin(F.broadcast(v_row))
-            .select("vec_id", "embedding",
-                    dot(F.col("embedding"), F.col("v")).alias("s"))
-        )
-        contrib = scored.select(
-            F.posexplode("embedding").alias("d0", "x"),
-            (F.floor(F.col("s") * F.col("x").cast("double")
-                     * F.lit(float(_PCA_SCALE)))).cast("bigint").alias("c"))
-        q = (contrib.groupBy((F.col("d0") + 1).alias("d"))
-             .agg(F.sum("c").cast("bigint").alias("q")))
-        yrow = q.agg(F.array_sort(F.collect_list(
-            F.struct("d", (F.col("q").cast("double")
-                           / F.lit(float(_PCA_SCALE))).alias("y"))))
-            .alias("dy"))
-        yrow = yrow.select(
-            F.expr("transform(dy, s -> s.y)").alias("y"))
-        nrow = yrow.select(
-            "y",
-            F.sqrt(F.expr(
-                "aggregate(transform(y, v -> v * v), "
-                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).alias("nrm"))
-        vrow = nrow.select(
-            F.expr("transform(y, v -> v / nrm)").alias("v"), "y", "nrm")
-        return vrow
-
-    v0 = spark.range(1).select(
-        F.expr(f"transform(sequence(1, {_PCA_DIM}), "
-               "i -> CAST(0.125 AS DOUBLE))").alias("v"))
-    r1 = pca_round(v0).select("v")
-    r2 = pca_round(r1)
+    r2 = _pca_power_rounds(spark, emb)
     return (
         r2.select(
             F.posexplode(F.expr("transform(y, v -> v / nrm)"))
@@ -3038,3 +3043,60 @@ def ss_pca_power_iteration(spark, sf_dir):
             F.col("nrm").alias("eigenvalue"))
         .select("dim", "component", "eigenvalue")
     )
+
+
+@query(
+    "ss_whiten_remove_pc",
+    survey=("SS-pca",),
+    oracle="WITH "
+    + _PCA_ROUND_SQL.format(k=1, vexpr="CAST(0.125 AS DOUBLE)", vfrom="")
+    + ","
+    + _PCA_ROUND_SQL.format(k=2, vexpr="v1.v[i]", vfrom=", v1")
+    + """
+    , proj AS (
+        SELECT e.vec_id, e.embedding,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * v2.v[i])) AS s
+        FROM embeddings e, v2
+    )
+    SELECT p.vec_id,
+           round(p.s, 6) AS pc_coeff,
+           round(sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> (CAST(p.embedding[i] AS DOUBLE) - p.s * v2.v[i])
+                    * (CAST(p.embedding[i] AS DOUBLE) - p.s * v2.v[i])))),
+                 6) AS residual_norm
+    FROM proj p, v2
+""",
+)
+def ss_whiten_remove_pc(spark, sf_dir):
+    """Dominant-direction removal ("all-but-the-top", Mu & Viswanath
+    2018, public) — the USE of ss_pca_power_iteration's eigenvector:
+    sentence-embedding spaces are anisotropic (one direction carries
+    corpus-wide drift, inflating every cosine), and subtracting each
+    vector's projection onto it measurably improves similarity search
+    and semantic dedup. Emits per vector its coefficient along the
+    top direction and the residual norm — the whitened magnitude the
+    downstream ANN/dedup operators would index.
+
+    Same determinism contract as the PCA query (fixed-point direction
+    estimate, pinned-order per-row arithmetic); the direction rides as
+    a one-row broadcast and the projection/residual pass is a single
+    narrow map over the corpus."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v2 = _pca_power_rounds(spark, emb).select("v")
+    proj = (
+        emb.crossJoin(F.broadcast(v2))
+        .select("vec_id", "embedding", "v",
+                F.expr(
+                    "aggregate(zip_with(embedding, v, (x, vv) -> "
+                    "CAST(x AS DOUBLE) * vv), CAST(0.0 AS DOUBLE), "
+                    "(acc, z) -> acc + z)").alias("s"))
+    )
+    resid = F.expr(
+        "sqrt(aggregate(zip_with(embedding, v, (x, vv) -> "
+        "(CAST(x AS DOUBLE) - s * vv) * (CAST(x AS DOUBLE) - s * vv)), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z))")
+    return proj.select(
+        "vec_id",
+        F.round("s", 6).alias("pc_coeff"),
+        F.round(resid, 6).alias("residual_norm"))
