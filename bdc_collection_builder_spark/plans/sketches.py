@@ -366,3 +366,194 @@ def sk_kmv_distinct(spark, sf_dir):
         / (F.col("vk").cast("double") / F.lit(float(1 << 60))))
     return stats.select(
         "event_type", "n_exact", F.round(estimate, 2).alias("kmv_estimate"))
+
+
+_JC_EST = f"""(CASE WHEN {{p}}_size < {_OV_K} THEN CAST({{p}}_size AS DOUBLE)
+        ELSE CAST({_OV_K - 1} AS DOUBLE)
+             / (CAST({{p}}_vk AS DOUBLE) / CAST({_TWO60} AS DOUBLE)) END)"""
+
+
+@query(
+    "sk_join_cardinality",
+    survey=("SK-kmv", "J6"),
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type, user_id,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS h
+        FROM events
+    ),
+    mult AS (
+        SELECT event_type, user_id, h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM keyed GROUP BY 1, 2, 3
+    ),
+    side AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS d
+        FROM mult GROUP BY event_type
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rk
+            FROM (SELECT DISTINCT event_type, h FROM mult))
+        WHERE rk <= {_OV_K}
+    ),
+    sstat AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS s_size,
+               max(h) AS s_vk
+        FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+        FROM sk a JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+    ),
+    uni AS (
+        SELECT p.ta, p.tb, s.h,
+               max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS ia,
+               max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS ib
+        FROM pairs p
+        JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb
+        GROUP BY 1, 2, 3
+    ),
+    bott AS (
+        SELECT * FROM (
+            SELECT ta, tb, h, ia, ib,
+                   row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+            FROM uni)
+        WHERE rk <= {_OV_K}
+    ),
+    inter AS (
+        SELECT ta, tb,
+               CAST(count(*) AS BIGINT) AS u_size,
+               max(h) AS u_vk,
+               CAST(sum(ia * ib) AS BIGINT) AS x
+        FROM bott GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(sum(a.c * b.c) AS BIGINT) AS exact_join_rows
+        FROM mult a JOIN mult b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.ta AS type_a, i.tb AS type_b,
+           ssa.n AS n_a, ssb.n AS n_b,
+           e.exact_join_rows,
+           round(
+               (CAST(i.x AS DOUBLE) / i.u_size
+                * (CASE WHEN i.u_size < {_OV_K}
+                        THEN CAST(i.u_size AS DOUBLE)
+                        ELSE CAST({_OV_K - 1} AS DOUBLE)
+                             / (CAST(i.u_vk AS DOUBLE)
+                                / CAST({_TWO60} AS DOUBLE)) END))
+               * (ssa.n / {_JC_EST.format(p="sa.s")})
+               * (ssb.n / {_JC_EST.format(p="sb.s")}), 2)
+               AS est_join_rows
+    FROM inter i
+    JOIN exact e ON e.ta = i.ta AND e.tb = i.tb
+    JOIN sstat sa ON sa.event_type = i.ta
+    JOIN sstat sb ON sb.event_type = i.tb
+    JOIN side ssa ON ssa.event_type = i.ta
+    JOIN side ssb ON ssb.event_type = i.tb
+""",
+)
+def sk_join_cardinality(spark, sf_dir):
+    """Sketch-based equi-join SIZE estimation — the cost-based-
+    optimizer statistic: for every pair of event types, estimate
+    |A ⋈_user B| from per-type KMV sketches alone as
+    D̂(A∩B) · (n_A/D̂_A) · (n_B/D̂_B) (intersection of distinct keys
+    times the average multiplicities under the independence
+    assumption — the textbook CBO formula), reported beside the exact
+    join cardinality so the estimator's error is visible. A planner
+    with these O(k)-byte sketches can choose broadcast-vs-shuffle and
+    detect exploding joins WITHOUT touching the fact table twice.
+
+    Pure function of the md5 key hashes (bottom-k selection, rational
+    arithmetic), so the DuckDB oracle pins it bit-for-bit. The
+    full-corpus work is one (type, user) count aggregate and one
+    per-type bottom-k window; everything pairwise runs on k-row
+    sketches. The exact side (for the error report) is a key-grouped
+    self-join — the thing the ESTIMATOR exists to avoid at scale."""
+    from pyspark.sql import Window
+
+    keyed = t(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        md5_hash60(F.col("user_id").cast("string")).alias("h"))
+    mult = keyed.groupBy("event_type", "user_id", "h").agg(
+        F.count("*").cast("bigint").alias("c"))
+    side = mult.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("d"))
+    w_t = Window.partitionBy("event_type").orderBy("h")
+    sk = (mult.select("event_type", "h").distinct()
+          .withColumn("rk", F.row_number().over(w_t))
+          .filter(F.col("rk") <= _OV_K).drop("rk"))
+    sstat = sk.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("s_size"),
+        F.max("h").alias("s_vk"))
+    pairs = (
+        sk.alias("a").join(sk.alias("b"), "h")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(F.col("a.event_type").alias("ta"),
+                F.col("b.event_type").alias("tb"))
+        .distinct()
+    )
+    ua = (F.broadcast(pairs)
+          .join(sk, F.col("event_type") == F.col("ta"))
+          .select("ta", "tb", "h", F.lit(1).alias("ia"),
+                  F.lit(0).alias("ib")))
+    ub = (F.broadcast(pairs)
+          .join(sk, F.col("event_type") == F.col("tb"))
+          .select("ta", "tb", "h", F.lit(0).alias("ia"),
+                  F.lit(1).alias("ib")))
+    uni = ua.unionByName(ub).groupBy("ta", "tb", "h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    w_p = Window.partitionBy("ta", "tb").orderBy("h")
+    bott = (uni.withColumn("rk", F.row_number().over(w_p))
+            .filter(F.col("rk") <= _OV_K))
+    inter = bott.groupBy("ta", "tb").agg(
+        F.count("*").cast("bigint").alias("u_size"),
+        F.max("h").alias("u_vk"),
+        F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("x"))
+    exact = (
+        mult.alias("a").join(mult.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(F.col("a.event_type").alias("ta"),
+                 F.col("b.event_type").alias("tb"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint")
+             .alias("exact_join_rows"))
+    )
+
+    def kmv_est(size_col, vk_col):
+        return F.when(
+            size_col < _OV_K, size_col.cast("double")
+        ).otherwise(
+            F.lit(float(_OV_K - 1))
+            / (vk_col.cast("double") / F.lit(float(_TWO60))))
+
+    inter_est = (F.col("x").cast("double") / F.col("u_size")
+                 * kmv_est(F.col("u_size"), F.col("u_vk")))
+    sa = sstat.select(F.col("event_type").alias("ta"),
+                      F.col("s_size").alias("sa_size"),
+                      F.col("s_vk").alias("sa_vk"))
+    sb = sstat.select(F.col("event_type").alias("tb"),
+                      F.col("s_size").alias("sb_size"),
+                      F.col("s_vk").alias("sb_vk"))
+    na = side.select(F.col("event_type").alias("ta"),
+                     F.col("n").alias("n_a"))
+    nb = side.select(F.col("event_type").alias("tb"),
+                     F.col("n").alias("n_b"))
+    est = (inter_est
+           * (F.col("n_a") / kmv_est(F.col("sa_size"), F.col("sa_vk")))
+           * (F.col("n_b") / kmv_est(F.col("sb_size"), F.col("sb_vk"))))
+    return (
+        inter.join(exact, ["ta", "tb"])
+        .join(F.broadcast(sa), "ta").join(F.broadcast(sb), "tb")
+        .join(F.broadcast(na), "ta").join(F.broadcast(nb), "tb")
+        .select(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+                "n_a", "n_b", "exact_join_rows",
+                F.round(est, 2).alias("est_join_rows"))
+    )
