@@ -319,3 +319,200 @@ def tj_scd2_dimension_join(spark, sf_dir):
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+_LTTB_T = 12          # output points (first + 10 buckets + last)
+_LTTB_NB = _LTTB_T - 2
+
+# shared sub-expressions (identical text both engines modulo indexing):
+# bucket id of middle point j (1-based over the middle) with m middles
+# is floor((j-1)*NB/m); bucket averages are exact-integer sums / count.
+
+
+def _lttb_spark_expr() -> str:
+    nb = _LTTB_NB
+    last_x = "CAST(element_at(pts, -1).di AS DOUBLE)"
+    last_y = "CAST(element_at(pts, -1).y AS DOUBLE)"
+    nx = f"IF(k < {nb - 1}, bstats[CAST(k + 1 AS INT)].ax, {last_x})"
+    ny = f"IF(k < {nb - 1}, bstats[CAST(k + 1 AS INT)].ay, {last_y})"
+    best = f"""element_at(array_sort(transform(
+        filter(mids, q -> q.b = k),
+        q -> named_struct(
+            'na', -abs((acc.px - {nx}) * (CAST(q.y AS DOUBLE) - acc.py)
+                       - (acc.px - CAST(q.di AS DOUBLE))
+                         * ({ny} - acc.py)),
+            'di', q.di, 'y', q.y))), 1)"""
+    return f"""
+    IF(size(pts) <= {_LTTB_T}, pts,
+       aggregate(
+           sequence(0, {nb - 1}),
+           named_struct(
+               'px', CAST(pts[0].di AS DOUBLE),
+               'py', CAST(pts[0].y AS DOUBLE),
+               'sel', CAST(array() AS ARRAY<STRUCT<di: BIGINT, y: BIGINT>>)),
+           (acc, k) -> named_struct(
+               'px', CAST({best}.di AS DOUBLE),
+               'py', CAST({best}.y AS DOUBLE),
+               'sel', concat(acc.sel, array(named_struct(
+                   'di', {best}.di, 'y', {best}.y)))),
+           acc -> concat(array(pts[0]), acc.sel,
+                         array(element_at(pts, -1)))))
+    """
+
+
+_LTTB_PREP_SQL = """
+    daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01',
+                    CAST({ts} AS DATE)) AS BIGINT) AS di,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list_sort(list(struct_pack(di := di, y := y))) AS pts
+        FROM daily GROUP BY event_type
+    ),
+    prep AS (
+        SELECT event_type, pts, len(pts) - 2 AS m,
+               list_transform(generate_series(1, len(pts) - 2),
+                   j -> struct_pack(
+                       di := pts[j + 1].di, y := pts[j + 1].y,
+                       b := CAST(floor((j - 1) * {nb} / (len(pts) - 2))
+                                 AS BIGINT))) AS mids
+        FROM series
+    ),
+    pb AS (
+        SELECT event_type, pts, mids,
+               list_transform(generate_series(0, {nb} - 1),
+                   k -> struct_pack(
+                       ax := CAST(list_sum(list_transform(
+                                 list_filter(mids, q -> q.b = k),
+                                 q -> q.di)) AS DOUBLE)
+                             / len(list_filter(mids, q -> q.b = k)),
+                       ay := CAST(list_sum(list_transform(
+                                 list_filter(mids, q -> q.b = k),
+                                 q -> q.y)) AS DOUBLE)
+                             / len(list_filter(mids, q -> q.b = k))))
+                   AS bstats
+        FROM prep
+    )
+"""
+
+
+@query(
+    "tj_lttb_downsample",
+    survey=("TJ-resample", "Y6"),
+    oracle="WITH RECURSIVE "
+    + _LTTB_PREP_SQL.format(ts=_TS, nb=_LTTB_NB)
+    + f""",
+    lt AS (
+        SELECT event_type, pts, mids, bstats, 0 AS k,
+               CAST(pts[1].di AS DOUBLE) AS px,
+               CAST(pts[1].y AS DOUBLE) AS py,
+               CAST([] AS STRUCT(di BIGINT, y BIGINT)[]) AS sel
+        FROM pb WHERE len(pts) > {_LTTB_T}
+        UNION ALL
+        SELECT event_type, pts, mids, bstats, k + 1,
+               CAST(best.di AS DOUBLE), CAST(best.y AS DOUBLE),
+               list_append(sel, struct_pack(di := best.di, y := best.y))
+        FROM (
+            SELECT *,
+                list_sort(list_transform(
+                    list_filter(mids, q -> q.b = k),
+                    q -> struct_pack(
+                        na := -abs((px - (CASE WHEN k < {_LTTB_NB - 1}
+                                   THEN bstats[k + 2].ax
+                                   ELSE CAST(pts[len(pts)].di AS DOUBLE)
+                                   END)) * (CAST(q.y AS DOUBLE) - py)
+                              - (px - CAST(q.di AS DOUBLE))
+                                * ((CASE WHEN k < {_LTTB_NB - 1}
+                                    THEN bstats[k + 2].ay
+                                    ELSE CAST(pts[len(pts)].y AS DOUBLE)
+                                    END) - py)),
+                        di := q.di, y := q.y)))[1] AS best
+            FROM lt WHERE k < {_LTTB_NB}
+        )
+    ),
+    picked AS (
+        SELECT event_type,
+               [pts[1]] || sel || [pts[len(pts)]] AS sel
+        FROM lt WHERE k = {_LTTB_NB}
+        UNION ALL
+        SELECT event_type, pts AS sel
+        FROM pb WHERE len(pts) <= {_LTTB_T}
+    )
+    SELECT event_type,
+           CAST(generate_subscripts(sel, 1) AS INTEGER) - 1 AS pos,
+           unnest(list_transform(sel, s -> s.di)) AS day_idx,
+           unnest(list_transform(sel, s -> s.y)) AS n_events
+    FROM picked
+""",
+)
+def tj_lttb_downsample(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+    public; TimescaleDB toolkit ships it as `lttb`) of each event
+    type's daily-volume series to {_LTTB_T} points: the
+    dashboard-rendering operator that keeps the VISUAL shape (peaks,
+    cliffs) a plain strided/avg decimation destroys. First/last points
+    are pinned; each of the {_LTTB_NB} interior buckets contributes
+    the point maximizing the triangle area against the previously
+    SELECTED point and the next bucket's centroid — a sequential
+    dependency, run as ONE fold over the per-series point array
+    (bounded: a series longer than memory would be chunked by
+    calendar range first, the standard recipe).
+
+    Determinism: the y-series is integer daily counts, bucket
+    centroids are exact-integer sums over doubles, the area formula
+    has a pinned operand order, and ties break to the earliest day —
+    the DuckDB oracle replays the fold as a list-state recursive CTE
+    bit-for-bit. One shuffle (daily counts) + one per-type collect;
+    the fold itself is a cached-SQL aggregate HOF, zero Python."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _cached_expr,
+    )
+
+    nb = _LTTB_NB
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"),
+                       F.to_date(F.lit("1970-01-01")))
+            .cast("bigint").alias("di"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("di", "y"))).alias("pts"))
+    prep = series.select(
+        "event_type", "pts",
+        _cached_expr(f"""
+            transform(sequence(1, size(pts) - 2),
+                j -> named_struct(
+                    'di', pts[j].di, 'y', pts[j].y,
+                    'b', CAST(floor((j - 1) * {nb} / (size(pts) - 2))
+                              AS BIGINT)))
+        """).alias("mids"))
+    pb = prep.select(
+        "event_type", "pts", "mids",
+        _cached_expr(f"""
+            transform(sequence(0, {nb} - 1),
+                k -> named_struct(
+                    'ax', CAST(aggregate(filter(mids, q -> q.b = k),
+                              CAST(0 AS BIGINT), (a, q) -> a + q.di)
+                              AS DOUBLE)
+                          / size(filter(mids, q -> q.b = k)),
+                    'ay', CAST(aggregate(filter(mids, q -> q.b = k),
+                              CAST(0 AS BIGINT), (a, q) -> a + q.y)
+                              AS DOUBLE)
+                          / size(filter(mids, q -> q.b = k))))
+        """).alias("bstats"))
+    picked = pb.select(
+        "event_type", _cached_expr(_lttb_spark_expr()).alias("sel"))
+    return picked.select(
+        "event_type",
+        F.posexplode("sel").alias("pos", "s"),
+    ).select(
+        "event_type", "pos",
+        F.col("s.di").alias("day_idx"),
+        F.col("s.y").alias("n_events"))
