@@ -631,3 +631,73 @@ def w15_longest_streak(spark, sf_dir):
     return streaks.groupBy("user_id").agg(
         F.max("streak_len").alias("longest_streak"),
         F.sum("streak_len").alias("n_active_days"))
+
+
+@query(
+    "w16_rolling_distinct_users",
+    survey=("W3", "A4", "Y6"),
+    oracle=f"""
+        WITH act AS (
+            SELECT DISTINCT event_type,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                        CAST({_TS} AS DATE)) AS BIGINT) AS di,
+                   user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT event_type, di FROM act),
+        daily AS (
+            SELECT event_type, di,
+                   CAST(count(*) AS BIGINT) AS daily_users
+            FROM act GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.di AS day_idx,
+               any_value(dl.daily_users) AS daily_users,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS rolling_users
+        FROM days d
+        JOIN daily dl ON dl.event_type = d.event_type AND dl.di = d.di
+        JOIN act a ON a.event_type = d.event_type
+                  AND a.di BETWEEN d.di - 6 AND d.di
+        GROUP BY d.event_type, d.di
+    """,
+)
+def w16_rolling_distinct_users(spark, sf_dir):
+    """Trailing 7-day EXACT distinct actives per event type beside the
+    daily distinct count — the DAU/WAU pair every activity monitor
+    reports, and the one rolling metric that does NOT decompose into
+    partial aggregates (distinct is not sum-able across days; that
+    irreducibility is why a18's mergeable HLL sketches exist — this
+    query is their exact ground truth at a scale where exactness is
+    still affordable).
+
+    Plan: the (type, user, day) activity set is deduped once (one
+    shuffle), then a per-type RANGE window over the day index carries
+    a collect_set whose size is the rolling distinct — state bounded
+    by 7 days × active users, the same bound a streaming watermark
+    would enforce. No day×activity self-join (the oracle uses one —
+    fine for DuckDB at verification scale, quadratic in window width
+    at ours)."""
+    from pyspark.sql import Window
+
+    act = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+            .cast("bigint").alias("di"),
+            "user_id")
+        .distinct()
+    )
+    w = (Window.partitionBy("event_type").orderBy("di")
+         .rangeBetween(-6, 0))
+    rolled = act.select(
+        "event_type", "di",
+        F.size(F.collect_set("user_id").over(w)).cast("bigint")
+        .alias("rolling_users"))
+    daily = act.groupBy("event_type", "di").agg(
+        F.count("*").cast("bigint").alias("daily_users"))
+    return (
+        rolled.dropDuplicates(["event_type", "di"])
+        .join(daily, ["event_type", "di"])
+        .select("event_type", F.col("di").alias("day_idx"),
+                "daily_users", "rolling_users")
+    )
