@@ -1259,6 +1259,8 @@ def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
         docs = t(spark, sf_dir, "documents")
         if fmt == "json":
             docs.coalesce(4).write.mode("overwrite").json(out)
+        elif fmt == "orc":
+            docs.coalesce(4).write.mode("overwrite").orc(out)
         else:
             (docs.coalesce(4).write.mode("overwrite")
              .option("header", True)
@@ -1316,6 +1318,25 @@ def s19_csv_roundtrip(spark, sf_dir):
         .csv(path)
         .select(*[c.strip() for c in _DOCS_COLS.split(",")])
     )
+
+
+@query(
+    "s28_orc_roundtrip",
+    survey=("S18", "S19"),
+    oracle=f"SELECT {_DOCS_COLS} FROM documents",
+)
+def s28_orc_roundtrip(spark, sf_dir):
+    """ORC connector round-trip, completing the columnar-format matrix
+    (parquet native, JSONL s18, CSV s19): the documents table written
+    as ORC and read back losslessly. ORC is the other splittable
+    columnar standard a warehouse migration encounters (Hive/Trino
+    lineages); Spark's native orc source gives the same predicate
+    pushdown + column pruning + stripe-level splitting as parquet, so
+    every scan argument in this repo carries over unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    path = _roundtrip_dir(spark, sf_dir, "orc")
+    return spark.read.schema(docs.schema).orc(path).select(
+        *[c.strip() for c in _DOCS_COLS.split(",")])
 
 
 # -- S20: real-TIFF raster scan (pure-Python codec, no GDAL) ------------
