@@ -3100,3 +3100,164 @@ def ss_whiten_remove_pc(spark, sf_dir):
         "vec_id",
         F.round("s", 6).alias("pc_coeff"),
         F.round(resid, 6).alias("residual_norm"))
+
+
+@query(
+    "mm_perceptual_hash_pairs",
+    survey=("MM-dedup", "DD-simhash"),
+    oracle=f"""
+        WITH px AS ({{pixels}}),
+        cells AS (
+            SELECT scene_id,
+                   CAST(y // 2 AS BIGINT) AS cy, CAST(x // 2 AS BIGINT) AS cx,
+                   CAST(sum(CASE WHEN B04 = -9999.0 THEN 0
+                            ELSE CAST(B04 AS BIGINT) END) AS BIGINT) AS cs
+            FROM px GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT scene_id, CAST(sum(cs) AS BIGINT) AS ts FROM cells
+            GROUP BY scene_id
+        ),
+        ah AS (
+            SELECT c.scene_id,
+                   CAST(sum(CASE WHEN c.cs * 64 > t.ts
+                            AND c.cy * 8 + c.cx < 32
+                        THEN CAST(1 AS BIGINT) << CAST(c.cy * 8 + c.cx
+                                                       AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS alo,
+                   CAST(sum(CASE WHEN c.cs * 64 > t.ts
+                            AND c.cy * 8 + c.cx >= 32
+                        THEN CAST(1 AS BIGINT) << CAST(c.cy * 8 + c.cx
+                                                       - 32 AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS ahi
+            FROM cells c JOIN tot t USING (scene_id)
+            GROUP BY c.scene_id
+        ),
+        dh AS (
+            SELECT a.scene_id,
+                   CAST(sum(CASE WHEN a.cs > b.cs
+                            AND a.cy * 7 + a.cx < 32
+                        THEN CAST(1 AS BIGINT) << CAST(a.cy * 7 + a.cx
+                                                       AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS dlo,
+                   CAST(sum(CASE WHEN a.cs > b.cs
+                            AND a.cy * 7 + a.cx >= 32
+                        THEN CAST(1 AS BIGINT) << CAST(a.cy * 7 + a.cx
+                                                       - 32 AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS dhi
+            FROM cells a JOIN cells b
+              ON b.scene_id = a.scene_id AND b.cy = a.cy
+             AND b.cx = a.cx + 1
+            GROUP BY a.scene_id
+        ),
+        h AS (
+            SELECT ah.scene_id, ah.alo, ah.ahi, dh.dlo, dh.dhi
+            FROM ah JOIN dh USING (scene_id)
+        )
+        SELECT a.scene_id AS scene_a, b.scene_id AS scene_b,
+               CAST(bit_count(xor(a.alo, b.alo))
+                    + bit_count(xor(a.ahi, b.ahi)) AS BIGINT)
+                   AS ahash_hamming,
+               CAST(bit_count(xor(a.dlo, b.dlo))
+                    + bit_count(xor(a.dhi, b.dhi)) AS BIGINT)
+                   AS dhash_hamming
+        FROM h a JOIN h b ON a.scene_id < b.scene_id
+    """.format(pixels=__import__(
+        "bdc_collection_builder_spark.functions.pixel",
+        fromlist=["synthetic_pixels_oracle"],
+    ).synthetic_pixels_oracle(n_scenes=4, height=16, width=16)),
+)
+def mm_perceptual_hash_pairs(spark, sf_dir):
+    """Perceptual image hashing for near-duplicate media detection —
+    the pHash-family primitive (aHash: 8x8 cell means thresholded at
+    the global mean; dHash: horizontal gradient signs), computed over
+    the synthetic raster grid and compared pairwise by Hamming
+    distance. This is how image dedup scales: a 64-bit fingerprint
+    per image (computed in one pass next to decode), then banded/
+    threshold joins on the fingerprints — never pixel-to-pixel
+    comparison across images.
+
+    All-integer construction (cell sums, the mean threshold as the
+    cross-multiplied compare cs*64 > total, shifted bit packing split
+    into two 32-bit words — DuckDB overflow-checks 1<<63 on signed
+    BIGINT — and hamming = bit_count(xor) summed over the words), so
+    both engines agree bit-for-bit with no float anywhere. Plan: one cell aggregate (map-side combined), two
+    dimension-sized joins, and a tiny pair join on the 4-row hash
+    table."""
+    from bdc_collection_builder_spark.functions.pixel import (
+        NODATA_SENTINEL,
+        synthetic_pixels,
+    )
+
+    px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+    cells = (
+        px.groupBy(
+            "scene_id",
+            F.floor(F.col("y") / 2).cast("bigint").alias("cy"),
+            F.floor(F.col("x") / 2).cast("bigint").alias("cx"))
+        .agg(F.sum(
+            F.when(F.col("B04") == F.lit(NODATA_SENTINEL), 0)
+            .otherwise(F.col("B04").cast("bigint")))
+            .cast("bigint").alias("cs"))
+    )
+    tot = cells.groupBy("scene_id").agg(
+        F.sum("cs").cast("bigint").alias("ts"))
+    ah = (
+        cells.join(F.broadcast(tot), "scene_id")
+        .groupBy("scene_id")
+        .agg(
+            F.sum(F.when(
+                (F.col("cs") * 64 > F.col("ts"))
+                & (F.col("cy") * 8 + F.col("cx") < 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(cy * 8 + cx AS INT))"))
+                .otherwise(0)).cast("bigint").alias("alo"),
+            F.sum(F.when(
+                (F.col("cs") * 64 > F.col("ts"))
+                & (F.col("cy") * 8 + F.col("cx") >= 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(cy * 8 + cx - 32 AS INT))"))
+                .otherwise(0)).cast("bigint").alias("ahi"))
+    )
+    right = cells.select(
+        "scene_id", F.col("cy").alias("rcy"),
+        (F.col("cx") - 1).alias("rcx"), F.col("cs").alias("rcs"))
+    dh = (
+        cells.join(
+            right,
+            (cells["scene_id"] == right["scene_id"])
+            & (F.col("cy") == F.col("rcy")) & (F.col("cx") == F.col("rcx")))
+        .drop(right["scene_id"])
+        .groupBy("scene_id")
+        .agg(
+            F.sum(F.when(
+                (F.col("cs") > F.col("rcs"))
+                & (F.col("cy") * 7 + F.col("cx") < 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(cy * 7 + cx AS INT))"))
+                .otherwise(0)).cast("bigint").alias("dlo"),
+            F.sum(F.when(
+                (F.col("cs") > F.col("rcs"))
+                & (F.col("cy") * 7 + F.col("cx") >= 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(cy * 7 + cx - 32 AS INT))"))
+                .otherwise(0)).cast("bigint").alias("dhi"))
+    )
+    h = ah.join(dh, "scene_id")
+    a = h.select(F.col("scene_id").alias("scene_a"),
+                 F.col("alo").alias("alo_a"), F.col("ahi").alias("ahi_a"),
+                 F.col("dlo").alias("dlo_a"), F.col("dhi").alias("dhi_a"))
+    b = h.select(F.col("scene_id").alias("scene_b"),
+                 F.col("alo").alias("alo_b"), F.col("ahi").alias("ahi_b"),
+                 F.col("dlo").alias("dlo_b"), F.col("dhi").alias("dhi_b"))
+    return (
+        a.join(b, F.col("scene_a") < F.col("scene_b"))
+        .select(
+            "scene_a", "scene_b",
+            (F.bit_count(F.col("alo_a").bitwiseXOR(F.col("alo_b")))
+             + F.bit_count(F.col("ahi_a").bitwiseXOR(F.col("ahi_b"))))
+            .cast("bigint").alias("ahash_hamming"),
+            (F.bit_count(F.col("dlo_a").bitwiseXOR(F.col("dlo_b")))
+             + F.bit_count(F.col("dhi_a").bitwiseXOR(F.col("dhi_b"))))
+            .cast("bigint").alias("dhash_hamming"))
+    )
