@@ -551,3 +551,88 @@ def gr_label_propagation(spark, sf_dir):
     final = iterate(init, step, _LPA_ROUNDS, checkpoint_every=2)
     return final.select(
         "doc_id", F.col("lab").cast("bigint").alias("community"))
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_round_sql(r: int) -> str:
+    prev = f"s{r - 1}"
+    return f"""
+    s{r} AS (
+        SELECT u.src AS doc_id FROM und u
+        WHERE u.src IN (SELECT doc_id FROM {prev})
+          AND u.dst IN (SELECT doc_id FROM {prev})
+        GROUP BY u.src HAVING count(*) >= {_KCORE_K}
+    )"""
+
+
+@query(
+    "gr_kcore_peeling",
+    survey=("GR-communities", "GR-degrees"),
+    oracle="WITH " + _GRAPH_SQL + """,
+    und AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges)
+        WHERE src <> dst
+    ),
+    s0 AS (SELECT doc_id FROM documents),
+    """ + ",".join(_kcore_round_sql(r)
+                   for r in range(1, _KCORE_ROUNDS + 1)) + f"""
+    SELECT u.src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM und u
+    JOIN s{_KCORE_ROUNDS} a ON u.src = a.doc_id
+    JOIN s{_KCORE_ROUNDS} b ON u.dst = b.doc_id
+    GROUP BY u.src
+""",
+)
+def gr_kcore_peeling(spark, sf_dir):
+    """K-core decomposition by synchronous peeling (k={_KCORE_K}):
+    repeatedly drop every node with fewer than k neighbors INSIDE the
+    surviving set — the dense-substructure extractor that separates
+    organically linked content from the sparse periphery, and (with
+    high k) the spam/link-farm core detector complementing
+    gr_degree_histogram's global shape check. {_KCORE_ROUNDS} fixed
+    synchronous rounds (deterministic regardless of convergence; a
+    converged peel is a fixed point, so extra rounds are no-ops),
+    survivors reported with their within-core degree.
+
+    Per round: the edge table semi-joins the surviving set on BOTH
+    endpoints (two hash joins on ids) and one map-side-combined count
+    — the standard distributed peel; the symmetrized edge table
+    persists once across rounds and :func:`iterate` truncates lineage
+    every 2 rounds."""
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    und = tracked_persist(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct())
+
+    def step(surv: DataFrame, _i: int) -> DataFrame:
+        alive = (
+            und.join(surv.select(F.col("doc_id").alias("src")), "src")
+            .join(surv.select(F.col("doc_id").alias("dst")), "dst")
+        )
+        return (
+            alive.groupBy("src").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("doc_id"))
+        )
+
+    final = iterate(nodes.select("doc_id"), step, _KCORE_ROUNDS,
+                    checkpoint_every=2)
+    core = tracked_persist(final)
+    alive = (
+        und.join(core.select(F.col("doc_id").alias("src")), "src")
+        .join(core.select(F.col("doc_id").alias("dst")), "dst")
+    )
+    return (
+        alive.groupBy("src").agg(
+            F.count("*").cast("bigint").alias("core_degree"))
+        .select(F.col("src").alias("doc_id"), "core_degree")
+    )
