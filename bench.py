@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "gr_label_propagation",      # 4-round synchronous LPA communities
     "ss_multiprobe_lsh_topk",    # multi-probe LSH (8 tables x 3 probes)
     "tx_kneser_ney_bigram",      # KN-smoothed bigram LM scoring
+    "tk_unigram_viterbi",        # unigram-LM DP over the word dict
+    "tj_lttb_downsample",        # LTTB sequential bucket fold
 ]
 
 
