@@ -614,8 +614,12 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
     """
     from bdc_collection_builder_spark.extensions.similarity import (
         _nearest_centroids, dot, norm)
+    from bdc_collection_builder_spark.functions.parallel import spread
 
-    base = embeddings.select(
+    # safe to spread: both quantizer variants are partition-order
+    # independent (id-filtered seeds / literal centroids), and the
+    # within-cluster scan is keyed work
+    base = spread(embeddings).select(
         F.col(id_col), F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"))
     if centroids is not None:
