@@ -419,6 +419,66 @@ def embedding_near_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _seeded_assignment(base: DataFrame, n_centroids: int,
+                       id_col: str) -> DataFrame:
+    """Seeded relational quantizer shared by the SemDeDup paths: the
+    first ``n_centroids`` vectors (by id) are the centroids, collapsed
+    to one broadcast array row; assignment is an argmax scan with ties
+    toward the lower centroid id (matching the oracle's row_number
+    ORDER BY sim DESC, cid)."""
+    from bdc_collection_builder_spark.extensions.similarity import dot
+
+    cent = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("vec").alias("cent_vec"),
+        F.col("nrm").alias("cent_norm"))
+    carr = cent.agg(F.array_sort(F.collect_list(
+        F.struct("cid", "cent_vec", "cent_norm"))).alias("cents"))
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(F.col("vec"), c["cent_vec"])
+             / (F.col("nrm") * c["cent_norm"])).alias("sim"),
+            (-c["cid"]).alias("negcid")))
+    return (
+        base.crossJoin(F.broadcast(carr))
+        .withColumn(
+            "centroid_id",
+            -F.reverse(F.array_sort(scored))[0]["negcid"])
+        .drop("cents"))
+
+
+def semantic_dup_max_sim(embeddings: DataFrame, n_centroids: int = 16,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per vector, the MAXIMUM cosine to any LOWER-id member of its
+    cluster (NULL when it has none) — the quantity SemDeDup thresholds;
+    exposing it lets a threshold-sensitivity sweep run from ONE pair
+    scan instead of re-running the dedup per candidate threshold."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        dot, norm)
+    from bdc_collection_builder_spark.functions.parallel import spread
+
+    base = spread(embeddings).select(
+        F.col(id_col), F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"))
+    assigned = tracked_persist(_seeded_assignment(base, n_centroids,
+                                                  id_col))
+    pair_sim = F.round(
+        dot(F.col("a.vec"), F.col("b.vec"))
+        / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    best = (
+        assigned.alias("a").join(
+            assigned.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"b.{id_col}").alias(id_col),
+                pair_sim.alias("sim"))
+        .groupBy(id_col).agg(F.max("sim").alias("max_sim")))
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(best, id_col, "left"))
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the step
@@ -627,25 +687,7 @@ def semantic_dedup(embeddings: DataFrame, n_centroids: int = 16,
             "centroid_id",
             _nearest_centroids(F.col("vec"), centroids, 1)[0])
     else:
-        cent = base.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), F.col("vec").alias("cent_vec"),
-            F.col("nrm").alias("cent_norm"))
-        carr = cent.agg(F.array_sort(F.collect_list(
-            F.struct("cid", "cent_vec", "cent_norm"))).alias("cents"))
-        scored = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (dot(F.col("vec"), c["cent_vec"])
-                 / (F.col("nrm") * c["cent_norm"])).alias("sim"),
-                (-c["cid"]).alias("negcid")))
-        # ascending (sim, negcid) reversed -> sim DESC, cid ASC: same
-        # tie-break as the oracle's row_number ORDER BY sim DESC, cid
-        assigned = (
-            base.crossJoin(F.broadcast(carr))
-            .withColumn(
-                "centroid_id",
-                -F.reverse(F.array_sort(scored))[0]["negcid"])
-            .drop("cents"))
+        assigned = _seeded_assignment(base, n_centroids, id_col)
     # assigned feeds BOTH sides of the within-cluster pair join plus the
     # final flag join — without a persist the whole assignment subplan
     # (centroid broadcast + argmax scan) runs three times

@@ -3261,3 +3261,86 @@ def mm_perceptual_hash_pairs(spark, sf_dir):
              + F.bit_count(F.col("dhi_a").bitwiseXOR(F.col("dhi_b"))))
             .cast("bigint").alias("dhash_hamming"))
     )
+
+
+_SEM_THRESHOLDS = [0.90, 0.95, 0.97, 0.99]
+
+
+@query(
+    "cu_semdedup_threshold_curve",
+    survey=("DD-embed", "CU-mix"),
+    oracle=f"""
+        WITH {_SEM_CORPUS_SQL},
+        cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM corpus
+            WHERE vec_id < 16
+        ), scored AS (
+            SELECT v.vec_id, v.embedding, c.cid,
+                   {_DOT_SQL.format(a="v.embedding", b="c.cvec")}
+                   / (sqrt({_DOT_SQL.format(a="v.embedding", b="v.embedding")})
+                      * sqrt({_DOT_SQL.format(a="c.cvec", b="c.cvec")})) AS sim
+            FROM corpus v CROSS JOIN cents c
+        ), assigned AS (
+            SELECT vec_id, embedding, cid AS centroid_id FROM (
+                SELECT vec_id, embedding, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY sim DESC, cid
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ), best AS (
+            SELECT b.vec_id,
+                   max(round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                       / (sqrt({_DOT_SQL.format(a="a.embedding", b="a.embedding")})
+                          * sqrt({_DOT_SQL.format(a="b.embedding", b="b.embedding")})),
+                       6)) AS max_sim
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            GROUP BY b.vec_id
+        )
+        SELECT t.threshold,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN best.max_sim >= t.threshold
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+        FROM best, (SELECT unnest([{", ".join(
+            f"CAST({v} AS DOUBLE)" for v in _SEM_THRESHOLDS)}])
+            AS threshold) t
+        GROUP BY t.threshold
+    """,
+)
+def cu_semdedup_threshold_curve(spark, sf_dir):
+    """SemDeDup threshold-sensitivity curve — the tuning report behind
+    dd_semantic_dedup's single 0.97 cut: how many documents would be
+    dropped at each candidate threshold, from ONE within-cluster pair
+    scan (the per-document max cosine to a lower-id cluster peer is
+    computed once; the sweep is then a literal-threshold explode over
+    that bounded frame, NOT one dedup run per threshold). This is the
+    knob-vs-corpus-size curve a curation owner reads before committing
+    a threshold at 100 TB, where re-running the scan per candidate
+    value would be the single most expensive mistake in the pipeline.
+    """
+    from bdc_collection_builder_spark.extensions.dedup import (
+        semantic_dup_max_sim,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: (x * 1.01).cast("float")).alias("embedding"),
+        )
+    )
+    best = (
+        semantic_dup_max_sim(emb.unionByName(scaled), n_centroids=16)
+        .filter(F.col("max_sim").isNotNull())
+    )
+    swept = best.select(
+        "max_sim",
+        F.explode(F.array(*[F.lit(v) for v in _SEM_THRESHOLDS]))
+        .alias("threshold"))
+    return swept.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("max_sim") >= F.col("threshold"), 1)
+              .otherwise(0)).cast("bigint").alias("n_dups"))
