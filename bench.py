@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "tx_kneser_ney_bigram",      # KN-smoothed bigram LM scoring
     "tk_unigram_viterbi",        # unigram-LM DP over the word dict
     "tj_lttb_downsample",        # LTTB sequential bucket fold
+    "ss_lsh_topk",               # 24-table single-probe LSH baseline
+    "dd_embedding_near_pairs",   # LSH-bucketed near-dup pairs
 ]
 
 
