@@ -90,6 +90,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "tk_bpe_merge_round",    # one-row chosen-merge attach
         "ss_whiten_remove_pc",   # one-row direction-vector attach
         "mm_perceptual_hash_pairs",  # 4-row hash-table pair join
+        "cu_semdedup_threshold_curve",  # one-row centroid-array attach
         "a19_price_histogram",   # one-row min/max-bounds attach
         "dd_semantic_dedup",     # one-row centroid-array attach
         "ss_kmeans_assign",      # one-row centroid-array attach per round
