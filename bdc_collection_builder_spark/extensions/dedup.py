@@ -287,19 +287,26 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         toks = toks.withColumn("h", md5_hash60(F.col("tok")))
     else:
         toks = toks.withColumn("h", F.xxhash64("tok"))
+    # Cached SQL text for the 64 vote aggregates and the 64-term bit
+    # assembly (see similarity._cached_expr) — the Column composition
+    # cost ~1.4s of py4j driver time per invocation; arithmetic is
+    # identical (shiftleft wraps JVM-style, no literal 1<<63 overflow).
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _cached_expr,
+    )
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{bit}")
+        _cached_expr(
+            f"sum(CASE WHEN (shiftright(h, {bit}) & 1) = 1 "
+            "THEN 1 ELSE -1 END)").alias(f"b{bit}")
         for bit in range(bits)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
-    sig = None
-    for bit in range(bits):
-        piece = F.when(F.col(f"b{bit}") > 0,
-                       F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(F.lit(0))
-        sig = piece if sig is None else sig.bitwiseOR(piece)
+    sig = _cached_expr("(" + " | ".join(
+        f"(CASE WHEN b{bit} > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {bit}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(bits)) + ")")
     return agg.select("doc_id", sig.alias("simhash"))
 
 

