@@ -256,16 +256,20 @@ def multiprobe_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         norm(F.col(vec_col)).alias("c_norm"),
         F.posexplode(ckeys).alias("table_id", "bucket"))
 
-    # Query-side probes in two cached-SQL stages: stage 1 evaluates the
-    # raw projection matrix ONCE per query row (the only place the
-    # plane literals appear — no text duplication); stage 2 derives
-    # base bucket + flip probes from the tiny `prs` column. Same
-    # arithmetic and tie-order as the direct Column composition
+    # Query-side probes in two stages: stage 1 evaluates the raw
+    # projection matrix ONCE per query row as HOF loops over the plane
+    # matrix as a nested literal (tiny tree — see
+    # :func:`_hash_buckets_literal` for why tree size matters); stage 2
+    # derives base bucket + flip probes from the tiny `prs` column.
+    # Same arithmetic and tie-order as the direct Column composition
     # (bucket bits from prs[t][b] > 0; flips sorted by (|proj|, bit)).
-    projs_sql = "array(" + ", ".join(
-        "array(" + ", ".join(_dot_sql_lit(vec_col, plane)
-                             for plane in table) + ")"
-        for table in planes) + ")"
+    prs_key = f"__mp_projs__:{vec_col}:{id(planes)}"
+    if prs_key not in _EXPR_CACHE:
+        qvec = F.col(vec_col)
+        _EXPR_CACHE[prs_key] = F.transform(
+            F.lit(planes),
+            lambda tbl: F.transform(tbl, lambda plane: dot(qvec, plane)))
+    projs_col = _EXPR_CACHE[prs_key]
 
     def _base_sql(t_idx: int) -> str:
         parts = ["CAST(0 AS BIGINT)"]
@@ -295,7 +299,7 @@ def multiprobe_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
-        _cached_expr(projs_sql).alias("prs"),
+        projs_col.alias("prs"),
     ).select(
         query_id_col, "q_vec", "q_norm",
         F.explode(_cached_expr(entries_sql)).alias("e"),
