@@ -182,11 +182,29 @@ class CatalogStore:
         gen = self._current_gen(table)
         return None if gen is None else os.path.join(self.path(table), gen)
 
+    def _gen_schema(self, table: str, gen: str):
+        """The schema of a specific generation: the static table schema
+        unless the generation carries a ``_SCHEMA.json`` marker written
+        by a schema-evolving merge (see :meth:`merge_upsert`) — the
+        Delta/Iceberg rule that schema is VERSIONED WITH the snapshot,
+        so time travel to a pre-evolution generation still reads the
+        old shape."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        marker = os.path.join(self.path(table), gen, "_SCHEMA.json")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                return StructType.fromJson(_json.load(fh))
+        return SCHEMAS[table]
+
     def read(self, table: str) -> DataFrame:
-        data = self.data_path(table)
-        if data is None:
+        gen = self._current_gen(table)
+        if gen is None:
             return self.spark.createDataFrame([], SCHEMAS[table])
-        return self.spark.read.schema(SCHEMAS[table]).parquet(data)
+        return self.spark.read.schema(self._gen_schema(table, gen)).parquet(
+            os.path.join(self.path(table), gen))
 
     def snapshots(self, table: str) -> list[str]:
         """Retained generation ids, oldest first (current is last
@@ -209,7 +227,7 @@ class CatalogStore:
         exactly like snapshot-expiry in the table formats."""
         if gen not in self.snapshots(table):
             raise KeyError(f"{table}: generation {gen!r} expired or unknown")
-        return self.spark.read.schema(SCHEMAS[table]).parquet(
+        return self.spark.read.schema(self._gen_schema(table, gen)).parquet(
             os.path.join(self.path(table), gen))
 
     def optimize(self, table: str, target_bytes: int = 128 * 1024 * 1024,
@@ -241,7 +259,10 @@ class CatalogStore:
             df = cluster_by_zorder(df, zorder_by, n_bins)
         else:
             df = df.repartition(n_bins)
-        self._commit(table, df)
+        # keep_extra: an OPTIMIZE of a schema-evolved table rewrites
+        # its own read — pruning to the static schema here would
+        # silently drop evolved columns
+        self._commit(table, df, keep_extra=True)
         return self._current_gen(table)
 
     def changes_between(self, table: str, gen_from: str,
@@ -275,10 +296,11 @@ class CatalogStore:
         half-old/half-new."""
         if gen is None:
             return self.spark.createDataFrame([], SCHEMAS[table])
-        return self.spark.read.schema(SCHEMAS[table]).parquet(
+        return self.spark.read.schema(self._gen_schema(table, gen)).parquet(
             os.path.join(self.path(table), gen))
 
-    def _cas_commit(self, table: str, build, retries: int = 3) -> None:
+    def _cas_commit(self, table: str, build, retries: int = 3,
+                    keep_extra: bool = False) -> None:
         """Optimistic keyed commit: snapshot the current generation,
         stage ``build(base_snapshot)``, CAS-flip. A concurrent writer
         moving the pointer mid-stage raises CommitConflict; the loop
@@ -314,7 +336,7 @@ class CatalogStore:
             try:
                 self._stage(
                     table, build(self._read_pinned(table, base_gen)),
-                    gen=gen)
+                    gen=gen, keep_extra=keep_extra)
                 try:
                     self._flip(table, gen, expected=base_gen)
                     return
@@ -340,22 +362,54 @@ class CatalogStore:
             table, lambda base: base.unionByName(df.select(*cols)))
 
     def merge_upsert(self, table: str, incoming: DataFrame,
-                     keys: list[str] | None = None) -> None:
+                     keys: list[str] | None = None,
+                     evolve_schema: bool = False) -> None:
         """Idempotent upsert on the table's merge keys (Y3 semantics:
         re-publishing a scene replaces its row, publish.py:575-605).
         Incoming rows win; within incoming, exactly one row per key is
         required (enforce upstream with dropDuplicates — Y5).
-        CAS + retry: a concurrent merge's rows are never lost."""
+        CAS + retry: a concurrent merge's rows are never lost.
+
+        ``evolve_schema=True`` enables ADD-COLUMN evolution (the Delta
+        ``mergeSchema`` rule): columns in ``incoming`` beyond the table
+        schema are appended to it, existing rows read NULL for them,
+        and the evolved schema is versioned with the generation
+        (``_SCHEMA.json``) so time travel to older snapshots still
+        sees the old shape. Without the flag, unknown incoming columns
+        are dropped (the historical behavior) but previously-evolved
+        columns are preserved across later merges."""
         self._cas_commit(
             table,
-            lambda base: self._merged(table, base, incoming, keys))
+            lambda base: self._merged(table, base, incoming, keys,
+                                      evolve=evolve_schema),
+            keep_extra=True)
 
     def _merged(self, table: str, current: DataFrame, incoming: DataFrame,
-                keys: list[str] | None = None) -> DataFrame:
-        """MERGE plan: incoming ∪ (current ⟕̸ incoming on keys)."""
+                keys: list[str] | None = None,
+                evolve: bool = False) -> DataFrame:
+        """MERGE plan: incoming ∪ (current ⟕̸ incoming on keys), with
+        both sides aligned to the (possibly evolved) column set —
+        missing columns fill as typed NULLs."""
         keys = keys or MERGE_KEYS[table]
-        cols = [f.name for f in SCHEMAS[table].fields]
-        incoming = incoming.select(*cols)
+        base_cols = [f.name for f in SCHEMAS[table].fields]
+        cur_extras = [c for c in current.columns if c not in base_cols]
+        inc_extras = ([c for c in incoming.columns if c not in base_cols]
+                      if evolve else [])
+        cols = base_cols + cur_extras + [
+            c for c in inc_extras if c not in cur_extras]
+        cur_types = dict(current.dtypes)
+        inc_types = dict(incoming.dtypes)
+
+        def align(df: DataFrame, other_types: dict[str, str]) -> DataFrame:
+            out = df
+            for c in cols:
+                if c not in df.columns:
+                    out = out.withColumn(
+                        c, F.lit(None).cast(other_types[c]))
+            return out.select(*cols)
+
+        incoming = align(incoming, cur_types)
+        current = align(current, inc_types)
         # Broadcast the incoming keys: a merge batch is one publish run
         # (bounded), while `current` is the whole catalog — a broadcast
         # anti-join streams the catalog through without shuffling it.
@@ -427,22 +481,28 @@ class CatalogStore:
         return True
 
     def _stage(self, table: str, df: DataFrame,
-               gen: str | None = None) -> str:
+               gen: str | None = None, keep_extra: bool = False) -> str:
         """Materialize a generation directory WITHOUT flipping the
         pointer — invisible until :meth:`_flip`. Callers that need the
         directory shielded from concurrent vacuums for the whole write
         (the CAS path) pre-generate ``gen``, ``_protect`` it, then pass
         it in."""
         cols = [f.name for f in SCHEMAS[table].fields]
+        extras = ([c for c in df.columns if c not in cols]
+                  if keep_extra else [])
         tdir = self.path(table)
         os.makedirs(tdir, exist_ok=True)
         gen = gen or f"gen-{uuid.uuid4().hex[:12]}"
-        df.select(*cols).write.mode("overwrite").parquet(
-            os.path.join(tdir, gen))
+        out = df.select(*cols, *extras)
+        out.write.mode("overwrite").parquet(os.path.join(tdir, gen))
+        if extras:
+            with open(os.path.join(tdir, gen, "_SCHEMA.json"), "w") as fh:
+                fh.write(out.schema.json())
         return gen
 
-    def _commit(self, table: str, df: DataFrame) -> None:
-        self._flip(table, self._stage(table, df))
+    def _commit(self, table: str, df: DataFrame,
+                keep_extra: bool = False) -> None:
+        self._flip(table, self._stage(table, df, keep_extra=keep_extra))
 
     def _pointer_lock(self, table: str):
         """Advisory flock serializing check-and-flip on one table's

@@ -697,8 +697,8 @@ def test_cas_merge_retries_past_concurrent_commit(spark, tmp_path, fixtures):
     real_stage = s._stage
     interleaved = {"n": 0}
 
-    def racing_stage(table, df, gen=None):
-        gen = real_stage(table, df, gen=gen)
+    def racing_stage(table, df, gen=None, keep_extra=False):
+        gen = real_stage(table, df, gen=gen, keep_extra=keep_extra)
         if interleaved["n"] == 0:
             interleaved["n"] += 1
             # concurrent writer lands AFTER our stage, BEFORE our flip
@@ -730,7 +730,7 @@ def test_cas_append_exhausts_retries(spark, tmp_path, fixtures):
     s.overwrite("items", fixtures["items"].limit(5))
     real_stage = s._stage
 
-    def always_racing_stage(table, df, gen=None):
+    def always_racing_stage(table, df, gen=None, keep_extra=False):
         gen = real_stage(table, df, gen=gen)
         # move the pointer EVERY time (via real_stage: _commit would
         # re-enter this patched hook and recurse)
@@ -797,7 +797,7 @@ def test_staged_gen_survives_concurrent_vacuum(spark, tmp_path, fixtures):
     real_stage = s._stage
     seen = {}
 
-    def freezing_stage(table, df, gen=None):
+    def freezing_stage(table, df, gen=None, keep_extra=False):
         # simulate the in-flight write window: the gen dir exists with
         # a _temporary subdir (what Spark leaves while the job runs)
         # while concurrent committers flip + vacuum around us
@@ -1211,3 +1211,55 @@ def test_partitioned_store_with_conditional_put_backend(spark, tmp_path,
     assert s2.read("items").count() == total
     assert s2.read("items").filter(
         F.col("cloud_cover") == -66.0).count() == n2
+
+
+def test_merge_schema_evolution(store, fixtures, spark):
+    """ADD-COLUMN evolution (Delta mergeSchema semantics): an evolving
+    merge appends the new column, existing rows read NULL for it, the
+    evolved schema is versioned with the generation (time travel to a
+    pre-evolution snapshot sees the old shape), later non-evolving
+    merges and OPTIMIZE preserve it, and unknown columns WITHOUT the
+    flag are still dropped."""
+    from pyspark.sql import functions as F
+
+    pre_gen = store.snapshots("items")[-1]
+    base_cols = store.read("items").columns
+
+    batch = (fixtures["items"].filter(F.col("id") <= 5)
+             .withColumn("proc_version", F.lit("v2.3")))
+    # without the flag: unknown column dropped (historical behavior)
+    store.merge_upsert("items", batch)
+    assert "proc_version" not in store.read("items").columns
+
+    # with the flag: column appended, old rows NULL
+    store.merge_upsert("items", batch, evolve_schema=True)
+    evolved = store.read("items")
+    assert evolved.columns == base_cols + ["proc_version"]
+    touched = evolved.filter(F.col("id") <= 5)
+    untouched = evolved.filter(F.col("id") > 5)
+    n_touched = touched.count()
+    assert n_touched > 0
+    assert touched.filter(F.col("proc_version") == "v2.3").count() \
+        == n_touched
+    assert untouched.filter(F.col("proc_version").isNull()).count() \
+        == untouched.count()
+
+    # time travel to the pre-evolution snapshot: old shape
+    assert store.read_at("items", pre_gen).columns == base_cols
+
+    # a later NON-evolving merge keeps the evolved column
+    batch2 = fixtures["items"].filter(F.col("id").between(6, 8))
+    store.merge_upsert("items", batch2)
+    after = store.read("items")
+    assert after.columns == base_cols + ["proc_version"]
+    n_b2 = batch2.count()
+    assert after.filter((F.col("id").between(6, 8))
+                        & F.col("proc_version").isNull()).count() == n_b2
+    assert after.filter(F.col("proc_version") == "v2.3").count() \
+        == n_touched
+
+    # OPTIMIZE rewrites without dropping the evolved column
+    store.optimize("items")
+    assert store.read("items").columns == base_cols + ["proc_version"]
+    assert store.read("items").filter(
+        F.col("proc_version") == "v2.3").count() == n_touched
