@@ -919,7 +919,8 @@ class PartitionedCatalogStore(CatalogStore):
         return self._sub(table, value).changes_between(table, g_from, g_to)
 
     def merge_upsert(self, table: str, incoming: DataFrame,
-                     keys: list[str] | None = None) -> None:
+                     keys: list[str] | None = None,
+                     evolve_schema: bool = False) -> None:
         """Partition-pruned MERGE: only partitions present in the
         incoming batch are rewritten; all others keep their files.
         Each partition flip is a CAS against the generation this merge
@@ -928,7 +929,16 @@ class PartitionedCatalogStore(CatalogStore):
         partition-level conflict granularity: writers touching
         disjoint partitions never conflict at all)."""
         if table not in self.partition_cols:
-            return super().merge_upsert(table, incoming, keys)
+            return super().merge_upsert(table, incoming, keys,
+                                        evolve_schema=evolve_schema)
+        if evolve_schema:
+            # per-partition generations would need their schema markers
+            # reconciled across partitions on every read; until that
+            # lands, evolution is a flat-store feature
+            raise NotImplementedError(
+                "schema evolution is not supported for partitioned "
+                "tables yet — evolve on the flat store or extend "
+                "SCHEMAS")
         pcol = self.partition_cols[table]
         keys = keys or MERGE_KEYS[table]
         cols = [f.name for f in SCHEMAS[table].fields]
