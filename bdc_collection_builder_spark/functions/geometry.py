@@ -288,3 +288,25 @@ def duck_polygon_intersects(pa: str, pb: str) -> str:
         f" OR {duck_point_in_polygon(pa + '[1]', pb)}"
         f" OR {duck_point_in_polygon(pb + '[1]', pa)})"
     )
+
+
+# -- memoized predicate entry points (construction-cost control) --------
+# Building the nested exists/filter lambda trees costs ~0.3-0.6s of
+# py4j driver time per call; the expressions only depend on column
+# NAMES, so the common predicates are memoized process-wide (same
+# rationale as extensions/similarity._EXPR_CACHE).
+
+_GEO_CACHE: dict[str, Column] = {}
+
+
+def cached_intersects_pred(pa_name: str, pb_name: str) -> Column:
+    """``envelopes_overlap AND polygon_intersects`` over two polygon
+    columns, memoized by column names. Catalyst's And short-circuits,
+    so the exact crossing tests only run on envelope-overlapping
+    pairs."""
+    key = f"ix:{pa_name}:{pb_name}"
+    if key not in _GEO_CACHE:
+        pa, pb = F.col(pa_name), F.col(pb_name)
+        _GEO_CACHE[key] = (envelopes_overlap(pa, pb)
+                           & polygon_intersects(pa, pb))
+    return _GEO_CACHE[key]

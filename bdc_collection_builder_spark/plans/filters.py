@@ -386,20 +386,23 @@ def x17_polygon_intersects(spark, sf_dir):
     functions inside whole-stage codegen — no UDF, no Python, no
     shuffle (map-only over the scan)."""
     from bdc_collection_builder_spark.functions.geometry import (
+        _GEO_CACHE,
+        cached_intersects_pred,
         envelopes_overlap,
-        polygon_intersects,
     )
 
     qpoly = F.array(*[
         F.struct(F.lit(x).alias("x"), F.lit(y).alias("y")) for x, y in _STAR])
     df = event_footprints(spark, sf_dir).select(
         "event_id", "footprint", qpoly.alias("qpoly"))
-    env = envelopes_overlap(F.col("footprint"), F.col("qpoly"))
+    if "env:footprint:qpoly" not in _GEO_CACHE:
+        _GEO_CACHE["env:footprint:qpoly"] = envelopes_overlap(
+            F.col("footprint"), F.col("qpoly"))
+    env = _GEO_CACHE["env:footprint:qpoly"]
     return df.select(
         "event_id",
         env.alias("env_overlap"),
-        (env & polygon_intersects(F.col("footprint"), F.col("qpoly")))
-        .alias("intersects"),
+        cached_intersects_pred("footprint", "qpoly").alias("intersects"),
     )
 
 

@@ -364,14 +364,14 @@ def j10_spatial_grid_join(spark, sf_dir):
     # broadcast cell join itself is map-side, so the whole query
     # shuffles nothing but the final distinct.
     from bdc_collection_builder_spark.functions.geometry import (
-        envelopes_overlap,
+        cached_intersects_pred,
     )
 
     # envelope check first: cells are coarser than envelopes, and the
     # conjunct short-circuits so the 64-crossing exact test only runs
-    # on envelope-overlapping pairs
-    pred = (envelopes_overlap(F.col("footprint"), F.col("tpoly"))
-            & polygon_intersects(F.col("footprint"), F.col("tpoly")))
+    # on envelope-overlapping pairs; the predicate tree is memoized
+    # process-wide (construction cost, see functions/geometry.py)
+    pred = cached_intersects_pred("footprint", "tpoly")
     return (
         fcells.join(F.broadcast(tcells), ["gx", "gy"])
         .filter(pred)
