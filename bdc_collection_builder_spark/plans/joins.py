@@ -715,3 +715,52 @@ def j17_priority_exists_check(spark, sf_dir):
         "left_semi")
     return late.groupBy("o_orderpriority").agg(
         F.count("*").alias("order_count"))
+
+
+@query(
+    "j18_small_quantity_revenue",
+    survey=("J1", "J6", "A8"),
+    oracle="""
+        SELECT p_brand,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small_orders
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (
+            SELECT l_partkey AS t_partkey,
+                   0.2 * avg(l_quantity) AS qty_threshold
+            FROM lineitem GROUP BY l_partkey
+        ) t ON t_partkey = l_partkey
+        WHERE l_quantity < qty_threshold
+        GROUP BY p_brand
+    """,
+)
+def j18_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar-aggregate subquery
+    (`l_quantity < 0.2 * avg(l_quantity) per part`) decorrelated into
+    an aggregate + self-join, reported per brand. The reference's
+    activity dashboards hand-roll this "below per-group mean" pattern
+    in Python loops (celery/publish.py per-collection summaries); here
+    it is one per-part partial aggregate and one equi-join that reuses
+    the aggregate's own hash partitioning — the join after groupBy
+    shuffles NOTHING extra because both sides are already partitioned
+    on `l_partkey` (exchange reuse), and the `part` dim side is
+    broadcast. At 100 TB the plan moves the fact table exactly once.
+
+    Cross-engine determinism: `l_quantity` is integer-valued, so the
+    per-part sum is exact in double regardless of summation order and
+    `0.2*avg` is bit-identical on both engines; the revenue sum is
+    rounded to 2 dp (q1 precedent)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = (
+        li.join(thresholds, li["l_partkey"] == thresholds["t_partkey"])
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    )
+    return small.groupBy("p_brand").agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").cast("bigint").alias("n_small_orders"))

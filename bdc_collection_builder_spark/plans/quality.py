@@ -532,3 +532,171 @@ def dq_ks_drift(spark, sf_dir):
             F.max(diff) * F.sqrt(
                 F.first("na").cast("double") * F.first("nb")
                 / (F.first("na") + F.first("nb"))), 6).alias("ks_scaled"))
+
+
+@query(
+    "dq_referential_integrity",
+    survey=("A7", "J4", "J6"),
+    oracle="""
+        SELECT 'orders.o_custkey->customer' AS fk_edge,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans,
+               CAST(count(DISTINCT CASE WHEN c_custkey IS NULL
+                          THEN o_custkey END) AS BIGINT) AS n_orphan_keys
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL
+                          THEN l_orderkey END) AS BIGINT)
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT CASE WHEN p_partkey IS NULL
+                          THEN l_partkey END) AS BIGINT)
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT CASE WHEN n_nationkey IS NULL
+                          THEN c_nationkey END) AS BIGINT)
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT 'events.user_id->customer',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT CASE WHEN c_custkey IS NULL
+                          THEN user_id END) AS BIGINT)
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit: for five FK edges of the star
+    schema (plus the events→customer edge, where orphans are
+    expected — event streams outlive dimension snapshots), count rows,
+    orphan rows, and distinct orphan keys. The reference enforces FKs
+    row-at-a-time through SQLAlchemy constraints at INSERT time
+    (bdc_collection_builder/models at db commit); a lakehouse has no
+    enforced constraints, so this set-level audit IS the integrity
+    check, run before publishing a batch.
+
+    Scale: each edge is one left join whose dimension side is
+    broadcast when small (customer/part/nation at any realistic dim
+    scale); the orphan metrics fold into one aggregate per edge, so
+    the total cost is one scan per fact table edge — and the two
+    lineitem edges could share a scan under Spark's cache if desired.
+    No shuffle carries more than #distinct-keys rows."""
+    def edge(fact, fk, dim, pk, label, broadcast_dim=True):
+        d = dim.select(pk).withColumnRenamed(pk, "__pk")
+        if broadcast_dim:
+            d = F.broadcast(d)
+        joined = fact.select(F.col(fk).alias("__fk")).join(
+            d, F.col("__fk") == F.col("__pk"), "left")
+        return joined.agg(
+            F.lit(label).alias("fk_edge"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_orphans"),
+            F.countDistinct(
+                F.when(F.col("__pk").isNull(), F.col("__fk")))
+             .cast("bigint").alias("n_orphan_keys"),
+        ).select("fk_edge", "n_rows", "n_orphans", "n_orphan_keys")
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    customer = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    nation = t(spark, sf_dir, "nation")
+    events = t(spark, sf_dir, "events")
+    return (
+        edge(orders, "o_custkey", customer, "c_custkey",
+             "orders.o_custkey->customer")
+        .unionAll(edge(li, "l_orderkey", orders, "o_orderkey",
+                       "lineitem.l_orderkey->orders", broadcast_dim=False))
+        .unionAll(edge(li, "l_partkey", part, "p_partkey",
+                       "lineitem.l_partkey->part"))
+        .unionAll(edge(customer, "c_nationkey", nation, "n_nationkey",
+                       "customer.c_nationkey->nation"))
+        .unionAll(edge(events, "user_id", customer, "c_custkey",
+                       "events.user_id->customer"))
+    )
+
+
+@query(
+    "dq_schema_drift",
+    survey=("A4", "A7", "A8"),
+    oracle="""
+        SELECT
+            CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_a,
+            CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_b,
+            CAST(count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                       THEN o_orderstatus END) AS BIGINT) AS nd_status_a,
+            CAST(count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                       THEN o_orderstatus END) AS BIGINT) AS nd_status_b,
+            CAST(count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                       THEN o_orderpriority END) AS BIGINT) AS nd_priority_a,
+            CAST(count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                       THEN o_orderpriority END) AS BIGINT) AS nd_priority_b,
+            CAST(count(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                       THEN o_custkey END) AS BIGINT) AS nd_custkey_a,
+            CAST(count(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                       THEN o_custkey END) AS BIGINT) AS nd_custkey_b,
+            round(min(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                      THEN o_totalprice END), 2) AS min_price_a,
+            round(min(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN o_totalprice END), 2) AS min_price_b,
+            round(max(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                      THEN o_totalprice END), 2) AS max_price_a,
+            round(max(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                      THEN o_totalprice END), 2) AS max_price_b
+        FROM orders
+    """,
+)
+def dq_schema_drift(spark, sf_dir):
+    """Snapshot-drift audit: profile two temporal halves of `orders`
+    (pre/post 1996) — row counts, categorical domain sizes, key
+    cardinality, price ranges — side by side in ONE conditional
+    aggregate over ONE scan, no join or pivot at all. This is the
+    "did the upstream writer change what it emits?" check a
+    production ingest runs between batches; the reference has no
+    equivalent (schema is frozen by SQLAlchemy models), which is
+    exactly why a schema-on-read lakehouse needs it.
+
+    Scale: one scan, one partial-agg-friendly aggregate. Metrics are
+    counts and exact min/max — no order-dependent float sums — so the
+    cross-engine comparison is byte-stable by construction."""
+    is_a = F.col("o_orderdate") < "1996-01-01"
+    orders = t(spark, sf_dir, "orders")
+
+    def side(suffix, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+             .alias(f"n_rows_{suffix}"),
+            F.countDistinct(F.when(cond, F.col("o_orderstatus")))
+             .cast("bigint").alias(f"nd_status_{suffix}"),
+            F.countDistinct(F.when(cond, F.col("o_orderpriority")))
+             .cast("bigint").alias(f"nd_priority_{suffix}"),
+            F.countDistinct(F.when(cond, F.col("o_custkey")))
+             .cast("bigint").alias(f"nd_custkey_{suffix}"),
+            F.round(F.min(F.when(cond, F.col("o_totalprice"))), 2)
+             .alias(f"min_price_{suffix}"),
+            F.round(F.max(F.when(cond, F.col("o_totalprice"))), 2)
+             .alias(f"max_price_{suffix}"),
+        ]
+
+    agg = orders.agg(*(side("a", is_a) + side("b", ~is_a)))
+    return agg.select(
+        "n_rows_a", "n_rows_b", "nd_status_a", "nd_status_b",
+        "nd_priority_a", "nd_priority_b", "nd_custkey_a", "nd_custkey_b",
+        "min_price_a", "min_price_b", "max_price_a", "max_price_b")
