@@ -636,3 +636,163 @@ def gr_kcore_peeling(spark, sf_dir):
             F.count("*").cast("bigint").alias("core_degree"))
         .select(F.col("src").alias("doc_id"), "core_degree")
     )
+
+
+_JACCARD_DEG_CAP = 64
+
+
+@query(
+    "gr_jaccard_link_prediction",
+    survey=("GR-linkpred",),
+    oracle=f"""
+        WITH {_GRAPH_SQL},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ),
+        nbr AS (
+            SELECT DISTINCT node, nb FROM (
+                SELECT a AS node, b AS nb FROM und
+                UNION ALL
+                SELECT b AS node, a AS nb FROM und
+            )
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM nbr GROUP BY node
+        ),
+        wedge AS (
+            SELECT n1.node AS u, n2.node AS w
+            FROM nbr n1
+            JOIN deg dv ON dv.node = n1.nb AND dv.d <= {_JACCARD_DEG_CAP}
+            JOIN nbr n2 ON n2.nb = n1.nb AND n1.node < n2.node
+        ),
+        common AS (
+            SELECT u, w, CAST(count(*) AS BIGINT) AS n_common
+            FROM wedge GROUP BY u, w
+        )
+        SELECT c.u, c.w, c.n_common,
+               round(CAST(c.n_common AS DOUBLE)
+                     / (du.d + dw.d - c.n_common), 6) AS jaccard
+        FROM common c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dw ON dw.node = c.w
+        WHERE c.n_common >= 2
+    """,
+)
+def gr_jaccard_link_prediction(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction over the citation
+    graph: candidate pairs are generated ONLY through shared neighbors
+    (a self-join of the neighbor list on the neighbor id), never by
+    enumerating node pairs, and scored `|N(u)∩N(w)| / |N(u)∪N(w)|`.
+
+    Scale: the wedge join is the whole cost, and its per-key fan-out is
+    quadratic in the shared neighbor's degree — so hub nodes with
+    degree > {_JACCARD_DEG_CAP} are excluded from CANDIDATE GENERATION
+    (the same explicit anti-skew bound dd_containment_pairs puts on
+    frequent shingles; a hub shared by everything predicts nothing
+    anyway). Scoring still uses full true degrees. One shuffle for the
+    neighbor list, one for the wedge join, one for the pair count;
+    every key's work is bounded by the cap, so the plan survives a
+    power-law degree distribution at 100 TB.
+
+    Determinism: the score is a single integer-ratio division — no
+    order-dependent float accumulation on either engine."""
+    _, edges, _ = citation_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    nbr = tracked_persist(
+        und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionByName(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nb")))
+        .distinct())
+    deg = tracked_persist(
+        nbr.groupBy("node").agg(F.count("*").cast("bigint").alias("d")))
+    low_hub = deg.filter(F.col("d") <= _JACCARD_DEG_CAP) \
+                 .select(F.col("node").alias("nb"))
+    n1 = nbr.join(low_hub, "nb").select(F.col("node").alias("u"), "nb")
+    n2 = nbr.select(F.col("node").alias("w"), "nb")
+    wedges = n1.join(n2, "nb").filter(F.col("u") < F.col("w"))
+    common = wedges.groupBy("u", "w").agg(
+        F.count("*").cast("bigint").alias("n_common"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
+    return (
+        common.filter(F.col("n_common") >= 2)
+        .join(du, "u").join(dw, "w")
+        .select("u", "w", "n_common",
+                F.round(F.col("n_common").cast("double")
+                        / (F.col("du") + F.col("dw") - F.col("n_common")),
+                        6).alias("jaccard"))
+    )
+
+
+_BFS_HOPS = 5
+_BFS_SEED_MOD = 17
+
+
+@query(
+    "gr_bfs_distance",
+    survey=("GR-bfs", "J9"),
+    oracle=f"""
+        WITH RECURSIVE {_GRAPH_SQL},
+        reach(node, dist) AS (
+            SELECT doc_id, 0 FROM documents
+            WHERE doc_id % {_BFS_SEED_MOD} = 0
+            UNION ALL
+            SELECT e.dst, r.dist + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.dist < {_BFS_HOPS}
+        )
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM (SELECT node, CAST(min(dist) AS INT) AS dist
+              FROM reach GROUP BY node)
+        GROUP BY dist
+    """,
+)
+def gr_bfs_distance(spark, sf_dir):
+    """Multi-source BFS: minimum hop distance from a seed set
+    (doc_id % {_BFS_SEED_MOD} = 0) over directed citation edges,
+    bounded at {_BFS_HOPS} hops, reported as a reachability histogram
+    (distance → node count) — the traversal the reference's lineage
+    walk (J9) does one row at a time in Python.
+
+    Spark runs level-synchronous frontier expansion: each round joins
+    the CURRENT FRONTIER ONLY (not the visited set) against the edge
+    list, anti-joins out already-visited nodes, and unions the new
+    level in; lineage is truncated via iterate()'s localCheckpoint so
+    the plan stays bounded at any depth. Frontier-only expansion means
+    each edge is traversed at most once per endpoint level — the
+    textbook Pregel BFS — while the oracle's recursive CTE enumerates
+    bounded-depth paths and takes min(dist). One join + one anti-join
+    per level, all on the edge key; no global state."""
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    seeds = nodes.filter(F.col("doc_id") % _BFS_SEED_MOD == 0) \
+                 .select(F.col("doc_id").alias("node"))
+    edges = tracked_persist(edges)
+
+    # state: (node, dist, frontier) — visited set with the last level
+    # flagged; step expands only the flagged frontier.
+    state = seeds.select("node", F.lit(0).alias("dist"),
+                         F.lit(True).alias("frontier"))
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        frontier = st.filter(F.col("frontier")).select("node")
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node")).distinct()
+            .join(st.select("node"), "node", "left_anti")
+            .select("node", F.lit(i + 1).alias("dist"),
+                    F.lit(True).alias("frontier"))
+        )
+        return st.select("node", "dist", F.lit(False).alias("frontier")) \
+                 .unionByName(nxt)
+
+    final = iterate(state, step, _BFS_HOPS, checkpoint_every=2)
+    return final.groupBy("dist").agg(
+        F.count("*").cast("bigint").alias("n_nodes")) \
+        .select(F.col("dist").cast("int").alias("dist"), "n_nodes")
