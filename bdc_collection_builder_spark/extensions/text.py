@@ -222,3 +222,24 @@ def perplexity_buckets_by_cutpoints(scored, lang_col: str = "lang",
              .otherwise("tail").alias("bucket"),
         )
     )
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch reading-ease score, all JVM-side regexp built-ins.
+
+    Components (canonical heuristic approximations, deterministic and
+    engine-portable): words = whitespace tokens; sentences =
+    `[.!?]+` runs (min 1); syllables = vowel-group (`[aeiouy]+`) runs
+    plus one for every vowel-less token (the "every word has at least
+    one syllable" clamp). The score is a fixed arithmetic tree over
+    three integers, so any engine evaluating the same tree produces
+    bit-identical doubles — no order-dependent accumulation."""
+    toks = tokens(text)
+    w = F.greatest(F.lit(1), F.size(toks)).cast("bigint")
+    s = F.greatest(F.lit(1),
+                   F.regexp_count(text, F.lit(r"[.!?]+"))).cast("bigint")
+    v = F.regexp_count(F.lower(text), F.lit("[aeiouy]+")).cast("bigint")
+    z = F.size(F.filter(toks, lambda x: ~x.rlike("[aeiouy]"))).cast("bigint")
+    return (F.lit(206.835)
+            - F.lit(1.015) * (w.cast("double") / s)
+            - F.lit(84.6) * ((v + z).cast("double") / w))

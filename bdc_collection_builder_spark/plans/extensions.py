@@ -3344,3 +3344,55 @@ def cu_semdedup_threshold_curve(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_candidates"),
         F.sum(F.when(F.col("max_sim") >= F.col("threshold"), 1)
               .otherwise(0)).cast("bigint").alias("n_dups"))
+
+
+@query(
+    "tx_flesch_readability",
+    survey=("TX-quality",),
+    oracle=f"""
+        WITH scored AS (
+            SELECT source,
+                   206.835
+                   - 1.015 * (CAST(greatest(1, len({_TOKS})) AS DOUBLE)
+                              / greatest(1, len(regexp_extract_all(
+                                    text, '[.!?]+'))))
+                   - 84.6 * (CAST(len(regexp_extract_all(
+                                      lower(text), '[aeiouy]+'))
+                                  + len(list_filter({_TOKS},
+                                      x -> NOT regexp_matches(
+                                          x, '[aeiouy]'))) AS DOUBLE)
+                             / greatest(1, len({_TOKS}))) AS score
+            FROM documents
+        )
+        SELECT source,
+               CAST(floor(score / 10) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(min(score), 4) + 0.0 AS min_score,
+               round(max(score), 4) + 0.0 AS max_score
+        FROM scored GROUP BY source, CAST(floor(score / 10) AS INT)
+    """,
+)
+def tx_flesch_readability(spark, sf_dir):
+    """Flesch reading-ease distribution per source: per-doc score
+    (sentence length × syllable density, the classic readability
+    quality signal that complements tx_quality_score's ratio features)
+    bucketed by decade, with exact min/max per bucket.
+
+    Scale: the score is a pure per-row regexp expression tree in
+    whole-stage codegen (zero Python, zero joins), then ONE partial
+    aggregate on (source, bucket) — a map-side-combined histogram whose
+    shuffle carries #buckets rows. Cross-engine byte-stability: the
+    score is a fixed arithmetic tree over three per-row integers
+    (identical bits on both engines), min/max never accumulate, and
+    signed zero is normalized with `+ 0.0` after round (x17b rule)."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    score = tx.flesch_reading_ease(F.col("text"))
+    scored = docs.select(
+        "source", score.alias("score"),
+        F.floor(score / 10).cast("int").alias("bucket"))
+    return scored.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.round(F.min("score"), 4) + F.lit(0.0)).alias("min_score"),
+        (F.round(F.max("score"), 4) + F.lit(0.0)).alias("max_score"))

@@ -516,3 +516,108 @@ def tj_lttb_downsample(spark, sf_dir):
         "event_type", "pos",
         F.col("s.di").alias("day_idx"),
         F.col("s.y").alias("n_events"))
+
+
+@query(
+    "tj_cusum_changepoint",
+    survey=("TJ-changepoint", "Y6"),
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', {_TS}) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, day, cnt,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+            FROM daily
+        ),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(cnt) AS BIGINT) AS total
+            FROM daily GROUP BY event_type
+        ),
+        walk(event_type, i, s, best, best_day) AS (
+            SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT), ''
+            FROM tot
+            UNION ALL
+            SELECT w.event_type, w.i + 1,
+                   greatest(CAST(0 AS BIGINT), w.s + (b.cnt * t.t - t.total)),
+                   CASE WHEN greatest(CAST(0 AS BIGINT),
+                                      w.s + (b.cnt * t.t - t.total)) > w.best
+                        THEN greatest(CAST(0 AS BIGINT),
+                                      w.s + (b.cnt * t.t - t.total))
+                        ELSE w.best END,
+                   CASE WHEN greatest(CAST(0 AS BIGINT),
+                                      w.s + (b.cnt * t.t - t.total)) > w.best
+                        THEN strftime(b.day, '%Y-%m-%d')
+                        ELSE w.best_day END
+            FROM walk w
+            JOIN idx b ON b.event_type = w.event_type AND b.i = w.i + 1
+            JOIN tot t ON t.event_type = w.event_type
+        )
+        SELECT w.event_type, t.t AS n_days, t.total AS n_events,
+               w.best AS cusum_peak, w.best_day AS changepoint_day
+        FROM walk w JOIN tot t ON t.event_type = w.event_type
+        WHERE w.i = t.t
+    """,
+)
+def tj_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on daily ingest volume, per event
+    type: with daily counts c_1..c_T, the scaled deviation
+    d_t = c_t·T − Σc (integer — no float mean, so the recurrence is
+    EXACT) drives S_t = max(0, S_{t−1} + d_t); the earliest day where
+    S_t attains its maximum is the level-shift changepoint. This is
+    the sequential counterpart to dq_volume_anomaly's windowed
+    robust-z: CUSUM accumulates small persistent shifts a per-day
+    z-score never flags.
+
+    Scale shape: ONE daily-count aggregate over the stream (partial
+    combine), then a per-type fold over the sorted day array — state
+    is O(1) per type, array length = #days, all inside one codegen'd
+    higher-order `aggregate`; nothing iterates over the raw events.
+    The oracle replays the identical recurrence as a recursive CTE.
+    All arithmetic is int64, so cross-engine equality is exact by
+    construction."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type"),
+                 F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cnt"))).alias("days"))
+    sized = arr.select(
+        "event_type", "days",
+        F.size("days").cast("bigint").alias("n_days"),
+        F.expr("CAST(aggregate(days, 0L, (a, x) -> a + x.cnt) AS BIGINT)")
+         .alias("n_events"))
+    folded = sized.select(
+        "event_type", "n_days", "n_events",
+        F.expr("""
+            aggregate(
+                days,
+                named_struct('s', 0L, 'best', 0L, 'best_day', ''),
+                (acc, x) -> named_struct(
+                    's', greatest(0L, acc.s + (x.cnt * n_days - n_events)),
+                    'best',
+                    CASE WHEN greatest(0L,
+                              acc.s + (x.cnt * n_days - n_events)) > acc.best
+                         THEN greatest(0L,
+                              acc.s + (x.cnt * n_days - n_events))
+                         ELSE acc.best END,
+                    'best_day',
+                    CASE WHEN greatest(0L,
+                              acc.s + (x.cnt * n_days - n_events)) > acc.best
+                         THEN date_format(x.day, 'yyyy-MM-dd')
+                         ELSE acc.best_day END)
+            ) AS cp
+        """).alias("cp"),
+    )
+    return folded.select(
+        "event_type", "n_days", "n_events",
+        F.col("cp.best").alias("cusum_peak"),
+        F.col("cp.best_day").alias("changepoint_day"))
