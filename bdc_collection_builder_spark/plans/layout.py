@@ -208,3 +208,66 @@ def lo_pruning_effectiveness(spark, sf_dir):
 
     return stats("linear", "f_linear").unionByName(
         stats("zorder", "f_zorder"))
+
+
+@query(
+    "lo_bucketed_join",
+    survey=("LO-bucketing", "J6"),
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def lo_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join via BUCKETED tables: both sides are
+    written `bucketBy(16, key)` + `sortBy(key)` into catalog tables,
+    so the subsequent orders⋈customer sort-merge join needs NO
+    Exchange under the join — bucket i of one table joins bucket i of
+    the other directly (tests/test_plans pins the exchange-free plan).
+    This is THE pre-partitioning strategy for a 100 TB fact table that
+    is joined on the same key by every downstream query: pay the
+    bucketed write once, skip the multi-TB fact shuffle on every read.
+    (The reference's Postgres gets the same effect from its btree on
+    the FK; on a lakehouse, bucketing is how you buy it.) Broadcast is
+    disabled only inside this query — at dim scales where broadcast
+    wins, AQE would pick it; the point here is the fact⋈fact case
+    where broadcast is impossible and bucketing is the only way out
+    of the shuffle.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    for name in ("bdc_lo_b_orders", "bdc_lo_b_customer"):
+        # A managed-table location can survive from a previous session
+        # whose catalog is gone; overwrite mode can't reclaim it, so
+        # drop both the catalog entry and any orphaned directory.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    (orders.write.bucketBy(16, "o_custkey").sortBy("o_custkey")
+     .mode("overwrite").format("parquet").saveAsTable("bdc_lo_b_orders"))
+    (customer.write.bucketBy(16, "c_custkey").sortBy("c_custkey")
+     .mode("overwrite").format("parquet").saveAsTable("bdc_lo_b_customer"))
+    o = spark.table("bdc_lo_b_orders")
+    c = spark.table("bdc_lo_b_customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        # Materialize the plan while broadcast is still disabled: the
+        # conf is read at planning time, which happens lazily at the
+        # caller's action otherwise.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out

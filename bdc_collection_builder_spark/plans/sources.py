@@ -2135,3 +2135,123 @@ def s27_docker_correction(spark, sf_dir):
         docker_bin=_DOCKER_FIX["bin"],
     ).select("scene_id", "collection_id", "processor_version",
              "output_checksum", "returncode")
+
+
+_SCHEMA_EVO_STORES: dict[str, tuple[str, str, str]] = {}
+
+
+def _schema_evo_store(spark, sf_dir) -> tuple[str, str, str]:
+    """Build a real MVCC store, commit v1 (orders %10 subset as items,
+    base 17-column schema), then MERGE the %20 subset with
+    ``evolve_schema=True`` carrying a NEW ``quality_score`` column —
+    the Delta ``mergeSchema`` ADD-COLUMN path (store.merge_upsert).
+    Returns (root, gen_v1, gen_v2)."""
+    if sf_dir not in _SCHEMA_EVO_STORES:
+        import tempfile
+
+        from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+        root = tempfile.mkdtemp(prefix="bdc_schema_evo_store_")
+        store = CatalogStore(spark, root)
+        orders = t(spark, sf_dir, "orders")
+
+        def items_of(df):
+            return df.select(
+                F.col("o_orderkey").cast("long").alias("id"),
+                F.col("o_orderkey").cast("string").alias("name"),
+                (F.col("o_orderkey") % 7).cast("int").alias("collection_id"),
+                F.lit(None).cast("timestamp_ntz").alias("start_date"),
+                F.lit(None).cast("timestamp_ntz").alias("end_date"),
+                F.col("o_totalprice").alias("cloud_cover"),
+                *[F.lit(None).cast("double").alias(c) for c in
+                  ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")],
+                F.lit(None).cast("string").alias("footprint_wkt"),
+                F.lit(None).cast("int").alias("srid"),
+                F.lit(None).cast("int").alias("tile_id"),
+                F.lit(None).cast("int").alias("provider_id"),
+                F.lit(None).cast("string").alias("assets"),
+                F.lit(True).alias("is_available"),
+                F.lit(None).cast("timestamp_ntz").alias("updated"),
+            )
+
+        store.overwrite(
+            "items", items_of(orders.filter(F.col("o_orderkey") % 10 == 0)))
+        gen1 = store._current_gen("items")
+        evolved = items_of(
+            orders.filter(F.col("o_orderkey") % 20 == 0)
+        ).withColumn(
+            "quality_score",
+            ((F.col("id") % 1000).cast("double") / 10.0))
+        store.merge_upsert("items", evolved, evolve_schema=True)
+        gen2 = store._current_gen("items")
+        _SCHEMA_EVO_STORES[sf_dir] = (root, gen1, gen2)
+    return _SCHEMA_EVO_STORES[sf_dir]
+
+
+@query(
+    "s29_schema_evolution_timetravel",
+    survey=("S15", "Y3"),
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+        ), evolved AS (
+            SELECT o_orderkey,
+                   CAST(o_orderkey % 1000 AS DOUBLE) / 10.0 AS quality_score
+            FROM orders WHERE o_orderkey % 20 = 0
+        )
+        SELECT 'v1' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(17 AS INT) AS n_cols,
+               CAST(0 AS BIGINT) AS n_quality_nonnull,
+               CAST(NULL AS DOUBLE) AS min_quality,
+               CAST(NULL AS DOUBLE) AS max_quality
+        FROM v1
+        UNION ALL
+        SELECT 'v2',
+               (SELECT CAST(count(*) AS BIGINT) FROM v1),
+               CAST(18 AS INT),
+               CAST(count(*) AS BIGINT),
+               min(quality_score), max(quality_score)
+        FROM evolved
+    """,
+)
+def s29_schema_evolution_timetravel(spark, sf_dir):
+    """ADD-COLUMN schema evolution, versioned with the snapshot: a
+    MERGE with ``evolve_schema=True`` appends ``quality_score`` to the
+    items table; rows not in the incoming batch read NULL for it, and
+    TIME TRAVEL to the pre-evolution generation still sees the
+    original 17-column shape (the generation pins its own
+    ``_SCHEMA.json`` — the Delta/Iceberg rule that schema is part of
+    the snapshot, store.py _gen_schema). The query profiles both
+    snapshots side by side: column count, row count, and the new
+    column's non-null stats — proving old readers are unbroken while
+    new data carries the new column.
+
+    Scale: both profile rows are single fused aggregates over one
+    snapshot scan each; the MERGE that produced v2 moved only the
+    incoming batch + the anti-join survivors (one shuffle on the merge
+    key). The oracle recomputes both profiles from the source table —
+    matching hashes prove evolve-merge == recompute."""
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    root, gen1, gen2 = _schema_evo_store(spark, sf_dir)
+    store = CatalogStore(spark, root)
+    v1 = store.read_at("items", gen1)
+    v2 = store.read_at("items", gen2)
+
+    def profile(df, label):
+        n_cols = len(df.columns)
+        has_q = "quality_score" in df.columns
+        q = (F.col("quality_score") if has_q
+             else F.lit(None).cast("double"))
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.lit(n_cols).cast("int").alias("n_cols"),
+            F.count(q).cast("bigint").alias("n_quality_nonnull"),
+            F.min(q).alias("min_quality"),
+            F.max(q).alias("max_quality"),
+        ).select("snapshot", "n_rows", "n_cols", "n_quality_nonnull",
+                 "min_quality", "max_quality")
+
+    return profile(v1, "v1").unionByName(profile(v2, "v2"))

@@ -261,3 +261,32 @@ def test_tpch_join_plan_shapes(spark, sf_dir):
     plan5 = plan_of(spark, "j13_regional_supplier_volume", sf_dir)
     assert plan5.count("BroadcastHashJoin") >= 2    # dim chain broadcasts
     assert "CartesianProduct" not in plan5
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """lo_bucketed_join's whole point: after bucketBy(16, key) writes,
+    the orders⋈customer sort-merge join runs WITHOUT any Exchange on
+    either input — bucket-to-bucket. (The registered query checkpoints
+    its result, which hides the join plan, so this test rebuilds the
+    join from the bucketed tables it wrote.)"""
+    from bdc_collection_builder_spark.plans.registry import QUERY_REGISTRY
+
+    # Run the query once so the bucketed tables exist in this session.
+    QUERY_REGISTRY["lo_bucketed_join"].spark_fn(spark, sf_dir).collect()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("bdc_lo_b_orders")
+        c = spark.table("bdc_lo_b_customer")
+        j = o.join(c, o["o_custkey"] == c["c_custkey"]) \
+             .groupBy("c_mktsegment").count()
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    # the ONLY exchange is the final groupBy's (it sits ABOVE the join
+    # in the tree) — neither join input shuffles: their partitioning
+    # comes from the bucket layout
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
