@@ -3396,3 +3396,228 @@ def tx_flesch_readability(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs"),
         (F.round(F.min("score"), 4) + F.lit(0.0)).alias("min_score"),
         (F.round(F.max("score"), 4) + F.lit(0.0)).alias("max_score"))
+
+
+_MMR_K, _MMR_SHORTLIST, _MMR_NQ = 5, 12, 4
+
+# Pairwise cosine of two pre-normalized double arrays, rounded to 6 dp
+# — the Spark-SQL spelling whose fold order matches DuckDB's
+# list_sum(list_transform(...)) (the ss_* precedent).
+_MMR_SIM = ("round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc2, v) -> acc2 + v), 6)")
+
+# MMR score of candidate c against the selected set st.snembs.
+_MMR_SCORE = (
+    "(0.5 * c.rel - 0.5 * coalesce(array_max(transform(st.snembs, "
+    "e -> " + _MMR_SIM.format(a="e", b="c.nemb") + ")), "
+    "CAST(0.0 AS DOUBLE)))"
+)
+
+# Greedy argmax over the not-yet-selected shortlist: fold keeping the
+# best (score, -vec_id) candidate. Ties go to the lower vec_id — the
+# oracle's ORDER BY score DESC, vec_id LIMIT 1.
+_MMR_BEST = f"""
+    aggregate(
+        filter(cands, c -> NOT array_contains(st.selids, c.vec_id)),
+        named_struct('vec_id', CAST(NULL AS BIGINT),
+                     'rel', CAST(0.0 AS DOUBLE),
+                     'nemb', CAST(array() AS ARRAY<DOUBLE>),
+                     'score', CAST(-1e18 AS DOUBLE)),
+        (acc, c) -> CASE
+            WHEN {_MMR_SCORE} > acc.score
+              OR ({_MMR_SCORE} = acc.score
+                  AND (acc.vec_id IS NULL OR c.vec_id < acc.vec_id))
+            THEN named_struct('vec_id', c.vec_id, 'rel', c.rel,
+                              'nemb', c.nemb, 'score', {_MMR_SCORE})
+            ELSE acc END)
+"""
+
+_MMR_FOLD = f"""
+    aggregate(
+        sequence(1, {_MMR_K}),
+        named_struct(
+            'picks', CAST(array() AS ARRAY<STRUCT<
+                sel_rank: INT, vec_id: BIGINT, rel: DOUBLE,
+                score: DOUBLE>>),
+            'selids', CAST(array() AS ARRAY<BIGINT>),
+            'snembs', CAST(array() AS ARRAY<ARRAY<DOUBLE>>)),
+        (st, r) -> named_struct(
+            'picks', array_append(st.picks, named_struct(
+                'sel_rank', CAST(r AS INT),
+                'vec_id', ({_MMR_BEST}).vec_id,
+                'rel', ({_MMR_BEST}).rel,
+                'score', ({_MMR_BEST}).score)),
+            'selids', array_append(st.selids, ({_MMR_BEST}).vec_id),
+            'snembs', array_append(st.snembs, ({_MMR_BEST}).nemb))
+    ).picks
+"""
+
+
+@query(
+    "ss_mmr_diversified_topk",
+    survey=("SS-mmr",),
+    oracle=f"""
+        WITH RECURSIVE nv AS (
+            SELECT vec_id, list_transform(embedding, x ->
+                CAST(x AS DOUBLE)
+                / sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
+            ) AS nemb
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, nemb AS qn FROM nv
+              WHERE vec_id < {_MMR_NQ}),
+        scored AS (
+            SELECT q.query_id, n.vec_id,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> n.nemb[i] * q.qn[i])), 6) AS rel,
+                   n.nemb
+            FROM nv n CROSS JOIN q WHERE n.vec_id <> q.query_id
+        ),
+        shortlist AS (
+            SELECT query_id, vec_id, rel, nemb FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rnk
+                FROM scored) WHERE rnk <= {_MMR_SHORTLIST}
+        ),
+        mmr(query_id, sel_rank, vec_id, rel, score, selids, snembs) AS (
+            SELECT query_id, CAST(0 AS INT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST([] AS BIGINT[]), CAST([] AS DOUBLE[][])
+            FROM (SELECT DISTINCT query_id FROM shortlist)
+            UNION ALL
+            SELECT m.query_id, m.sel_rank + 1, pick.vec_id, pick.rel,
+                   pick.score,
+                   list_append(m.selids, pick.vec_id),
+                   list_append(m.snembs, pick.nemb)
+            FROM mmr m, LATERAL (
+                SELECT s.vec_id, s.rel, s.nemb,
+                       0.5 * s.rel - 0.5 * coalesce(list_max(
+                           list_transform(m.snembs, e ->
+                               round(list_sum(list_transform(
+                                   list_zip(e, s.nemb),
+                                   p -> p[1] * p[2])), 6))), 0.0) AS score
+                FROM shortlist s
+                WHERE s.query_id = m.query_id
+                  AND NOT list_contains(m.selids, s.vec_id)
+                ORDER BY score DESC, s.vec_id
+                LIMIT 1
+            ) pick
+            WHERE m.sel_rank < {_MMR_K}
+        )
+        SELECT query_id, sel_rank, vec_id, rel,
+               round(score, 6) + 0.0 AS mmr_score
+        FROM mmr WHERE sel_rank > 0
+    """,
+)
+def ss_mmr_diversified_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified retrieval — the
+    re-ranking stage between ANN shortlist and prompt context in a
+    RAG pipeline: greedily pick k={_MMR_K} of a top-{_MMR_SHORTLIST}
+    cosine shortlist maximizing λ·sim(q,d) − (1−λ)·max_sim(d,
+    selected) with λ=0.5, so near-duplicate hits can't crowd the
+    context window (Carbonell & Goldstein 1998).
+
+    Scale shape: relevance scoring is the standard broadcast-queries ×
+    corpus scan (no corpus shuffle); the O(k·shortlist) greedy
+    selection then runs per query INSIDE one codegen'd nested
+    higher-order fold over the collected shortlist array — the
+    quadratic part touches {_MMR_SHORTLIST} rows per query, never the
+    corpus. The oracle replays the identical greedy loop as a
+    recursive CTE with a LATERAL argmax. Determinism: pre-normalized
+    vectors, every pairwise sim rounded to 6 dp on both engines, ties
+    broken by vec_id."""
+    from bdc_collection_builder_spark.extensions.similarity import dot
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    nv = emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: x.cast("double") / nrm).alias("nemb"))
+    q = nv.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("nemb").alias("qn"))
+    scored = (
+        nv.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "nemb",
+                F.expr(_MMR_SIM.format(a="nemb", b="qn")).alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id"))
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MMR_SHORTLIST)
+    )
+    grouped = shortlist.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(
+            F.struct("rnk", "vec_id", "rel", "nemb"))).alias("cands"))
+    picks = grouped.select(
+        "query_id", F.explode(F.expr(_MMR_FOLD)).alias("p"))
+    return picks.select(
+        "query_id", F.col("p.sel_rank").alias("sel_rank"),
+        F.col("p.vec_id").alias("vec_id"), F.col("p.rel").alias("rel"),
+        (F.round(F.col("p.score"), 6) + F.lit(0.0)).alias("mmr_score"))
+
+
+@query(
+    "cu_pareto_frontier",
+    survey=("CU-pareto",),
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   n_chars
+            FROM documents
+        )
+        SELECT r.source, r.doc_id, r.n_tokens, r.n_chars
+        FROM m r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m s
+            WHERE s.source = r.source
+              AND s.n_tokens >= r.n_tokens AND s.n_chars <= r.n_chars
+              AND (s.n_tokens > r.n_tokens OR s.n_chars < r.n_chars)
+        )
+    """,
+)
+def cu_pareto_frontier(spark, sf_dir):
+    """Pareto-frontier (skyline) curation per source: the documents
+    for which no other document in the same source has BOTH more
+    tokens AND fewer characters — the "densest useful docs" frontier
+    a multi-signal curation pass keeps when it refuses to collapse
+    its quality signals into one weighted score.
+
+    Scale shape: the skyline is computed WITHOUT any pairwise join —
+    (1) one aggregate to the per-(source, n_tokens) minimum length,
+    (2) one tiny window over those distinct-token rows per source
+    (running strict-prefix min, frame ends at -1), (3) one semi-join
+    back to tag survivors: a document survives iff it achieves its
+    token-count's min length AND beats the min length of every
+    strictly higher token count. That is O(n) + a window over
+    #distinct token counts — vs the oracle's O(n²) NOT-EXISTS
+    dominance scan, which independently witnesses the same set.
+    Ordering ties: equal (n_tokens, n_chars) rows never dominate each
+    other — both survive — and the window formulation preserves that
+    exactly."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id", "source",
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        "n_chars")
+    per_q = m.groupBy("source", "n_tokens").agg(
+        F.min("n_chars").alias("min_chars"))
+    w = (Window.partitionBy("source").orderBy(F.col("n_tokens").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier_q = per_q.select(
+        "source", "n_tokens", "min_chars",
+        F.min("min_chars").over(w).alias("strict_min"))
+    keep = frontier_q.filter(
+        F.col("strict_min").isNull()
+        | (F.col("min_chars") < F.col("strict_min"))
+    ).select("source", "n_tokens", F.col("min_chars").alias("n_chars"))
+    return m.join(keep, ["source", "n_tokens", "n_chars"], "left_semi") \
+            .select("source", "doc_id", "n_tokens", "n_chars")

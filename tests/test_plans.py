@@ -97,6 +97,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "cu_temperature_mix",    # one-row mixture-normalizer attach
         "cu_epoch_repeat_plan",  # one-row corpus-total attach
         "ss_hard_negative_mining",  # by design: broadcast batch × corpus
+        "ss_mmr_diversified_topk",  # by design: broadcast queries × corpus
         "ss_ivf_recall_eval",    # eval protocol: brute-force ground truth
         "gr_hits_hubs_authorities",  # one-row L2-normalizer attaches
         "cu_filter_funnel",      # one-row corpus-total attach (pct)
