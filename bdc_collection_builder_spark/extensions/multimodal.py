@@ -137,3 +137,49 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
             F.lit(every_ms))).alias("frame_ts_ms"),
     )
+
+
+AUDIO_RMS_SCHEMA = "media_id long, frame_idx int, rms double"
+
+
+def audio_rms_frames(media, frame_len: int = 64):
+    """Per-frame RMS energy over int16-LE PCM payloads — the
+    feature-extraction stage an audio curation pipeline runs before
+    silence trimming / loudness filtering. Arrow-batched
+    ``mapInPandas``: payload bytes stay executor-local, each batch is
+    decoded with one ``np.frombuffer`` (zero-copy) and reduced with a
+    vectorized reshape/sum — only (media_id, frame_idx, rms) rows
+    shuffle. A trailing partial frame is dropped (fixed-length frames
+    only), matching the oracle.
+
+    Determinism: squares accumulate in int64 (exact), /frame_len is a
+    power-of-two double division (exact), sqrt is IEEE
+    correctly-rounded — so the doubles match any engine evaluating
+    the same formula bit-for-bit."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, rms = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                x = np.frombuffer(bytes(payload), dtype="<i2") \
+                      .astype(np.int64)
+                n = (len(x) // frame_len) * frame_len
+                if n == 0:
+                    continue
+                fr = x[:n].reshape(-1, frame_len)
+                sumsq = (fr * fr).sum(axis=1)
+                vals = np.sqrt(sumsq / float(frame_len))
+                ids.extend([mid] * len(vals))
+                frames.extend(range(len(vals)))
+                rms.extend(vals.tolist())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(frames, dtype="int32"),
+                "rms": pd.Series(rms, dtype="float64"),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_RMS_SCHEMA)

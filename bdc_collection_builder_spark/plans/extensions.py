@@ -3621,3 +3621,72 @@ def cu_pareto_frontier(spark, sf_dir):
     ).select("source", "n_tokens", F.col("min_chars").alias("n_chars"))
     return m.join(keep, ["source", "n_tokens", "n_chars"], "left_semi") \
             .select("source", "doc_id", "n_tokens", "n_chars")
+
+
+@query(
+    "mm_audio_rms_frames",
+    survey=("MM-audio",),
+    oracle="""
+        WITH audio AS (
+            SELECT i AS media_id, sha256('media-' || i) AS hex,
+                   CAST(4 + i % 7 AS INT) AS reps
+            FROM range(0, 64) t(i) WHERE i % 3 = 1
+        ),
+        frames AS (
+            SELECT media_id, hex,
+                   unnest(generate_series(0, reps // 4 - 1)) AS frame_idx
+            FROM audio
+        ),
+        samples AS (
+            SELECT media_id, hex, frame_idx,
+                   unnest(generate_series(0, 63)) AS k
+            FROM frames
+        ),
+        vals AS (
+            SELECT media_id, frame_idx,
+                   ((strpos('0123456789abcdef', substr(hex,
+                        2*((2*(frame_idx*64+k)) % 32)+1, 1))-1)*16
+                    + strpos('0123456789abcdef', substr(hex,
+                        2*((2*(frame_idx*64+k)) % 32)+2, 1))-1)
+                   + 256 * ((strpos('0123456789abcdef', substr(hex,
+                        2*((2*(frame_idx*64+k)+1) % 32)+1, 1))-1)*16
+                    + strpos('0123456789abcdef', substr(hex,
+                        2*((2*(frame_idx*64+k)+1) % 32)+2, 1))-1) AS raw
+            FROM samples
+        ),
+        pcm AS (
+            SELECT media_id, frame_idx,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+            FROM vals
+        )
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+               round(sqrt(CAST(sum(v*v) AS BIGINT) / 64.0), 6) + 0.0 AS rms
+        FROM pcm GROUP BY media_id, frame_idx
+    """,
+)
+def mm_audio_rms_frames(spark, sf_dir):
+    """Audio-modality feature extraction: the opaque audio payloads of
+    the media table decoded as int16-LE PCM and reduced to per-frame
+    (64-sample) RMS energy — silence-trim / loudness-filter input.
+    The decode runs in ONE Arrow-batched mapInPandas (np.frombuffer is
+    zero-copy over the Arrow buffer; payload bytes never shuffle, only
+    the tiny (media_id, frame_idx, rms) rows do) — the production
+    plumbing the brief's multimodal section calls for, with the codec
+    itself a deterministic stub like mm_decode_features'.
+
+    The payload is the seeded repeated-sha256 fixture, so the oracle
+    re-derives every 16-bit sample arithmetically from the digest hex
+    and replays sum-of-squares → sqrt: squares sum in exact int64,
+    /64 is an exact power-of-two double step, sqrt is IEEE-rounded —
+    byte-identical across engines. Final rounding Spark-side (F.round,
+    never Python round — half-even vs half-up)."""
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        audio_rms_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64).filter(F.col("kind") == "audio")
+    out = audio_rms_frames(media, frame_len=64)
+    return out.select(
+        "media_id", "frame_idx",
+        (F.round(F.col("rms"), 6) + F.lit(0.0)).alias("rms"))
