@@ -152,3 +152,93 @@ def test_volume_anomaly_schema_sane(spark, sf_dir):
         assert r.trailing_mad >= 0.0
         if r.robust_z is not None and abs(r.robust_z) > 3.5:
             assert r.is_anomaly
+
+
+def test_mmr_first_pick_is_top_relevance(spark, sf_dir):
+    """Round 1 of MMR has an empty selected set, so the first pick must
+    be exactly the relevance top-1; later picks must all be distinct
+    shortlist members."""
+    out = rows(spark, sf_dir, "ss_mmr_diversified_topk")
+    brute = rows(spark, sf_dir, "ss_brute_force_topk")
+    top1 = {r.query_id: r.vec_id for r in brute if r.rank == 1}
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, picks in by_q.items():
+        picks.sort(key=lambda r: r.sel_rank)
+        assert picks[0].vec_id == top1[qid]
+        ids = [p.vec_id for p in picks]
+        assert len(set(ids)) == len(ids)
+        # NOTE: MMR scores are NOT monotone across rounds — round 1's
+        # penalty is defined 0 (empty selected set), while an
+        # anti-correlated candidate's max-sim penalty is NEGATIVE
+        # (i.e. a boost), so round 2 can legitimately out-score
+        # round 1. Only the first-pick and distinctness properties
+        # are invariant.
+
+
+def test_pareto_frontier_mutual_nondominance(spark, sf_dir):
+    """No member of the skyline may dominate another member of the
+    same source's skyline (frontier property), and the frontier is
+    non-empty for every source present."""
+    out = rows(spark, sf_dir, "cu_pareto_frontier")
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.n_tokens, r.n_chars))
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    sources = {r.source for r in
+               load_table(spark, sf_dir, "documents").select("source")
+               .distinct().collect()}
+    assert set(by_src) == sources
+    for pts in by_src.values():
+        for a in pts:
+            for b in pts:
+                dominates = (a[0] >= b[0] and a[1] <= b[1]
+                             and (a[0] > b[0] or a[1] < b[1]))
+                assert not dominates, (a, b)
+
+
+def test_bfs_distance_histogram_bounds(spark, sf_dir):
+    """Level 0 is exactly the seed count; levels never exceed the hop
+    bound; total reached nodes never exceed the node count."""
+    out = {r.dist: r.n_nodes for r in rows(spark, sf_dir, "gr_bfs_distance")}
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    seeds = docs.filter((docs.doc_id % 17) == 0).count()
+    assert out[0] == seeds
+    assert max(out) <= 5
+    assert sum(out.values()) <= n
+
+
+def test_cusum_peak_nonnegative_and_day_in_range(spark, sf_dir):
+    out = rows(spark, sf_dir, "tj_cusum_changepoint")
+    assert out
+    for r in out:
+        assert r.cusum_peak >= 0
+        if r.cusum_peak > 0:
+            assert r.changepoint_day != ""
+
+
+def test_audio_rms_in_int16_range(spark, sf_dir):
+    out = rows(spark, sf_dir, "mm_audio_rms_frames")
+    assert out
+    for r in out:
+        assert 0.0 <= r.rms <= 32768.0
+
+
+def test_histogram_equalization_preserves_mass(spark, sf_dir):
+    """Equalization remaps values, never creates or drops pixels: the
+    per-scene pixel mass equals the valid (non-nodata) count, and all
+    equalized values are bytes."""
+    out = rows(spark, sf_dir, "px_histogram_equalization")
+    per_scene: dict[int, int] = {}
+    for r in out:
+        assert 0 <= r.eq_value <= 255
+        per_scene[r.scene_id] = per_scene.get(r.scene_id, 0) + r.n_pixels
+    from bdc_collection_builder_spark.functions.pixel import synthetic_pixels
+    valid = (synthetic_pixels(spark, n_scenes=4, height=16, width=16)
+             .filter("B04 <> -9999.0").groupBy("scene_id").count().collect())
+    assert per_scene == {r.scene_id: r["count"] for r in valid}
