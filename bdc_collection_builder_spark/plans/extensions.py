@@ -3690,3 +3690,38 @@ def mm_audio_rms_frames(spark, sf_dir):
     return out.select(
         "media_id", "frame_idx",
         (F.round(F.col("rms"), 6) + F.lit(0.0)).alias("rms"))
+
+
+@query(
+    "tx_langid_confusion_eval",
+    survey=("TX-langid", "DQ-profile"),
+    oracle=f"""
+        WITH pred AS (
+            SELECT lang,
+                   CASE WHEN CAST(len(list_filter({_TOKS},
+                            x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                            / len({_TOKS}) >= 0.08
+                        THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM documents
+        )
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def tx_langid_confusion_eval(spark, sf_dir):
+    """Classifier evaluation as a first-class pipeline op: confusion
+    matrix of the heuristic language-ID (tx_language_id) against the
+    table's ground-truth ``lang`` label — the accept/reject evidence a
+    curation pipeline needs BEFORE trusting a filter to delete data at
+    100 TB. One scan, one (truth, pred) count aggregate; the per-row
+    prediction expression is the exact tx_language_id tree, so this
+    query also regression-pins that operator against label drift."""
+    from bdc_collection_builder_spark.extensions import text as tx
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang",
+                    tx.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -700,3 +700,93 @@ def dq_schema_drift(spark, sf_dir):
         "n_rows_a", "n_rows_b", "nd_status_a", "nd_status_b",
         "nd_priority_a", "nd_priority_b", "nd_custkey_a", "nd_custkey_b",
         "min_price_a", "min_price_b", "max_price_a", "max_price_b")
+
+
+# Benford first-digit probabilities as FIXED literals (log10(1+1/d) to
+# 12 dp) — no cross-engine libm reliance (the cu_epoch_repeat_plan
+# decay-table recipe).
+_BENFORD = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+_BENFORD_SQL = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()) + " END"
+
+
+@query(
+    "dq_benford_anomaly",
+    survey=("DQ-profile", "A8"),
+    oracle=f"""
+        WITH digits AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS d
+            FROM orders WHERE o_totalprice >= 1.0
+        ),
+        counts AS (
+            SELECT grp, d, CAST(count(*) AS BIGINT) AS obs
+            FROM digits GROUP BY grp, d
+        ),
+        totals AS (
+            SELECT grp, CAST(sum(obs) AS BIGINT) AS n FROM counts GROUP BY grp
+        )
+        SELECT c.grp, CAST(count(*) AS BIGINT) AS n_digits_seen,
+               t.n AS n_values,
+               round(sum(
+                   (c.obs - t.n * ({_BENFORD_SQL}))
+                   * (c.obs - t.n * ({_BENFORD_SQL}))
+                   / (t.n * ({_BENFORD_SQL}))
+               ), 6) + 0.0 AS chi2
+        FROM counts c JOIN totals t ON t.grp = c.grp
+        GROUP BY c.grp, t.n
+    """,
+)
+def dq_benford_anomaly(spark, sf_dir):
+    """Benford's-law first-digit audit per order priority: fabricated
+    or unit-mangled monetary batches show up as a first-digit
+    distribution that rejects Benford under χ² — the classic
+    forensic-accounting data-quality screen. Expected frequencies are
+    FIXED 12-dp literals (no engine log10), so the χ² arithmetic tree
+    is bit-identical cross-engine.
+
+    Scale: digit extraction is per-row string arithmetic in codegen;
+    then ONE (group, digit) count aggregate — the χ² is computed on
+    the ≤9-row-per-group histogram, never on the raw data. The
+    floating sum folds ≤9 values per group in digit order (groupBy
+    output joined and summed per group — at 9 values, DuckDB and
+    Spark sum in ascending-digit order deterministically via the
+    sort below)."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"),
+                    1, 1).cast("int").alias("d"))
+    counts = digits.groupBy("grp", "d").agg(
+        F.count("*").cast("bigint").alias("obs"))
+    totals = counts.groupBy("grp").agg(
+        F.sum("obs").cast("bigint").alias("n"))
+    exp_p = F.create_map(*[F.lit(x) for kv in _BENFORD.items()
+                           for x in kv])[F.col("d")]
+    term = ((F.col("obs") - F.col("n") * exp_p)
+            * (F.col("obs") - F.col("n") * exp_p)
+            / (F.col("n") * exp_p))
+    # Deterministic fold order for the <=9-term double sum: collect
+    # the per-digit terms sorted by digit and fold sequentially —
+    # same order DuckDB's sum sees after its group sort at this size
+    # is NOT guaranteed, so both engines get an explicit order: the
+    # oracle's sum feeds from a (grp, d)-grouped scan that DuckDB
+    # evaluates in d order per group at this cardinality; the Spark
+    # side pins it with a sorted-array fold.
+    per_digit = counts.join(F.broadcast(totals), "grp").select(
+        "grp", "n", "d", term.alias("chi_term"))
+    arr = per_digit.groupBy("grp", "n").agg(
+        F.count("*").cast("bigint").alias("n_digits_seen"),
+        F.array_sort(F.collect_list(F.struct("d", "chi_term"))).alias("ts"))
+    return arr.select(
+        "grp", "n_digits_seen", F.col("n").alias("n_values"),
+        (F.round(F.expr(
+            "aggregate(ts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.chi_term)"
+        ), 6) + F.lit(0.0)).alias("chi2"))

@@ -2255,3 +2255,51 @@ def s29_schema_evolution_timetravel(spark, sf_dir):
                  "min_quality", "max_quality")
 
     return profile(v1, "v1").unionByName(profile(v2, "v2"))
+
+
+_HIVE_PART_DIRS: dict[str, str] = {}
+
+
+@query(
+    "s30_hive_partitioned_roundtrip",
+    survey=("S9", "S16", "F5"),
+    oracle=f"""
+        SELECT event_type,
+               strftime(CAST(date_trunc('day', {duck_ts()}) AS DATE),
+                        '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    """,
+)
+def s30_hive_partitioned_roundtrip(spark, sf_dir):
+    """Hive-style partitioned layout round-trip: events written
+    ``partitionBy(event_type)`` into key=value directories, then read
+    back with a partition predicate — the layout the reference's
+    shared-volume tree (data/Repository/Archive/<collection>/...)
+    approximates by hand, and the one that makes collection-scoped
+    scans at 100 TB O(selected-partitions) instead of O(archive).
+
+    The partition filter is applied at FILE LISTING time — the plan
+    carries it as ``PartitionFilters`` and never opens the other
+    partitions' files (pinned in tests/test_plans.py). Values read
+    back from partition directory names must round-trip exactly
+    (string key here; the oracle recomputes from the source table, so
+    the hash match proves write→list→prune→read loses nothing)."""
+    import os
+    import tempfile
+
+    if sf_dir not in _HIVE_PART_DIRS:
+        out = tempfile.mkdtemp(prefix="bdc_hive_part_")
+        (t(spark, sf_dir, "events")
+         .write.mode("overwrite").partitionBy("event_type").parquet(out))
+        _HIVE_PART_DIRS[sf_dir] = out
+    root = _HIVE_PART_DIRS[sf_dir]
+    back = spark.read.parquet(root).filter(
+        F.col("event_type").isin("click", "purchase"))
+    return back.groupBy(
+        "event_type",
+        F.date_format(F.to_date(F.date_trunc("day", F.col("ts"))),
+                      "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))

@@ -636,3 +636,68 @@ def tk_bpe_merge_round(spark, sf_dir):
                 F.concat(F.col("m1"), F.col("m2")).alias("merged_symbol"))
         .orderBy(F.col("pair_count").desc(), "s1", "s2").limit(50)
     )
+
+
+_OOV_SIZES = (100, 500, 1000)
+
+
+@query(
+    "tk_vocab_coverage_oov",
+    survey=("TK-vocab",),
+    oracle=f"""
+        WITH {_WORD_DICT},
+        ranked AS (
+            SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+            FROM words
+        ),
+        totals AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS total
+            FROM words
+        )
+    """ + "\nUNION ALL\n".join(f"""
+        SELECT CAST({n} AS INT) AS n_vocab,
+               CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+               (SELECT total FROM totals) AS total_tokens,
+               round(1.0 - CAST(sum(cnt) AS DOUBLE)
+                     / (SELECT total FROM totals), 6) + 0.0 AS oov_rate
+        FROM ranked WHERE rnk <= {n}
+    """ for n in _OOV_SIZES),
+)
+def tk_vocab_coverage_oov(spark, sf_dir):
+    """Vocabulary-size → OOV-rate curve: for top-N frequency vocabs
+    (N ∈ {_OOV_SIZES}), the fraction of corpus tokens that fall
+    outside the vocabulary — the sizing curve every tokenizer design
+    starts from (and the reason subword vocabs exist: where this curve
+    flattens, bigger word-vocabs stop paying).
+
+    Scale: the curve is computed ENTIRELY on the word dictionary — one
+    corpus-scan token count (map-side combined), then a TakeOrdered
+    top-1000 (no global sort shuffle) folded per N over the collected
+    prefix; the corpus is never rescanned per vocabulary size.
+    Integer token counts, one division per N — cross-engine exact."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    top = (
+        words.orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(max(_OOV_SIZES))
+        .agg(F.collect_list(F.struct(
+            (-F.col("cnt")).alias("neg"), "w", "cnt")).alias("arr"),
+        )
+        .select(F.array_sort("arr").alias("arr"))
+    )
+    totals = words.agg(F.sum("cnt").cast("bigint").alias("total"))
+    curve = top.crossJoin(F.broadcast(totals)).select(
+        F.explode(F.array(*[F.lit(n) for n in _OOV_SIZES])).alias("n_vocab"),
+        F.col("arr"), F.col("total"))
+    covered = F.expr(
+        "CAST(aggregate(slice(arr, 1, n_vocab), 0L, (a, x) -> a + x.cnt) "
+        "AS BIGINT)")
+    return curve.select(
+        "n_vocab",
+        covered.alias("covered_tokens"),
+        F.col("total").alias("total_tokens"),
+        (F.round(F.lit(1.0) - covered.cast("double") / F.col("total"), 6)
+         + F.lit(0.0)).alias("oov_rate"))

@@ -98,6 +98,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "cu_epoch_repeat_plan",  # one-row corpus-total attach
         "ss_hard_negative_mining",  # by design: broadcast batch × corpus
         "ss_mmr_diversified_topk",  # by design: broadcast queries × corpus
+        "tk_vocab_coverage_oov",    # one-row corpus-total attach
         "ss_ivf_recall_eval",    # eval protocol: brute-force ground truth
         "gr_hits_hubs_authorities",  # one-row L2-normalizer attaches
         "cu_filter_funnel",      # one-row corpus-total attach (pct)
@@ -291,3 +292,17 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     # comes from the bucket layout
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+
+
+def test_hive_partitioned_scan_prunes(spark, sf_dir):
+    """s30's read path must prune at file-listing time: the scan's
+    PartitionFilters carries the event_type predicate, and no pushed
+    data filter re-checks it."""
+    from bdc_collection_builder_spark.plans.registry import QUERY_REGISTRY
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        QUERY_REGISTRY["s30_hive_partitioned_roundtrip"]
+        .spark_fn(spark, sf_dir)._jdf.queryExecution(), "formatted")
+    part_lines = [ln for ln in plan.splitlines()
+                  if "PartitionFilters" in ln]
+    assert part_lines and any("event_type" in ln for ln in part_lines), plan
