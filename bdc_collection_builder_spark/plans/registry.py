@@ -116,7 +116,16 @@ def _load_all() -> None:
 # ss_multiprobe_lsh_topk, cu_epoch_repeat_plan, dq_volume_anomaly,
 # tk_unigram_viterbi, ss_pca_power_iteration, tk_bpe_merge_round,
 # dq_ks_drift, cu_filter_funnel, ...) — ~32 of the 50 round-5 slots,
-# plus any round-4 reds as retries. Everything else follows in
+# plus any round-4 reds as retries, plus the 17 third-wave additions
+# (j18_small_quantity_revenue, dq_referential_integrity,
+# dq_schema_drift, gr_jaccard_link_prediction, gr_bfs_distance,
+# tj_cusum_changepoint, tx_flesch_readability, lo_bucketed_join,
+# s29_schema_evolution_timetravel, ss_mmr_diversified_topk,
+# cu_pareto_frontier, px_histogram_equalization, mm_audio_rms_frames,
+# dq_benford_anomaly, tk_vocab_coverage_oov,
+# s30_hive_partitioned_roundtrip, tx_langid_confusion_eval) — the
+# round-5/6 pool is now ~49 + 17 ≈ 66 oracled never-checked, i.e.
+# round 5 full and round 6 ~16. Everything else follows in
 # registration order — nothing dropped, only reordered.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # round-3 hash mismatch — signed zero normalized on both engines

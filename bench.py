@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "tj_lttb_downsample",        # LTTB sequential bucket fold
     "ss_lsh_topk",               # 24-table single-probe LSH baseline
     "dd_embedding_near_pairs",   # LSH-bucketed near-dup pairs
+    # round-4 third-wave additions
+    "j18_small_quantity_revenue",  # Q17 shape (exchange-reusing agg join)
+    "gr_jaccard_link_prediction",  # wedge join + degree-capped candidates
+    "ss_mmr_diversified_topk",   # greedy MMR nested-HOF fold re-rank
 ]
 
 
