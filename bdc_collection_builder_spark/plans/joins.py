@@ -764,3 +764,221 @@ def j18_small_quantity_revenue(spark, sf_dir):
     return small.groupBy("p_brand").agg(
         F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
         F.count("*").cast("bigint").alias("n_small_orders"))
+
+
+@query(
+    "j19_dominant_supplier",
+    survey=("J5", "J6", "W3"),
+    oracle="""
+        WITH sp AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sp_qty
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+            GROUP BY 1, 2
+        ),
+        dom AS (
+            SELECT l_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_dominant_parts,
+                   CAST(sum(sp_qty) AS BIGINT) AS dominated_qty
+            FROM (
+                SELECT l_suppkey, sp_qty,
+                       CAST(sum(sp_qty) OVER (PARTITION BY l_partkey)
+                            AS BIGINT) AS part_qty
+                FROM sp
+            )
+            WHERE 2 * sp_qty > part_qty
+            GROUP BY 1
+        )
+        SELECT s_name, n_name,
+               n_dominant_parts, dominated_qty
+        FROM dom
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+    """,
+)
+def j19_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape — nested correlated aggregates decorrelated:
+    "suppliers who shipped the MAJORITY of some part's 1995 volume"
+    (the reference's provider-priority analysis asks the same of
+    download volume per collection, cli.py provider reports). The
+    canonical form is two nested correlated subqueries (per-supplier-
+    per-part sum vs a per-part total); here the inner one is a single
+    (suppkey, partkey) aggregate and the outer correlated total is a
+    WINDOW over that aggregate partitioned by part — no self-join, so
+    the fact table is shuffled once for the pair aggregate and the
+    (|supplier|x|part|)-scale pair table once for the window. The
+    dominance test `2*sp_qty > part_qty` is pure int64 (quantities are
+    integer-valued), so cross-engine equality is exact by
+    construction; supplier/nation dims broadcast onto the result.
+
+    100 TB: both shuffles are on pre-aggregated pair rows (bounded by
+    |suppliers|x|parts|, not by lineitems); the window state per part
+    is one running int64."""
+    from pyspark.sql import Window
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1995-01-01")
+                & (F.col("l_shipdate") < "1996-01-01"))
+        .select("l_suppkey", "l_partkey",
+                F.col("l_quantity").cast("bigint").alias("qty"))
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty").cast("bigint").alias("sp_qty"))
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        sp.withColumn("part_qty", F.sum("sp_qty").over(w).cast("bigint"))
+        .filter(2 * F.col("sp_qty") > F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_dominant_parts"),
+             F.sum("sp_qty").cast("bigint").alias("dominated_qty"))
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dom.join(F.broadcast(supp),
+                 dom["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation),
+              supp["s_nationkey"] == nation["n_nationkey"])
+        .select("s_name", "n_name", "n_dominant_parts", "dominated_qty")
+    )
+
+
+@query(
+    "j20_last_shipper_waiting",
+    survey=("J4", "J5", "W1"),
+    oracle="""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS n_orders_held
+        FROM (
+            SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+                       AND o_orderstatus = 'F'
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > l1.l_shipdate
+            )
+        ) q
+        JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_name
+    """,
+)
+def j20_last_shipper_waiting(spark, sf_dir):
+    """TPC-H Q21 shape — the EXISTS + NOT-EXISTS double correlation
+    ("suppliers who were the last to ship on finished multi-supplier
+    orders", i.e. the ones every other party waited on; the reference
+    asks the same of the slowest provider per merge job). The oracle
+    keeps the correlated form; the Spark plan decorrelates BOTH
+    subqueries into one aggregate + one window: per (order, supplier)
+    take max(l_shipdate), then over each order compute the supplier
+    count (EXISTS other-supplier == count >= 2) and the order-level max
+    ship date (NOT EXISTS later-shipper == own max equals order max —
+    ties qualify both, exactly the strict-> semantics). No self-join
+    of the fact table at all, versus the textbook plan's two extra
+    lineitem joins.
+
+    100 TB: one shuffle of lineitem for the (order, supplier)
+    aggregate, one window pass partitioned by order over the
+    aggregated pairs, broadcast supplier dim. Timestamp max/equality
+    is exact on both engines (microsecond integers)."""
+    from pyspark.sql import Window
+
+    finished = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    pairs = (
+        li.join(finished, li["l_orderkey"] == finished["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("sup_max"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    held = (
+        pairs
+        .withColumn("n_supp", F.count("*").over(w))
+        .withColumn("order_max", F.max("sup_max").over(w))
+        .filter((F.col("n_supp") >= 2)
+                & (F.col("sup_max") == F.col("order_max")))
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        held.join(F.broadcast(supp),
+                  held["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("n_orders_held"))
+    )
+
+
+@query(
+    "j21_dormant_high_balance",
+    survey=("J4", "A8", "F6"),
+    oracle="""
+        WITH cents AS (
+            SELECT c_custkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+        ),
+        pos AS (
+            SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM cents WHERE bal_cents > 0
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(bal_cents) AS DOUBLE) / 100 AS total_acctbal
+        FROM cents c, pos
+        WHERE c.bal_cents * pos.n > pos.s
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          )
+        GROUP BY c_mktsegment
+    """,
+)
+def j21_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape — global scalar-aggregate subquery + anti join:
+    customers whose balance exceeds the average positive balance but
+    who never placed an order ("dormant high-value accounts"; the
+    reference's equivalent is providers registered but never
+    dispatched, cli.py:156-175). The scalar average is decorrelated
+    into a one-row aggregate attached by broadcast; "no orders" is a
+    LEFT ANTI join on the order keys.
+
+    Cross-engine determinism is the whole design here: the average of
+    a double column is summation-order-dependent, so BOTH engines
+    compare in integer cents — `bal_cents * n > sum_cents` is the
+    exact strict form of `bal > avg` with no division and no float
+    accumulation, and the reported total re-derives dollars as
+    `sum_cents / 100` (one exact int64->double conversion and one IEEE
+    division, bit-identical on both engines).
+
+    100 TB: the one-row threshold broadcasts; the anti join is the
+    only customer-scale shuffle (orders projected to its join key
+    first, so the shuffled payload is 8 bytes/row)."""
+    cents = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"))
+    pos = (
+        cents.filter(F.col("bal_cents") > 0)
+        .agg(F.sum("bal_cents").cast("bigint").alias("s"),
+             F.count("*").cast("bigint").alias("n"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    rich = (
+        cents.join(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(orders, cents["c_custkey"] == orders["o_custkey"],
+              "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        (F.sum("bal_cents").cast("double") / 100).alias("total_acctbal"))
