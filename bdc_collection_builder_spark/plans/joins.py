@@ -982,3 +982,346 @@ def j21_dormant_high_balance(spark, sf_dir):
     return rich.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("n_customers"),
         (F.sum("bal_cents").cast("double") / 100).alias("total_acctbal"))
+
+
+@query(
+    "j22_bilateral_trade_flow",
+    survey=("J1", "J3", "A2"),
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(rev_tenk) AS DOUBLE) / 10000 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS rev_tenk
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate <  DATE '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def j22_bilateral_trade_flow(spark, sf_dir):
+    """TPC-H Q7 shape — bilateral volume-shipping: revenue flowing
+    between two specific nations per year, keyed by which side
+    supplied (the reference's cross-provider transfer report: bytes
+    moved between a source provider and a destination mirror per
+    period). Five-way star join where the two nation legs are the
+    SAME broadcast dim aliased twice (supplier side and customer
+    side); the disjunctive nation-pair predicate is applied AFTER
+    both attaches.
+
+    Pushdown structure: the nation filter admits only 2 of 25
+    nations, so the supplier and customer legs are pre-filtered by a
+    broadcast semi of the 2-nation set BEFORE the fact join — the big
+    shuffle moves only lineitems whose supplier sits in one of the
+    two nations (Catalyst cannot infer this from the post-join
+    disjunction; we state it explicitly, the classic Q7 rewrite).
+
+    Money math is exact: revenue accumulates as int64
+    ten-thousandths-of-dollars (price-cents x (100 - discount-pct)),
+    one exact int64->double conversion and one IEEE division at the
+    end — byte-identical across engines by construction.
+
+    100 TB: one shuffle of the (date-pruned, nation-pruned) fact for
+    the orders join, one for the customer join; nation broadcasts;
+    supplier pre-filtered then broadcast-joined under AQE."""
+    pair = ["NATION_1", "NATION_2"]
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_pair = nation.filter(F.col("n_name").isin(pair))
+    supp = (
+        t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n_pair.withColumnRenamed("n_name", "supp_nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n_pair.withColumnRenamed("n_name", "cust_nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1998-01-01"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+             * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+             ).alias("rev_tenk"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("rev_tenk").cast("double") / 10000).alias("revenue"),
+             F.count("*").cast("bigint").alias("n_lines"))
+    )
+
+
+@query(
+    "j23_national_market_share",
+    survey=("J1", "J6", "A2"),
+    oracle="""
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                             THEN rev_tenk ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_tenk) AS DOUBLE) AS mkt_share,
+               CAST(sum(rev_tenk) AS DOUBLE) / 10000 AS total_revenue
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   n1.n_name AS supp_nation,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS rev_tenk
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = n2.n_regionkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            WHERE p_type = 'ECONOMY'
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1998-01-01'
+        )
+        GROUP BY o_year
+    """,
+)
+def j23_national_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: of all 'ECONOMY'-part
+    revenue sold into the ASIA region per year, what fraction was
+    supplied by NATION_3 (the reference's per-provider share of a
+    collection's published volume). The share is a conditional-sum /
+    total-sum ratio inside one aggregate — no self-join, no second
+    pass over the fact.
+
+    The selective legs are pushed to the dims: part is filtered to
+    one type and broadcast (semi-reduces lineitem first — the
+    strongest predicate); customer is pre-joined to the ASIA nation
+    subset (5 of 25 nations) so the orders->customer shuffle carries
+    only region-relevant rows. The supplier nation is NOT filtered —
+    every supplier contributes to the denominator — so it rides a
+    broadcast lookup.
+
+    Determinism: numerator and denominator both accumulate as int64
+    ten-thousandths; the share is one IEEE double division of two
+    exactly-converted int64s; byte-identical across engines.
+
+    100 TB: part-type filter broadcasts, cutting the fact ~6x before
+    any shuffle; two fact-scale shuffles (orders join, customer
+    join); everything else broadcast."""
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"]).select("n_nationkey")
+    cust = (
+        t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(asia_nations),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    econ_parts = t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = (
+        t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(
+            nation.select("n_nationkey",
+                          F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+         * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+         ).alias("rev_tenk"))
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01"))
+        .select("o_orderkey", "o_custkey",
+                F.year("o_orderdate").cast("bigint").alias("o_year"))
+    )
+    nat_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                           F.col("rev_tenk")).otherwise(F.lit(0)))
+    return (
+        li.join(F.broadcast(econ_parts),
+                li["l_partkey"] == econ_parts["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("o_year")
+        .agg((nat_rev.cast("double") / F.sum("rev_tenk").cast("double")
+              ).alias("mkt_share"),
+             (F.sum("rev_tenk").cast("double") / 10000
+              ).alias("total_revenue"))
+    )
+
+
+@query(
+    "j24_disjunctive_discount_revenue",
+    survey=("J7", "F1", "A7"),
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000 AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#3'
+               AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#7'
+               AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 10 AND l_quantity <= 35)
+           OR (p_brand = 'Brand#12'
+               AND p_size BETWEEN 25 AND 50
+               AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def j24_disjunctive_discount_revenue(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive join predicate: revenue from
+    three OR'd (brand, size-range, quantity-range) bundles (the
+    reference's multi-collection dispatch rule: OR'd
+    (collection, tile-range, cloud-range) triples, dispatcher.py).
+    The textbook trap is evaluating the disjunction as a join FILTER
+    only — then the join itself is unconstrained. The rewrite hoists
+    the part-only implied predicate (brand IN the 3 brands AND size
+    in the union envelope 1..50) onto the part scan, shrinking the
+    broadcast build side ~8x, and keeps the full disjunction as the
+    residual on the joined rows; the lineitem side gets the implied
+    quantity envelope (1..50) pushed to its scan. Answer equality is
+    by absorption — the residual implies every hoisted predicate.
+
+    100 TB: zero shuffles (broadcast hash join + global agg);
+    revenue exact in int64 ten-thousandths as in j22."""
+    bundles = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(25, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#3", "Brand#7", "Brand#12")
+                & F.col("p_size").between(1, 50))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(1, 50))
+        .select("l_partkey", "l_quantity",
+                (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                 * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                 ).alias("rev_tenk"))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(bundles)
+        .agg(F.count("*").cast("bigint").alias("n_lines"),
+             (F.sum("rev_tenk").cast("double") / 10000).alias("revenue"))
+    )
+
+
+@query(
+    "j25_returned_item_customers",
+    survey=("J1", "J6", "T5"),
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(rev_tenk) AS DOUBLE) / 10000 AS lost_revenue,
+               CAST(count(*) AS BIGINT) AS n_returned_lines
+        FROM (
+            SELECT o_custkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS rev_tenk
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1996-07-01'
+        )
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY sum(rev_tenk) DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def j25_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item reporting: the 20 customers
+    who returned the most revenue in a half-year window (the
+    reference's per-user failed-download loss report). Aggregation
+    happens BEFORE the customer dim attach: lineitem x orders
+    reduces to one row per customer first, so the customer and
+    nation joins touch |customers-with-returns| rows, not
+    |lineitems|. Top-k is rank-stable: the sort key is the exact
+    int64 revenue with c_custkey as the tiebreak, so LIMIT 20 is
+    deterministic on both engines even under revenue ties.
+
+    100 TB: date+returnflag prune the fact at the scan; one shuffle
+    for the orders join, one for the per-customer aggregate; the
+    final top-20 is a driver-sized TakeOrdered, never a global
+    sort."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey",
+                (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                 * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                 ).alias("rev_tenk"))
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01"))
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_tenk").alias("rev_tenk_sum"),
+             F.count("*").cast("bigint").alias("n_returned_lines"))
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation),
+              cust["c_nationkey"] == nation["n_nationkey"])
+        .orderBy(F.desc("rev_tenk_sum"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name",
+                (F.col("rev_tenk_sum").cast("double") / 10000
+                 ).alias("lost_revenue"),
+                "n_returned_lines")
+    )
