@@ -1325,3 +1325,127 @@ def j25_returned_item_customers(spark, sf_dir):
                  ).alias("lost_revenue"),
                 "n_returned_lines")
     )
+
+
+@query(
+    "j26_promo_revenue_share",
+    survey=("J6", "A2", "F1"),
+    oracle="""
+        SELECT month,
+               100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN rev_tenk ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(rev_tenk) AS DOUBLE) AS promo_share_pct,
+               CAST(sum(rev_tenk) AS DOUBLE) / 10000 AS total_revenue
+        FROM (
+            SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS rev_tenk
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate <  DATE '1997-01-01'
+        )
+        GROUP BY month
+    """,
+)
+def j26_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape — promotion effect: the percentage of each
+    month's shipped revenue that came from PROMO-type parts (the
+    reference's per-month share of quicklook-enabled collections).
+    One broadcast join against the part dim carrying only
+    (partkey, type), one conditional-sum / total-sum aggregate —
+    the numerator is a CASE inside the same grouped pass, never a
+    second scan or a self-join.
+
+    Determinism as in j23: both sums are int64 ten-thousandths;
+    the percentage is 100 * num / den evaluated in the same order
+    on both engines (exact int64->double conversions, one IEEE
+    multiply and divide).
+
+    100 TB: the date filter prunes the fact scan; one shuffle for
+    the month aggregate; part broadcasts (2 columns only)."""
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_partkey",
+                F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+                (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                 * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                 ).alias("rev_tenk"))
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO",
+                         F.col("rev_tenk")).otherwise(F.lit(0)))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("month")
+        .agg((F.lit(100) * promo.cast("double")
+              / F.sum("rev_tenk").cast("double")).alias("promo_share_pct"),
+             (F.sum("rev_tenk").cast("double") / 10000
+              ).alias("total_revenue"))
+    )
+
+
+@query(
+    "j27_top_supplier",
+    survey=("J5", "A3", "T5"),
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev_tenk
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate <  DATE '1996-04-01'
+            GROUP BY l_suppkey
+        ),
+        best AS (
+            SELECT CAST(max(rev_tenk) AS BIGINT) AS max_rev FROM rev
+        )
+        SELECT s_suppkey, s_name,
+               CAST(rev_tenk AS DOUBLE) / 10000 AS total_revenue
+        FROM rev, best
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE rev_tenk = max_rev
+    """,
+)
+def j27_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — top supplier: the supplier(s) whose shipped
+    revenue in a quarter equals the global maximum (the reference's
+    busiest-provider report). The textbook form is a view consumed
+    twice (once to aggregate, once in a scalar `= (SELECT max ...)`);
+    here the per-supplier aggregate is computed ONCE and the global
+    max is a one-row aggregate attached by broadcast — ties all
+    qualify, exactly the spec's semantics, with no window and no
+    global sort.
+
+    The comparison key is the exact int64 revenue (ten-thousandths),
+    so `rev = max_rev` is never a float equality; dollars are derived
+    only for display.
+
+    100 TB: one fact shuffle for the supplier aggregate (date-pruned
+    scan), a one-row broadcast attach, then a broadcast dim join."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1996-04-01"))
+        .select("l_suppkey",
+                (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                 * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                 ).alias("rev_tenk"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("rev_tenk").cast("bigint").alias("rev_tenk_sum"))
+    best = rev.agg(F.max("rev_tenk_sum").cast("bigint").alias("max_rev"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("rev_tenk_sum") == F.col("max_rev"))
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name",
+                (F.col("rev_tenk_sum").cast("double") / 10000
+                 ).alias("total_revenue"))
+    )

@@ -621,3 +621,105 @@ def tj_cusum_changepoint(spark, sf_dir):
         "event_type", "n_days", "n_events",
         F.col("cp.best").alias("cusum_peak"),
         F.col("cp.best_day").alias("changepoint_day"))
+
+
+@query(
+    "tj_holt_linear_smoothing",
+    survey=("W-ewma", "Y1"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT event_type, {_TS} AS ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100
+                     AS day_total
+            FROM norm GROUP BY 1, 2
+        ),
+        framed AS (
+            SELECT event_type, day,
+                   array_agg(day_total) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+            FROM daily
+        ),
+        folded AS (
+            SELECT event_type, day,
+                   list_reduce(
+                       list_transform(xs,
+                           x -> [x, CAST(0 AS DOUBLE)]),
+                       (acc, p) -> [
+                           CAST(0.5 AS DOUBLE) * p[1]
+                             + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                           CAST(0.25 AS DOUBLE)
+                             * ((CAST(0.5 AS DOUBLE) * p[1]
+                                 + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+                                - acc[1])
+                             + CAST(0.75 AS DOUBLE) * acc[2]
+                       ]) AS st
+            FROM framed
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               round(st[1], 6) AS level,
+               round(st[2], 6) AS trend,
+               round(st[1] + st[2], 6) AS forecast_next
+        FROM folded
+    """,
+)
+def tj_holt_linear_smoothing(spark, sf_dir):
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha=0.5, beta=0.25) of the daily value total per event type,
+    with the one-step-ahead forecast level+trend — the trend-aware
+    sequel to w13's simple EWMA, and the standard capacity-planning
+    smoother for ingest-volume series (the reference sizes provider
+    quotas off exactly such a trended daily series). The recursion
+    carries TWO coupled states, so the fold accumulator is a 2-array
+    [level, trend]; restricted to a bounded 20-day frame it is exact
+    on both engines: collect the frame, left-fold
+      level' = a*x + (1-a)*(level+trend)
+      trend' = b*(level'-level) + (1-b)*trend
+    with level'=x1, trend'=0 seeding. Both coefficients are binary
+    fractions (0.5/0.25) and the daily totals are exact integer
+    cents, so every fold step is the SAME IEEE op sequence on both
+    engines — byte-identical without tolerance.
+
+    100 TB: the daily pre-aggregate is the only corpus-scale
+    shuffle; the window and the O(20) codegen'd fold run over the
+    (days x types) dimension. Citation: reference collections.py
+    quota sizing (trend extrapolation the reference does in a
+    Python loop, here one whole-stage-codegen expression)."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg((F.sum("cents").cast("bigint").cast("double") / 100
+              ).alias("day_total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-19, 0)
+    framed = daily.withColumn("xs", F.collect_list("day_total").over(w))
+
+    def step(acc, x):
+        level = (F.lit(0.5) * x
+                 + F.lit(0.5) * (acc[0] + acc[1]))
+        trend = (F.lit(0.25)
+                 * ((F.lit(0.5) * x
+                     + F.lit(0.5) * (acc[0] + acc[1])) - acc[0])
+                 + F.lit(0.75) * acc[1])
+        return F.array(level, trend)
+
+    st = F.aggregate(
+        F.slice(F.col("xs"), F.lit(2),
+                F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.array(F.element_at("xs", 1).cast("double"), F.lit(0.0)),
+        step,
+    )
+    return framed.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(st[0], 6).alias("level"),
+        F.round(st[1], 6).alias("trend"),
+        F.round(st[0] + st[1], 6).alias("forecast_next"))

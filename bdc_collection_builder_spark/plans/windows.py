@@ -701,3 +701,62 @@ def w16_rolling_distinct_users(spark, sf_dir):
         .select("event_type", F.col("di").alias("day_idx"),
                 "daily_users", "rolling_users")
     )
+
+
+@query(
+    "w17_event_transition_matrix",
+    survey=("W1", "A1", "Y5"),
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY {_TS}, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        cnt AS (
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE)
+                 / CAST(CAST(sum(n) OVER (PARTITION BY from_type)
+                             AS BIGINT) AS DOUBLE) AS p
+        FROM cnt
+    """,
+)
+def w17_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), the
+    behavioral fingerprint a funnel or anomaly model starts from
+    (the reference's status-machine transitions: activity state
+    changes in publish.py's dispatch loop). One window pass
+    (lead over user timeline) turns the log into bigram rows; a
+    grouped count plus a per-from-state window normalizes rows into
+    probabilities. The probability is one IEEE division of two
+    exactly-converted int64 counts — byte-identical cross-engine.
+
+    100 TB: one shuffle to co-locate each user's timeline (window),
+    one for the |types|^2-sized bigram count; the normalizing window
+    runs over at most |types|^2 rows. Sequence order is total
+    (ts, event_id tiebreak), so the lead() is deterministic."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    cnt = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(wn).cast("bigint").cast("double")).alias("p"))

@@ -103,6 +103,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "gr_hits_hubs_authorities",  # one-row L2-normalizer attaches
         "cu_filter_funnel",      # one-row corpus-total attach (pct)
         "j21_dormant_high_balance",  # one-row avg-balance-threshold attach
+        "j27_top_supplier",      # one-row global-max-revenue attach
     }
     offenders = {}
     for name, fn in all_queries().items():
