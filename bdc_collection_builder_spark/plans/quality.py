@@ -790,3 +790,78 @@ def dq_benford_anomaly(spark, sf_dir):
         (F.round(F.expr(
             "aggregate(ts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.chi_term)"
         ), 6) + F.lit(0.0)).alias("chi2"))
+
+
+@query(
+    "dq_gini_concentration",
+    survey=("A8", "J6", "W3"),
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS x
+            FROM lineitem GROUP BY 1
+        ),
+        ranked AS (
+            SELECT n_name, x,
+                   row_number() OVER (
+                       PARTITION BY n_name ORDER BY x, l_suppkey) AS i
+            FROM rev
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+        )
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(x) AS DOUBLE) / 10000 AS total_revenue,
+               CAST(2 * CAST(sum(i * x) AS BIGINT)
+                    - (count(*) + 1) * CAST(sum(x) AS BIGINT) AS DOUBLE)
+                 / (count(*) * CAST(sum(x) AS BIGINT)) AS gini
+        FROM ranked
+        GROUP BY n_name
+    """,
+)
+def dq_gini_concentration(spark, sf_dir):
+    """Gini coefficient of shipped-revenue concentration across the
+    suppliers of each nation — the inequality audit a pipeline runs
+    on source contributions (is 1% of providers supplying 90% of the
+    corpus?); the reference eyeballs the same from its per-provider
+    download totals (cli.py provider report). Uses the exact
+    rank-weighted identity G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) over ascending-sorted values: every term is int64
+    (revenue in exact ten-thousandths, rank from a deterministic
+    (value, suppkey) sort), so the only float op is the final
+    division — byte-identical cross-engine, ties resolved identically
+    by the total sort key.
+
+    100 TB: one fact shuffle for the per-supplier aggregate, then the
+    rank window and the closing aggregate run on |suppliers| rows
+    partitioned by nation — no global sort, no all-pairs |x_i - x_j|
+    formulation (the naive Gini is a self-join; the rank identity is
+    one window)."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+         * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+         ).alias("rev_tenk"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("rev_tenk").cast("bigint").alias("x"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ranked = (
+        rev.join(supp, rev["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation),
+              supp["s_nationkey"] == nation["n_nationkey"])
+        .withColumn("i", F.row_number().over(
+            Window.partitionBy("n_name").orderBy("x", "l_suppkey")))
+    )
+    n = F.count("*")
+    sx = F.sum("x").cast("bigint")
+    six = F.sum(F.col("i") * F.col("x")).cast("bigint")
+    return ranked.groupBy("n_name").agg(
+        n.cast("bigint").alias("n_suppliers"),
+        (sx.cast("double") / 10000).alias("total_revenue"),
+        ((2 * six - (n + 1) * sx).cast("double")
+         / (n * sx).cast("double")).alias("gini"))

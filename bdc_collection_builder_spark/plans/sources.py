@@ -2303,3 +2303,90 @@ def s30_hive_partitioned_roundtrip(spark, sf_dir):
         F.date_format(F.to_date(F.date_trunc("day", F.col("ts"))),
                       "yyyy-MM-dd").alias("day"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+@query(
+    "st_stream_outer_join",
+    survey=("Y2", "Y5", "TJ-range"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, event_id, event_type, {_TS} AS ts FROM events
+        ),
+        wm AS (
+            SELECT least(
+                max(ts) FILTER (event_type = 'error'),
+                max(ts) FILTER (event_type <> 'error')
+            ) - INTERVAL 30 MINUTE AS w
+            FROM norm
+        ),
+        e AS (
+            SELECT user_id, event_id AS error_id, ts FROM norm
+            WHERE event_type = 'error'
+        ),
+        a AS (
+            SELECT user_id, event_id AS followup_id, ts FROM norm
+            WHERE event_type <> 'error'
+        ),
+        matched AS (
+            SELECT e.error_id, a.followup_id
+            FROM e JOIN a
+              ON a.user_id = e.user_id
+             AND a.ts >= e.ts
+             AND a.ts <= e.ts + INTERVAL 10 MINUTE
+        ),
+        evicted_unmatched AS (
+            SELECT e.error_id, CAST(NULL AS BIGINT) AS followup_id
+            FROM e, wm
+            WHERE NOT EXISTS (
+                SELECT 1 FROM a
+                WHERE a.user_id = e.user_id
+                  AND a.ts >= e.ts
+                  AND a.ts <= e.ts + INTERVAL 10 MINUTE)
+              AND e.ts + INTERVAL 10 MINUTE < wm.w
+        )
+        SELECT error_id, followup_id FROM matched
+        UNION ALL
+        SELECT error_id, followup_id FROM evicted_unmatched
+    """,
+)
+def st_stream_outer_join(spark, sf_dir):
+    """Left-OUTER stream-stream interval join, drained with
+    Trigger.AvailableNow: every error, joined to same-user non-error
+    follow-ups within 10 minutes, or emitted once with a NULL
+    follow-up when the join state is evicted unmatched. This is the
+    semantics st_stream_stream_join (inner) cannot exercise: the
+    null-padded row may only emit when the WATERMARK proves no
+    partner can still arrive.
+
+    The oracle replays Spark's exact eviction contract, empirically
+    pinned at sf0.01: (1) the global watermark is the MIN over both
+    per-stream watermarks — max(error ts) - 30min vs
+    max(non-error ts) - 30min — because each side tracks its own
+    event-time stats post-filter; (2) an unmatched error emits iff
+    its match horizon (e.ts + 10min) lies strictly before that final
+    watermark; errors still inside the horizon at end-of-drain stay
+    pending in state and are NOT emitted (they would emit on the next
+    incremental run — exactly how a checkpointed daily catch-up job
+    behaves). Matched pairs emit immediately regardless of watermark,
+    identical to the inner join.
+
+    100 TB: state is O(watermark window x arrival rate) per side,
+    never O(history); the memory sink here is test plumbing — a real
+    deployment writes the same append stream to parquet/Delta."""
+    import tempfile
+    import uuid
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        streaming_interval_join_left,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bdc_ssjl_")
+    events_dir = f"{scratch}/events"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
+        events_dir)
+    qname = f"ssjl_{uuid.uuid4().hex[:8]}"
+    q = streaming_interval_join_left(spark, events_dir, events_dir,
+                                     f"{scratch}/ckpt", qname)
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT error_id, followup_id FROM {qname}")

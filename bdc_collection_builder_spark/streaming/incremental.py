@@ -463,3 +463,59 @@ def streaming_interval_join(spark: SparkSession, errors_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_interval_join_left(spark: SparkSession, errors_dir: str,
+                                 events_dir: str, checkpoint_dir: str,
+                                 query_name: str,
+                                 watermark: str = "30 minutes",
+                                 window_minutes: int = 10):
+    """Left-OUTER stream-stream interval join: every error event,
+    paired with the same-user non-error follow-ups inside
+    ``[error.ts, error.ts + window]`` — or emitted once with a NULL
+    follow-up if none arrives before the join state is evicted.
+
+    The outer semantics are the watermark-coupled part Spark's inner
+    join (streaming_interval_join) does not exercise: matched pairs
+    emit immediately (inner path), but an unmatched error can only be
+    declared unmatched once the follow-up watermark has passed
+    ``error.ts + window`` — i.e. when no qualifying row can still
+    arrive. Errors whose eligibility horizon lies beyond the FINAL
+    watermark of the drained stream stay pending and are never
+    emitted; the batch oracle must (and does) replay exactly that
+    horizon rule, which makes this query a value-exact check of
+    Spark's outer-join state-eviction contract rather than rows-only.
+    """
+    err = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(errors_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"),
+                F.col("event_id").alias("error_id"),
+                F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", watermark)
+    )
+    fol = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+        .filter(F.col("event_type") != "error")
+        .select(F.col("user_id").alias("f_user"),
+                F.col("event_id").alias("followup_id"),
+                F.col("ts").alias("f_ts"))
+        .withWatermark("f_ts", watermark)
+    )
+    pairs = (
+        err.join(
+            fol,
+            (F.col("e_user") == F.col("f_user"))
+            & (F.col("f_ts") >= F.col("e_ts"))
+            & (F.col("f_ts")
+               <= F.col("e_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")),
+            "leftOuter")
+        .select("error_id", "followup_id")
+    )
+    return (
+        pairs.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
