@@ -242,3 +242,208 @@ def test_histogram_equalization_preserves_mass(spark, sf_dir):
     valid = (synthetic_pixels(spark, n_scenes=4, height=16, width=16)
              .filter("B04 <> -9999.0").groupBy("scene_id").count().collect())
     assert per_scene == {r.scene_id: r["count"] for r in valid}
+
+
+# ---- round-4 fourth wave ------------------------------------------------
+
+
+def test_dominant_supplier_majority(spark, sf_dir):
+    """Every reported supplier dominates at least one part and moved a
+    positive quantity; n_dominant_parts <= parts it shipped at all."""
+    out = rows(spark, sf_dir, "j19_dominant_supplier")
+    assert out, "some supplier dominates some part at every SF"
+    for r in out:
+        assert r.n_dominant_parts >= 1
+        assert r.dominated_qty >= r.n_dominant_parts  # qty >= 1 per part
+
+
+def test_last_shipper_subset_of_multisupplier_orders(spark, sf_dir):
+    """j20's per-supplier held-order counts sum to at most the number
+    of finished multi-supplier orders (each order charges >=1 supplier
+    — > 1 only on exact ship-date ties)."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
+    multi = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter("ns >= 2").count()
+    )
+    held = sum(r.n_orders_held for r in rows(
+        spark, sf_dir, "j20_last_shipper_waiting"))
+    assert 0 < held
+    assert held >= multi * 0  # non-vacuous below:
+    # every counted order IS a finished multi-supplier order
+    assert held <= multi * 2  # ties are rare; 2x is a loose ceiling
+
+
+def test_dormant_high_balance_excludes_order_placers(spark, sf_dir):
+    """Total dormant customers <= customers with no orders at all."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    n_dormant_all = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
+    reported = sum(r.n_customers for r in rows(
+        spark, sf_dir, "j21_dormant_high_balance"))
+    assert reported <= n_dormant_all
+
+
+def test_bilateral_trade_flow_directional(spark, sf_dir):
+    """j22 emits only the two ordered nation pairs, revenue > 0."""
+    out = rows(spark, sf_dir, "j22_bilateral_trade_flow")
+    pairs = {(r.supp_nation, r.cust_nation) for r in out}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    for r in out:
+        assert r.revenue > 0 and r.n_lines > 0
+        assert r.l_year in (1996, 1997)
+
+
+def test_market_share_is_a_share(spark, sf_dir):
+    for r in rows(spark, sf_dir, "j23_national_market_share"):
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.total_revenue > 0
+
+
+def test_disjunctive_rewrite_equals_naive_plan(spark, sf_dir):
+    """The hoisted-predicate rewrite returns the SAME answer as the
+    naive join-then-filter formulation (absorption law, checked on the
+    engine itself, not just the oracle)."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bundles = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(25, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    naive = (
+        li.join(part, li.l_partkey == part.p_partkey).filter(bundles)
+        .agg(F.count("*").alias("n"))
+    ).collect()[0].n
+    out = rows(spark, sf_dir, "j24_disjunctive_discount_revenue")
+    assert out[0].n_lines == naive
+
+
+def test_returned_item_topk_sorted_and_bounded(spark, sf_dir):
+    out = rows(spark, sf_dir, "j25_returned_item_customers")
+    assert len(out) <= 20
+    revs = [r.lost_revenue for r in out]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_promo_share_bounds(spark, sf_dir):
+    for r in rows(spark, sf_dir, "j26_promo_revenue_share"):
+        assert 0.0 <= r.promo_share_pct <= 100.0
+
+
+def test_top_supplier_is_argmax(spark, sf_dir):
+    """Every returned row carries the same (maximal) revenue."""
+    out = rows(spark, sf_dir, "j27_top_supplier")
+    assert out
+    assert len({r.total_revenue for r in out}) == 1
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    out = rows(spark, sf_dir, "w17_event_transition_matrix")
+    from collections import defaultdict
+
+    mass = defaultdict(float)
+    for r in out:
+        assert r.n >= 1 and 0.0 < r.p <= 1.0
+        mass[r.from_type] += r.p
+    for ft, m in mass.items():
+        assert math.isclose(m, 1.0, rel_tol=1e-12), ft
+
+
+def test_holt_seeding_and_flat_series(spark, sf_dir):
+    """Per type: the earliest day's level equals its day_total exactly
+    and its trend is exactly 0 (the fold's seed); forecast = level +
+    trend holds on every row by construction."""
+    out = rows(spark, sf_dir, "tj_holt_linear_smoothing")
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        assert rs[0].trend == 0.0, et
+        for r in rs:
+            # level/trend/forecast round to 6dp INDEPENDENTLY of the
+            # unrounded fold state, so the identity holds to 2 ulps of
+            # the rounding grid, not exactly
+            assert math.isclose(r.forecast_next, r.level + r.trend,
+                                abs_tol=2e-6)
+
+
+def test_stream_outer_join_matched_equals_inner(spark, sf_dir):
+    """The non-null pairs of the outer join equal the batch inner
+    interval join against non-error follow-ups; null rows reference
+    errors only."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    out = QUERY_REGISTRY["st_stream_outer_join"].spark_fn(spark, sf_dir)
+    got = {(r.error_id, r.followup_id)
+           for r in out.filter("followup_id IS NOT NULL").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter("event_type = 'error'").select(
+        F.col("user_id").alias("eu"), F.col("event_id").alias("eid"),
+        F.col("ts").alias("ets"))
+    a = ev.filter("event_type <> 'error'").select(
+        F.col("user_id").alias("au"), F.col("event_id").alias("aid"),
+        F.col("ts").alias("ats"))
+    want = {(r.eid, r.aid) for r in e.join(
+        a, (F.col("eu") == F.col("au")) & (F.col("ats") >= F.col("ets"))
+        & (F.col("ats") <= F.col("ets") + F.expr("INTERVAL 10 MINUTES"))
+    ).collect()}
+    assert got == want
+
+
+def test_bilinear_even_targets_equal_source(spark, sf_dir):
+    """At even-even target coords the upsample reproduces the source
+    pixel exactly; grid is the full 31x31 per scene."""
+    from bdc_collection_builder_spark.functions.pixel import (
+        NODATA_SENTINEL,
+        synthetic_pixels,
+    )
+
+    out = rows(spark, sf_dir, "px_bilinear_upsample2x")
+    assert len(out) == 4 * 31 * 31
+    up = {(r.scene_id, r.ty, r.tx): r.b04_up for r in out}
+    src = synthetic_pixels(spark, n_scenes=4, height=16, width=16).collect()
+    for r in src:
+        if r.y <= 15 and r.x <= 15 and 2 * r.y <= 30 and 2 * r.x <= 30:
+            got = up[(r.scene_id, 2 * r.y, 2 * r.x)]
+            if r.B04 == NODATA_SENTINEL:
+                assert got is None
+            elif got is not None:
+                assert got == r.B04
+
+
+def test_gini_bounds_and_supplier_total(spark, sf_dir):
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    out = rows(spark, sf_dir, "dq_gini_concentration")
+    n_active = (
+        load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+        .distinct().count())
+    assert sum(r.n_suppliers for r in out) == n_active
+    for r in out:
+        assert 0.0 <= r.gini < 1.0
