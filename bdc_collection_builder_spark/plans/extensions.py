@@ -3725,3 +3725,95 @@ def tx_langid_confusion_eval(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "dd_planted_pair_eval",
+    survey=("DD-minhash", "DD-eval"),
+    oracle=f"""
+        WITH pred AS ({_minhash_md5_oracle()}),
+        truth AS (
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        joined AS (
+            SELECT coalesce(p.doc_a, t.doc_a) AS doc_a,
+                   CASE WHEN p.doc_a IS NOT NULL
+                         AND t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+                   CASE WHEN t.doc_a IS NULL THEN 1 ELSE 0 END AS is_fp,
+                   CASE WHEN p.doc_a IS NULL THEN 1 ELSE 0 END AS is_fn
+            FROM pred p FULL OUTER JOIN truth t
+              ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+        )
+        SELECT CAST(sum(is_tp) AS BIGINT) AS tp,
+               CAST(sum(is_fp) AS BIGINT) AS fp,
+               CAST(sum(is_fn) AS BIGINT) AS fn,
+               CAST(sum(is_tp) AS DOUBLE)
+                 / (CAST(sum(is_tp) AS BIGINT) + CAST(sum(is_fp) AS BIGINT))
+                 AS precision,
+               CAST(sum(is_tp) AS DOUBLE)
+                 / (CAST(sum(is_tp) AS BIGINT) + CAST(sum(is_fn) AS BIGINT))
+                 AS recall,
+               2 * CAST(sum(is_tp) AS DOUBLE)
+                 / (2 * CAST(sum(is_tp) AS BIGINT)
+                    + CAST(sum(is_fp) AS BIGINT)
+                    + CAST(sum(is_fn) AS BIGINT)) AS f1
+        FROM joined
+    """,
+)
+def dd_planted_pair_eval(spark, sf_dir):
+    """Dedup-quality evaluation against PLANTED ground truth: the
+    engine-neutral MinHash+LSH pipeline (same construction as
+    dd_minhash_lsh_md5 — every 5th doc as corpus, every 20th doc
+    re-injected with a 3-token suffix under id+1,000,000) is scored
+    against the known planted pair set {(d, d+1e6)}. One full-outer
+    join of predicted vs planted pairs yields TP/FP/FN in a single
+    aggregate; precision/recall/F1 are IEEE divisions of exact int64
+    counts. Any organic (non-planted) near-dup pair would count as FP
+    by construction — at these corpora none exists at Jaccard >= 0.5,
+    making the planted set a complete truth set.
+
+    This is the eval harness every production dedup deployment needs
+    (threshold tuning runs this per candidate threshold — see
+    cu_semdedup_threshold_curve for the sweep form); the reference has
+    no counterpart (its dedup is exact-name only, publish.py).
+
+    100 TB: the expensive side is the LSH pipeline itself (banded
+    equi-join, never all-pairs); the eval join touches only the
+    emitted pair set, orders of magnitude smaller than the corpus."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 5 == 0)
+    near = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    pred = minhash_lsh_pairs(docs.unionByName(near), threshold=0.5,
+                             engine_neutral=True).select("doc_a", "doc_b")
+    truth = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("t_a"),
+                (F.col("doc_id") + 1000000).alias("t_b"))
+    )
+    joined = pred.join(
+        truth, (pred["doc_a"] == truth["t_a"])
+        & (pred["doc_b"] == truth["t_b"]), "full_outer")
+    tp = F.sum(F.when(F.col("doc_a").isNotNull()
+                      & F.col("t_a").isNotNull(), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("t_a").isNull(), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("doc_a").isNull(), 1).otherwise(0))
+    return joined.agg(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        (tp.cast("double") / (tp.cast("bigint") + fp.cast("bigint"))
+         ).alias("precision"),
+        (tp.cast("double") / (tp.cast("bigint") + fn.cast("bigint"))
+         ).alias("recall"),
+        (2 * tp.cast("double")
+         / (2 * tp.cast("bigint") + fp.cast("bigint") + fn.cast("bigint"))
+         ).alias("f1"))

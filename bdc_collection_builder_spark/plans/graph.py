@@ -796,3 +796,73 @@ def gr_bfs_distance(spark, sf_dir):
     return final.groupBy("dist").agg(
         F.count("*").cast("bigint").alias("n_nodes")) \
         .select(F.col("dist").cast("int").alias("dist"), "n_nodes")
+
+
+_LAYER_ROUNDS = 6
+
+
+@query(
+    "gr_dag_layering",
+    survey=("J9", "GR-iter"),
+    oracle=f"""
+        WITH RECURSIVE {_GRAPH_SQL},
+        dag AS (SELECT src, dst FROM edges WHERE src < dst),
+        walk (v, d) AS (
+            SELECT doc_id, 0 FROM documents
+            UNION ALL
+            SELECT dag.dst, w.d + 1
+            FROM walk w JOIN dag ON dag.src = w.v
+            WHERE w.d < {_LAYER_ROUNDS}
+        ),
+        layer AS (
+            SELECT v AS doc_id, CAST(max(d) AS BIGINT) AS layer
+            FROM walk GROUP BY v
+        )
+        SELECT layer, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM layer GROUP BY layer
+    """,
+)
+def gr_dag_layering(spark, sf_dir):
+    """Topological layering (bounded longest-path rank) of the
+    citation graph ORIENTED into a DAG by ascending doc id — the
+    scheduling depth a staged pipeline derives from its dependency
+    graph (the reference's chained activity levels, models
+    activity_src FK). layer(v) = length of the longest ascending path
+    ending at v, truncated at {_LAYER_ROUNDS}; returned as a layer
+    histogram.
+
+    The engine side is Bellman-Ford-style RELAXATION through
+    iterate(): each round joins the current per-node layer to the DAG
+    edges and takes max(layer, 1 + max(pred layer)) — O(E) per round,
+    n rows of state, lineage truncated every 2 rounds. The oracle
+    instead ENUMERATES all bounded ascending walks in a recursive CTE
+    and takes max(d) per endpoint — exponential in principle, fine at
+    oracle scale, and a genuinely independent formulation of the same
+    quantity (relaxation vs enumeration agreeing is a strong check).
+
+    100 TB: per-round cost is one shuffle of the (pre-filtered,
+    persisted) ascending edge set joined to n-row state; no global
+    sort; layer values are small ints. Orientation by id is the
+    standard acyclicizer for dedup/lineage DAGs (each undirected pair
+    contributes its ascending direction only)."""
+    nodes, edges, _n = citation_edges(spark, sf_dir)
+    dag = tracked_persist(edges.filter(F.col("src") < F.col("dst")))
+
+    state = nodes.select("doc_id", F.lit(0).alias("layer"))
+
+    def step(st: DataFrame, _i: int) -> DataFrame:
+        cand = (
+            st.join(dag, st["doc_id"] == dag["src"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg((F.max("layer") + 1).alias("cand"))
+        )
+        return (
+            st.join(cand, "doc_id", "left")
+            .select("doc_id",
+                    F.greatest("layer", F.coalesce("cand", F.lit(0)))
+                    .alias("layer"))
+        )
+
+    final = iterate(state, step, _LAYER_ROUNDS, checkpoint_every=2)
+    return final.groupBy(F.col("layer").cast("bigint").alias("layer")).agg(
+        F.count("*").cast("bigint").alias("n_nodes"))

@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "j18_small_quantity_revenue",  # Q17 shape (exchange-reusing agg join)
     "gr_jaccard_link_prediction",  # wedge join + degree-capped candidates
     "ss_mmr_diversified_topk",   # greedy MMR nested-HOF fold re-rank
+    # round-4 fourth-wave additions
+    "j22_bilateral_trade_flow",  # Q7 shape (5-way star, nation-pair prune)
+    "j20_last_shipper_waiting",  # Q21 shape (decorrelated to one window)
+    "st_stream_outer_join",      # watermarked outer-join state eviction
+    "dq_gini_concentration",     # rank-identity Gini (window, no self-join)
 ]
 
 
