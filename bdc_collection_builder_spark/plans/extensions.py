@@ -3817,3 +3817,290 @@ def dd_planted_pair_eval(spark, sf_dir):
         (2 * tp.cast("double")
          / (2 * tp.cast("bigint") + fp.cast("bigint") + fn.cast("bigint"))
          ).alias("f1"))
+
+
+@query(
+    "mm_shot_boundaries",
+    survey=("MM-frames", "W1"),
+    oracle="""
+        WITH media AS (
+            SELECT i AS media_id, CAST(1000 * (i % 30) AS INT) AS duration_ms
+            FROM range(0, 64) t(i) WHERE i % 3 = 2
+        ),
+        frames AS (
+            SELECT media_id, frame_ts_ms,
+                   CAST((media_id * 7 + (frame_ts_ms // 1000) * 13) % 256
+                        AS BIGINT) AS luma
+            FROM media,
+                 unnest(generate_series(0, greatest(duration_ms - 1, 0),
+                                        1000)) AS u(frame_ts_ms)
+        ),
+        flagged AS (
+            SELECT media_id, frame_ts_ms, luma,
+                   CASE WHEN abs(luma - lag(luma) OVER w) > 96
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM frames
+            WINDOW w AS (PARTITION BY media_id ORDER BY frame_ts_ms)
+        ),
+        shots AS (
+            SELECT media_id, frame_ts_ms,
+                   CAST(sum(is_cut) OVER (
+                       PARTITION BY media_id ORDER BY frame_ts_ms
+                   ) AS BIGINT) AS shot_id
+            FROM flagged
+        )
+        SELECT media_id, shot_id,
+               CAST(min(frame_ts_ms) AS BIGINT) AS start_ms,
+               CAST(max(frame_ts_ms) AS BIGINT) AS end_ms,
+               CAST(count(*) AS BIGINT) AS n_frames
+        FROM shots GROUP BY media_id, shot_id
+    """,
+)
+def mm_shot_boundaries(spark, sf_dir):
+    """Shot-boundary detection over sampled video frames: a cut is
+    declared where the per-frame feature (here the deterministic
+    stand-in luma the stubbed decoder emits — real deployments swap
+    in the decode_image_features Pandas-UDF output) jumps by more
+    than the threshold between consecutive frames; frames then fold
+    into shots by the gaps-and-islands cumulative-sum trick
+    (shot_id = running count of cuts), reported as one segment row
+    per shot with start/end/frame-count. Two window passes (lag,
+    running sum — same partition key, ONE shuffle) plus a grouped
+    aggregate; everything is exact integer arithmetic.
+
+    This is the video-curation primitive a multimodal training
+    pipeline runs before clip sampling (dedup/caption units are
+    shots, not raw frames); the reference has no video path — this is
+    part of the §2.11 beyond-inventory surface, like mm_frame_sample
+    it builds on.
+
+    100 TB: frames explode map-side from media rows (no shuffle);
+    both windows and the final aggregate share the media_id
+    partitioning, so the whole plan is ONE exchange keyed by media;
+    per-key state is a single running int."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    frames = frame_sample_plan(synthetic_media(spark, n=64)).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+    luma = ((F.col("media_id") * 7
+             + (F.col("frame_ts_ms") / 1000).cast("long") * 13) % 256
+            ).cast("bigint")
+    w = Window.partitionBy("media_id").orderBy("frame_ts_ms")
+    flagged = frames.withColumn("luma", luma).withColumn(
+        "is_cut",
+        F.when(F.abs(F.col("luma") - F.lag("luma").over(w)) > 96,
+               F.lit(1)).otherwise(F.lit(0)))
+    shots = flagged.withColumn(
+        "shot_id", F.sum("is_cut").over(
+            Window.partitionBy("media_id").orderBy("frame_ts_ms")
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+    return shots.groupBy("media_id", "shot_id").agg(
+        F.min("frame_ts_ms").cast("bigint").alias("start_ms"),
+        F.max("frame_ts_ms").cast("bigint").alias("end_ms"),
+        F.count("*").cast("bigint").alias("n_frames"))
+
+
+_PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _ivf_probe_recall_oracle() -> str:
+    """Per-nprobe mean recall@5 oracle: the ss_ivf_recall_eval CTE
+    chain instantiated once per probe setting, UNION ALL'd."""
+    arms = []
+    for np_ in _PROBE_SWEEP:
+        arms.append(f"""
+        SELECT {np_} AS nprobe,
+               CAST(count(i.vec_id) AS BIGINT) AS n_matched,
+               CAST(count(i.vec_id) AS DOUBLE) / 40 AS mean_recall_at_5
+        FROM exact x
+        LEFT JOIN (
+            SELECT query_id, vec_id FROM (
+                SELECT p.query_id, p.vec_id,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY
+                             {_DOT_SQL.format(a='q.embedding',
+                                              b='c.embedding')}
+                             / (sqrt({_DOT_SQL.format(a='q.embedding',
+                                                      b='q.embedding')})
+                                * sqrt({_DOT_SQL.format(a='c.embedding',
+                                                        b='c.embedding')}))
+                             DESC, p.vec_id
+                       ) AS rank
+                FROM (
+                    SELECT DISTINCT q.query_id, c.vec_id
+                    FROM corpus_assign c
+                    JOIN (
+                        SELECT query_id, centroid_id FROM qrank
+                        WHERE rnk <= {np_}
+                    ) q USING (centroid_id)
+                    WHERE c.vec_id <> q.query_id
+                ) p
+                JOIN embeddings c ON c.vec_id = p.vec_id
+                JOIN embeddings q ON q.vec_id = p.query_id
+            ) WHERE rank <= 5
+        ) i ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+        """)
+    union = "UNION ALL".join(arms)
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cent
+            FROM embeddings WHERE vec_id < 16
+        ),
+        corpus_assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rnk <= 1
+        ),
+        qrank AS (
+            SELECT e.vec_id AS query_id, c.cid AS centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id < 8
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT e2.vec_id AS query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY e2.vec_id
+                           ORDER BY
+                             {_DOT_SQL.format(a='e2.embedding',
+                                              b='e.embedding')}
+                             / (sqrt({_DOT_SQL.format(a='e2.embedding',
+                                                      b='e2.embedding')})
+                                * sqrt({_DOT_SQL.format(a='e.embedding',
+                                                        b='e.embedding')}))
+                             DESC, e.vec_id
+                       ) AS rank
+                FROM embeddings e CROSS JOIN embeddings e2
+                WHERE e2.vec_id < 8 AND e.vec_id <> e2.vec_id
+            ) WHERE rank <= 5
+        )
+        {union}
+    """
+
+
+@query(
+    "ss_ivf_probe_recall_curve",
+    survey=("SS-ivf", "DQ-drift"),
+    oracle=_ivf_probe_recall_oracle(),
+)
+def ss_ivf_probe_recall_curve(spark, sf_dir):
+    """The IVF quality/cost DIAL, measured: mean recall@5 over the
+    8-query eval batch at nprobe in {1, 2, 4, 8} — the curve an ANN
+    operator reads to pick its probe budget (recall rises toward
+    brute-force as probes approach n_centroids; candidate cost rises
+    linearly). Each arm reuses the production ivf_topk_seeded plan
+    unchanged at a different nprobe; exact ground truth is computed
+    ONCE (persisted) and every arm joins against it.
+
+    Determinism: recall is matched-count / 40 (8 queries x k=5), one
+    IEEE division of an exact int64; per-query ranking ties break on
+    vec_id on both engines.
+
+    100 TB: the sweep multiplies only the probe-join work (bounded by
+    nprobe x corpus/n_centroids per query); the corpus assignment and
+    the ground-truth pass are shared across arms. Monotonicity of
+    recall in nprobe is asserted by an invariant test, NOT assumed."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk_seeded,
+    )
+    from bdc_collection_builder_spark.functions.persist import (
+        tracked_persist,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = tracked_persist(
+        brute_force_topk(emb, queries, k=5).select("query_id", "vec_id"))
+    arms = []
+    for np_ in _PROBE_SWEEP:
+        approx = ivf_topk_seeded(emb, queries, k=5, nprobe=np_).select(
+            F.col("query_id").alias("qi"), F.col("vec_id").alias("vi"))
+        arms.append(
+            exact.join(approx, (F.col("query_id") == F.col("qi"))
+                       & (F.col("vec_id") == F.col("vi")), "left")
+            .agg(F.count("vi").cast("bigint").alias("n_matched"))
+            .select(F.lit(np_).cast("bigint").alias("nprobe"), "n_matched",
+                    (F.col("n_matched").cast("double") / 40)
+                    .alias("mean_recall_at_5"))
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+@query(
+    "tx_ngram_novelty",
+    survey=("TX-stats", "DD-exact", "CU-mix"),
+    oracle=f"""
+        WITH sh3 AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(toks[i + 1 : i + 3], ' ') AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+                 UNNEST(generate_series(0, len(toks) - 3)) AS u(i)
+            WHERE len(toks) >= 3
+        ),
+        first_owner AS (
+            SELECT sh, min(doc_id) AS first_doc FROM sh3 GROUP BY sh
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) AS novelty
+        FROM sh3 s JOIN first_owner f USING (sh)
+        GROUP BY s.doc_id
+    """,
+)
+def tx_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY under corpus order: the fraction
+    of a document's distinct 3-gram shingles whose first corpus
+    occurrence (minimum doc_id) is the document itself — the
+    redundancy-growth curve data engines use to decide when a source
+    is mined out (novelty decaying toward 0 across a crawl = stop
+    ingesting; complements dd_* near-dup pairs, which catch pairwise
+    redundancy but not gradual n-gram exhaustion).
+
+    Plan: one distinct-shingle explode (map-side), one groupBy(sh)
+    for the min-owner, one join back + per-doc aggregate — the same
+    two-shuffle shape as tx_span_dedup; novelty is one IEEE division
+    of exact int64 counts.
+
+    100 TB: never all-pairs; the min-owner aggregate combines
+    map-side; frequent shingles don't skew (min is cheap regardless
+    of group size). Order sensitivity is BY DESIGN (doc_id = arrival
+    order), making the metric reproducible."""
+    from bdc_collection_builder_spark.extensions.dedup import shingles
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh3 = shingles(docs, k=3)
+    first = sh3.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh3.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shingles"),
+             F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_novel"))
+        .select("doc_id", "n_shingles", "n_novel",
+                (F.col("n_novel").cast("double") / F.col("n_shingles"))
+                .alias("novelty"))
+    )

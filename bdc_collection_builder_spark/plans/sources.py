@@ -1108,12 +1108,21 @@ def st_stream_stream_join(spark, sf_dir):
 
     scratch = tempfile.mkdtemp(prefix="bdc_ssj_")
     events_dir = f"{scratch}/events"
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
-        events_dir)
+    load_table(spark, sf_dir, "events").coalesce(8).write.mode(
+        "overwrite").parquet(events_dir)
     qname = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = streaming_interval_join(spark, events_dir, events_dir,
-                                f"{scratch}/ckpt", qname)
-    q.awaitTermination(300)
+    # State-store cost scales with partition count x micro-batches
+    # (commit files per partition per batch); at this keyspace 8
+    # partitions more than suffice — production sizes this to key
+    # cardinality, not the relational shuffle default.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = streaming_interval_join(spark, events_dir, events_dir,
+                                    f"{scratch}/ckpt", qname)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.sql(f"SELECT error_id, followup_id FROM {qname}")
 
 
@@ -2383,10 +2392,110 @@ def st_stream_outer_join(spark, sf_dir):
 
     scratch = tempfile.mkdtemp(prefix="bdc_ssjl_")
     events_dir = f"{scratch}/events"
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
-        events_dir)
+    load_table(spark, sf_dir, "events").coalesce(8).write.mode(
+        "overwrite").parquet(events_dir)
     qname = f"ssjl_{uuid.uuid4().hex[:8]}"
-    q = streaming_interval_join_left(spark, events_dir, events_dir,
-                                     f"{scratch}/ckpt", qname)
-    q.awaitTermination(300)
+    # See st_stream_stream_join: size state partitions to the
+    # keyspace (8 here), not the relational shuffle default — the
+    # no-data eviction batch pays per state partition.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = streaming_interval_join_left(spark, events_dir, events_dir,
+                                         f"{scratch}/ckpt", qname)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.sql(f"SELECT error_id, followup_id FROM {qname}")
+
+
+@query(
+    "s31_cdc_apply_ops",
+    survey=("S15", "S16", "Y3"),
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS status,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        changes AS (
+            SELECT o_orderkey AS k, 'D' AS op,
+                   CAST(NULL AS VARCHAR) AS status,
+                   CAST(NULL AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 30 = 0
+            UNION ALL
+            SELECT o_orderkey AS k, 'U' AS op, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) + 100
+            FROM orders
+            WHERE o_orderkey % 20 = 0 AND o_orderkey % 30 <> 0
+            UNION ALL
+            SELECT o_orderkey AS k, 'I' AS op, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM orders WHERE o_orderkey % 10 = 5
+        ),
+        applied AS (
+            SELECT coalesce(c.k, b.k) AS k,
+                   CASE WHEN c.op IS NULL THEN b.status
+                        ELSE c.status END AS status,
+                   CASE WHEN c.op IS NULL THEN b.price_cents
+                        ELSE c.price_cents END AS price_cents
+            FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+            WHERE c.op IS NULL OR c.op <> 'D'
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(price_cents) AS DOUBLE) / 100 AS total_price
+        FROM applied GROUP BY status
+    """,
+)
+def s31_cdc_apply_ops(spark, sf_dir):
+    """CDC change-batch application with explicit op codes — the
+    MERGE semantics Delta's `WHEN MATCHED DELETE / UPDATE / WHEN NOT
+    MATCHED INSERT` expresses, applied as ONE full-outer join instead
+    of three passes: a base snapshot (every 10th order) receives a
+    change batch carrying op in {D, U, I} (delete every 30th, update
+    every 20th with +$1, insert the %10==5 keys). Row disposition is a
+    CASE on the join result: change row wins when present, 'D' rows
+    drop, unmatched base rows carry forward — exactly
+    last-writer-wins MERGE (the store's merge_upsert implements the
+    U/I subset; this plan is the superset with deletes, validated
+    against the declarative set-algebra oracle).
+
+    Reported as a per-status (count, exact-cents total) summary so
+    the check covers all three op paths (deletes shrink counts,
+    updates shift totals by exactly $1/row, inserts add new keys).
+
+    100 TB: ONE shuffle on the merge key for the outer join (both
+    sides pre-projected to key + payload); Delta/Iceberg would
+    push the same plan through file-level skipping — see
+    catalog/store.py's conditional-PUT seam for the commit side."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_cents"))
+    base = orders.filter(F.col("k") % 10 == 0)
+    deletes = orders.filter(F.col("k") % 30 == 0).select(
+        "k", F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("bigint").alias("price_cents"))
+    updates = orders.filter((F.col("k") % 20 == 0)
+                            & (F.col("k") % 30 != 0)).select(
+        "k", F.lit("U").alias("op"), "status",
+        (F.col("price_cents") + 100).alias("price_cents"))
+    inserts = orders.filter(F.col("k") % 10 == 5).select(
+        "k", F.lit("I").alias("op"), "status", "price_cents")
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    b = base.alias("b")
+    c = changes.alias("c")
+    applied = (
+        b.join(c, F.col("b.k") == F.col("c.k"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.when(F.col("c.op").isNull(), F.col("b.status"))
+             .otherwise(F.col("c.status")).alias("status"),
+            F.when(F.col("c.op").isNull(), F.col("b.price_cents"))
+             .otherwise(F.col("c.price_cents")).alias("price_cents"))
+    )
+    return applied.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("price_cents").cast("double") / 100).alias("total_price"))

@@ -760,3 +760,66 @@ def w17_event_transition_matrix(spark, sf_dir):
         "from_type", "to_type", "n",
         (F.col("n").cast("double")
          / F.sum("n").over(wn).cast("bigint").cast("double")).alias("p"))
+
+
+@query(
+    "w18_week_over_week_change",
+    survey=("W1", "A2", "DQ-drift"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT event_type, {_TS} AS ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        weekly AS (
+            SELECT event_type,
+                   strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM norm GROUP BY 1, 2
+        )
+        SELECT event_type, week, n_events,
+               CAST(cents AS DOUBLE) / 100 AS total_value,
+               CASE WHEN lag(cents) OVER w IS NULL THEN NULL
+                    ELSE 100 * (CAST(cents AS DOUBLE)
+                                - CAST(lag(cents) OVER w AS DOUBLE))
+                         / CAST(lag(cents) OVER w AS DOUBLE)
+               END AS wow_value_pct
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def w18_week_over_week_change(spark, sf_dir):
+    """Week-over-week percentage change of event volume value per
+    type — the growth-rate monitor every ingest dashboard leads with
+    (the reference reports per-period download deltas in its admin
+    CLI). ISO-Monday week bucketing (`date_trunc('week')` agrees
+    between engines), exact integer-cents weekly totals, and the
+    delta as one IEEE expression over two exactly-converted int64s —
+    first week per type emits NULL, not 0, so a flat series and a
+    missing series are distinguishable.
+
+    100 TB: one corpus shuffle for the weekly aggregate; the lag
+    window runs over (weeks x types) rows."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    weekly = (
+        events.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+            .alias("week"))
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("cents").over(w)
+    return weekly.select(
+        "event_type", "week", "n_events",
+        (F.col("cents").cast("double") / 100).alias("total_value"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+         .otherwise(100 * (F.col("cents").cast("double")
+                           - prev.cast("double")) / prev.cast("double"))
+         .alias("wow_value_pct"))

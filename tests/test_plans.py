@@ -104,6 +104,8 @@ def test_plan_lint_every_query(spark, sf_dir):
         "cu_filter_funnel",      # one-row corpus-total attach (pct)
         "j21_dormant_high_balance",  # one-row avg-balance-threshold attach
         "j27_top_supplier",      # one-row global-max-revenue attach
+        "ss_ivf_probe_recall_curve",  # eval protocol: brute-force truth
+
     }
     offenders = {}
     for name, fn in all_queries().items():
