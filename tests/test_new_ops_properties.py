@@ -447,3 +447,97 @@ def test_gini_bounds_and_supplier_total(spark, sf_dir):
     assert sum(r.n_suppliers for r in out) == n_active
     for r in out:
         assert 0.0 <= r.gini < 1.0
+
+
+# ---- round-4 fifth wave --------------------------------------------------
+
+
+def test_dag_layering_total_and_monotone(spark, sf_dir):
+    """Layer histogram covers every node exactly once; layer 0 is
+    non-empty (sources exist under ascending orientation)."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    out = rows(spark, sf_dir, "gr_dag_layering")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_nodes for r in out) == n_docs
+    by_layer = {r.layer: r.n_nodes for r in out}
+    assert by_layer.get(0, 0) >= 1
+    assert all(0 <= k <= 6 for k in by_layer)
+
+
+def test_planted_pair_eval_counts_consistent(spark, sf_dir):
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = rows(spark, sf_dir, "dd_planted_pair_eval")[0]
+    n_planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0).count())
+    assert r.tp + r.fn == n_planted
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    assert r.recall > 0.5  # the 3-token suffix keeps Jaccard >= 0.5 mostly
+
+
+def test_cdc_apply_op_arithmetic(spark, sf_dir):
+    """Applied-state row count = base - deletes∩base + inserts-not-in-
+    base (recomputed independently from the orders table)."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"))
+    base = orders.filter(F.col("k") % 10 == 0)
+    n_base = base.count()
+    n_del_in_base = base.filter(F.col("k") % 30 == 0).count()
+    n_ins = orders.filter(F.col("k") % 10 == 5).count()
+    out = rows(spark, sf_dir, "s31_cdc_apply_ops")
+    assert sum(r.n for r in out) == n_base - n_del_in_base + n_ins
+
+
+def test_shot_boundaries_partition_frames(spark, sf_dir):
+    """Shots tile each video's frame timeline: contiguous, ordered,
+    frame counts summing to the sampled frame count."""
+    out = rows(spark, sf_dir, "mm_shot_boundaries")
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, shots in by_media.items():
+        shots.sort(key=lambda r: r.shot_id)
+        assert shots[0].start_ms == 0
+        for a, b in zip(shots, shots[1:]):
+            assert b.start_ms == a.end_ms + 1000, mid
+        assert all(s.n_frames >= 1 for s in shots)
+
+
+def test_ivf_probe_curve_monotone_to_bruteforce(spark, sf_dir):
+    """Recall is non-decreasing in nprobe (supersets of candidates)."""
+    out = sorted(rows(spark, sf_dir, "ss_ivf_probe_recall_curve"),
+                 key=lambda r: r.nprobe)
+    recalls = [r.mean_recall_at_5 for r in out]
+    assert recalls == sorted(recalls)
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_ngram_novelty_first_doc_and_bounds(spark, sf_dir):
+    """The earliest doc with >= 3 tokens has novelty exactly 1; all
+    ratios live in (0, 1]."""
+    out = rows(spark, sf_dir, "tx_ngram_novelty")
+    assert out
+    first = min(out, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0
+    for r in out:
+        # 0 is legitimate: a doc whose every 3-gram appeared earlier
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_shingles
+
+
+def test_wow_change_first_week_null(spark, sf_dir):
+    out = rows(spark, sf_dir, "w18_week_over_week_change")
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.week)
+        assert rs[0].wow_value_pct is None, et
+        for r in rs[1:]:
+            assert r.wow_value_pct is not None, et
