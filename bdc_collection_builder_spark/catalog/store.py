@@ -420,6 +420,49 @@ class CatalogStore:
             F.broadcast(incoming.select(*keys)), keys, "left_anti")
         return kept.unionByName(incoming)
 
+    def delete_where(self, table: str, condition) -> None:
+        """Delta-style ``DELETE FROM table WHERE condition``: rewrite
+        the snapshot WITHOUT the matching rows into a new generation
+        through the CAS loop (concurrent keyed writers serialize, no
+        deleted batch resurrections). SQL three-valued semantics: only
+        rows where the predicate is TRUE are removed — NULL-valued
+        predicates KEEP the row, exactly like engines' DELETE.
+
+        The rewrite is snapshot-scoped (MVCC), so time travel to the
+        pre-delete generation still sees the rows and
+        ``changes_between`` reports them as deletes — the GDPR-erasure
+        caveat the store shares with Delta: a vacuum past the horizon
+        is what actually forgets."""
+        cond = F.expr(condition) if isinstance(condition, str) \
+            else condition
+        self._cas_commit(
+            table,
+            lambda base: base.filter(~F.coalesce(cond, F.lit(False))),
+            keep_extra=True)
+
+    def update_where(self, table: str, condition, assignments) -> None:
+        """Delta-style ``UPDATE table SET ... WHERE condition``:
+        matching rows get each assignment (a Column or SQL-string
+        expression, cast back to the column's existing type — engines'
+        UPDATE never silently changes a column type); non-matching and
+        NULL-predicate rows pass through byte-identical. One CAS
+        rewrite, same concurrency contract as :meth:`delete_where`."""
+        cond = F.expr(condition) if isinstance(condition, str) \
+            else condition
+
+        def build(base: DataFrame) -> DataFrame:
+            types = dict(base.dtypes)
+            out = base
+            for col, val in assignments.items():
+                expr = F.expr(val) if isinstance(val, str) else val
+                out = out.withColumn(
+                    col,
+                    F.when(cond, expr.cast(types[col]))
+                     .otherwise(F.col(col)))
+            return out
+
+        self._cas_commit(table, build, keep_extra=True)
+
     def transaction(self) -> "Transaction":
         """Multi-table atomic commit — the semantics the reference gets
         from one SQLAlchemy session committing items + activities +
@@ -917,6 +960,35 @@ class PartitionedCatalogStore(CatalogStore):
                 f"against its own history")
         value = p_from.split("=", 1)[1]
         return self._sub(table, value).changes_between(table, g_from, g_to)
+
+    def _touched_partitions(self, table: str, cond) -> list[str]:
+        """Partitions whose current snapshot has at least one row
+        matching ``cond`` — one cheap limit(1) probe per partition, so
+        a DELETE/UPDATE touching one partition leaves every other
+        partition's generation pointer (and files) untouched."""
+        touched = []
+        for value in self._partition_values(table):
+            sub = self._sub(table, value)
+            if sub.exists(table) and sub.read(table).filter(
+                    F.coalesce(cond, F.lit(False))).limit(1).count() > 0:
+                touched.append(value)
+        return touched
+
+    def delete_where(self, table: str, condition) -> None:
+        if table not in self.partition_cols:
+            return super().delete_where(table, condition)
+        cond = F.expr(condition) if isinstance(condition, str) \
+            else condition
+        for value in self._touched_partitions(table, cond):
+            self._sub(table, value).delete_where(table, cond)
+
+    def update_where(self, table: str, condition, assignments) -> None:
+        if table not in self.partition_cols:
+            return super().update_where(table, condition, assignments)
+        cond = F.expr(condition) if isinstance(condition, str) \
+            else condition
+        for value in self._touched_partitions(table, cond):
+            self._sub(table, value).update_where(table, cond, assignments)
 
     def merge_upsert(self, table: str, incoming: DataFrame,
                      keys: list[str] | None = None,

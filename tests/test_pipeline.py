@@ -1263,3 +1263,122 @@ def test_merge_schema_evolution(store, fixtures, spark):
     assert store.read("items").columns == base_cols + ["proc_version"]
     assert store.read("items").filter(
         F.col("proc_version") == "v2.3").count() == n_touched
+
+
+def test_store_delete_where_semantics(spark, tmp_path, fixtures):
+    """DELETE removes only predicate-TRUE rows (NULL keeps), bumps a
+    generation (time travel sees the old rows), and the change feed
+    reports the removals as deletes."""
+    s = CatalogStore(spark, str(tmp_path / "del1"))
+    s.overwrite("items", fixtures["items"])
+    before = s.read("items")
+    n_before = before.count()
+    n_match = before.filter("collection_id = 1").count()
+    assert 0 < n_match < n_before
+    gen_before = s.snapshots("items")[-1]
+
+    s.delete_where("items", "collection_id = 1")
+
+    after = s.read("items")
+    assert after.count() == n_before - n_match
+    assert after.filter("collection_id = 1").count() == 0
+    # MVCC: the pre-delete snapshot still has them
+    assert s.read_at("items", gen_before).count() == n_before
+    gen_after = s.snapshots("items")[-1]
+    ch = s.changes_between("items", gen_before, gen_after)
+    kinds = {r["_change_type"] for r in ch.select("_change_type")
+             .distinct().collect()}
+    assert "delete" in kinds
+    assert ch.filter("_change_type = 'delete'").count() == n_match
+
+
+def test_store_delete_where_null_predicate_keeps_rows(spark, tmp_path,
+                                                      fixtures):
+    """Three-valued logic: a NULL predicate must KEEP the row."""
+    from pyspark.sql import functions as F
+
+    s = CatalogStore(spark, str(tmp_path / "del2"))
+    items = fixtures["items"].withColumn(
+        "cloud_cover",
+        F.when(F.col("collection_id") == 2, F.lit(None).cast("double"))
+         .otherwise(F.col("cloud_cover")))
+    s.overwrite("items", items)
+    n_null = s.read("items").filter("cloud_cover IS NULL").count()
+    assert n_null > 0
+    s.delete_where("items", "cloud_cover > -1e9")  # NULL rows -> NULL pred
+    assert s.read("items").count() == n_null
+    assert s.read("items").filter("cloud_cover IS NULL").count() == n_null
+
+
+def test_store_update_where_preserves_types_and_rows(spark, tmp_path,
+                                                     fixtures):
+    s = CatalogStore(spark, str(tmp_path / "upd1"))
+    s.overwrite("items", fixtures["items"])
+    before = s.read("items")
+    n = before.count()
+    tgt = before.filter("collection_id = 2").count()
+    assert tgt > 0
+    old_types = dict(before.dtypes)
+
+    s.update_where("items", "collection_id = 2",
+                   {"cloud_cover": "99.5", "name": F.concat(
+                       F.col("name"), F.lit("_v2"))})
+
+    after = s.read("items")
+    assert after.count() == n                       # UPDATE never deletes
+    assert dict(after.dtypes) == old_types          # types stable
+    assert after.filter("collection_id = 2 AND cloud_cover = 99.5"
+                        ).count() == tgt
+    assert after.filter("collection_id = 2 AND name NOT LIKE '%_v2'"
+                        ).count() == 0
+    # untouched rows byte-identical
+    assert after.filter("collection_id <> 2").exceptAll(
+        before.filter("collection_id <> 2")).count() == 0
+
+
+def test_partitioned_delete_prunes_untouched_partitions(spark, tmp_path,
+                                                        fixtures):
+    """A partition-scoped DELETE must not move the generation pointer
+    of any other partition."""
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "pdel"))
+    s.overwrite("items", fixtures["items"])
+    values = s._partition_values("items")
+    assert len(values) >= 2
+    target, other = values[0], values[1]
+    gen_other_before = s._sub("items", other)._current_gen("items")
+    n_target = s.read("items").filter(
+        f"collection_id = {target}").count()
+    assert n_target > 0
+
+    s.delete_where("items", f"collection_id = {target}")
+
+    assert s.read("items").filter(
+        f"collection_id = {target}").count() == 0
+    # untouched partition: same generation pointer, no rewrite
+    assert s._sub("items", other)._current_gen("items") \
+        == gen_other_before
+
+
+def test_partitioned_update_routes_to_matching_partition(spark, tmp_path,
+                                                         fixtures):
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    s = PartitionedCatalogStore(spark, str(tmp_path / "pupd"))
+    s.overwrite("items", fixtures["items"])
+    values = s._partition_values("items")
+    target, other = values[0], values[1]
+    gen_other_before = s._sub("items", other)._current_gen("items")
+
+    s.update_where("items", f"collection_id = {target}",
+                   {"cloud_cover": "12.25"})
+
+    got = s.read("items").filter(f"collection_id = {target}")
+    assert got.filter("cloud_cover <> 12.25").count() == 0
+    assert s._sub("items", other)._current_gen("items") \
+        == gen_other_before
