@@ -66,6 +66,23 @@ def build_parser() -> argparse.ArgumentParser:
     ov.add_argument("--store", required=True)
     ov.add_argument("-c", "--collection", required=True, type=int)
 
+    # catalog row maintenance — the store's Delta-style DELETE/UPDATE
+    dr = sub.add_parser("delete-rows",
+                        help="DELETE FROM <table> WHERE <predicate>")
+    dr.add_argument("--store", required=True)
+    dr.add_argument("-t", "--table", required=True)
+    dr.add_argument("-w", "--where", required=True,
+                    help="SQL predicate; only TRUE rows are removed")
+
+    ur = sub.add_parser("update-rows",
+                        help="UPDATE <table> SET col=expr WHERE <predicate>")
+    ur.add_argument("--store", required=True)
+    ur.add_argument("-t", "--table", required=True)
+    ur.add_argument("-w", "--where", required=True)
+    ur.add_argument("--set", action="append", required=True,
+                    metavar="COL=SQL_EXPR", dest="assignments",
+                    help="assignment, repeatable")
+
     return p
 
 
@@ -170,6 +187,35 @@ def main(argv: list[str] | None = None) -> int:
                 disable=args.disable, remove=args.remove)
             verb = "removed" if args.remove else "updated"
             print(f"Collection Provider {args.collection} {verb}")
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "delete-rows":
+        engine, spark = _engine_for(args.store)
+        try:
+            before = engine.store.read(args.table).count()
+            engine.store.delete_where(args.table, args.where)
+            after = engine.store.read(args.table).count()
+            print(f"Deleted {before - after} row(s) from {args.table}")
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "update-rows":
+        assignments = {}
+        for item in args.assignments:
+            if "=" not in item:
+                print(f"bad --set (need COL=SQL_EXPR): {item}",
+                      file=sys.stderr)
+                return 2
+            col, expr = item.split("=", 1)
+            assignments[col.strip()] = expr
+        engine, spark = _engine_for(args.store)
+        try:
+            engine.store.update_where(args.table, args.where, assignments)
+            print(f"Updated {args.table} "
+                  f"({', '.join(assignments)}) where {args.where}")
         finally:
             spark.stop()
         return 0

@@ -621,3 +621,50 @@ def a21_hourly_seasonality(spark, sf_dir):
         .agg(F.count("*").alias("n_events"),
              F.round(F.avg("value"), 4).alias("mean_value"))
     )
+
+
+@query(
+    "a22_group_mode",
+    survey=("A1", "A8", "W3"),
+    oracle="""
+        SELECT o_orderstatus AS status, o_orderpriority AS modal_priority,
+               n
+        FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY count(*) DESC, o_orderpriority
+                   ) AS rnk
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rnk = 1
+    """,
+)
+def a22_group_mode(spark, sf_dir):
+    """Exact per-group MODE with a deterministic tie-break — the
+    categorical aggregate SQL engineshistorically lack (Spark 3.4+
+    ships `mode()` but with UNSPECIFIED tie behavior, so this plan
+    derives it from first principles): count per (group, value), rank
+    within group by (count DESC, value ASC), keep rank 1. Ties
+    therefore resolve to the lexicographically smallest value on BOTH
+    engines — reproducible, unlike the built-in.
+
+    100 TB: the value-count aggregate combines map-side down to
+    |groups|x|values| rows; the ranking window runs on that reduced
+    table, never the fact."""
+    from pyspark.sql import Window
+
+    counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"),
+                 F.col("o_orderpriority").alias("modal_priority"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("status").orderBy(
+        F.desc("n"), F.asc("modal_priority"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("status", "modal_priority", "n")
+    )

@@ -1449,3 +1449,79 @@ def j27_top_supplier(spark, sf_dir):
                 (F.col("rev_tenk_sum").cast("double") / 10000
                  ).alias("total_revenue"))
     )
+
+
+_DW_RADIUS = 25        # radius in integer grid units; cell size = radius
+
+
+@query(
+    "j28_distance_within_join",
+    survey=("J8", "X17"),
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_id AS id,
+                   CAST((event_id * 31) % 1000 AS BIGINT) AS x,
+                   CAST((event_id * 17) % 1000 AS BIGINT) AS y
+            FROM events WHERE event_id % 7 = 0
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               (a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y) AS dist_sq
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y)
+              <= {_DW_RADIUS * _DW_RADIUS}
+    """,
+)
+def j28_distance_within_join(spark, sf_dir):
+    """ST_DWithin-style radius self-join (PostGIS's proximity
+    predicate; the reference's tile-adjacency checks are the same
+    shape): all point pairs within distance {_DW_RADIUS} of each
+    other, via single-cell grid bucketing with a 3x3 NEIGHBOR-CELL
+    probe — side A explodes each point to its cell's 9-neighborhood,
+    side B keeps its single home cell, and the equi-join on the cell
+    key yields every candidate EXACTLY ONCE (B's home cell is unique,
+    so no post-join distinct is needed — unlike envelope bucketing,
+    where a pair can share several cells). The exact predicate is
+    integer distance-squared against radius-squared: coordinates are
+    synthesized integers, so there is no libm, no sqrt, and no float
+    anywhere — byte-identical across engines by construction. The
+    oracle is the brute-force all-pairs form on a 1/7th sample,
+    independently proving the bucketing lossless (cell size = radius
+    guarantees any within-radius pair sits in adjacent cells).
+
+    100 TB: each side shuffles once on an 8-byte cell key; candidate
+    count scales with local density x 9, never corpus²; the 9x
+    explode is map-side."""
+    pts = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(F.col("event_id").alias("id"),
+                ((F.col("event_id") * 31) % 1000).cast("bigint").alias("x"),
+                ((F.col("event_id") * 17) % 1000).cast("bigint").alias("y"))
+    )
+    cell = lambda c: F.floor(c / _DW_RADIUS).cast("bigint")  # noqa: E731
+    neighbors = F.expr(
+        "flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> named_struct("
+        "'dx', dx, 'dy', dy))))")
+    a = pts.select(
+        F.col("id").alias("id_a"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(neighbors).alias("o"),
+        cell(F.col("x")).alias("cx0"), cell(F.col("y")).alias("cy0"),
+    ).select("id_a", "ax", "ay",
+             (F.col("cx0") + F.col("o.dx")).alias("cx"),
+             (F.col("cy0") + F.col("o.dy")).alias("cy"))
+    b = pts.select(
+        F.col("id").alias("id_b"), F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"))
+    dist_sq = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+               + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (dist_sq <= F.lit(_DW_RADIUS * _DW_RADIUS)))
+        .select("id_a", "id_b", dist_sq.alias("dist_sq"))
+    )

@@ -91,3 +91,49 @@ sys.exit(rc)
     assert prov_lines and "NEW-PROV" in prov_lines[0]
     assert any("USGS-M2M" in ln and "active=False" in ln
                for ln in prov_lines)
+
+
+def test_row_maintenance_cli_flow(tmp_path):
+    """delete-rows / update-rows against a fixture items table, in one
+    subprocess (same single-JVM pattern as the provider-admin test)."""
+    import subprocess
+
+    store = tmp_path / "cli_rows"
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from bdc_collection_builder_spark.__main__ import main, _engine_for
+from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+
+engine, spark = _engine_for({str(store)!r})
+fx = make_fixtures(spark, n_scenes=12, n_tiles=2)
+engine.store.overwrite("items", fx["items"])
+n0 = engine.store.read("items").count()
+n1 = engine.store.read("items").filter("collection_id = 1").count()
+assert 0 < n1 < n0
+
+rc = 0
+rc |= main(["update-rows", "--store", {str(store)!r}, "-t", "items",
+            "-w", "collection_id = 1", "--set", "cloud_cover=55.5"])
+engine, spark = _engine_for({str(store)!r})  # handlers stop the session
+got = engine.store.read("items")
+assert got.filter("collection_id = 1 AND cloud_cover <> 55.5").count() == 0
+assert got.count() == n0
+
+rc |= main(["delete-rows", "--store", {str(store)!r}, "-t", "items",
+            "-w", "collection_id = 1"])
+engine, spark = _engine_for({str(store)!r})
+got = engine.store.read("items")
+assert got.count() == n0 - n1
+assert got.filter("collection_id = 1").count() == 0
+
+# malformed --set exits 2
+assert main(["update-rows", "--store", {str(store)!r}, "-t", "items",
+             "-w", "TRUE", "--set", "nonsense"]) == 2
+sys.exit(rc)
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=300,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Deleted" in out.stdout and "Updated items" in out.stdout
