@@ -529,6 +529,55 @@ def tk_unigram_viterbi(spark, sf_dir):
         F.col("dp.m").alias("marginal_prob"))
 
 
+def _bpe_initial_segmentation(spark, sf_dir):
+    """Word dict with each word's character-level segmentation as a
+    space-joined symbol string (leading/trailing space so every merge
+    is a delimited literal replace)."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+    return words.select(
+        "w", "cnt",
+        F.concat(F.lit(" "),
+                 F.regexp_replace("w", "(.)", "$1 ")).alias("seg"))
+
+
+def _bpe_pair_counts(seg_df):
+    """Corpus-weighted adjacent-symbol pair counts of a segmentation."""
+    toks = F.filter(F.split(F.col("seg"), " "), lambda x: x != "")
+    with_toks = seg_df.select("cnt", toks.alias("toks")).filter(
+        F.size("toks") >= 2)
+    pairs = with_toks.select(
+        "cnt",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> named_struct('s1', toks[i - 1], 's2', toks[i]))"))
+        .alias("p"))
+    return (pairs.select(F.col("p.s1").alias("s1"),
+                         F.col("p.s2").alias("s2"), "cnt")
+            .groupBy("s1", "s2")
+            .agg(F.sum("cnt").cast("bigint").alias("c")))
+
+
+def _bpe_apply_merge(seg_df, top1):
+    """Apply the chosen (m1, m2) merge to every word: literal
+    non-overlapping left-to-right replace of ' m1 m2 ' — identical
+    semantics in the JVM and DuckDB."""
+    return (
+        seg_df.crossJoin(F.broadcast(top1))
+        .select(
+            "w", "cnt",
+            F.replace(
+                F.col("seg"),
+                F.concat(F.lit(" "), F.col("m1"), F.lit(" "),
+                         F.col("m2"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("m1"), F.col("m2"),
+                         F.lit(" "))).alias("seg"))
+    )
+
+
 # adjacent symbol pairs of a space-segmented word string, as SQL text
 # shared by both engines' merge round
 _SEG_PAIRS = """
@@ -590,46 +639,12 @@ def tk_bpe_merge_round(spark, sf_dir):
     corpus-wide merge is one codegen'd string op over the word DICT
     (vocabulary-bounded; the corpus is never touched after the dict
     scan). The chosen pair rides as a one-row broadcast."""
-    docs = t(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("w").agg(F.count("*").alias("cnt"))
-    )
-    seg0 = words.select(
-        "w", "cnt",
-        F.concat(F.lit(" "),
-                 F.regexp_replace("w", "(.)", "$1 ")).alias("seg"))
-
-    def pair_counts(seg_df):
-        toks = F.filter(F.split(F.col("seg"), " "), lambda x: x != "")
-        with_toks = seg_df.select("cnt", toks.alias("toks")).filter(
-            F.size("toks") >= 2)
-        pairs = with_toks.select(
-            "cnt",
-            F.explode(F.expr(
-                "transform(sequence(1, size(toks) - 1), "
-                "i -> named_struct('s1', toks[i - 1], 's2', toks[i]))"))
-            .alias("p"))
-        return (pairs.select(F.col("p.s1").alias("s1"),
-                             F.col("p.s2").alias("s2"), "cnt")
-                .groupBy("s1", "s2")
-                .agg(F.sum("cnt").cast("bigint").alias("c")))
-
-    c0 = pair_counts(seg0)
+    seg0 = _bpe_initial_segmentation(spark, sf_dir)
+    c0 = _bpe_pair_counts(seg0)
     top1 = c0.orderBy(F.col("c").desc(), "s1", "s2").limit(1) \
         .select(F.col("s1").alias("m1"), F.col("s2").alias("m2"))
-    seg1 = (
-        seg0.crossJoin(F.broadcast(top1))
-        .select(
-            "w", "cnt",
-            F.replace(
-                F.col("seg"),
-                F.concat(F.lit(" "), F.col("m1"), F.lit(" "),
-                         F.col("m2"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("m1"), F.col("m2"),
-                         F.lit(" "))).alias("seg"))
-    )
-    c1 = pair_counts(seg1)
+    seg1 = _bpe_apply_merge(seg0, top1)
+    c1 = _bpe_pair_counts(seg1)
     return (
         c1.crossJoin(F.broadcast(top1))
         .select("s1", "s2", F.col("c").alias("pair_count"),
@@ -701,3 +716,86 @@ def tk_vocab_coverage_oov(spark, sf_dir):
         F.col("total").alias("total_tokens"),
         (F.round(F.lit(1.0) - covered.cast("double") / F.col("total"), 6)
          + F.lit(0.0)).alias("oov_rate"))
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_train_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    """n chained merge rounds in DuckDB: seg_k -> counts_k -> argmax
+    top_k -> seg_{k+1}; emits (round, merged_symbol, pair_count)."""
+    parts = ["WITH " + _WORD_DICT + r""",
+    seg0 AS (
+        SELECT w, cnt,
+               ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seg
+        FROM words
+    )"""]
+    for r in range(n_rounds):
+        parts.append(f""",
+    p{r} AS ({_SEG_PAIRS.format(seg="seg", src=f"seg{r}")}),
+    c{r} AS (
+        SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS c
+        FROM p{r} GROUP BY s1, s2
+    ),
+    top{r} AS (
+        SELECT s1, s2, c FROM c{r} ORDER BY c DESC, s1, s2 LIMIT 1
+    ),
+    seg{r + 1} AS (
+        SELECT g.w, g.cnt,
+               replace(g.seg, ' ' || t.s1 || ' ' || t.s2 || ' ',
+                       ' ' || t.s1 || t.s2 || ' ') AS seg
+        FROM seg{r} g CROSS JOIN top{r} t
+    )""")
+    arms = "\n        UNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS round, s1 || s2 AS "
+        f"merged_symbol, c AS pair_count FROM top{r}"
+        for r in range(n_rounds))
+    parts.append("\n    " + arms)
+    return "".join(parts)
+
+
+@query(
+    "tk_bpe_train_rounds",
+    survey=("TK-bpe",),
+    oracle=_bpe_train_oracle(),
+)
+def tk_bpe_train_rounds(spark, sf_dir):
+    """BPE TRAINING, first {n} merges (Sennrich et al. 2016): iterate
+    tk_bpe_merge_round's body — count adjacent symbol pairs, take the
+    argmax (ties to the lexicographically smallest pair, the shared
+    deterministic rule), apply the merge to every word's segmentation
+    — and emit the learned merge table in order. This is the loop the
+    single-round query's docstring promises composes into training;
+    here it actually composes, with the segmentation persisted per
+    round (each round's pair count and the next round's merge both
+    read it) and the one-row argmax attached by broadcast.
+
+    100 TB: per round, one aggregate over the VOCABULARY (the corpus
+    is touched once, by the word-dict scan), one one-row sort-limit,
+    one map-side string replace. Round count is the vocab budget
+    (30k in production); the plan stays bounded because each round's
+    persist cuts the lineage like iterate() does for graphs."""
+    from bdc_collection_builder_spark.functions.persist import (
+        tracked_persist,
+    )
+
+    seg = tracked_persist(_bpe_initial_segmentation(spark, sf_dir))
+    learned = []
+    for r in range(_BPE_ROUNDS):
+        top = (
+            _bpe_pair_counts(seg)
+            .orderBy(F.col("c").desc(), "s1", "s2").limit(1)
+            .select(F.col("s1").alias("m1"), F.col("s2").alias("m2"),
+                    F.col("c"))
+        )
+        top = tracked_persist(top)
+        learned.append(top.select(
+            F.lit(r + 1).cast("bigint").alias("round"),
+            F.concat(F.col("m1"), F.col("m2")).alias("merged_symbol"),
+            F.col("c").alias("pair_count")))
+        seg = tracked_persist(
+            _bpe_apply_merge(seg, top.select("m1", "m2")))
+    out = learned[0]
+    for df in learned[1:]:
+        out = out.unionByName(df)
+    return out

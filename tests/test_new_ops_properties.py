@@ -541,3 +541,17 @@ def test_wow_change_first_week_null(spark, sf_dir):
         assert rs[0].wow_value_pct is None, et
         for r in rs[1:]:
             assert r.wow_value_pct is not None, et
+
+
+def test_bpe_train_rounds_monotone(spark, sf_dir):
+    """Merge-table property: argmax pair counts are non-increasing
+    across rounds (any pair created by a merge occurs at most as often
+    as the sub-pair it contains), and learned symbols are distinct."""
+    out = sorted(rows(spark, sf_dir, "tk_bpe_train_rounds"),
+                 key=lambda r: r.round)
+    assert [r.round for r in out] == [1, 2, 3]
+    counts = [r.pair_count for r in out]
+    assert counts == sorted(counts, reverse=True)
+    syms = [r.merged_symbol for r in out]
+    assert len(set(syms)) == len(syms)
+    assert all(len(s) >= 2 for s in syms)

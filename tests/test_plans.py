@@ -88,6 +88,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "tk_unigram_viterbi",    # one-row vocab-mass attach
         "ss_pca_power_iteration",  # one-row direction-vector attach
         "tk_bpe_merge_round",    # one-row chosen-merge attach
+        "tk_bpe_train_rounds",   # one-row chosen-merge attach per round
         "ss_whiten_remove_pc",   # one-row direction-vector attach
         "mm_perceptual_hash_pairs",  # 4-row hash-table pair join
         "cu_semdedup_threshold_curve",  # one-row centroid-array attach
