@@ -519,3 +519,50 @@ def streaming_interval_join_left(spark: SparkSession, errors_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_erasure(spark: SparkSession, requests_dir: str,
+                        store: CatalogStore, checkpoint_dir: str,
+                        table: str = "items",
+                        key_cols: tuple[str, str] = ("name",
+                                                     "collection_id")):
+    """Continuously apply DELETE requests (erasure/compliance feed) to
+    a catalog table: each micro-batch of (name, collection_id) keys
+    becomes ONE ``delete_where`` rewrite through the store's CAS loop.
+
+    Idempotent under at-least-once delivery: re-deleting an absent key
+    is a no-op rewrite, so replayed batches converge (same contract as
+    incremental_publish's MERGE). The per-batch predicate is built as
+    an IN-list over the batch's keys — erasure batches are small and
+    bounded (a compliance queue, not the firehose), so the predicate
+    stays a broadcast-sized expression; for large batches swap in an
+    anti-join MERGE (store.merge semantics with deletes,
+    plans/sources.py s31 shape).
+
+    MVCC caveat (same as Delta): the delete creates a new generation —
+    prior snapshots still hold the rows until vacuum passes the
+    retention horizon, which is the part that actually forgets."""
+    schema = f"{key_cols[0]} string, {key_cols[1]} int"
+
+    def erase_batch(batch: DataFrame, epoch_id: int) -> None:
+        keys = batch.dropDuplicates(list(key_cols)).collect()
+        if not keys:
+            return
+        def lit_sql(v):
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return str(v)
+        preds = " OR ".join(
+            f"({key_cols[0]} = {lit_sql(r[key_cols[0]])} AND "
+            f"{key_cols[1]} = {lit_sql(r[key_cols[1]])})"
+            for r in keys)
+        store.delete_where(table, preds)
+
+    stream = spark.readStream.schema(schema).parquet(requests_dir)
+    return (
+        stream.writeStream
+        .foreachBatch(erase_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -539,3 +539,45 @@ def test_streaming_ivf_maintenance_converges(spark, tmp_path, sf_dir):
     diff = (got.select("vec_id", "centroid_id")
             .exceptAll(ref.select("vec_id", "centroid_id")))
     assert diff.count() == 0
+
+
+def test_incremental_erasure_deletes_and_is_idempotent(spark, tmp_path):
+    """Erasure feed: requested keys vanish, unrelated rows survive
+    byte-identical, replayed requests (fresh checkpoint) are no-ops,
+    and time travel still sees the pre-erasure generation (the
+    documented MVCC retention caveat)."""
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_erasure,
+    )
+
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    store = CatalogStore(spark, str(tmp_path / "ecat"))
+    store.overwrite("items", fx["items"])
+    n0 = store.read("items").count()
+    gen0 = store.snapshots("items")[-1]
+
+    victims = fx["items"].limit(7).select("name", "collection_id")
+    n_victims = victims.count()
+    requests = str(tmp_path / "requests")
+    victims.write.mode("overwrite").parquet(requests)
+
+    q = incremental_erasure(spark, requests, store,
+                            str(tmp_path / "eckpt"))
+    q.awaitTermination(120)
+
+    after = store.read("items")
+    assert after.count() == n0 - n_victims
+    assert after.join(victims, ["name", "collection_id"]).count() == 0
+    # survivors untouched
+    survivors_before = store.read_at("items", gen0).join(
+        victims, ["name", "collection_id"], "left_anti")
+    # exceptAll is positional; the key-list join moved keys first
+    assert after.exceptAll(
+        survivors_before.select(*after.columns)).count() == 0
+    # re-delivery under a fresh checkpoint: converges, no further loss
+    q2 = incremental_erasure(spark, requests, store,
+                             str(tmp_path / "eckpt2"))
+    q2.awaitTermination(120)
+    assert store.read("items").count() == n0 - n_victims
+    # MVCC: pre-erasure snapshot intact until vacuumed past horizon
+    assert store.read_at("items", gen0).count() == n0
