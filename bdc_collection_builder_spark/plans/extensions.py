@@ -4283,3 +4283,160 @@ def cu_source_budget_selection(spark, sf_dir):
              F.min("q10").cast("bigint").alias("min_quality_tenths"),
              F.sum("q10").cast("bigint").alias("sum_quality_tenths"))
     )
+
+
+_KM_K = 8
+_KM_SCALE = 1048576  # 2^20 fixed-point quantum, as in the PCA rounds
+
+
+def _km_cent_sql(k: int, prev: str) -> str:
+    """One Lloyd round in DuckDB: assign to the argmax-dot centroid of
+    ``{prev}`` (ties to the smallest cid), then rebuild each centroid
+    from fixed-point per-dimension sums, normalized; empty clusters
+    carry the previous centroid forward."""
+    return f"""
+    asg{k} AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_sum(list_transform(
+                           generate_series(1, 64),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]))
+                           DESC, c.cid
+                   ) AS rnk
+            FROM embeddings e CROSS JOIN {prev} c
+        ) WHERE rnk = 1
+    ),
+    q{k} AS (
+        SELECT cid, dd.d,
+               CAST(sum(CAST(floor(CAST(embedding[dd.d] AS DOUBLE)
+                                   * {_KM_SCALE}.0) AS BIGINT))
+                    AS BIGINT) AS q
+        FROM asg{k}, (SELECT unnest(generate_series(1, 64)) AS d) dd
+        GROUP BY cid, dd.d
+    ),
+    y{k} AS (
+        SELECT cid, list(CAST(q AS DOUBLE) / {_KM_SCALE}.0 ORDER BY d) AS y
+        FROM q{k} GROUP BY cid
+    ),
+    cent{k} AS (
+        SELECT p.cid,
+               CASE WHEN y.cid IS NULL THEN p.c
+                    ELSE list_transform(y.y, v -> v /
+                        sqrt(list_sum(list_transform(y.y, w -> w * w))))
+               END AS c
+        FROM {prev} p LEFT JOIN y{k} y ON y.cid = p.cid
+    )"""
+
+
+@query(
+    "ss_kmeans_train_rounds",
+    survey=("SS-ivf", "Z3"),
+    oracle=f"""
+        WITH cent0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                       sqrt(list_sum(list_transform(embedding,
+                           w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE)))))
+                       AS c
+            FROM embeddings WHERE vec_id < {_KM_K}
+        ),{_km_cent_sql(1, "cent0")},{_km_cent_sql(2, "cent1")}
+        SELECT a.cid,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               CAST((SELECT sum(q) FROM q2 WHERE q2.cid = a.cid)
+                    AS BIGINT) AS q_checksum
+        FROM asg2 a GROUP BY a.cid
+    """,
+)
+def ss_kmeans_train_rounds(spark, sf_dir):
+    """Distributed Lloyd's k-means TRAINING, two full rounds, with
+    bit-deterministic centroid updates — the piece ss_kmeans_assign
+    (one assignment under driver-sampled centroids) deliberately left
+    out, and the standard objection to distributed k-means: the
+    centroid update is a corpus-wide float mean whose value depends on
+    partition merge order. Here the update reuses the PCA rounds'
+    REPRODUCIBLE-REDUCTION pattern: each member's per-dimension
+    contribution quantizes to 2^20 fixed point and sums as int64
+    (associative + commutative = identical on any partitioning or
+    engine); spherical normalization (pinned-order norm) replaces the
+    mean's division so empty-vs-small clusters need no count
+    arithmetic, and a cluster that loses all members carries its
+    previous centroid forward (the standard Lloyd fallback). Seeds =
+    the first k corpus vectors, normalized — fully relational, so the
+    DuckDB oracle replays training end to end.
+
+    Emits per final cluster its member count and the int64 fixed-point
+    checksum of its update sums — a value-exact training transcript,
+    not a rows-only smoke check.
+
+    100 TB per round: one broadcast of k*64 doubles, one narrow
+    argmax pass over the corpus, ONE (k x 64)-group integer aggregate.
+    No driver-side collect of members; rounds chain through one-row
+    broadcasts exactly like functions/iterate's graph loops."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _cached_expr,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm_sql = ("transform(embedding, x -> CAST(x AS DOUBLE) / "
+                "sqrt(aggregate(transform(embedding, "
+                "w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))")
+    cent = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"),
+                _cached_expr(norm_sql).alias("c"))
+    )
+
+    def lloyd_round(cent_df):
+        from pyspark.sql import Window
+
+        scored = emb.join(F.broadcast(cent_df)).select(
+            "vec_id", "embedding", "cid",
+            _cached_expr(
+                "aggregate(zip_with(embedding, c, (x, y) -> "
+                "CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> acc + v)").alias("s"))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+        asg = (scored.withColumn("rnk", F.row_number().over(w))
+               .filter(F.col("rnk") == 1).select("vec_id", "embedding",
+                                                 "cid"))
+        q = (
+            asg.select("cid", F.posexplode("embedding").alias("d0", "x"))
+            .groupBy("cid", (F.col("d0") + 1).alias("d"))
+            .agg(F.sum(F.floor(F.col("x").cast("double")
+                               * F.lit(float(_KM_SCALE))).cast("bigint"))
+                 .cast("bigint").alias("q"))
+        )
+        y = (q.groupBy("cid")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 "d", (F.col("q").cast("double")
+                       / F.lit(float(_KM_SCALE))).alias("v")))).alias("dy"))
+             .select("cid", F.expr("transform(dy, s -> s.v)").alias("y")))
+        new_cent = (
+            cent_df.join(y, "cid", "left")
+            .select("cid",
+                    F.when(F.col("y").isNull(), F.col("c"))
+                     .otherwise(_cached_expr(
+                         "transform(y, v -> v / sqrt(aggregate("
+                         "transform(y, w -> w * w), CAST(0.0 AS DOUBLE), "
+                         "(acc, u) -> acc + u)))")).alias("c"))
+        )
+        return asg, q, new_cent
+
+    from bdc_collection_builder_spark.functions.persist import (
+        tracked_persist,
+    )
+
+    _asg1, _q1, cent1 = lloyd_round(cent)
+    cent1 = tracked_persist(cent1)
+    asg2, q2, _cent2 = lloyd_round(cent1)
+    checks = q2.groupBy("cid").agg(
+        F.sum("q").cast("bigint").alias("q_checksum"))
+    return (
+        asg2.groupBy("cid")
+        .agg(F.count("*").cast("bigint").alias("n_assigned"))
+        .join(checks, "cid")
+        .select("cid", "n_assigned", "q_checksum")
+    )

@@ -582,3 +582,15 @@ def test_budget_selection_respects_budget(spark, sf_dir):
         assert r.n_docs >= 1
         assert 0 <= r.min_quality_tenths <= 10
         assert r.sum_quality_tenths >= r.min_quality_tenths * r.n_docs
+
+
+def test_kmeans_train_partitions_corpus(spark, sf_dir):
+    """Final assignment covers the whole corpus exactly once across at
+    most k clusters."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    out = rows(spark, sf_dir, "ss_kmeans_train_rounds")
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_assigned for r in out) == n_vecs
+    assert 1 <= len(out) <= 8
+    assert all(0 <= r.cid < 8 for r in out)

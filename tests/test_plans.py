@@ -106,6 +106,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "j21_dormant_high_balance",  # one-row avg-balance-threshold attach
         "j27_top_supplier",      # one-row global-max-revenue attach
         "ss_ivf_probe_recall_curve",  # eval protocol: brute-force truth
+        "ss_kmeans_train_rounds",  # k-row centroid attach per round
 
     }
     offenders = {}
