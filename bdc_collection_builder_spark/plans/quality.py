@@ -865,3 +865,88 @@ def dq_gini_concentration(spark, sf_dir):
         (sx.cast("double") / 10000).alias("total_revenue"),
         ((2 * six - (n + 1) * sx).cast("double")
          / (n * sx).cast("double")).alias("gini"))
+
+
+@query(
+    "dq_outlier_iqr",
+    survey=("A8", "DQ-profile"),
+    oracle=f"""
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, cents,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY cents
+                   ) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM vals
+        ),
+        fences AS (
+            SELECT event_type, any_value(n) AS n,
+                   CAST(max(CASE WHEN rnk = (n - 1) // 4 + 1
+                                 THEN cents END) AS BIGINT) AS q1,
+                   CAST(max(CASE WHEN rnk = 3 * (n - 1) // 4 + 1
+                                 THEN cents END) AS BIGINT) AS q3
+            FROM ranked GROUP BY event_type
+        )
+        SELECT v.event_type, f.n,
+               CAST(f.q1 AS DOUBLE) / 100 AS q1,
+               CAST(f.q3 AS DOUBLE) / 100 AS q3,
+               CAST(sum(CASE WHEN 4 * v.cents < 4 * f.q1 - 6 * (f.q3 - f.q1)
+                              OR 4 * v.cents > 4 * f.q3 + 6 * (f.q3 - f.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM vals v JOIN fences f USING (event_type)
+        GROUP BY v.event_type, f.n, f.q1, f.q3
+    """,
+)
+def dq_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier audit per event type: values beyond
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] — the standard box-plot rule, made
+    engine-exact by (a) defining the quartiles as EXPLICIT discrete
+    picks (sorted rank floor(q*(n-1))+1, the same rule spelled out on
+    both engines rather than trusting each engine's quantile_disc
+    indexing), and (b) scaling the fence comparison by 4 so the
+    1.5*IQR term stays integral — every comparison is int64 cents,
+    no float fence ever computed. Complements cu_outlier_mad (median/
+    MAD robust z) with the quartile formulation auditors expect.
+
+    100 TB: one shuffle for the per-type rank window; the fence table
+    is |types| rows and broadcasts back onto the value scan."""
+    from pyspark.sql import Window
+
+    vals = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    wr = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type", "cents",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wn).cast("bigint").alias("n"))
+    fences = (
+        ranked.groupBy("event_type")
+        .agg(F.first("n").alias("n"),
+             F.max(F.when(
+                 F.col("rnk") == F.floor((F.col("n") - 1) / 4) + 1,
+                 F.col("cents"))).cast("bigint").alias("q1"),
+             F.max(F.when(
+                 F.col("rnk") == F.floor(3 * (F.col("n") - 1) / 4) + 1,
+                 F.col("cents"))).cast("bigint").alias("q3"))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = ((4 * F.col("cents") < 4 * F.col("q1") - 6 * iqr)
+              | (4 * F.col("cents") > 4 * F.col("q3") + 6 * iqr))
+    return (
+        vals.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint")
+             .alias("n_outliers"))
+        .select("event_type", "n",
+                (F.col("q1").cast("double") / 100).alias("q1"),
+                (F.col("q3").cast("double") / 100).alias("q3"),
+                "n_outliers")
+    )

@@ -478,3 +478,78 @@ def x24_fuzzy_id_match(spark, sf_dir):
         .filter(F.col("edit_dist") <= 2)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+@query(
+    "x26_geohash_encode",
+    survey=("X13", "J8"),
+    oracle="""
+        WITH pts AS (
+            SELECT event_id,
+                   CAST((event_id * 31) % 36000 AS DOUBLE) / 100 - 180
+                       AS lon,
+                   CAST((event_id * 17) % 18000 AS DOUBLE) / 100 - 90
+                       AS lat
+            FROM events
+        ),
+        quant AS (
+            SELECT event_id,
+                   CAST(floor((lon + 180) / 360 * 1048576) AS BIGINT)
+                       AS ix,
+                   CAST(floor((lat + 90) / 180 * 1048576) AS BIGINT)
+                       AS iy
+            FROM pts
+        ),
+        inter AS (
+            SELECT event_id,
+                   CAST((((ix >> 19) & 1) << 39) + (((iy >> 19) & 1) << 38) + (((ix >> 18) & 1) << 37) + (((iy >> 18) & 1) << 36) + (((ix >> 17) & 1) << 35) + (((iy >> 17) & 1) << 34) + (((ix >> 16) & 1) << 33) + (((iy >> 16) & 1) << 32) + (((ix >> 15) & 1) << 31) + (((iy >> 15) & 1) << 30) + (((ix >> 14) & 1) << 29) + (((iy >> 14) & 1) << 28) + (((ix >> 13) & 1) << 27) + (((iy >> 13) & 1) << 26) + (((ix >> 12) & 1) << 25) + (((iy >> 12) & 1) << 24) + (((ix >> 11) & 1) << 23) + (((iy >> 11) & 1) << 22) + (((ix >> 10) & 1) << 21) + (((iy >> 10) & 1) << 20) + (((ix >> 9) & 1) << 19) + (((iy >> 9) & 1) << 18) + (((ix >> 8) & 1) << 17) + (((iy >> 8) & 1) << 16) + (((ix >> 7) & 1) << 15) + (((iy >> 7) & 1) << 14) + (((ix >> 6) & 1) << 13) + (((iy >> 6) & 1) << 12) + (((ix >> 5) & 1) << 11) + (((iy >> 5) & 1) << 10) + (((ix >> 4) & 1) << 9) + (((iy >> 4) & 1) << 8) + (((ix >> 3) & 1) << 7) + (((iy >> 3) & 1) << 6) + (((ix >> 2) & 1) << 5) + (((iy >> 2) & 1) << 4) + (((ix >> 1) & 1) << 3) + (((iy >> 1) & 1) << 2) + (((ix >> 0) & 1) << 1) + (((iy >> 0) & 1) << 0) AS BIGINT) AS gh
+            FROM (SELECT event_id,
+                         least(ix, 1048575) AS ix,
+                         least(iy, 1048575) AS iy FROM quant)
+        ),
+        encoded AS (
+            SELECT event_id, substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> 35) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> 30) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> 25) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> 20) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> 15) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> 10) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> 5) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((gh >> 0) & 31) AS INT) + 1, 1) AS geohash8 FROM inter
+        )
+        SELECT substr(geohash8, 1, 4) AS cell,
+               CAST(count(*) AS BIGINT) AS n,
+               min(geohash8) AS min_hash,
+               max(geohash8) AS max_hash
+        FROM encoded GROUP BY 1
+    """,
+)
+def x26_geohash_encode(spark, sf_dir):
+    """Geohash encoding (public base-32 bit-interleave scheme) as a
+    PURE-INTEGER plan: quantize lon/lat to 2^20 cells, interleave the
+    20+20 bits (even positions longitude, the standard layout), map
+    5-bit groups onto the geohash alphabet — no trigonometry, no libm,
+    no UDF; the whole encoder is one codegen'd integer expression, so
+    both engines produce byte-identical strings. This is the
+    cell-indexing primitive the spatial-join family (j10/j28) would
+    use on real-world coordinates, and what the reference's tile-id
+    parsing (x01) stands in for. Emitted as a 4-char-prefix histogram
+    with min/max full hashes per cell (string-exact check).
+
+    100 TB: encode is map-side; the histogram is one combine-friendly
+    aggregate on a short string key."""
+    pts = t(spark, sf_dir, "events").select(
+        "event_id",
+        (((F.col("event_id") * 31) % 36000).cast("double") / 100 - 180
+         ).alias("lon"),
+        (((F.col("event_id") * 17) % 18000).cast("double") / 100 - 90
+         ).alias("lat"))
+    quant = pts.select(
+        "event_id",
+        F.least(F.floor((F.col("lon") + 180) / 360 * 1048576)
+                .cast("bigint"), F.lit(1048575)).alias("ix"),
+        F.least(F.floor((F.col("lat") + 90) / 180 * 1048576)
+                .cast("bigint"), F.lit(1048575)).alias("iy"))
+    inter = quant.select(
+        "event_id", F.expr("CAST(shiftleft((shiftright(ix, 19) & 1), 39) + shiftleft((shiftright(iy, 19) & 1), 38) + shiftleft((shiftright(ix, 18) & 1), 37) + shiftleft((shiftright(iy, 18) & 1), 36) + shiftleft((shiftright(ix, 17) & 1), 35) + shiftleft((shiftright(iy, 17) & 1), 34) + shiftleft((shiftright(ix, 16) & 1), 33) + shiftleft((shiftright(iy, 16) & 1), 32) + shiftleft((shiftright(ix, 15) & 1), 31) + shiftleft((shiftright(iy, 15) & 1), 30) + shiftleft((shiftright(ix, 14) & 1), 29) + shiftleft((shiftright(iy, 14) & 1), 28) + shiftleft((shiftright(ix, 13) & 1), 27) + shiftleft((shiftright(iy, 13) & 1), 26) + shiftleft((shiftright(ix, 12) & 1), 25) + shiftleft((shiftright(iy, 12) & 1), 24) + shiftleft((shiftright(ix, 11) & 1), 23) + shiftleft((shiftright(iy, 11) & 1), 22) + shiftleft((shiftright(ix, 10) & 1), 21) + shiftleft((shiftright(iy, 10) & 1), 20) + shiftleft((shiftright(ix, 9) & 1), 19) + shiftleft((shiftright(iy, 9) & 1), 18) + shiftleft((shiftright(ix, 8) & 1), 17) + shiftleft((shiftright(iy, 8) & 1), 16) + shiftleft((shiftright(ix, 7) & 1), 15) + shiftleft((shiftright(iy, 7) & 1), 14) + shiftleft((shiftright(ix, 6) & 1), 13) + shiftleft((shiftright(iy, 6) & 1), 12) + shiftleft((shiftright(ix, 5) & 1), 11) + shiftleft((shiftright(iy, 5) & 1), 10) + shiftleft((shiftright(ix, 4) & 1), 9) + shiftleft((shiftright(iy, 4) & 1), 8) + shiftleft((shiftright(ix, 3) & 1), 7) + shiftleft((shiftright(iy, 3) & 1), 6) + shiftleft((shiftright(ix, 2) & 1), 5) + shiftleft((shiftright(iy, 2) & 1), 4) + shiftleft((shiftright(ix, 1) & 1), 3) + shiftleft((shiftright(iy, 1) & 1), 2) + shiftleft((shiftright(ix, 0) & 1), 1) + shiftleft((shiftright(iy, 0) & 1), 0) AS BIGINT)").alias("gh"))
+    encoded = inter.select(
+        "event_id",
+        F.expr("concat(substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((shiftright(gh, 35) & 31) AS INT) + 1, 1), substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((shiftright(gh, 30) & 31) AS INT) + 1, 1), substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((shiftright(gh, 25) & 31) AS INT) + 1, 1), substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((shiftright(gh, 20) & 31) AS INT) + 1, 1), substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((shiftright(gh, 15) & 31) AS INT) + 1, 1), substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((shiftright(gh, 10) & 31) AS INT) + 1, 1), substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((shiftright(gh, 5) & 31) AS INT) + 1, 1), substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((shiftright(gh, 0) & 31) AS INT) + 1, 1))").alias("geohash8"))
+    return encoded.groupBy(
+        F.substring("geohash8", 1, 4).alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("geohash8").alias("min_hash"),
+        F.max("geohash8").alias("max_hash"))

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "j20_last_shipper_waiting",  # Q21 shape (decorrelated to one window)
     "st_stream_outer_join",      # watermarked outer-join state eviction
     "dq_gini_concentration",     # rank-identity Gini (window, no self-join)
+    "tk_bpe_train_rounds",       # 3 chained BPE merge rounds
+    "ss_kmeans_train_rounds",    # 2 Lloyd rounds, fixed-point updates
 ]
 
 
