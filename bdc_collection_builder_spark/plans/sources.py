@@ -2499,3 +2499,98 @@ def s31_cdc_apply_ops(spark, sf_dir):
     return applied.groupBy("status").agg(
         F.count("*").cast("bigint").alias("n"),
         (F.sum("price_cents").cast("double") / 100).alias("total_price"))
+
+
+@query(
+    "s32_csv_malformed_recovery",
+    survey=("S19", "S4", "F9"),
+    oracle="""
+        WITH lines AS (
+            SELECT o_orderkey AS k, o_orderstatus AS status,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CASE
+                     WHEN o_orderkey % 7 = 3 THEN 'short'
+                     WHEN o_orderkey % 11 = 5 THEN 'badtype'
+                     WHEN o_orderkey % 13 = 7 THEN 'long'
+                     ELSE 'good'
+                   END AS kind
+            FROM orders
+        )
+        SELECT status,
+               CAST(max(k) AS BIGINT) AS max_k,
+               CAST(sum(CASE WHEN kind = 'good' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+               CAST(sum(CASE WHEN kind <> 'good' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt,
+               CAST(sum(CASE WHEN kind = 'good' THEN cents ELSE 0 END)
+                    AS DOUBLE) / 100 AS good_total
+        FROM lines GROUP BY status
+    """,
+)
+def s32_csv_malformed_recovery(spark, sf_dir):
+    """Malformed-CSV recovery — the connector behavior a real ingest
+    needs when upstream files are dirty: read under PERMISSIVE mode
+    with `columnNameOfCorruptRecord`, so short rows, long rows, and
+    type errors LAND AS DATA (corrupt-record column populated,
+    salvageable fields parsed — Spark keeps the parsed status even on
+    a bad-price row) instead of failing the job or silently dropping
+    (DROPMALFORMED). The fixture file is generated from orders with
+    three controlled corruption classes (every 7th key: missing price
+    field; every 11th: non-numeric price; every 13th: extra trailing
+    field), written distributed as text — no driver-side collect. The
+    oracle never parses CSV at all: it re-derives each line's
+    corruption class from the key arithmetic, which is exactly what
+    makes the check END-TO-END (writer + corruptor + PERMISSIVE
+    reader must all agree for the hash to match).
+
+    Money math: good rows' prices re-quantize to int64 cents after
+    the parse (string had exactly 2 decimals, parse error < half a
+    cent), so the per-status totals are exact.
+
+    100 TB: single-line CSV stays splittable; the corrupt-rate
+    aggregate combines map-side; quarantining is `WHERE
+    _corrupt_record IS NOT NULL` on the same scan."""
+    import tempfile
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    price_str = F.concat(
+        (F.col("cents") / 100).cast("bigint").cast("string"), F.lit("."),
+        F.lpad((F.col("cents") % 100).cast("string"), 2, "0"))
+    line = (
+        F.when(F.col("k") % 7 == 3,
+               F.concat_ws(",", F.col("k"), F.col("status")))
+        .when(F.col("k") % 11 == 5,
+              F.concat_ws(",", F.col("k"), F.col("status"), F.lit("abc")))
+        .when(F.col("k") % 13 == 7,
+              F.concat_ws(",", F.col("k"), F.col("status"), price_str,
+                          F.lit("extra")))
+        .otherwise(F.concat_ws(",", F.col("k"), F.col("status"),
+                               price_str))
+    )
+    path = tempfile.mkdtemp(prefix="bdc_csvmal_") + "/orders_csv"
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read
+        .schema("k bigint, status string, price double, "
+                "_corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    # max(k) is an audit column AND the forcing function: with CSV
+    # column pruning, an unreferenced leading column would let Spark
+    # skip token-count validation entirely (short/long rows would
+    # silently parse) — requiring every schema column restores the
+    # validation the probe semantics above rely on.
+    return parsed.groupBy("status").agg(
+        F.max("k").cast("bigint").alias("max_k"),
+        F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(good, 0).otherwise(1)).cast("bigint")
+        .alias("n_corrupt"),
+        (F.sum(F.when(good, F.round(F.col("price") * 100).cast("bigint"))
+               .otherwise(F.lit(0))).cast("double") / 100)
+        .alias("good_total"))
