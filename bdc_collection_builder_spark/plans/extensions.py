@@ -4440,3 +4440,157 @@ def ss_kmeans_train_rounds(spark, sf_dir):
         .join(checks, "cid")
         .select("cid", "n_assigned", "q_checksum")
     )
+
+
+# 1/log2(i+1) for ranks 1..10 and their left-fold sum, as LITERAL
+# doubles generated in Python — both engines consume identical bit
+# patterns, no engine libm call ever runs
+_NDCG_DISC_SQL = "[CAST(1.0 AS DOUBLE), CAST(0.6309297535714575 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.43067655807339306 AS DOUBLE), CAST(0.38685280723454163 AS DOUBLE), CAST(0.3562071871080222 AS DOUBLE), CAST(0.3333333333333333 AS DOUBLE), CAST(0.31546487678572877 AS DOUBLE), CAST(0.3010299956639812 AS DOUBLE), CAST(0.2890648263178879 AS DOUBLE)]"
+_NDCG_DISC_SPARK = "array(CAST(1.0 AS DOUBLE), CAST(0.6309297535714575 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.43067655807339306 AS DOUBLE), CAST(0.38685280723454163 AS DOUBLE), CAST(0.3562071871080222 AS DOUBLE), CAST(0.3333333333333333 AS DOUBLE), CAST(0.31546487678572877 AS DOUBLE), CAST(0.3010299956639812 AS DOUBLE), CAST(0.2890648263178879 AS DOUBLE))"
+_NDCG_IDCG = 4.543559338088346
+
+
+@query(
+    "ss_ndcg_eval",
+    survey=("SS-ivf", "DQ-drift"),
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cent
+            FROM embeddings WHERE vec_id < 16
+        ),
+        corpus_assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rnk <= 1
+        ),
+        query_assign AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT e.vec_id AS query_id, c.cid AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_ASSIGN_COS} DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+                WHERE e.vec_id < 8
+            ) WHERE rnk <= 4
+        ),
+        pred AS (
+            SELECT query_id, vec_id, rank FROM (
+                SELECT p.query_id, p.vec_id,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY
+                             {_DOT_SQL.format(a='q.embedding',
+                                              b='c.embedding')}
+                             / (sqrt({_DOT_SQL.format(a='q.embedding',
+                                                      b='q.embedding')})
+                                * sqrt({_DOT_SQL.format(a='c.embedding',
+                                                        b='c.embedding')}))
+                             DESC, p.vec_id
+                       ) AS rank
+                FROM (
+                    SELECT DISTINCT q.query_id, c.vec_id
+                    FROM corpus_assign c JOIN query_assign q
+                      USING (centroid_id)
+                    WHERE c.vec_id <> q.query_id
+                ) p
+                JOIN embeddings c ON c.vec_id = p.vec_id
+                JOIN embeddings q ON q.vec_id = p.query_id
+            ) WHERE rank <= 10
+        ),
+        truth AS (
+            SELECT query_id, vec_id FROM (
+                SELECT e2.vec_id AS query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY e2.vec_id
+                           ORDER BY
+                             {_DOT_SQL.format(a='e2.embedding',
+                                              b='e.embedding')}
+                             / (sqrt({_DOT_SQL.format(a='e2.embedding',
+                                                      b='e2.embedding')})
+                                * sqrt({_DOT_SQL.format(a='e.embedding',
+                                                        b='e.embedding')}))
+                             DESC, e.vec_id
+                       ) AS rank
+                FROM embeddings e CROSS JOIN embeddings e2
+                WHERE e2.vec_id < 8 AND e.vec_id <> e2.vec_id
+            ) WHERE rank <= 10
+        ),
+        hits AS (
+            SELECT p.query_id, p.rank
+            FROM pred p JOIN truth t
+              ON t.query_id = p.query_id AND t.vec_id = p.vec_id
+        ),
+        per_q AS (
+            SELECT query_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   list_sum(list_transform(
+                       list_sort(list(rank)),
+                       r -> ({_NDCG_DISC_SQL})[r])) AS dcg
+            FROM hits GROUP BY query_id
+        )
+        SELECT q.query_id,
+               coalesce(p.n_hits, 0) AS n_hits,
+               coalesce(p.dcg, CAST(0 AS DOUBLE)) AS dcg,
+               coalesce(p.dcg, CAST(0 AS DOUBLE)) / {_NDCG_IDCG!r}
+                   AS ndcg_at_10
+        FROM (SELECT DISTINCT query_id FROM truth) q
+        LEFT JOIN per_q p USING (query_id)
+    """,
+)
+def ss_ndcg_eval(spark, sf_dir):
+    """nDCG@10 of the IVF index against brute-force ground truth —
+    the GRADED retrieval metric (position-weighted, unlike
+    recall@k's set overlap): a hit at predicted rank i earns
+    1/log2(i+1), normalized by the ideal DCG. The discount table and
+    the ideal DCG are PYTHON-GENERATED LITERAL doubles baked into
+    both engines' plans, and each query's DCG folds its hit
+    discounts in sorted-rank order — so no engine ever calls log,
+    and no float sum depends on row arrival order. Per-query output
+    (8 rows), zero-hit queries included at nDCG 0.
+
+    Reuses the production plans end to end: brute_force_topk for
+    truth, ivf_topk_seeded (nprobe=4) for the system under test.
+
+    100 TB: the eval cost is the two top-k passes (bounded query
+    batch broadcast x corpus); the metric join touches 80 rows."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk_seeded,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    truth = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id")
+    pred = ivf_topk_seeded(emb, queries, k=10).select(
+        F.col("query_id").alias("qi"), F.col("vec_id").alias("vi"),
+        "rank")
+    hits = truth.join(
+        pred, (F.col("query_id") == F.col("qi"))
+        & (F.col("vec_id") == F.col("vi"))).select("query_id", "rank")
+    per_q = (
+        hits.groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"),
+             F.aggregate(
+                 F.array_sort(F.collect_list("rank")),
+                 F.lit(0.0),
+                 lambda acc, r: acc + F.element_at(
+                     F.expr(_NDCG_DISC_SPARK), r.cast("int"))).alias("dcg"))
+    )
+    qids = truth.select("query_id").distinct()
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select("query_id",
+                F.coalesce("n_hits", F.lit(0).cast("bigint"))
+                .alias("n_hits"),
+                F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+                (F.coalesce("dcg", F.lit(0.0)) / F.lit(_NDCG_IDCG))
+                .alias("ndcg_at_10"))
+    )

@@ -723,3 +723,70 @@ def tj_holt_linear_smoothing(spark, sf_dir):
         F.round(st[0], 6).alias("level"),
         F.round(st[1], 6).alias("trend"),
         F.round(st[0] + st[1], 6).alias("forecast_next"))
+
+
+@query(
+    "tj_seasonal_naive_eval",
+    survey=("W-ewma", "DQ-drift"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT event_type, {_TS} AS ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM norm GROUP BY 1, 2
+        ),
+        joined AS (
+            SELECT a.event_type, a.day, a.cents,
+                   b.cents AS forecast
+            FROM daily a
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.day = a.day - INTERVAL 7 DAY
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(cents - forecast)) AS DOUBLE)
+                   / (100 * count(*)) AS mae_value,
+               CAST(max(abs(cents - forecast)) AS DOUBLE) / 100
+                   AS max_abs_err
+        FROM joined GROUP BY event_type
+    """,
+)
+def tj_seasonal_naive_eval(spark, sf_dir):
+    """Forecast BACKTEST with the seasonal-naive baseline: predict
+    each day's value total as the same weekday one week earlier, and
+    score MAE / max-abs-error per event type — the floor every
+    capacity forecast must beat (tj_holt_linear_smoothing is the
+    challenger; this query is the benchmark protocol). Implemented as
+    a self-join of the daily aggregate on (type, day-7) — at daily
+    grain an equi-join, no window needed, and missing history days
+    simply drop out (inner join = only scoreable days).
+
+    All errors are exact int64 cents; the MAE is ONE IEEE division
+    of the exact error sum by (100 * n) at the end — no float mean
+    accumulates.
+
+    100 TB: the daily aggregate is the only corpus-scale shuffle; the
+    self-join runs on (days x types) rows."""
+    events = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")).agg(
+        F.sum("cents").cast("bigint").alias("cents"))
+    prev = daily.select(
+        F.col("event_type").alias("et"),
+        F.date_add(F.col("day"), 7).alias("target_day"),
+        F.col("cents").alias("forecast"))
+    joined = daily.join(
+        prev, (daily["event_type"] == prev["et"])
+        & (daily["day"] == prev["target_day"]))
+    err = F.abs(F.col("cents") - F.col("forecast"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (F.sum(err).cast("double") / (100 * F.count("*")))
+        .alias("mae_value"),
+        (F.max(err).cast("double") / 100).alias("max_abs_err"))

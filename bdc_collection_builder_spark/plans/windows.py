@@ -823,3 +823,68 @@ def w18_week_over_week_change(spark, sf_dir):
          .otherwise(100 * (F.col("cents").cast("double")
                            - prev.cast("double")) / prev.cast("double"))
          .alias("wow_value_pct"))
+
+
+_RFM_ANCHOR = "2024-02-01"   # fixed analysis date just past the corpus
+_RFM_R_DAYS = 7              # "recent" = active within a week of anchor
+_RFM_F_EVENTS = 25           # "frequent" = at least this many events
+_RFM_M_CENTS = 100000        # "high-value" = >= $1000 total
+
+
+@query(
+    "w19_rfm_segments",
+    survey=("W1", "A1", "CU-mix"),
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   date_diff('day', CAST(max({_TS}) AS DATE),
+                             DATE '{_RFM_ANCHOR}') AS recency_days,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY user_id
+        )
+        SELECT CASE WHEN recency_days <= {_RFM_R_DAYS}
+                    THEN 1 ELSE 0 END AS r_recent,
+               CASE WHEN n_events >= {_RFM_F_EVENTS}
+                    THEN 1 ELSE 0 END AS f_frequent,
+               CASE WHEN cents >= {_RFM_M_CENTS}
+                    THEN 1 ELSE 0 END AS m_high,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cents) AS DOUBLE) / 100 AS total_value
+        FROM per_user
+        GROUP BY 1, 2, 3
+    """,
+)
+def w19_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary), the
+    standard user-value partitioning, with FIXED business thresholds
+    rather than quartile codes — deliberately: quartile ntiles need a
+    global sort (a single-partition exchange this suite's plan lint
+    forbids), while threshold segments are one grouped pass and mean
+    the same thing operationally once thresholds are chosen. The
+    anchor date is a literal (end of the corpus window), so recency
+    is reproducible — never now().
+
+    Money exact in int64 cents, recency in whole days, 8 possible
+    segments out. 100 TB: ONE shuffle for the per-user aggregate;
+    the segment rollup combines map-side to <= 8 rows."""
+    events = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    per_user = events.groupBy("user_id").agg(
+        F.datediff(F.lit(_RFM_ANCHOR).cast("date"),
+                   F.max("ts").cast("date")).alias("recency_days"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("cents"))
+    return (
+        per_user.groupBy(
+            F.when(F.col("recency_days") <= _RFM_R_DAYS, 1).otherwise(0)
+            .alias("r_recent"),
+            F.when(F.col("n_events") >= _RFM_F_EVENTS, 1).otherwise(0)
+            .alias("f_frequent"),
+            F.when(F.col("cents") >= _RFM_M_CENTS, 1).otherwise(0)
+            .alias("m_high"))
+        .agg(F.count("*").cast("bigint").alias("n_users"),
+             (F.sum("cents").cast("double") / 100).alias("total_value"))
+    )

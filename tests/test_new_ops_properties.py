@@ -594,3 +594,30 @@ def test_kmeans_train_partitions_corpus(spark, sf_dir):
     assert sum(r.n_assigned for r in out) == n_vecs
     assert 1 <= len(out) <= 8
     assert all(0 <= r.cid < 8 for r in out)
+
+
+def test_seasonal_naive_errors_nonneg(spark, sf_dir):
+    for r in rows(spark, sf_dir, "tj_seasonal_naive_eval"):
+        assert r.n_days > 0
+        assert 0.0 <= r.mae_value <= r.max_abs_err
+
+
+def test_ndcg_bounds_and_consistency(spark, sf_dir):
+    out = rows(spark, sf_dir, "ss_ndcg_eval")
+    assert len(out) == 8
+    for r in out:
+        assert 0 <= r.n_hits <= 10
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+        if r.n_hits == 10:
+            # all top-10 found: dcg <= idcg with equality iff same order
+            assert r.ndcg_at_10 <= 1.0
+
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    out = rows(spark, sf_dir, "w19_rfm_segments")
+    n_users = (load_table(spark, sf_dir, "events")
+               .select("user_id").distinct().count())
+    assert sum(r.n_users for r in out) == n_users
+    assert len(out) <= 8

@@ -107,6 +107,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "j27_top_supplier",      # one-row global-max-revenue attach
         "ss_ivf_probe_recall_curve",  # eval protocol: brute-force truth
         "ss_kmeans_train_rounds",  # k-row centroid attach per round
+        "ss_ndcg_eval",          # eval protocol: brute-force truth
 
     }
     offenders = {}
