@@ -888,3 +888,76 @@ def w19_rfm_segments(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_users"),
              (F.sum("cents").cast("double") / 100).alias("total_value"))
     )
+
+
+@query(
+    "w20_weekly_churn",
+    survey=("W1", "U2", "A2"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, {_TS} AS ts FROM events
+        ),
+        uw AS (
+            SELECT DISTINCT user_id,
+                   strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+            FROM norm
+        ),
+        weeks AS (SELECT DISTINCT week FROM uw),
+        nxt AS (
+            SELECT w.week,
+                   lead(w.week) OVER (ORDER BY w.week) AS next_week
+            FROM weeks w
+        )
+        SELECT n.week,
+               CAST(count(*) AS BIGINT) AS active_users,
+               CAST(sum(CASE WHEN r.user_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+               CAST(sum(CASE WHEN r.user_id IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS churn_rate
+        FROM nxt n
+        JOIN uw c ON c.week = n.week
+        LEFT JOIN uw r ON r.week = n.next_week
+                      AND r.user_id = c.user_id
+        WHERE n.next_week IS NOT NULL
+        GROUP BY n.week
+    """,
+)
+def w20_weekly_churn(spark, sf_dir):
+    """Weekly churn: of the users active in week w, how many are
+    absent in the NEXT OBSERVED week (the retention complement of
+    w10's cohort matrix; the reference's provider-activity lapse
+    report is the same shape). "Next week" is the next week present
+    in the data, not calendar+7 — so an ingestion gap doesn't mark
+    the whole user base churned (that distinction is the usual bug
+    in churn SQL). One distinct (user, week) pass, a tiny week-lag
+    window over |weeks| rows, and one left anti-style join; churn
+    rate is an exact int64 division.
+
+    100 TB: the distinct is the only corpus-scale shuffle; the
+    presence join is keyed (user, week) — co-partitioned with the
+    distinct's output, and the weeks dimension broadcasts."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    uw = events.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+        .alias("week")).distinct()
+    weeks = uw.select("week").distinct()
+    nxt = weeks.withColumn(
+        "next_week",
+        F.lead("week").over(Window.partitionBy(F.lit(1)).orderBy("week"))
+    ).filter(F.col("next_week").isNotNull())
+    cur = uw.join(F.broadcast(nxt), "week")
+    ret = uw.select(F.col("week").alias("rweek"),
+                    F.col("user_id").alias("ruser"))
+    joined = cur.join(
+        ret, (ret["rweek"] == cur["next_week"])
+        & (ret["ruser"] == cur["user_id"]), "left")
+    return joined.groupBy("week").agg(
+        F.count("*").cast("bigint").alias("active_users"),
+        F.sum(F.when(F.col("ruser").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("churned"),
+        (F.sum(F.when(F.col("ruser").isNull(), 1).otherwise(0))
+         .cast("double") / F.count("*")).alias("churn_rate"))

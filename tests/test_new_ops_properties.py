@@ -621,3 +621,31 @@ def test_rfm_segments_partition_users(spark, sf_dir):
                .select("user_id").distinct().count())
     assert sum(r.n_users for r in out) == n_users
     assert len(out) <= 8
+
+
+def test_blob_labeling_tiles_mask(spark, sf_dir):
+    """Blobs partition the thresholded mask: pixel counts sum to the
+    mask size; every blob's bbox is consistent; component ids are
+    member ids (min rule)."""
+    from bdc_collection_builder_spark.functions.pixel import (
+        NODATA_SENTINEL,
+        synthetic_pixels,
+    )
+    from pyspark.sql import functions as F
+
+    out = rows(spark, sf_dir, "px_blob_labeling")
+    mask_n = synthetic_pixels(spark, n_scenes=4, height=16, width=16) \
+        .filter((F.col("B04") != NODATA_SENTINEL)
+                & (F.col("B04") >= 5000)).count()
+    assert sum(r.n_pixels for r in out) == mask_n
+    for r in out:
+        h = r.max_y - r.min_y + 1
+        w = r.max_x - r.min_x + 1
+        assert 1 <= r.n_pixels <= h * w
+        assert r.component // 1000 == r.scene_id
+
+
+def test_weekly_churn_bounds(spark, sf_dir):
+    for r in rows(spark, sf_dir, "w20_weekly_churn"):
+        assert 0 <= r.churned <= r.active_users
+        assert 0.0 <= r.churn_rate <= 1.0
