@@ -950,3 +950,72 @@ def dq_outlier_iqr(spark, sf_dir):
                 (F.col("q3").cast("double") / 100).alias("q3"),
                 "n_outliers")
     )
+
+
+@query(
+    "dq_cardinality_drift",
+    survey=("DQ-profile", "A4"),
+    oracle="""
+        WITH halves AS (
+            SELECT CASE WHEN o_orderkey % 2 = 0
+                        THEN 'a' ELSE 'b' END AS half,
+                   o_custkey, o_orderstatus, o_orderpriority
+            FROM orders
+        ),
+        m AS (
+            SELECT half,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                       AS nd_status,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                       AS nd_priority
+            FROM halves GROUP BY half
+        )
+        SELECT a.n_rows AS rows_a, b.n_rows AS rows_b,
+               a.nd_cust AS cust_a, b.nd_cust AS cust_b,
+               CAST(b.nd_cust AS DOUBLE) / a.nd_cust AS cust_ratio,
+               a.nd_status AS status_a, b.nd_status AS status_b,
+               a.nd_priority AS priority_a, b.nd_priority AS priority_b
+        FROM (SELECT * FROM m WHERE half = 'a') a,
+             (SELECT * FROM m WHERE half = 'b') b
+    """,
+)
+def dq_cardinality_drift(spark, sf_dir):
+    """Cardinality-drift audit between two dataset slices (here the
+    deterministic even/odd-key halves standing in for yesterday/today
+    snapshots): exact distinct counts per key column on each side and
+    their ratio — the first alarm for an upstream id-space change
+    (a provider re-keying scenes, a join suddenly fanning out;
+    complements dq_schema_drift's shape check and dq_psi/ks value
+    drift with ID-SPACE drift). One grouped pass computes every
+    column's exact distinct per slice (Spark expands multi-distinct
+    aggregates internally); the ratio is one IEEE division of exact
+    int64s.
+
+    100 TB: swap count(DISTINCT) for approx_count_distinct / the HLL
+    sketches (a18) at billion-key scale — same plan shape, bounded
+    memory; the exact form is the audit-grade variant."""
+    halves = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b")
+        .alias("half"),
+        "o_custkey", "o_orderstatus", "o_orderpriority")
+    m = halves.groupBy("half").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("nd_cust"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_status"),
+        F.countDistinct("o_orderpriority").cast("bigint")
+        .alias("nd_priority"))
+    a = m.filter("half = 'a'").select(
+        F.col("n_rows").alias("rows_a"), F.col("nd_cust").alias("cust_a"),
+        F.col("nd_status").alias("status_a"),
+        F.col("nd_priority").alias("priority_a"))
+    b = m.filter("half = 'b'").select(
+        F.col("n_rows").alias("rows_b"), F.col("nd_cust").alias("cust_b"),
+        F.col("nd_status").alias("status_b"),
+        F.col("nd_priority").alias("priority_b"))
+    return a.join(F.broadcast(b)).select(
+        "rows_a", "rows_b", "cust_a", "cust_b",
+        (F.col("cust_b").cast("double") / F.col("cust_a"))
+        .alias("cust_ratio"),
+        "status_a", "status_b", "priority_a", "priority_b")

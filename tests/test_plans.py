@@ -108,6 +108,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "ss_ivf_probe_recall_curve",  # eval protocol: brute-force truth
         "ss_kmeans_train_rounds",  # k-row centroid attach per round
         "ss_ndcg_eval",          # eval protocol: brute-force truth
+        "dq_cardinality_drift",  # one-row x one-row slice summary join
 
     }
     offenders = {}
