@@ -492,7 +492,7 @@ def tk_unigram_viterbi(spark, sf_dir):
         .select("w", "ei", "ej",
                 (F.col("piece_count").cast("double") / F.col("z"))
                 .alias("pr"))
-    )
+    ).localCheckpoint(eager=True)
     es = edges.groupBy("w").agg(
         F.array_sort(F.collect_list(
             F.struct(F.col("ej").alias("j"), F.col("ei").alias("i"),
@@ -799,3 +799,262 @@ def tk_bpe_train_rounds(spark, sf_dir):
     for df in learned[1:]:
         out = out.unionByName(df)
     return out
+
+
+@query(
+    "tk_viterbi_em_counts",
+    survey=("TK-unigram", "TK-bpe"),
+    oracle=f"""
+        WITH RECURSIVE words AS (
+            SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
+                )) AS tok FROM documents
+            ) GROUP BY tok
+        ),
+        allp AS (
+            SELECT substr(w, CAST(i AS INTEGER), CAST(j AS INTEGER))
+                       AS piece,
+                   cnt
+            FROM (
+                SELECT w, cnt, i,
+                       unnest(generate_series(
+                           1, least(4, length(w) - i + 1))) AS j
+                FROM (SELECT w, cnt,
+                             unnest(generate_series(1, length(w))) AS i
+                      FROM words)
+            )
+        ),
+        pc AS (
+            SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_count
+            FROM allp GROUP BY piece
+        ),
+        vocab AS (
+            SELECT piece, max(piece_count) AS piece_count FROM (
+                SELECT piece, piece_count FROM (
+                    SELECT piece, piece_count,
+                           row_number() OVER (
+                               ORDER BY piece_count DESC, piece) AS rk
+                    FROM pc) WHERE rk <= {_VIT_TOP}
+                UNION ALL
+                SELECT piece, piece_count FROM pc WHERE length(piece) = 1
+            ) GROUP BY piece
+        ),
+        tot AS (SELECT CAST(sum(piece_count) AS DOUBLE) AS z FROM vocab),
+        wcap AS (
+            SELECT w, cnt, substr(w, 1, {_VIT_CAP}) AS cw,
+                   length(substr(w, 1, {_VIT_CAP})) AS l
+            FROM words
+        ),
+        edges AS (
+            SELECT x.w, x.i, x.j, x.piece,
+                   CAST(v.piece_count AS DOUBLE) / t.z AS pr
+            FROM (
+                SELECT w, i - 1 AS i, i - 1 + j AS j,
+                       substr(cw, CAST(i AS INTEGER), CAST(j AS INTEGER))
+                           AS piece
+                FROM (
+                    SELECT w, cw, i,
+                           unnest(generate_series(
+                               1, least(4, l - i + 1))) AS j
+                    FROM (SELECT w, cw, l,
+                                 unnest(generate_series(1, l)) AS i
+                          FROM wcap)
+                )
+            ) x JOIN vocab v ON v.piece = x.piece CROSS JOIN tot t
+        ),
+        dp AS (
+            SELECT w, l, 0 AS step, [CAST(1.0 AS DOUBLE)] AS best
+            FROM wcap
+            UNION ALL
+            SELECT d.w, d.l, d.step + 1,
+                   list_append(d.best, (
+                       SELECT max(d.best[e.i + 1] * e.pr)
+                       FROM edges e
+                       WHERE e.w = d.w AND e.j = d.step + 1))
+            FROM dp d WHERE d.step < d.l
+        ),
+        best AS (SELECT w, l, best FROM dp WHERE step = l),
+        pred AS (
+            SELECT w, j, i, piece FROM (
+                SELECT e.w, e.j, e.i, e.piece,
+                       row_number() OVER (
+                           PARTITION BY e.w, e.j
+                           ORDER BY b.best[e.i + 1] * e.pr DESC, e.i
+                       ) AS rk
+                FROM edges e JOIN best b ON b.w = e.w
+            ) WHERE rk = 1
+        ),
+        walk (w, pos, piece) AS (
+            SELECT w, l, CAST(NULL AS VARCHAR) FROM best
+            UNION ALL
+            SELECT k.w, p.i, p.piece
+            FROM walk k JOIN pred p ON p.w = k.w AND p.j = k.pos
+            WHERE k.pos > 0
+        )
+        SELECT k.piece,
+               CAST(sum(c.cnt) AS BIGINT) AS viterbi_count,
+               CAST(sum(c.cnt) AS DOUBLE) / (
+                   SELECT sum(cnt * length(substr(w, 1, {_VIT_CAP}))) * 0
+                        + (SELECT CAST(sum(x.n) AS DOUBLE) FROM (
+                             SELECT sum(cnt) AS n FROM (
+                               SELECT k2.w, count(*) * any_value(c2.cnt)
+                                   AS cnt
+                               FROM walk k2 JOIN wcap c2 ON c2.w = k2.w
+                               WHERE k2.piece IS NOT NULL
+                               GROUP BY k2.w
+                             )
+                           ) x)
+                   FROM wcap
+               ) AS em_prob
+        FROM walk k JOIN wcap c ON c.w = k.w
+        WHERE k.piece IS NOT NULL
+        GROUP BY k.piece
+        ORDER BY viterbi_count DESC, piece
+        LIMIT 50
+    """,
+)
+def tk_viterbi_em_counts(spark, sf_dir):
+    """Hard-EM (Viterbi-EM) expected piece counts — one full E-step of
+    SentencePiece unigram training under BEST-PATH responsibility:
+    each dictionary word is segmented by its Viterbi path (the decode
+    tk_unigram_viterbi scores), every path piece earns the word's
+    corpus count, and the M-step probability is count/total. Because
+    responsibilities are 0/1, every count is an exact int64 — no
+    float accumulates ANYWHERE (the soft-EM variant would need the
+    reproducible-reduction quantization; the hard variant needs
+    nothing), and the single em_prob division happens per output row.
+
+    The decode is fully relational — no per-word backtrack loop: the
+    DP's best[] array joins back to the edge table, a window picks
+    each position's argmax predecessor (ties: smallest start — the
+    deterministic rule both engines share), and the path materializes
+    by walking pred {_VIT_CAP} bounded rounds (word length cap). The
+    oracle replays the walk as a recursive CTE.
+
+    100 TB: everything is vocabulary-bounded (word dict, edge table,
+    {_VIT_CAP} walk rounds of |dict|-row joins); the corpus is
+    touched once by the word-count scan."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _cached_expr,
+    )
+    from bdc_collection_builder_spark.extensions.text import tokens
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+    allp = (
+        words.select(
+            "w", "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"))
+        .select(
+            "w", "cnt", "i",
+            F.explode(F.sequence(
+                F.lit(1),
+                F.least(F.lit(4), F.length("w") - F.col("i") + 1)))
+            .alias("j"))
+        .select(F.col("w").substr(F.col("i"), F.col("j")).alias("piece"),
+                "cnt")
+    )
+    pc = allp.groupBy("piece").agg(
+        F.sum("cnt").cast("bigint").alias("piece_count"))
+    top = (pc.orderBy(F.col("piece_count").desc(), "piece")
+           .limit(_VIT_TOP))
+    singles = pc.filter(F.length("piece") == 1)
+    vocab = top.unionByName(singles).distinct()
+    tot = vocab.agg(F.sum("piece_count").cast("double").alias("z"))
+
+    wcap = (words.select(
+        "w", "cnt", F.col("w").substr(F.lit(1), F.lit(_VIT_CAP)).alias("cw")
+    ).withColumn("l", F.length("cw"))
+    ).localCheckpoint(eager=True)
+    edges = (
+        wcap.select(
+            "w", "cw", "l",
+            F.explode(F.sequence(F.lit(1), F.col("l"))).alias("i"))
+        .select(
+            "w", "cw", "i",
+            F.explode(F.sequence(
+                F.lit(1),
+                F.least(F.lit(4), F.col("l") - F.col("i") + 1))).alias("j"))
+        .select(
+            "w", (F.col("i") - 1).alias("ei"),
+            (F.col("i") - 1 + F.col("j")).alias("ej"),
+            F.col("cw").substr(F.col("i"), F.col("j")).alias("piece"))
+        .join(F.broadcast(vocab), "piece")
+        .crossJoin(F.broadcast(tot))
+        .select("w", "ei", "ej", "piece",
+                (F.col("piece_count").cast("double") / F.col("z"))
+                .alias("pr"))
+    ).localCheckpoint(eager=True)
+    es = edges.groupBy("w").agg(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("ej").alias("j"), F.col("ei").alias("i"),
+                     F.col("pr").alias("pr")))).alias("es"))
+    best_sql = """
+        aggregate(
+            es,
+            transform(sequence(0, l),
+                      p -> IF(p = 0, CAST(1.0 AS DOUBLE),
+                              CAST(0.0 AS DOUBLE))),
+            (acc, e) -> transform(sequence(0, l),
+                p -> IF(p = e.j,
+                        greatest(acc[p], acc[e.i] * e.pr),
+                        acc[p])))
+    """
+    # localCheckpoint(eager) rather than lazy persist: the walk below
+    # re-reads best/pred from EVERY round's branch, and the final
+    # 16-branch union would otherwise race 16 copies of this whole
+    # upstream plan (observed: multi-minute runtime from duplicated
+    # persist computation). Materializing here cuts the lineage once.
+    best = wcap.join(es, "w").select(
+        "w", "l", _cached_expr(best_sql).alias("best")
+    ).localCheckpoint(eager=True)
+    val = (F.element_at(F.col("best"), F.col("ei").cast("int") + 1)
+           * F.col("pr"))
+    wp = Window.partitionBy("w", "ej").orderBy(
+        val.desc(), F.asc("ei"))
+    pred = (
+        edges.join(best.select("w", "best"), "w")
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        # renamed so the walk join below can never resolve both sides
+        # to the same attribute (Spark warns 'trivially true w == w'
+        # when two branches share lineage — that silently degrades the
+        # join to the position condition alone)
+        .select(F.col("w").alias("pw"), "ej", "ei", "piece")
+    ).localCheckpoint(eager=True)
+
+    walk = best.select("w", F.col("l").alias("pos"))
+    pieces = []
+    for _ in range(_VIT_CAP):
+        step = (
+            walk.filter(F.col("pos") > 0)
+            .join(pred, (F.col("w") == F.col("pw"))
+                  & (F.col("ej") == F.col("pos")))
+            .select("w", F.col("ei").alias("pos"), "piece")
+        )
+        step = step.localCheckpoint(eager=True)
+        pieces.append(step.select("w", "piece"))
+        walk = step.select("w", "pos")
+    path = pieces[0]
+    for p in pieces[1:]:
+        path = path.unionByName(p)
+    counted = (
+        path.join(wcap.select("w", "cnt"), "w")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("viterbi_count"))
+    )
+    total = counted.agg(
+        F.sum("viterbi_count").cast("double").alias("zt"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select("piece", "viterbi_count",
+                (F.col("viterbi_count").cast("double") / F.col("zt"))
+                .alias("em_prob"))
+        .orderBy(F.desc("viterbi_count"), "piece")
+        .limit(50)
+    )

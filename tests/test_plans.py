@@ -109,6 +109,7 @@ def test_plan_lint_every_query(spark, sf_dir):
         "ss_kmeans_train_rounds",  # k-row centroid attach per round
         "ss_ndcg_eval",          # eval protocol: brute-force truth
         "dq_cardinality_drift",  # one-row x one-row slice summary join
+        "tk_viterbi_em_counts",  # one-row vocab-total + count-total attach
 
     }
     offenders = {}
