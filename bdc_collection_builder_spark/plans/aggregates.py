@@ -497,6 +497,50 @@ def a18_hll_rollup(spark, sf_dir):
 
 
 @query(
+    "a18b_distinct_rollup_exact",
+    survey=("A4", "A5", "Y1"),
+    # The value-checked twin of a18_hll_rollup (which is rows-only
+    # because DataSketches HLL register layouts are engine-specific):
+    # same rollup-over-reusable-intermediate shape, exact arithmetic.
+    # The pairing lets the driver verify the rollup semantics while
+    # the companion pytest pins a18's estimate against this exact
+    # count. Keep both adjacent in COVERAGE.md.
+    oracle=f"""
+        WITH daily AS (
+            SELECT DISTINCT CAST({_TS} AS DATE) AS day,
+                   event_type, user_id
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM daily GROUP BY event_type
+    """,
+)
+def a18b_distinct_rollup_exact(spark, sf_dir):
+    """Exact twin of the a18 sketch rollup: the reusable intermediate
+    is the deduped (day, event_type, user_id) table — one shuffle on
+    the triple — and the rollup answers per-type day counts and exact
+    distinct users from it. At 100 TB the intermediate is what you
+    persist (it is bounded by distinct daily users, not events); the
+    HLL variant (a18) swaps it for constant-size sketches when even
+    that is too large. Same A4/A5 semantics as reference
+    controller.py:426-468 distinct rollups."""
+    events = t(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("day"), "event_type",
+                      "user_id")
+        .distinct()
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.countDistinct("day").cast("bigint").alias("n_days"),
+             F.countDistinct("user_id").cast("bigint")
+             .alias("exact_users"))
+    )
+
+
+@query(
     "a19_price_histogram",
     survey=("A8", "A1"),
     oracle="""

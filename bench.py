@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "dq_gini_concentration",     # rank-identity Gini (window, no self-join)
     "tk_bpe_train_rounds",       # 3 chained BPE merge rounds
     "ss_kmeans_train_rounds",    # 2 Lloyd rounds, fixed-point updates
+    # round-5 additions (VERDICT-r4 task 8: only genuinely new heavy
+    # families from the rotation, so the shared-query delta stays
+    # comparable)
+    "tk_viterbi_em_counts",      # EM E-step argmax backtrace (16-way union)
+    "s29_schema_evolution_timetravel",  # ADD COLUMN + snapshot reads
 ]
 
 
@@ -160,18 +165,30 @@ def main() -> None:
                       if f.startswith("BENCH_r") and f.endswith(".json"))
     deltas: dict[str, float] = {}
     prev_round = None
-    if recorded:
-        prev_round = recorded[-1].removesuffix(".json")
+    # Walk newest→oldest: a driver record can have "parsed": null when
+    # its stdout tail capture truncated (BENCH_r04), so fall back to
+    # the newest round that actually parsed.
+    for fname in reversed(recorded):
         try:
-            with open(os.path.join(here, recorded[-1])) as fh:
+            with open(os.path.join(here, fname)) as fh:
                 doc = json.load(fh)
             # the driver wraps the bench line under "parsed"
             prev = (doc.get("parsed", doc) or {}).get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            continue
+        if prev:
+            prev_round = fname.removesuffix(".json")
             deltas = {n: round(t - prev[n], 3)
                       for n, t in times.items() if n in prev}
-        except (json.JSONDecodeError, OSError):
-            pass
-    print(json.dumps({
+            break
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full record (spread + per-query deltas) goes to a FILE and a
+    # PRECEDING stdout line; the driver's tail capture keeps only the
+    # last ~2000 chars of stdout, and the one-line-with-everything
+    # format outgrew that in round 4 ("parsed": null). The LAST line
+    # is a compact summary — totals + per-query medians only — sized
+    # well under the capture window so BENCH_r{N}.json parses again.
+    full = {
         "metric": "headline_query_suite_wall",
         "value": total,
         "unit": "sec",
@@ -180,8 +197,19 @@ def main() -> None:
         "query_spread": spread,
         "delta_vs_prev": deltas,
         "prev_round": prev_round,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "sf": sf_val,
+    }
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
+    print(json.dumps({
+        "metric": "headline_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "n": n_runs,
+        "queries": times,
+        "sf": sf_val,
+    }, separators=(",", ":")))
     spark.stop()
 
 

@@ -580,22 +580,27 @@ def test_hll_rollup_merge_equals_single_pass(spark, sf_dir):
     from bdc_collection_builder_spark.sources.tables import load_table
 
     all_queries()
-    rolled = {r.event_type: r.approx_users
-              for r in QUERY_REGISTRY["a18_hll_rollup"]
-              .spark_fn(spark, sf_dir).collect()}
+    a18 = {r.event_type: r for r in QUERY_REGISTRY["a18_hll_rollup"]
+           .spark_fn(spark, sf_dir).collect()}
+    rolled = {et: r.approx_users for et, r in a18.items()}
     events = load_table(spark, sf_dir, "events")
     single = {r.event_type: r.approx for r in
               events.groupBy("event_type")
               .agg(F.hll_sketch_estimate(
                   F.hll_sketch_agg("user_id", 12))
                   .cast("bigint").alias("approx")).collect()}
-    exact = {r.event_type: r.n for r in
-             events.groupBy("event_type")
-             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    # The exact side IS the driver-oracled twin (a18b) — the pairing
+    # that lets the rows-only sketch stay out of driver rotation.
+    twin = {r.event_type: r for r in
+            QUERY_REGISTRY["a18b_distinct_rollup_exact"]
+            .spark_fn(spark, sf_dir).collect()}
     assert rolled == single, "daily-union estimate != full-pass estimate"
+    assert set(a18) == set(twin)
     for et, est in rolled.items():
-        assert abs(est - exact[et]) <= 0.05 * exact[et] + 2, (
-            et, est, exact[et])
+        exact = twin[et].exact_users
+        assert abs(est - exact) <= 0.05 * exact + 2, (et, est, exact)
+        # day counts are exact on both sides — must agree exactly
+        assert a18[et].n_days == twin[et].n_days, et
 
 
 def test_span_dedup_edges(spark):
@@ -808,3 +813,62 @@ def test_ivf_upsert_appends_without_rewriting(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{path}/vectors").count() == total
     ids = spark.read.parquet(f"{path}/vectors").select("vec_id")
     assert ids.distinct().count() == total, "duplicate ids in index"
+
+
+def test_crs_inverse_matches_numpy_reference(spark, sf_dir):
+    """The SQL step chain (x13b) and the numpy evaluation of the same
+    Karney series must agree to < 1e-9 degrees — catches any
+    SQL-transcription slip in the 60-step expression DAG."""
+    import numpy as np
+
+    from bdc_collection_builder_spark.functions.crs import (
+        utm_inverse_reference,
+    )
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    rows = (QUERY_REGISTRY["x13b_extent_to_wgs84_exact"]
+            .spark_fn(spark, sf_dir).collect())
+    for r in rows:
+        k = r.scene_key
+        xmin, ymax = 500000.0 + k * 1000, 8000000.0 - k * 1000
+        xmax, ymin = xmin + 2560.0, ymax - 2560.0
+        lon, lat = utm_inverse_reference(
+            np.array([xmin, xmin, xmax, xmax]),
+            np.array([ymin, ymax, ymin, ymax]))
+        # query rounds to 1e-7 deg; series agreement is far tighter
+        assert abs(r.lon_min - round(lon.min(), 7)) < 2e-7, r
+        assert abs(r.lon_max - round(lon.max(), 7)) < 2e-7, r
+        assert abs(r.lat_min - round(lat.min(), 7)) < 2e-7, r
+        assert abs(r.lat_max - round(lat.max(), 7)) < 2e-7, r
+
+
+def test_crs_roundtrip_and_meridian_arc():
+    """Two independent validations of the transform constants, since
+    pyproj is unavailable to compare against directly: (1) the forward
+    series (separate alpha coefficients) must invert the inverse to
+    sub-micrometer; (2) at the central meridian the northing must
+    equal k0 x the meridian arc length computed by dense numerical
+    integration of the meridional radius — no series involved."""
+    import numpy as np
+
+    from bdc_collection_builder_spark.functions.crs import (
+        _K0,
+        meridian_arc_reference,
+        utm_forward_reference,
+        utm_inverse_reference,
+    )
+
+    x = np.array([500000.0, 502560.0, 497440.0, 524000.0, 476000.0])
+    y = np.array([8000000.0, 7997440.0, 8002560.0, 7976000.0,
+                  8024000.0])
+    lon, lat = utm_inverse_reference(x, y)
+    assert abs(lon[0] - (-45.0)) < 1e-12  # central meridian is exact
+    xb, yb = utm_forward_reference(lon, lat)
+    assert np.abs(xb - x).max() < 1e-6
+    assert np.abs(yb - y).max() < 1e-6
+    arc = meridian_arc_reference(float(lat[0]))
+    assert abs(_K0 * arc - (8000000.0 - 1e7)) < 1e-6
