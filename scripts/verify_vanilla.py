@@ -8,7 +8,10 @@ on our session configuration (e.g. pandas conversion paths differing
 with Arrow on/off — the bug class behind the ss_quantize_int8 array
 stringification fix).
 
-Usage: python scripts/verify_vanilla.py [sf_dir]
+Usage: python scripts/verify_vanilla.py [sf_dir] [--window]
+``--window`` restricts the sweep to the first 50 registered queries —
+exactly the driver's per-round check window — so the rotation batch
+can be stress-run repeatedly before a round closes.
 Exit code 0 iff every oracle matches.
 """
 
@@ -32,7 +35,9 @@ def main() -> int:
 
     import __spark_entry__ as mod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.driver.host", "127.0.0.1")
@@ -45,6 +50,10 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     queries, oracles = mod.queries(), mod.oracle_sql()
+    if window_only:
+        # dict order IS registration order — the driver checks the
+        # first 50 entries, so this is its exact per-round window
+        queries = {n: queries[n] for n in list(queries)[:50]}
     failures = []
     for name in sorted(queries):
         try:
@@ -57,7 +66,8 @@ def main() -> int:
                 failures.append((name, why))
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             failures.append((name, str(exc).splitlines()[0][:120]))
-    print(f"queries: {len(queries)}  oracles: {len(oracles)}  "
+    n_oracled = sum(1 for n in queries if n in oracles)
+    print(f"queries: {len(queries)}  oracles: {n_oracled}  "
           f"mismatches: {len(failures)}")
     for name, why in failures:
         print(f"FAIL {name}: {why}")
