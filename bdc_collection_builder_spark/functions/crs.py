@@ -163,20 +163,78 @@ def utm_inverse_steps(x_col: str = "x", y_col: str = "y", *,
     return steps
 
 
-def utm_inverse_cte_chain(source_cte: str, *, zone: int = 23,
-                          south: bool = True) -> str:
-    """DuckDB CTE chain evaluating the steps over ``source_cte``
-    (which must expose ``x``/``y`` plus any carry-through columns).
-    Returns CTE text ``c0 AS (...), c1 AS (...), ...`` whose final CTE
-    is named ``crs_out``."""
-    steps = utm_inverse_steps("x", "y", zone=zone, south=south)
-    parts = [f"c0 AS (SELECT * FROM {source_cte})"]
-    prev = "c0"
+def utm_forward_steps(lon_col: str = "lon_deg",
+                      lat_col: str = "lat_deg", *, zone: int = 23,
+                      south: bool = True,
+                      ) -> list[tuple[str, str]]:
+    """Forward transform (Karney 2011 eqs. 7-13) as named expression
+    steps ending in ``x_m``/``y_m``. Step names are ``f_``-prefixed so
+    the chain can be appended after the inverse chain (the roundtrip
+    query) without collisions. ``asinh``/``atanh`` are expanded to
+    their ``ln`` forms for DuckDB portability."""
+    fn = 10000000.0 if south else 0.0
+    k0a = _K0 * _AR
+    lon0 = utm_zone_lon0(zone)
+    rad = math.pi / 180.0
+
+    steps: list[tuple[str, str]] = [
+        ("f_lam", f"({lon_col} - {_lit(lon0)}) * {_lit(rad)}"),
+        ("f_phi", f"{lat_col} * {_lit(rad)}"),
+        ("f_tau", "sin(f_phi) / cos(f_phi)"),
+        ("f_w", "sqrt(1e0 + f_tau * f_tau)"),
+        ("f_at",
+         f"0.5e0 * ln((1e0 + {_lit(_E)} * f_tau / f_w)"
+         f" / (1e0 - {_lit(_E)} * f_tau / f_w))"),
+        ("f_sg",
+         f"(exp({_lit(_E)} * f_at) - exp(-({_lit(_E)} * f_at)))"
+         " * 0.5e0"),
+        ("f_taup",
+         "f_tau * sqrt(1e0 + f_sg * f_sg) - f_sg * f_w"),
+        ("f_cl", "cos(f_lam)"),
+        ("f_xip", "atan2(f_taup, f_cl)"),
+        # asinh(u) = ln(u + sqrt(u*u + 1))
+        ("f_u", "sin(f_lam) / sqrt(f_taup * f_taup + f_cl * f_cl)"),
+        ("f_etap", "ln(f_u + sqrt(f_u * f_u + 1e0))"),
+    ]
+    for j in range(1, 7):
+        steps.append((f"f_ep{j}", f"exp({_lit(2.0 * j)} * f_etap)"))
+        steps.append((f"f_em{j}", f"exp(-{_lit(2.0 * j)} * f_etap)"))
+    xi_terms = " + ".join(
+        f"{_lit(_ALPHA[j - 1])} * sin({_lit(2.0 * j)} * f_xip)"
+        f" * (f_ep{j} + f_em{j}) * 0.5e0" for j in range(1, 7))
+    eta_terms = " + ".join(
+        f"{_lit(_ALPHA[j - 1])} * cos({_lit(2.0 * j)} * f_xip)"
+        f" * (f_ep{j} - f_em{j}) * 0.5e0" for j in range(1, 7))
+    steps += [
+        ("f_xi", f"f_xip + ({xi_terms})"),
+        ("f_eta", f"f_etap + ({eta_terms})"),
+        ("x_m", f"{_lit(_FE)} + {_lit(k0a)} * f_eta"),
+        ("y_m", f"{_lit(fn)} + {_lit(k0a)} * f_xi"),
+    ]
+    return steps
+
+
+def steps_cte_chain(source_cte: str, steps: list[tuple[str, str]],
+                    final_name: str = "crs_out") -> str:
+    """DuckDB CTE chain evaluating ``steps`` over ``source_cte``
+    (which must expose the input columns plus any carry-throughs).
+    Returns CTE text ``<final_name>_0 AS (...), ...`` whose final CTE
+    is named ``final_name``."""
+    parts = [f"{final_name}_0 AS (SELECT * FROM {source_cte})"]
+    prev = f"{final_name}_0"
     for k, (name, sql) in enumerate(steps, start=1):
-        cur = f"c{k}" if k < len(steps) else "crs_out"
+        cur = f"{final_name}_{k}" if k < len(steps) else final_name
         parts.append(f"{cur} AS (SELECT *, {sql} AS {name} FROM {prev})")
         prev = cur
     return ",\n        ".join(parts)
+
+
+def utm_inverse_cte_chain(source_cte: str, *, zone: int = 23,
+                          south: bool = True) -> str:
+    """Inverse-transform CTE chain over ``source_cte`` (exposing
+    ``x``/``y``); final CTE is named ``crs_out``."""
+    return steps_cte_chain(
+        source_cte, utm_inverse_steps("x", "y", zone=zone, south=south))
 
 
 # ---------------------------------------------------------------------------

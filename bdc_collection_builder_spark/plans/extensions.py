@@ -4594,3 +4594,144 @@ def ss_ndcg_eval(spark, sf_dir):
                 (F.coalesce("dcg", F.lit(0.0)) / F.lit(_NDCG_IDCG))
                 .alias("ndcg_at_10"))
     )
+
+
+# -- exact-substring dedup via binary lifting ------------------------------
+
+# Max substring length the operator certifies (ExactSubstr-style
+# trimming in "Deduplicating Training Data Makes Language Models
+# Better", Lee et al. 2022, uses a 50-token threshold; 64 chars is the
+# analogous bound for this corpus). The binary-lifting ladder below is
+# derived from this cap and is STATIC: every round's set of candidate
+# check-lengths is known at plan-construction time, so the corpus-gram
+# probe explodes a literal length array — no collect, no driver loop
+# over data.
+_ES_CAP = 64
+_ES_KS = (64, 32, 16, 8, 4, 2, 1)
+
+
+def _es_round_lengths() -> list[tuple[int, list[int]]]:
+    """Per lifting round k: the sorted set of substring lengths l+k
+    any position could be probing (l = subset sums of earlier k's,
+    capped). Static — the ladder's shape does not depend on data."""
+    ls = {0}
+    out = []
+    for k in _ES_KS:
+        lens = sorted({l + k for l in ls if l + k <= _ES_CAP})
+        out.append((k, lens))
+        ls |= set(lens)
+    return out
+
+
+@query(
+    "dd_exact_substring_maxlen",
+    survey=("DD-exact",),
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, text, i, length(text) AS dlen
+            FROM documents,
+                 unnest(generate_series(1, length(text))) AS g(i)
+        ),
+        grams AS (
+            SELECT doc_id, i, L, substr(text, i, L) AS g
+            FROM pos, unnest(generate_series(1, {_ES_CAP})) AS l(L)
+            WHERE i + L - 1 <= dlen
+        ),
+        dups AS (
+            SELECT L, g FROM grams GROUP BY L, g HAVING count(*) >= 2
+        ),
+        perpos AS (
+            SELECT gr.doc_id, gr.i, max(gr.L) AS ml
+            FROM grams gr JOIN dups USING (L, g)
+            GROUP BY gr.doc_id, gr.i
+        )
+        SELECT p.doc_id,
+               CAST(max(coalesce(pp.ml, 0)) AS BIGINT) AS max_dup_len,
+               CAST(count(CASE WHEN pp.ml >= 8 THEN 1 END) AS BIGINT)
+                 AS dup8_positions
+        FROM pos p LEFT JOIN perpos pp
+          ON pp.doc_id = p.doc_id AND pp.i = p.i
+        GROUP BY p.doc_id
+    """,
+)
+def dd_exact_substring_maxlen(spark, sf_dir):
+    """ExactSubstr dedup statistics (Lee et al. 2022) without a suffix
+    array: per document, the length of the LONGEST substring (up to
+    64 chars) that occurs at least twice anywhere in the corpus,
+    plus the count of positions whose 8-gram repeats (the trim-
+    membership measure). EXACT, via binary lifting: each position
+    carries its certified duplicate length l; round k asks "does my
+    (l+k)-gram still repeat corpus-wide?" — 7 rounds for a 64 bound,
+    each one substring-hash groupBy + one join-back, never an
+    all-pairs comparison and never a single-node suffix sort. The
+    per-round check-length set is a static ladder (see
+    _es_round_lengths), so the corpus probe side is a literal-array
+    explode. At 100 TB: per-round shuffle volume is corpus-positions x
+    round-width (bounded by the cap), partitioned by gram hash —
+    the same scaling as the winnowing/CDC passes — and the position
+    state is checkpointed each round to keep lineage flat (the
+    documented Viterbi-EM lesson). Monotonicity of "has a duplicate
+    of length L" makes the lifted l exact, and makes dup8_positions
+    equal to count(l >= 8) with no extra pass. Independent oracle:
+    DuckDB brute-forces the full 1..64 length grid. Reference
+    anchor: the same F10 scene-dedup semantics pushed to substring
+    granularity (collection_builder scene dedup, controller.py)."""
+    from bdc_collection_builder_spark.functions.parallel import spread
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Position rows carry the doc text: at test scale this is the
+    # cheapest layout (no per-round join); at 100 TB the equivalent
+    # is a doc_id-co-partitioned join against the docs table so text
+    # bytes are not replicated per position. spread(): the testdata
+    # parquet is one row group -> one task, and the checkpoint would
+    # freeze that; the path is partition-order-insensitive (everything
+    # downstream keys on (doc_id, off) or gram hash).
+    pos = (
+        spread(docs)
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(1), F.length("text")))
+            .alias("off"))
+        .withColumn("dlen", F.length("text"))
+        .withColumn("l", F.lit(0))
+    ).localCheckpoint(eager=True)
+    base = pos.select("doc_id", "off", "text", "dlen")
+    for k, lens in _es_round_lengths():
+        # corpus-wide duplicated (length, gram) set for this round's
+        # static length ladder
+        probe = (
+            base.select(
+                "doc_id", "off", "text", "dlen",
+                F.explode(F.array(*[F.lit(m) for m in lens]))
+                .alias("m"))
+            .filter(F.col("off") + F.col("m") - 1 <= F.col("dlen"))
+            .select("m", F.expr("substring(text, off, m)").alias("g"))
+        )
+        dups = (
+            probe.groupBy("m", "g").count()
+            .filter(F.col("count") >= 2)
+            .select("m", "g")
+        )
+        cand = (
+            pos.filter((F.col("l") + k <= _ES_CAP)
+                       & (F.col("off") + F.col("l") + k - 1
+                          <= F.col("dlen")))
+            .select("doc_id", "off", "text", "dlen", "l",
+                    (F.col("l") + k).alias("m"),
+                    F.expr(f"substring(text, off, l + {k})").alias("g"))
+        )
+        lifted = (
+            cand.join(dups, ["m", "g"], "left_semi")
+            .select("doc_id", "off", (F.col("l") + k).alias("l2"))
+        )
+        pos = (
+            pos.join(lifted, ["doc_id", "off"], "left")
+            .select("doc_id", "off", "text", "dlen",
+                    F.coalesce("l2", "l").alias("l"))
+        ).localCheckpoint(eager=True)
+    return (
+        pos.groupBy("doc_id")
+        .agg(F.max("l").cast("bigint").alias("max_dup_len"),
+             F.sum(F.when(F.col("l") >= 8, 1).otherwise(0))
+             .cast("bigint").alias("dup8_positions"))
+    )

@@ -828,6 +828,109 @@ def x13b_extent_to_wgs84_exact(spark, sf_dir):
     )
 
 
+def _x13c_oracle() -> str:
+    from bdc_collection_builder_spark.functions.crs import (
+        steps_cte_chain,
+        utm_forward_steps,
+        utm_inverse_steps,
+    )
+
+    steps = (utm_inverse_steps("x", "y", zone=23, south=True)
+             + utm_forward_steps("lon_deg", "lat_deg", zone=23,
+                                 south=True))
+    return f"""
+        WITH extents AS (
+            SELECT n_nationkey AS scene_key,
+                   500000.0 + n_nationkey * 1000 AS x0,
+                   8000000.0 - n_nationkey * 1000 AS y1,
+                   10.0 AS res
+            FROM nation
+        ), bounds AS (
+            SELECT scene_key, x0 AS xmin, y1 - 256 * res AS ymin,
+                   x0 + 256 * res AS xmax, y1 AS ymax
+            FROM extents
+        ), corners AS (
+            SELECT scene_key, xmin AS x, ymin AS y FROM bounds
+            UNION ALL SELECT scene_key, xmin, ymax FROM bounds
+            UNION ALL SELECT scene_key, xmax, ymin FROM bounds
+            UNION ALL SELECT scene_key, xmax, ymax FROM bounds
+        ),
+        {steps_cte_chain("corners", steps, "rt_out")}
+        SELECT scene_key,
+               round(min(x_m), 4) AS xmin_m,
+               round(min(y_m), 4) AS ymin_m,
+               round(max(x_m), 4) AS xmax_m,
+               round(max(y_m), 4) AS ymax_m,
+               round(max(sqrt((x_m - x) * (x_m - x)
+                              + (y_m - y) * (y_m - y))) * 1000e0, 6)
+                 AS max_roundtrip_err_mm
+        FROM rt_out GROUP BY scene_key
+    """
+
+
+@query(
+    "x13c_wgs84_to_utm_roundtrip",
+    survey=("X13", "X15"),
+    oracle=_x13c_oracle(),
+)
+def x13c_wgs84_to_utm_roundtrip(spark, sf_dir):
+    """The forward half of the exact CRS seam (X13/X15): WGS84 →
+    UTM 23S via the Karney forward series (alpha coefficients,
+    functions/crs.py), chained after the inverse so the query IS the
+    roundtrip proof — each scene's corners go meters → degrees →
+    meters and the envelope must land back on the source extent to
+    0.1 mm (max_roundtrip_err_mm is reported per scene and byte-
+    checked against DuckDB running the identical step DAG). The
+    reference needs this direction when it derives tile grids and
+    per-zone scene placement from geographic footprints (utils.py:
+    223-237 runs the transforms through pyproj in both directions).
+    Same scale posture as x13b: one pure map-stage projection chain,
+    one map-side-combined envelope aggregation."""
+    from bdc_collection_builder_spark.functions.crs import (
+        utm_forward_steps,
+        utm_inverse_steps,
+    )
+
+    nation = t(spark, sf_dir, "nation")
+    b = nation.select(
+        F.col("n_nationkey").alias("scene_key"),
+        (500000.0 + F.col("n_nationkey") * 1000).alias("x0"),
+        (8000000.0 - F.col("n_nationkey") * 1000).alias("y1"),
+        F.lit(10.0).alias("res"),
+    ).select(
+        "scene_key",
+        F.col("x0").alias("xmin"),
+        (F.col("y1") - 256 * F.col("res")).alias("ymin"),
+        (F.col("x0") + 256 * F.col("res")).alias("xmax"),
+        F.col("y1").alias("ymax"),
+    )
+    corners = b.select(
+        "scene_key",
+        F.explode(F.array(
+            F.struct(F.col("xmin").alias("x"), F.col("ymin").alias("y")),
+            F.struct(F.col("xmin").alias("x"), F.col("ymax").alias("y")),
+            F.struct(F.col("xmax").alias("x"), F.col("ymin").alias("y")),
+            F.struct(F.col("xmax").alias("x"), F.col("ymax").alias("y")),
+        )).alias("c"),
+    ).select("scene_key", F.col("c.x").alias("x"),
+             F.col("c.y").alias("y"))
+    df = corners
+    for name, sql in (utm_inverse_steps("x", "y", zone=23, south=True)
+                      + utm_forward_steps("lon_deg", "lat_deg",
+                                          zone=23, south=True)):
+        df = df.withColumn(name, F.expr(sql))
+    err = F.sqrt((F.col("x_m") - F.col("x")) * (F.col("x_m") - F.col("x"))
+                 + (F.col("y_m") - F.col("y"))
+                 * (F.col("y_m") - F.col("y")))
+    return df.groupBy("scene_key").agg(
+        F.round(F.min("x_m"), 4).alias("xmin_m"),
+        F.round(F.min("y_m"), 4).alias("ymin_m"),
+        F.round(F.max("x_m"), 4).alias("xmax_m"),
+        F.round(F.max("y_m"), 4).alias("ymax_m"),
+        F.round(F.max(err) * 1000.0, 6).alias("max_roundtrip_err_mm"),
+    )
+
+
 @query(
     "x14_footprint_hull",
     survey=("X14", "Z3"),

@@ -50,6 +50,20 @@ def main() -> None:
     n_oracle = sum(1 for qd in QUERY_REGISTRY.values() if qd.oracle)
     lines += [
         "",
+        "## Rows-only ↔ oracled-twin pairings",
+        "",
+        "Each rows-only (◐) query is an engine-specific approximation",
+        "whose semantics are value-checked through a green oracled twin",
+        "plus property pins in pytest:",
+        "",
+        "| rows-only | oracled twin | pinned by |",
+        "|---|---|---|",
+        "| `a11_approx_distinct` | `a04_distinct_collections` | estimate within documented error of the exact count |",
+        "| `a15_approx_percentiles` | `a12_group_percentiles` | t-digest quantiles vs exact full-sort percentiles |",
+        "| `a18_hll_rollup` | `a18b_distinct_rollup_exact` | identical n_days; estimate within 5% of exact_users; daily-union = full-pass (tests/test_functions.py). `a18` is deliberately excluded from driver rotation — see `_DRIVER_PRIORITY` |",
+        "| `dd_minhash_lsh_pairs` | `dd_minhash_lsh_md5` | same verified pairs + exact-Jaccard scores across hash families |",
+        "| `dd_simhash_pairs` | `dd_simhash_md5` | bucketing exactly reproduces brute-force Hamming pairs per family |",
+        "",
         f"Totals: {len(QUERY_REGISTRY)} queries, {n_oracle} oracle-checked, "
         f"{len(QUERY_REGISTRY) - n_oracle} rows-only.",
         "", "```bash", "python scripts/gen_coverage.py  # regenerates this file",

@@ -649,3 +649,66 @@ def test_weekly_churn_bounds(spark, sf_dir):
     for r in rows(spark, sf_dir, "w20_weekly_churn"):
         assert 0 <= r.churned <= r.active_users
         assert 0.0 <= r.churn_rate <= 1.0
+
+
+def test_exact_substring_lifting_truth_table(spark, tmp_path):
+    """Hand-built corpus with known duplicate structure: the binary
+    lifting must return the EXACT longest duplicated-substring length
+    per doc (cross-doc, within-doc, cap saturation, and no-dup
+    cases), matching a brute-force computed in plain Python."""
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    shared30 = "the quick brown fox jumps over"          # 30 chars
+    cap_block = "z" * 80                                  # saturates cap
+    docs = [
+        (0, "AA " + shared30 + " tail-zero unique-0a"),   # pairs with 1
+        (1, "BB " + shared30 + " tail-one unique-1b"),
+        (2, "repeatme-12 middle repeatme-12 end"),        # internal dup
+        (3, "entirely unique document three qqq"),        # short matches only
+        (4, "CC " + cap_block + " DD"),                   # pairs with 5
+        (5, "EE " + cap_block + " FF"),
+    ]
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(path + "/documents.parquet")
+
+    got = {r.doc_id: (r.max_dup_len, r.dup8_positions) for r in
+           QUERY_REGISTRY["dd_exact_substring_maxlen"]
+           .spark_fn(spark, path).collect()}
+
+    # brute force, same semantics as the DuckDB oracle
+    def brute():
+        grams = {}
+        for i, t in docs:
+            for off in range(len(t)):
+                for L in range(1, 65):
+                    if off + L <= len(t):
+                        grams.setdefault((L, t[off:off + L]), []).append(
+                            (i, off))
+        dup = {k for k, v in grams.items() if len(v) >= 2}
+        out = {}
+        for i, t in docs:
+            ml_doc, n8 = 0, 0
+            for off in range(len(t)):
+                ml = 0
+                for L in range(1, 65):
+                    if off + L <= len(t) and (L, t[off:off + L]) in dup:
+                        ml = L
+                ml_doc = max(ml_doc, ml)
+                n8 += 1 if ml >= 8 else 0
+            out[i] = (ml_doc, n8)
+        return out
+
+    want = brute()
+    assert got == want, (got, want)
+    # structure sanity: the cap saturates, the 30-char cross-doc dup
+    # is found exactly, and doc 3 has only short incidental matches
+    assert got[4][0] == 64 and got[5][0] == 64
+    assert got[0][0] >= 30 and got[1][0] >= 30
+    assert got[3][0] < 8
