@@ -61,6 +61,15 @@ class CommitConflict(RuntimeError):
     ConcurrentModificationException."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A write would break a declared table constraint (NOT NULL /
+    UNIQUE / CHECK / FOREIGN KEY). Raised AFTER staging but BEFORE the
+    pointer flip, so the store state is untouched — the reference's
+    Postgres rejects the INSERT/UPDATE the same way (its alembic
+    migrations declare these constraints on activities/collections/
+    providers, 06fab6583881_activities.py:27-48)."""
+
+
 class PointerCASBackend:
     """Strategy for the one primitive the whole commit protocol rests
     on: atomically flip a table's ``_CURRENT`` pointer iff it still
@@ -338,6 +347,12 @@ class CatalogStore:
                     table, build(self._read_pinned(table, base_gen)),
                     gen=gen, keep_extra=keep_extra)
                 try:
+                    self._validate_staged(table, gen)
+                except ConstraintViolation:
+                    shutil.rmtree(os.path.join(self.path(table), gen),
+                                  ignore_errors=True)
+                    raise
+                try:
                     self._flip(table, gen, expected=base_gen)
                     return
                 except CommitConflict as exc:
@@ -435,10 +450,47 @@ class CatalogStore:
         is what actually forgets."""
         cond = F.expr(condition) if isinstance(condition, str) \
             else condition
-        self._cas_commit(
-            table,
-            lambda base: base.filter(~F.coalesce(cond, F.lit(False))),
-            keep_extra=True)
+        cascade = [(c, fk) for c, fk in self._referencing(table)
+                   if fk.get("on_delete") == "cascade"]
+        if not cascade:
+            # RESTRICT is the default and needs no special path: the
+            # post-stage reverse-FK check rejects a delete that would
+            # orphan referencing rows, like the DB's FK error.
+            self._cas_commit(
+                table,
+                lambda base: base.filter(~F.coalesce(cond, F.lit(False))),
+                keep_extra=True)
+            return
+        # ON DELETE CASCADE (reference alembic
+        # 11f3e5366689_add_provider_setting.py:28): parent and every
+        # cascading child commit in ONE multi-table transaction —
+        # readers never observe orphans, and the commit-time FK
+        # validation sees the staged children, so it passes by
+        # construction. Bounded OCC retries mirror _cas_commit.
+        last: CommitConflict | None = None
+        for _ in range(4):
+            try:
+                with self.transaction() as tx:
+                    before = tx.read(table)
+                    after = before.filter(~F.coalesce(cond, F.lit(False)))
+                    tx.overwrite(table, after)
+                    for child, fk in cascade:
+                        cols, rcols = fk["columns"], fk["ref_columns"]
+
+                        def keys(df):
+                            return df.select(
+                                *[F.col(rc).alias(c)
+                                  for rc, c in zip(rcols, cols)]
+                            ).distinct()
+
+                        removed = keys(before).join(
+                            keys(after), cols, "left_anti")
+                        tx.overwrite(child, tx.read(child).join(
+                            removed, cols, "left_anti"))
+                return
+            except CommitConflict as exc:
+                last = exc
+        raise last
 
     def update_where(self, table: str, condition, assignments) -> None:
         """Delta-style ``UPDATE table SET ... WHERE condition``:
@@ -462,6 +514,193 @@ class CatalogStore:
             return out
 
         self._cas_commit(table, build, keep_extra=True)
+
+    # -- declarative constraints (reference alembic parity) -------------
+    #
+    # The reference's Postgres schema declares NOT NULL, UNIQUE and
+    # FOREIGN KEY constraints on the catalog tables (alembic
+    # 06fab6583881_activities.py: activities.collection_id ->
+    # collections.id, activity_history.activity_id -> activities.id;
+    # 11f3e5366689_add_provider_setting.py: provider FK with
+    # ondelete=CASCADE). This store enforces the same invariants at
+    # write time: every commit stages its generation, validates the
+    # STAGED bytes (plus reverse-FK checks against referencing
+    # tables), and only then flips the pointer — a violating batch is
+    # rejected with the pointer never moved, exactly like the DB
+    # rejecting the INSERT. CHECK follows the SQL standard (violation
+    # iff the predicate is FALSE; NULL passes), UNIQUE ignores
+    # NULL-containing keys, FK ignores NULL child keys. All checks are
+    # distributed scans/joins collecting only violation COUNTS.
+    #
+    # Isolation note, stated honestly: FK validation across SEPARATE
+    # single-table commits is optimistic — two concurrent commits
+    # (insert child K / delete parent K) each validate against the
+    # other's pre-commit state and can cross; a DB prevents this with
+    # row locks. Writers needing that guarantee use transaction(),
+    # whose commit validates every touched table under the full lock
+    # set. Same trade Delta makes for cross-table invariants.
+
+    def _constraints_path(self, table: str) -> str:
+        return os.path.join(self.path(table), "_CONSTRAINTS.json")
+
+    def constraints(self, table: str) -> dict:
+        import json as _json
+
+        try:
+            with open(self._constraints_path(table)) as fh:
+                return _json.load(fh)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def set_constraints(self, table: str, *, not_null=(), unique=(),
+                        check=(), foreign_keys=()) -> None:
+        """Declare table constraints (ALTER TABLE ADD CONSTRAINT):
+        ``not_null`` = column names; ``unique`` = column names or
+        column lists; ``check`` = SQL boolean expressions; each
+        foreign key = ``{"columns": [...], "ref_table": str,
+        "ref_columns": [...], "on_delete": "restrict"|"cascade"}``.
+        If the table already has data, the CURRENT snapshot is
+        validated first (like the DB validating existing rows) and
+        the declaration is rejected on violations."""
+        import json as _json
+
+        if getattr(self, "partition_cols", {}).get(table):
+            raise NotImplementedError(
+                f"{table} is partitioned: partitions commit "
+                "independently, so table-level constraints would need "
+                "cross-partition validation — declare them on an "
+                "unpartitioned store")
+        fields = {f.name for f in SCHEMAS[table].fields}
+        for c in not_null:
+            if c not in fields:
+                raise KeyError(f"{table}: no column {c!r}")
+        for fk in foreign_keys:
+            rf = {f.name for f in SCHEMAS[fk["ref_table"]].fields}
+            missing = [c for c in fk["ref_columns"] if c not in rf]
+            if missing:
+                raise KeyError(
+                    f"{fk['ref_table']}: no column(s) {missing}")
+        cons = {
+            "not_null": list(not_null),
+            "unique": [[u] if isinstance(u, str) else list(u)
+                       for u in unique],
+            "check": list(check),
+            "foreign_keys": [dict(fk) for fk in foreign_keys],
+        }
+        if self.exists(table):
+            msgs = self._violations(table, self.read(table), self.read,
+                                    cons=cons)
+            if msgs:
+                raise ConstraintViolation(
+                    f"{table}: existing rows violate the declared "
+                    f"constraints: " + "; ".join(msgs))
+        os.makedirs(self.path(table), exist_ok=True)
+        tmp = self._constraints_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            _json.dump(cons, fh)
+        os.replace(tmp, self._constraints_path(table))
+
+    def drop_constraints(self, table: str) -> None:
+        try:
+            os.remove(self._constraints_path(table))
+        except FileNotFoundError:
+            pass
+
+    def _referencing(self, table: str) -> list[tuple[str, dict]]:
+        """Tables whose declared foreign keys point at ``table``."""
+        out = []
+        for child in SCHEMAS:
+            for fk in self.constraints(child).get("foreign_keys", []):
+                if fk.get("ref_table") == table:
+                    out.append((child, fk))
+        return out
+
+    def _violations(self, table: str, df: DataFrame, resolve,
+                    cons: dict | None = None) -> list[str]:
+        """Constraint-violation messages for ``df`` as the candidate
+        state of ``table``. ``resolve(name)`` supplies the snapshot FK
+        targets are checked against (current store state, or the
+        transaction's staged view)."""
+        cons = self.constraints(table) if cons is None else cons
+        msgs: list[str] = []
+        aggs, labels = [], []
+        for c in cons.get("not_null", []):
+            aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                        .alias(f"a{len(aggs)}"))
+            labels.append(f"not_null({c})")
+        for expr in cons.get("check", []):
+            aggs.append(
+                F.sum(F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
+                      .otherwise(0)).alias(f"a{len(aggs)}"))
+            labels.append(f"check({expr})")
+        if aggs:
+            row = df.agg(*aggs).collect()[0]
+            msgs += [f"{lab}: {n} row(s)" for lab, n in zip(labels, row)
+                     if n]
+        for cols in cons.get("unique", []):
+            nn = df
+            for c in cols:
+                nn = nn.filter(F.col(c).isNotNull())
+            ndup = (nn.groupBy(*cols).count()
+                    .filter(F.col("count") > 1).count())
+            if ndup:
+                msgs.append(f"unique({','.join(cols)}): {ndup} "
+                            f"duplicated key(s)")
+        for fk in cons.get("foreign_keys", []):
+            cols, rcols = fk["columns"], fk["ref_columns"]
+            ref = resolve(fk["ref_table"]).select(
+                *[F.col(rc).alias(c) for rc, c in zip(rcols, cols)]
+            ).distinct()
+            child = df
+            for c in cols:
+                child = child.filter(F.col(c).isNotNull())
+            n = child.join(ref, cols, "left_anti").count()
+            if n:
+                msgs.append(
+                    f"foreign_key({','.join(cols)} -> "
+                    f"{fk['ref_table']}.{','.join(rcols)}): {n} "
+                    f"orphan row(s)")
+        return msgs
+
+    def _reverse_violations(self, table: str, staged: DataFrame,
+                            resolve) -> list[str]:
+        """Would committing ``staged`` as ``table`` orphan rows in
+        tables whose FKs reference it? (The RESTRICT side of
+        delete/update — cascade deletes route through
+        :meth:`delete_where`, which stages the children too, so their
+        resolved view has no orphans by construction.)"""
+        msgs = []
+        for child, fk in self._referencing(table):
+            cols, rcols = fk["columns"], fk["ref_columns"]
+            cdf = resolve(child)
+            for c in cols:
+                cdf = cdf.filter(F.col(c).isNotNull())
+            ref = staged.select(
+                *[F.col(rc).alias(c) for rc, c in zip(rcols, cols)]
+            ).distinct()
+            n = cdf.join(ref, cols, "left_anti").count()
+            if n:
+                msgs.append(
+                    f"{child}.{','.join(cols)} references "
+                    f"{table}.{','.join(rcols)}: {n} row(s) would be "
+                    f"orphaned")
+        return msgs
+
+    def _validate_staged(self, table: str, gen: str,
+                         resolve=None) -> None:
+        """Validate a staged-but-unflipped generation; raise
+        :class:`ConstraintViolation` (caller removes the staged dir)
+        without moving the pointer. No-op when neither the table nor
+        any referencing table declares constraints."""
+        if not self.constraints(table) and not self._referencing(table):
+            return
+        resolve = resolve or self.read
+        staged = self.spark.read.schema(self._gen_schema(table, gen)) \
+            .parquet(os.path.join(self.path(table), gen))
+        msgs = self._violations(table, staged, resolve)
+        msgs += self._reverse_violations(table, staged, resolve)
+        if msgs:
+            raise ConstraintViolation(f"{table}: " + "; ".join(msgs))
 
     def transaction(self) -> "Transaction":
         """Multi-table atomic commit — the semantics the reference gets
@@ -545,7 +784,14 @@ class CatalogStore:
 
     def _commit(self, table: str, df: DataFrame,
                 keep_extra: bool = False) -> None:
-        self._flip(table, self._stage(table, df, keep_extra=keep_extra))
+        gen = self._stage(table, df, keep_extra=keep_extra)
+        try:
+            self._validate_staged(table, gen)
+        except ConstraintViolation:
+            shutil.rmtree(os.path.join(self.path(table), gen),
+                          ignore_errors=True)
+            raise
+        self._flip(table, gen)
 
     def _pointer_lock(self, table: str):
         """Advisory flock serializing check-and-flip on one table's
@@ -794,6 +1040,25 @@ class Transaction:
                 raise CommitConflict(
                     f"transaction lost the race on {moved}: tables "
                     f"moved since first touch — re-run the transaction")
+            # constraint validation sees the TRANSACTION's view
+            # (read-your-writes): a cascade delete stages parent and
+            # children together, so the reverse-FK check resolves the
+            # children to their staged state and passes
+            viols = []
+            for table in sorted(self._staged):
+                if (not self.store.constraints(table)
+                        and not self.store._referencing(table)):
+                    continue
+                staged_df = self.read(table)
+                viols += [f"{table}: {m}" for m in
+                          self.store._violations(table, staged_df,
+                                                 self.read)]
+                viols += [f"{table}: {m}" for m in
+                          self.store._reverse_violations(
+                              table, staged_df, self.read)]
+            if viols:
+                self.abort()
+                raise ConstraintViolation("; ".join(viols))
             tmp = f"{intent}.tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
                 json.dump(self._staged, fh)

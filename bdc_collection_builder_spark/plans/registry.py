@@ -108,12 +108,12 @@ def _load_all() -> None:
 #   (b) engine seams s27-s32 + the three streaming locals;
 #   (c) the TPC-H money-math block j18-j28 (exact integer cents);
 #   (d) graph/data-quality/pixel/window remainder.
-# Round 6 clears the last ~48 (a22, ss_/tx_/cu_/mm_ long tails,
+# Round 6 clears the last ~49 (a22, ss_/tx_/cu_/mm_ long tails,
 # sk_kmv_overlap, sk_join_cardinality, lo_bucketed_join, x26,
 # tj_cusum/seasonal, tk_unigram_viterbi/bpe_merge/vocab_coverage,
 # w17-w20, dd_planted_pair_eval, plus this round's additions
-# a18b_distinct_rollup_exact, x13c_wgs84_to_utm_roundtrip, and
-# dd_exact_substring_maxlen).
+# a18b_distinct_rollup_exact, x13c_wgs84_to_utm_roundtrip,
+# dd_exact_substring_maxlen, and s33_constraint_enforced_merge).
 #
 # DELIBERATELY EXCLUDED from rotation: a18_hll_rollup — the one
 # rows-only query never driver-checked. DataSketches HLL binaries are

@@ -2341,6 +2341,141 @@ def s27_docker_correction(spark, sf_dir):
 
 
 _SCHEMA_EVO_STORES: dict[str, tuple[str, str, str]] = {}
+_CONSTRAINT_STORES: dict[str, tuple[int, bool, bool]] = {}
+
+
+def _constraint_store_outcomes(spark, sf_dir) -> tuple[int, bool, bool]:
+    """Build a real store with the reference's alembic constraints
+    declared (activities.collection_id FK -> collections.id, NOT NULL
+    sceneid), then capture three enforcement outcomes:
+    (final_activities, rejected_commit_applied,
+    restrict_delete_blocked). Cached per sf_dir so repeated query
+    invocations (verify + driver) are idempotent."""
+    if sf_dir not in _CONSTRAINT_STORES:
+        import tempfile
+
+        from bdc_collection_builder_spark.catalog.store import (
+            CatalogStore,
+            ConstraintViolation,
+        )
+
+        root = tempfile.mkdtemp(prefix="bdc_constraint_store_")
+        store = CatalogStore(spark, root)
+        nation = t(spark, sf_dir, "nation")
+        orders = t(spark, sf_dir, "orders")
+        store.overwrite("collections", nation.select(
+            F.col("n_nationkey").cast("int").alias("id"),
+            F.col("n_name").alias("name"),
+            F.lit(1).alias("version"),
+            *[F.lit(None).cast("string").alias(c) for c in
+              ("identifier", "title", "collection_type")],
+            F.lit(None).cast("int").alias("grid_ref_sys_id"),
+            *[F.lit(None).cast("string").alias(c) for c in
+              ("metadata", "temporal_composition_schema", "quicklook")],
+            F.lit(True).alias("is_available"),
+        ))
+
+        def acts_of(df, cid_mod):
+            return df.select(
+                F.col("o_orderkey").cast("long").alias("id"),
+                (F.col("o_orderkey") % cid_mod).cast("int")
+                .alias("collection_id"),
+                F.lit("download").alias("activity_type"),
+                F.concat(F.lit("S-"), F.col("o_orderkey").cast("string"))
+                .alias("sceneid"),
+                F.lit(None).cast("string").alias("scene_type"),
+                F.lit(None).cast("array<string>").alias("tags"),
+                F.lit(None).cast("string").alias("args"),
+                F.lit(None).cast("timestamp_ntz").alias("created"),
+                F.lit(None).cast("timestamp_ntz").alias("updated"),
+            )
+
+        store.overwrite(
+            "activities",
+            acts_of(orders.filter(F.col("o_orderkey") % 10 == 0), 25))
+        store.set_constraints(
+            "activities",
+            not_null=("sceneid",),
+            foreign_keys=({"columns": ["collection_id"],
+                           "ref_table": "collections",
+                           "ref_columns": ["id"]},),
+        )
+        gen0 = store._current_gen("activities")
+        # batch A: %40 collection ids — 25..39 are orphans -> rejected
+        rejected_applied = True
+        try:
+            store.merge_upsert(
+                "activities",
+                acts_of(orders.filter(F.col("o_orderkey") % 15 == 0), 40))
+        except ConstraintViolation:
+            rejected_applied = store._current_gen("activities") != gen0
+        # batch B: the same rows with valid ids -> accepted
+        store.merge_upsert(
+            "activities",
+            acts_of(orders.filter(F.col("o_orderkey") % 15 == 0), 25))
+        # RESTRICT: deleting a still-referenced collection must fail
+        ref_cid = store.read("activities").agg(
+            F.min("collection_id")).collect()[0][0]
+        blocked = False
+        try:
+            store.delete_where("collections", f"id = {ref_cid}")
+        except ConstraintViolation:
+            blocked = True
+        final = store.read("activities").count()
+        _CONSTRAINT_STORES[sf_dir] = (final, rejected_applied, blocked)
+    return _CONSTRAINT_STORES[sf_dir]
+
+
+@query(
+    "s33_constraint_enforced_merge",
+    survey=("S15", "Y3", "Y4"),
+    oracle="""
+        WITH b10 AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0
+        ), b15 AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 15 = 0
+        )
+        SELECT
+            CAST((SELECT count(*) FROM b15 WHERE o_orderkey % 40 >= 25)
+                 AS BIGINT) AS rejected_batch_orphans,
+            FALSE AS rejected_commit_applied,
+            CAST((SELECT count(*) FROM b10) + (SELECT count(*) FROM b15)
+                 - (SELECT count(*) FROM orders WHERE o_orderkey % 30 = 0)
+                 AS BIGINT) AS final_activities,
+            TRUE AS restrict_delete_blocked
+    """,
+)
+def s33_constraint_enforced_merge(spark, sf_dir):
+    """Write-time constraint enforcement on the catalog store — the
+    reference's Postgres schema semantics (alembic
+    06fab6583881_activities.py: activities.collection_id FK ->
+    collections.id, NOT NULL columns) reproduced as
+    stage-validate-flip: a merge batch carrying orphan collection ids
+    is REJECTED with the pointer unmoved (rejected_commit_applied
+    proves it from the actual generation ids), the corrected batch
+    lands, and a DELETE of a still-referenced collection is blocked
+    (RESTRICT, the FK default). The oracle recomputes what the final
+    table must contain if and only if exactly the valid batch
+    committed — matching hashes prove rejection was total (no partial
+    batch) and acceptance was exact. Scale: validation is one fused
+    aggregate pass over the staged generation plus one anti-join per
+    FK against the (dimension-sized, broadcastable) referenced table;
+    a violating batch costs one staged write that never flips —
+    identical to Delta CHECK-constraint enforcement cost."""
+    final, rejected_applied, blocked = _constraint_store_outcomes(
+        spark, sf_dir)
+    orders = t(spark, sf_dir, "orders")
+    orphans = (
+        orders.filter((F.col("o_orderkey") % 15 == 0)
+                      & (F.col("o_orderkey") % 40 >= 25))
+        .agg(F.count("*").cast("bigint").alias("rejected_batch_orphans"))
+    )
+    return orphans.select(
+        "rejected_batch_orphans",
+        F.lit(rejected_applied).alias("rejected_commit_applied"),
+        F.lit(final).cast("bigint").alias("final_activities"),
+        F.lit(blocked).alias("restrict_delete_blocked"),
+    )
 
 
 def _schema_evo_store(spark, sf_dir) -> tuple[str, str, str]:
