@@ -83,7 +83,55 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="COL=SQL_EXPR", dest="assignments",
                     help="assignment, repeatable")
 
+    # declarative constraints — the reference manages these through
+    # alembic migrations (06fab6583881_activities.py); here they are
+    # store admin commands
+    sc = sub.add_parser("set-constraints",
+                        help="declare table constraints "
+                             "(validates existing rows first)")
+    sc.add_argument("--store", required=True)
+    sc.add_argument("-t", "--table", required=True)
+    sc.add_argument("--not-null", default="",
+                    help="comma-separated column names")
+    sc.add_argument("--unique", action="append", default=[],
+                    metavar="COL[,COL...]",
+                    help="unique key (repeatable; NULL keys exempt)")
+    sc.add_argument("--check", action="append", default=[],
+                    metavar="SQL_EXPR",
+                    help="CHECK predicate (repeatable; violation iff "
+                         "FALSE, NULL passes)")
+    sc.add_argument("--fk", action="append", default=[],
+                    metavar="COLS->TABLE.COLS[:cascade]",
+                    help="foreign key, e.g. "
+                         "'collection_id->collections.id' or "
+                         "'provider_id->providers.id:cascade'")
+
+    shc = sub.add_parser("show-constraints",
+                         help="print a table's declared constraints")
+    shc.add_argument("--store", required=True)
+    shc.add_argument("-t", "--table", required=True)
+
     return p
+
+
+def _parse_fk(spec: str) -> dict:
+    """``cols->ref_table.ref_cols[:cascade]`` -> foreign-key dict."""
+    on_delete = "restrict"
+    if spec.endswith(":cascade"):
+        spec, on_delete = spec[: -len(":cascade")], "cascade"
+    elif spec.endswith(":restrict"):
+        spec = spec[: -len(":restrict")]
+    left, _, right = spec.partition("->")
+    ref_table, _, ref_cols = right.partition(".")
+    if not (left and ref_table and ref_cols):
+        raise ValueError(
+            f"bad --fk (need COLS->TABLE.COLS[:cascade]): {spec!r}")
+    return {
+        "columns": [c.strip() for c in left.split(",")],
+        "ref_table": ref_table.strip(),
+        "ref_columns": [c.strip() for c in ref_cols.split(",")],
+        "on_delete": on_delete,
+    }
 
 
 def _engine_for(store_root: str):
@@ -192,12 +240,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "delete-rows":
+        from bdc_collection_builder_spark.catalog.store import (
+            ConstraintViolation,
+        )
+
         engine, spark = _engine_for(args.store)
         try:
             before = engine.store.read(args.table).count()
             engine.store.delete_where(args.table, args.where)
             after = engine.store.read(args.table).count()
             print(f"Deleted {before - after} row(s) from {args.table}")
+        except ConstraintViolation as exc:
+            # the DB's FK error at the prompt: message + nonzero exit
+            print(str(exc), file=sys.stderr)
+            return 1
         finally:
             spark.stop()
         return 0
@@ -216,6 +272,41 @@ def main(argv: list[str] | None = None) -> int:
             engine.store.update_where(args.table, args.where, assignments)
             print(f"Updated {args.table} "
                   f"({', '.join(assignments)}) where {args.where}")
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "set-constraints":
+        try:
+            fks = [_parse_fk(s) for s in args.fk]
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        engine, spark = _engine_for(args.store)
+        try:
+            engine.store.set_constraints(
+                args.table,
+                not_null=[c.strip() for c in args.not_null.split(",")
+                          if c.strip()],
+                unique=[[c.strip() for c in u.split(",")]
+                        for u in args.unique],
+                check=args.check,
+                foreign_keys=fks)
+            print(f"Constraints set on {args.table}")
+        except Exception as exc:  # violation or unknown column
+            print(str(exc), file=sys.stderr)
+            return 1
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "show-constraints":
+        import json
+
+        engine, spark = _engine_for(args.store)
+        try:
+            print(json.dumps(engine.store.constraints(args.table),
+                             indent=2, sort_keys=True))
         finally:
             spark.stop()
         return 0

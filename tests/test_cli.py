@@ -137,3 +137,77 @@ sys.exit(rc)
                          cwd="/root/repo")
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Deleted" in out.stdout and "Updated items" in out.stdout
+
+
+def test_constraints_cli_flow(tmp_path):
+    """set-constraints / show-constraints: declaration with FK parse,
+    enforcement visible through delete-rows (RESTRICT blocks, cascade
+    propagates), and rejection of a declaration over violating rows —
+    the store-admin face of the reference's alembic-managed schema."""
+    import subprocess
+
+    store = tmp_path / "cli_cons"
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from bdc_collection_builder_spark.__main__ import main, _engine_for
+from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+
+engine, spark = _engine_for({str(store)!r})
+fx = make_fixtures(spark, n_scenes=8, n_tiles=2)
+for t in ("collections", "providers", "collection_providers",
+          "activities"):
+    engine.store.overwrite(t, fx[t])
+spark.stop()
+
+rc = 0
+rc |= main(["set-constraints", "--store", {str(store)!r},
+            "-t", "activities",
+            "--not-null", "sceneid",
+            "--fk", "collection_id->collections.id"])
+rc |= main(["set-constraints", "--store", {str(store)!r},
+            "-t", "collection_providers",
+            "--fk", "provider_id->providers.id:cascade"])
+rc |= main(["show-constraints", "--store", {str(store)!r},
+            "-t", "activities"])
+# RESTRICT: deleting a referenced collection must exit nonzero and
+# leave the table intact (delete-rows surfaces the violation)
+engine, spark = _engine_for({str(store)!r})
+cid = engine.store.read("activities").select("collection_id").first()[0]
+n_cols = engine.store.read("collections").count()
+spark.stop()
+assert main(["delete-rows", "--store", {str(store)!r},
+             "-t", "collections", "-w", f"id = {{cid}}"]) == 1
+engine, spark = _engine_for({str(store)!r})
+assert engine.store.read("collections").count() == n_cols
+pid = engine.store.read("collection_providers").select(
+    "provider_id").first()[0]
+spark.stop()
+# CASCADE: deleting a provider removes its collection_providers rows
+rc |= main(["delete-rows", "--store", {str(store)!r}, "-t", "providers",
+            "-w", f"id = {{pid}}"])
+engine, spark = _engine_for({str(store)!r})
+assert engine.store.read("collection_providers").filter(
+    f"provider_id = {{pid}}").count() == 0
+# declaring over violating rows exits 1 (existing-rows validation)
+bad = engine.store.read("activities").limit(1).selectExpr(
+    "id + 1000000 as id", "999 as collection_id", "activity_type",
+    "concat(sceneid, '-bad') as sceneid", "scene_type", "tags",
+    "args", "created", "updated")
+engine.store.drop_constraints("activities")
+engine.store.merge_upsert("activities", bad)
+spark.stop()
+assert main(["set-constraints", "--store", {str(store)!r},
+             "-t", "activities",
+             "--fk", "collection_id->collections.id"]) == 1
+# malformed --fk exits 2
+assert main(["set-constraints", "--store", {str(store)!r},
+             "-t", "activities", "--fk", "nonsense"]) == 2
+sys.exit(rc)
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=600,
+                         cwd="/root/repo")
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert "Constraints set on activities" in out.stdout
+    assert '"ref_table": "collections"' in out.stdout
