@@ -186,3 +186,73 @@ def test_set_constraints_rejects_unknown_columns(store):
             foreign_keys=({"columns": ["collection_id"],
                            "ref_table": "collections",
                            "ref_columns": ["nope"]},))
+
+
+def test_constrained_merges_under_thread_contention(spark, tmp_path):
+    """Constraint validation rides the OCC loop: four concurrent
+    threads merge disjoint VALID batches into an FK+NOT-NULL
+    constrained table while a fifth repeatedly submits a violating
+    batch. Every valid batch must land (CAS re-derive re-validates),
+    every violating attempt must be rejected, and the final state must
+    contain exactly the valid rows — no partial or interleaved batch."""
+    import threading
+
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        CommitConflict,
+    )
+
+    st = CatalogStore(spark, str(tmp_path / "cons_threads"))
+    fx = make_fixtures(spark, n_scenes=60, n_tiles=4)
+    st.overwrite("collections", fx["collections"])
+    st.overwrite("activities", fx["activities"].filter(F.col("id") < 0))
+    st.set_constraints(
+        "activities",
+        not_null=("sceneid",),
+        foreign_keys=({"columns": ["collection_id"],
+                       "ref_table": "collections",
+                       "ref_columns": ["id"]},),
+    )
+    acts = fx["activities"]
+    ranges = [(0, 14), (15, 29), (30, 44), (45, 59)]
+    batches = [acts.filter((F.col("id") % 60 >= lo)
+                           & (F.col("id") % 60 <= hi))
+               for lo, hi in ranges]
+    expected = sum(b.count() for b in batches)
+    bad = acts.limit(3).withColumn("collection_id", F.lit(777)) \
+        .withColumn("sceneid", F.concat(F.lit("BAD-"),
+                                        F.col("id").cast("string")))
+    errors, rejected = [], []
+
+    def good_worker(batch):
+        for _ in range(12):
+            try:
+                st.merge_upsert("activities", batch)
+                return
+            except CommitConflict:
+                continue
+        errors.append("retries exhausted")
+
+    def bad_worker():
+        for _ in range(3):
+            try:
+                st.merge_upsert("activities", bad)
+                errors.append("violating batch was accepted")
+                return
+            except ConstraintViolation:
+                rejected.append(True)
+            except CommitConflict:
+                continue
+
+    threads = [threading.Thread(target=good_worker, args=(b,))
+               for b in batches]
+    threads.append(threading.Thread(target=bad_worker))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert rejected, "violating batch never reached validation"
+    final = st.read("activities")
+    assert final.count() == expected
+    assert final.filter(F.col("collection_id") == 777).count() == 0
