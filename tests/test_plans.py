@@ -349,3 +349,48 @@ def test_doc_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_total, n_oracle), (
         f"COVERAGE.md is stale ({m.group(1)}/{m.group(2)} vs registry "
         f"{n_total}/{n_oracle}) — rerun scripts/gen_coverage.py")
+
+
+def test_driver_window_rotation_round6():
+    """VERDICT-r5 task 3: guard the driver-window arithmetic. The
+    external driver checks exactly the FIRST 50 entries of queries();
+    round 6's window must be the 49 never-driver-checked oracled
+    queries (judge-computed list, VERDICT-r5 "What's missing" #1) plus
+    one deliberate re-check. Fails if anyone perturbs the rotation."""
+    import json
+    import os
+
+    from bdc_collection_builder_spark.plans.registry import (
+        _DRIVER_PRIORITY,
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    assert len(_DRIVER_PRIORITY) == 50
+    assert len(set(_DRIVER_PRIORITY)) == 50, "duplicate window entries"
+    unregistered = [n for n in _DRIVER_PRIORITY if n not in QUERY_REGISTRY]
+    assert not unregistered, unregistered
+    # every entry must be oracled (rows-only entries waste a slot on a
+    # guaranteed err:no_oracle row)
+    rows_only = [n for n in _DRIVER_PRIORITY
+                 if not QUERY_REGISTRY[n].oracle]
+    assert not rows_only, rows_only
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for i in range(1, 6):
+        path = os.path.join(root, f"CORRECTNESS_r0{i}.json")
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)).keys())
+    if len(checked) < 200:
+        pytest.skip("CORRECTNESS history not present in this checkout")
+
+    never_checked = {n for n in QUERY_REGISTRY
+                     if n not in checked and QUERY_REGISTRY[n].oracle}
+    # all 49 never-checked oracled queries are in the window ...
+    missing = never_checked - set(_DRIVER_PRIORITY)
+    assert not missing, f"never-checked queries left out: {sorted(missing)}"
+    # ... and the only already-checked entries are deliberate re-checks
+    rechecks = [n for n in _DRIVER_PRIORITY if n in checked]
+    assert rechecks == ["st_stream_outer_join"], rechecks
