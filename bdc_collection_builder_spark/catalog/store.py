@@ -466,7 +466,17 @@ class CatalogStore:
         # cascading child commit in ONE multi-table transaction —
         # readers never observe orphans, and the commit-time FK
         # validation sees the staged children, so it passes by
-        # construction. Bounded OCC retries mirror _cas_commit.
+        # construction. Cascades walk the reverse-FK graph
+        # TRANSITIVELY (ADVICE-r5: Postgres cascades through chains):
+        # a cascading child's own cascading children are staged too.
+        # A child reached again through a second cascade edge (a
+        # diamond) is re-filtered against its CURRENT staged state, so
+        # both parents' removals compose; a RESTRICT FK anywhere in
+        # the chain still blocks via the commit-time reverse check.
+        # Each table is enqueued as a cascade SOURCE once — in a
+        # cyclic declaration a second-wave removal could propagate no
+        # further and is rejected (safely) by commit validation.
+        # Bounded OCC retries mirror _cas_commit.
         last: CommitConflict | None = None
         for _ in range(4):
             try:
@@ -474,19 +484,27 @@ class CatalogStore:
                     before = tx.read(table)
                     after = before.filter(~F.coalesce(cond, F.lit(False)))
                     tx.overwrite(table, after)
-                    for child, fk in cascade:
-                        cols, rcols = fk["columns"], fk["ref_columns"]
-
-                        def keys(df):
-                            return df.select(
-                                *[F.col(rc).alias(c)
-                                  for rc, c in zip(rcols, cols)]
-                            ).distinct()
-
-                        removed = keys(before).join(
-                            keys(after), cols, "left_anti")
-                        tx.overwrite(child, tx.read(child).join(
-                            removed, cols, "left_anti"))
+                    queue = [(table, before, after)]
+                    enqueued = {table}
+                    while queue:
+                        parent, pbefore, pafter = queue.pop(0)
+                        for child, fk in self._referencing(parent):
+                            if fk.get("on_delete") != "cascade":
+                                continue
+                            cols, rcols = fk["columns"], fk["ref_columns"]
+                            alias = [F.col(rc).alias(c)
+                                     for rc, c in zip(rcols, cols)]
+                            removed = (pbefore.select(*alias).distinct()
+                                       .join(pafter.select(*alias)
+                                             .distinct(),
+                                             cols, "left_anti"))
+                            cbefore = tx.read(child)  # staged if touched
+                            cafter = cbefore.join(removed, cols,
+                                                  "left_anti")
+                            tx.overwrite(child, cafter)
+                            if child not in enqueued:
+                                enqueued.add(child)
+                                queue.append((child, cbefore, cafter))
                 return
             except CommitConflict as exc:
                 last = exc
@@ -546,10 +564,21 @@ class CatalogStore:
     def constraints(self, table: str) -> dict:
         import json as _json
 
+        # partition sub-stores inherit the parent table's declarations
+        # (see PartitionedCatalogStore._sub) — their own directory
+        # never carries a _CONSTRAINTS.json
+        inherited = getattr(self, "_inherited_constraints", None)
+        if inherited is not None and table in inherited:
+            return inherited[table]
         try:
             with open(self._constraints_path(table)) as fh:
                 return _json.load(fh)
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
+            # ONLY a missing file means "no constraints". A torn or
+            # corrupt _CONSTRAINTS.json must propagate (ADVICE-r5):
+            # swallowing the JSONDecodeError would silently downgrade
+            # the table to unconstrained — and the file is written via
+            # atomic os.replace, so corruption indicates real damage.
             return {}
 
     def set_constraints(self, table: str, *, not_null=(), unique=(),
@@ -561,29 +590,70 @@ class CatalogStore:
         "ref_columns": [...], "on_delete": "restrict"|"cascade"}``.
         If the table already has data, the CURRENT snapshot is
         validated first (like the DB validating existing rows) and
-        the declaration is rejected on violations."""
+        the declaration is rejected on violations.
+
+        Partitioned tables accept NOT NULL and CHECK (both are
+        row-local, so validating each staged partition independently
+        IS table-level validation — every row lives in exactly one
+        partition); UNIQUE and FOREIGN KEY stay unsupported there
+        because partitions commit independently and those invariants
+        span partitions."""
         import json as _json
 
-        if getattr(self, "partition_cols", {}).get(table):
+        if getattr(self, "partition_cols", {}).get(table) and (
+                unique or foreign_keys):
             raise NotImplementedError(
                 f"{table} is partitioned: partitions commit "
-                "independently, so table-level constraints would need "
+                "independently, so UNIQUE/FOREIGN KEY would need "
                 "cross-partition validation — declare them on an "
-                "unpartitioned store")
+                "unpartitioned store (NOT NULL and CHECK are fine)")
         fields = {f.name for f in SCHEMAS[table].fields}
+        unique_lists = [[u] if isinstance(u, str) else list(u)
+                        for u in unique]
+        # validate EVERY referenced column name and dry-run every
+        # check expression at declaration time (ADVICE-r5): a typo
+        # must be a rejected declaration here, not an
+        # AnalysisException inside every subsequent commit
         for c in not_null:
             if c not in fields:
                 raise KeyError(f"{table}: no column {c!r}")
+        for cols in unique_lists:
+            missing = [c for c in cols if c not in fields]
+            if missing:
+                raise KeyError(f"{table}: no column(s) {missing}")
         for fk in foreign_keys:
+            if fk.get("on_delete", "restrict") not in (
+                    "restrict", "cascade"):
+                raise ValueError(
+                    f"on_delete must be 'restrict' or 'cascade', got "
+                    f"{fk.get('on_delete')!r}")
+            missing = [c for c in fk["columns"] if c not in fields]
+            if missing:
+                raise KeyError(f"{table}: no column(s) {missing}")
             rf = {f.name for f in SCHEMAS[fk["ref_table"]].fields}
             missing = [c for c in fk["ref_columns"] if c not in rf]
             if missing:
                 raise KeyError(
                     f"{fk['ref_table']}: no column(s) {missing}")
+            if getattr(self, "partition_cols", {}).get(fk["ref_table"]):
+                raise NotImplementedError(
+                    f"{fk['ref_table']} is partitioned: its partition "
+                    "sub-stores commit without seeing referencing "
+                    "tables, so a foreign key targeting it cannot be "
+                    "reverse-validated on delete")
+        if check:
+            # analysis alone resolves names/types — no job runs
+            empty = self.spark.createDataFrame([], SCHEMAS[table])
+            for expr in check:
+                try:
+                    empty.select(F.expr(expr).cast("boolean"))
+                except Exception as exc:
+                    raise ValueError(
+                        f"{table}: invalid check expression {expr!r}: "
+                        f"{exc}") from exc
         cons = {
             "not_null": list(not_null),
-            "unique": [[u] if isinstance(u, str) else list(u)
-                       for u in unique],
+            "unique": unique_lists,
             "check": list(check),
             "foreign_keys": [dict(fk) for fk in foreign_keys],
         }
@@ -1028,6 +1098,36 @@ class Transaction:
         if not self._staged:
             return
         intent = self.store._intent_path()
+        # Constraint validation runs BEFORE any pointer lock is taken
+        # (ADVICE-r5): the validation is Spark jobs (one fused
+        # aggregate + one anti-join per FK per staged table), and
+        # holding every touched table's flock for their duration would
+        # block all concurrent committers. Validating lock-free gives
+        # transactions the SAME documented optimistic window
+        # _cas_commit has: the moved-gen CAS under the locks below
+        # still aborts if any TOUCHED table advanced, but a concurrent
+        # commit to an untouched FK-referenced table between this
+        # validation and the flips can slip past — the cross-commit FK
+        # race already documented in the constraints preamble above.
+        # Validation sees the TRANSACTION's view (read-your-writes): a
+        # cascade delete stages parent and children together, so the
+        # reverse-FK check resolves the children to their staged state
+        # and passes.
+        viols = []
+        for table in sorted(self._staged):
+            if (not self.store.constraints(table)
+                    and not self.store._referencing(table)):
+                continue
+            staged_df = self.read(table)
+            viols += [f"{table}: {m}" for m in
+                      self.store._violations(table, staged_df,
+                                             self.read)]
+            viols += [f"{table}: {m}" for m in
+                      self.store._reverse_violations(
+                          table, staged_df, self.read)]
+        if viols:
+            self.abort()
+            raise ConstraintViolation("; ".join(viols))
         with ExitStack() as locks:
             for table in sorted(self._staged):
                 locks.enter_context(self.store._pointer_lock(table))
@@ -1040,25 +1140,6 @@ class Transaction:
                 raise CommitConflict(
                     f"transaction lost the race on {moved}: tables "
                     f"moved since first touch — re-run the transaction")
-            # constraint validation sees the TRANSACTION's view
-            # (read-your-writes): a cascade delete stages parent and
-            # children together, so the reverse-FK check resolves the
-            # children to their staged state and passes
-            viols = []
-            for table in sorted(self._staged):
-                if (not self.store.constraints(table)
-                        and not self.store._referencing(table)):
-                    continue
-                staged_df = self.read(table)
-                viols += [f"{table}: {m}" for m in
-                          self.store._violations(table, staged_df,
-                                                 self.read)]
-                viols += [f"{table}: {m}" for m in
-                          self.store._reverse_violations(
-                              table, staged_df, self.read)]
-            if viols:
-                self.abort()
-                raise ConstraintViolation("; ".join(viols))
             tmp = f"{intent}.tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
                 json.dump(self._staged, fh)
@@ -1131,6 +1212,12 @@ class PartitionedCatalogStore(CatalogStore):
         sub = CatalogStore.__new__(CatalogStore)
         sub.spark, sub.root = self.spark, self._pdir(table, value)
         sub.keep_generations = self.keep_generations
+        # per-partition commits enforce the parent table's row-local
+        # constraints (NOT NULL / CHECK — the only kinds set_constraints
+        # accepts on a partitioned table): every row lives in exactly
+        # one partition, so validating each staged partition IS
+        # table-level validation for those kinds
+        sub._inherited_constraints = {table: self.constraints(table)}
         # in-memory pins are per-instance, but _vacuum also honors the
         # on-disk _PIN markers, so sibling _sub() instances for the
         # same partition (and other processes) share protection
@@ -1334,6 +1421,22 @@ class PartitionedCatalogStore(CatalogStore):
             # and need every schema field present in-file)
             (merged.withColumn("__p", F.col(pcol))
              .write.partitionBy("__p").mode("overwrite").parquet(staging))
+            part_dirs = [os.path.join(staging, d)
+                         for d in os.listdir(staging)
+                         if d.startswith("__p=")]
+            # validate the WHOLE staged batch once before any flip
+            # (one fused-aggregate scan — set_constraints only allows
+            # row-local NOT NULL/CHECK here, so no FK resolution):
+            # a violating merge is rejected with every partition
+            # pointer untouched, same all-or-nothing contract as the
+            # flat store's stage-validate-flip
+            if part_dirs and self.constraints(table):
+                staged_all = self.spark.read.schema(
+                    SCHEMAS[table]).parquet(*part_dirs)
+                msgs = self._violations(table, staged_all, self.read)
+                if msgs:
+                    raise ConstraintViolation(
+                        f"{table}: " + "; ".join(msgs))
             for d in os.listdir(staging):
                 if not d.startswith("__p="):
                     continue

@@ -256,3 +256,185 @@ def test_constrained_merges_under_thread_contention(spark, tmp_path):
     final = st.read("activities")
     assert final.count() == expected
     assert final.filter(F.col("collection_id") == 777).count() == 0
+
+
+def test_fk_cascade_is_transitive(store, spark):
+    """ADVICE-r5: Postgres cascades through FK chains. The reference's
+    own chain — activity_history.activity_id -> activities.id and
+    activities.collection_id -> collections.id (alembic
+    06fab6583881_activities.py) — must cascade end-to-end: deleting a
+    collection removes its activities AND their history rows in one
+    atomic transaction."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+
+    fx = make_fixtures(spark, n_scenes=40, n_tiles=4)
+    store.overwrite("activity_history", fx["activity_history"])
+    store.set_constraints(
+        "activities",
+        foreign_keys=({"columns": ["collection_id"],
+                       "ref_table": "collections",
+                       "ref_columns": ["id"],
+                       "on_delete": "cascade"},))
+    store.set_constraints(
+        "activity_history",
+        foreign_keys=({"columns": ["activity_id"],
+                       "ref_table": "activities",
+                       "ref_columns": ["id"],
+                       "on_delete": "cascade"},))
+    cid = store.read("activities").select("collection_id").first()[0]
+    doomed_acts = [r[0] for r in store.read("activities").filter(
+        F.col("collection_id") == cid).select("id").collect()]
+    n_hist_doomed = store.read("activity_history").filter(
+        F.col("activity_id").isin(doomed_acts)).count()
+    assert doomed_acts and n_hist_doomed > 0
+    n_hist_before = store.read("activity_history").count()
+
+    store.delete_where("collections", f"id = {cid}")
+
+    assert store.read("collections").filter(F.col("id") == cid) \
+        .count() == 0
+    assert store.read("activities").filter(
+        F.col("collection_id") == cid).count() == 0
+    hist = store.read("activity_history")
+    assert hist.filter(F.col("activity_id").isin(doomed_acts)) \
+        .count() == 0
+    assert hist.count() == n_hist_before - n_hist_doomed
+
+
+def test_restrict_mid_chain_blocks_cascade(store, spark):
+    """A RESTRICT FK anywhere in a cascade chain blocks the whole
+    delete: cascade collections->activities but RESTRICT
+    activity_history->activities. Nothing may move."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+
+    fx = make_fixtures(spark, n_scenes=40, n_tiles=4)
+    store.overwrite("activity_history", fx["activity_history"])
+    store.set_constraints(
+        "activities",
+        foreign_keys=({"columns": ["collection_id"],
+                       "ref_table": "collections",
+                       "ref_columns": ["id"],
+                       "on_delete": "cascade"},))
+    store.set_constraints(
+        "activity_history",
+        foreign_keys=({"columns": ["activity_id"],
+                       "ref_table": "activities",
+                       "ref_columns": ["id"]},))  # restrict (default)
+    cid = store.read("activity_history").join(
+        store.read("activities"),
+        F.col("activity_id") == F.col("id")).select(
+        "collection_id").first()[0]
+    gens = {t: store._current_gen(t)
+            for t in ("collections", "activities", "activity_history")}
+    with pytest.raises(ConstraintViolation, match="orphan"):
+        store.delete_where("collections", f"id = {cid}")
+    for t, g in gens.items():
+        assert store._current_gen(t) == g, f"{t} moved"
+
+
+def test_set_constraints_rejects_bad_declarations(store):
+    """ADVICE-r5: typos in unique columns, check expressions, FK child
+    columns, and on_delete values must be rejected AT DECLARATION, not
+    surface as AnalysisExceptions inside every later commit."""
+    with pytest.raises(KeyError):
+        store.set_constraints("items", unique=("no_such_col",))
+    with pytest.raises(KeyError):
+        store.set_constraints("items", unique=(("name", "nope"),))
+    with pytest.raises(ValueError, match="invalid check"):
+        store.set_constraints("items", check=("no_such_col > 0",))
+    with pytest.raises(KeyError):
+        store.set_constraints(
+            "activities",
+            foreign_keys=({"columns": ["not_a_col"],
+                           "ref_table": "collections",
+                           "ref_columns": ["id"]},))
+    with pytest.raises(ValueError, match="on_delete"):
+        store.set_constraints(
+            "activities",
+            foreign_keys=({"columns": ["collection_id"],
+                           "ref_table": "collections",
+                           "ref_columns": ["id"],
+                           "on_delete": "set_null"},))
+    assert not store.constraints("items")
+    assert not store.constraints("activities")
+
+
+def test_corrupt_constraints_file_raises(store):
+    """ADVICE-r5: a torn/corrupt _CONSTRAINTS.json must surface, not
+    silently downgrade the table to unconstrained."""
+    import json
+
+    store.set_constraints("items", not_null=("name",))
+    path = store._constraints_path("items")
+    with open(path, "w") as fh:
+        fh.write('{"not_null": ["name"')  # truncated write
+    with pytest.raises(json.JSONDecodeError):
+        store.constraints("items")
+
+
+def test_partitioned_store_row_local_constraints(spark, tmp_path):
+    """VERDICT-r5 task 5: NOT NULL and CHECK are row-local, so the
+    partitioned store accepts and enforces them per staged partition;
+    UNIQUE and FK stay guarded with the cross-partition reason."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat"))
+    fx = make_fixtures(spark, n_scenes=40, n_tiles=4)
+    st.overwrite("items", fx["items"])
+    st.set_constraints(
+        "items",
+        not_null=("name",),
+        check=("cloud_cover IS NULL OR "
+               "(cloud_cover >= 0 AND cloud_cover <= 100)",),
+    )
+
+    # violating batch rejected, no partition pointer moves
+    vals = st._partition_values("items")
+    gens = {v: st._sub("items", v)._current_gen("items") for v in vals}
+    bad = st.read("items").limit(1).withColumn(
+        "name", F.lit(None).cast("string"))
+    with pytest.raises(ConstraintViolation, match="not_null"):
+        st.merge_upsert("items", bad)
+    bad_cc = st.read("items").limit(1).withColumn(
+        "name", F.lit("p-bad")).withColumn("cloud_cover", F.lit(321.0))
+    with pytest.raises(ConstraintViolation, match="check"):
+        st.merge_upsert("items", bad_cc)
+    assert gens == {v: st._sub("items", v)._current_gen("items")
+                    for v in vals}
+
+    # valid batch lands; a fresh instance still enforces (persistence)
+    ok = st.read("items").limit(1).withColumn("name", F.lit("p-ok"))
+    st.merge_upsert("items", ok)
+    st2 = PartitionedCatalogStore(spark, st.root)
+    with pytest.raises(ConstraintViolation):
+        st2.merge_upsert("items", bad)
+
+    # cross-partition kinds stay guarded, with the narrowed message
+    with pytest.raises(NotImplementedError, match="UNIQUE/FOREIGN KEY"):
+        st.set_constraints("items", unique=("name",))
+    # an FK TARGETING a partitioned table is rejected too (its
+    # partition commits can't reverse-validate referencing tables)
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        st.set_constraints(
+            "activities",
+            foreign_keys=({"columns": ["collection_id"],
+                           "ref_table": "items",
+                           "ref_columns": ["id"]},))
+
+
+def test_partitioned_declaration_validates_existing_rows(spark, tmp_path):
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat2"))
+    fx = make_fixtures(spark, n_scenes=20, n_tiles=4)
+    st.overwrite("items", fx["items"].withColumn(
+        "cloud_cover", F.lit(500.0)))
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        st.set_constraints("items", check=("cloud_cover <= 100",))
+    assert not st.constraints("items")
