@@ -450,16 +450,41 @@ class CatalogStore:
         is what actually forgets."""
         cond = F.expr(condition) if isinstance(condition, str) \
             else condition
+        self._delete_with(
+            table,
+            lambda base: base.filter(~F.coalesce(cond, F.lit(False))))
+
+    def delete_keys(self, table: str, keys: DataFrame,
+                    key_cols: list[str] | None = None) -> None:
+        """DELETE rows whose key tuple appears in ``keys`` — the
+        anti-join MERGE form of :meth:`delete_where` (VERDICT-r5 task
+        4b): the key set stays a DataFrame end-to-end, the rewrite is
+        one distributed ``left_anti`` join, and no key ever reaches
+        the driver — so a million-key erasure batch costs one shuffle
+        instead of a million-term predicate. Same cascade/RESTRICT
+        semantics, same MVCC/vacuum caveat as delete_where.
+
+        NULL-valued key tuples in ``keys`` are ignored (a NULL key
+        can't equal anything — mirrors delete_where's NULL-predicate
+        rule)."""
+        key_cols = list(key_cols or MERGE_KEYS[table])
+        keys = keys.select(*key_cols).dropDuplicates(key_cols)
+        for c in key_cols:
+            keys = keys.filter(F.col(c).isNotNull())
+        self._delete_with(
+            table, lambda base: base.join(keys, key_cols, "left_anti"))
+
+    def _delete_with(self, table: str, shrink) -> None:
+        """Shared DELETE machinery: ``shrink(df)`` returns ``df``
+        without the doomed rows (a predicate filter for delete_where,
+        an anti-join for delete_keys)."""
         cascade = [(c, fk) for c, fk in self._referencing(table)
                    if fk.get("on_delete") == "cascade"]
         if not cascade:
             # RESTRICT is the default and needs no special path: the
             # post-stage reverse-FK check rejects a delete that would
             # orphan referencing rows, like the DB's FK error.
-            self._cas_commit(
-                table,
-                lambda base: base.filter(~F.coalesce(cond, F.lit(False))),
-                keep_extra=True)
+            self._cas_commit(table, shrink, keep_extra=True)
             return
         # ON DELETE CASCADE (reference alembic
         # 11f3e5366689_add_provider_setting.py:28): parent and every
@@ -482,7 +507,7 @@ class CatalogStore:
             try:
                 with self.transaction() as tx:
                     before = tx.read(table)
-                    after = before.filter(~F.coalesce(cond, F.lit(False)))
+                    after = shrink(before)
                     tx.overwrite(table, after)
                     queue = [(table, before, after)]
                     enqueued = {table}
@@ -1333,6 +1358,30 @@ class PartitionedCatalogStore(CatalogStore):
             else condition
         for value in self._touched_partitions(table, cond):
             self._sub(table, value).delete_where(table, cond)
+
+    def delete_keys(self, table: str, keys, key_cols=None) -> None:
+        if table not in self.partition_cols:
+            return super().delete_keys(table, keys, key_cols)
+        key_cols = list(key_cols or MERGE_KEYS[table])
+        keys = keys.select(*key_cols).dropDuplicates(key_cols)
+        for c in key_cols:
+            keys = keys.filter(F.col(c).isNotNull())
+        pcol = self.partition_cols[table]
+        if pcol in key_cols:
+            # partition-pruned: only partitions named in the key set
+            # are rewritten (dimension-sized collect of partition
+            # values, same bound as merge_upsert's touched list)
+            touched = {str(r[0]) for r in
+                       keys.select(pcol).distinct().collect()}
+            existing = set(self._partition_values(table))
+            for value in sorted(touched & existing):
+                self._sub(table, value).delete_keys(
+                    table,
+                    keys.filter(F.col(pcol).cast("string") == value),
+                    key_cols)
+            return
+        for value in self._partition_values(table):
+            self._sub(table, value).delete_keys(table, keys, key_cols)
 
     def update_where(self, table: str, condition, assignments) -> None:
         if table not in self.partition_cols:

@@ -4676,32 +4676,76 @@ def dd_exact_substring_maxlen(spark, sf_dir):
     DuckDB brute-forces the full 1..64 length grid. Reference
     anchor: the same F10 scene-dedup semantics pushed to substring
     granularity (collection_builder scene dedup, controller.py)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # carry_text=True is the small-scale fast path (no per-round
+    # docs join); exact_substring_stats(carry_text=False) is the
+    # 100 TB layout — same results, tested equivalent in
+    # tests/test_new_ops_properties.py.
+    return exact_substring_stats(docs, carry_text=True)
+
+
+def exact_substring_stats(docs, carry_text: bool = False):
+    """Binary-lifting ExactSubstr statistics over ``docs(doc_id,
+    text)`` — the engine behind :func:`dd_exact_substring_maxlen`.
+
+    Two physical layouts, identical results:
+
+    - ``carry_text=True``: position rows carry the doc text, so each
+      lifting round is self-contained (no join against docs). Cheapest
+      at test scale, but the checkpointed per-position state holds a
+      copy of the text — corpus bytes x positions at 100 TB.
+    - ``carry_text=False`` (the 100 TB layout, VERDICT-r5 task 4a):
+      the lifted state is (doc_id, off, l) ONLY — three ints per
+      position. Each round re-attaches text with a doc_id-co-
+      partitioned equi-join against the (hash-partitioned, once-
+      checkpointed) docs table; text bytes are consumed in-stage by
+      substring() and never enter the checkpoint or the gram shuffle
+      (which moves only (m, g) pairs).
+    """
     from bdc_collection_builder_spark.functions.parallel import spread
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    # Position rows carry the doc text: at test scale this is the
-    # cheapest layout (no per-round join); at 100 TB the equivalent
-    # is a doc_id-co-partitioned join against the docs table so text
-    # bytes are not replicated per position. spread(): the testdata
-    # parquet is one row group -> one task, and the checkpoint would
-    # freeze that; the path is partition-order-insensitive (everything
-    # downstream keys on (doc_id, off) or gram hash).
+    # spread(): the testdata parquet is one row group -> one task, and
+    # the checkpoint would freeze that; the path is partition-order-
+    # insensitive (everything downstream keys on (doc_id, off) or
+    # gram hash).
+    docs = (spread(docs.select("doc_id", "text"))
+            .withColumn("dlen", F.length("text")))
+    if not carry_text:
+        # one partitioning of the corpus, reused by every round's
+        # co-partitioned join
+        docs = docs.repartition("doc_id").localCheckpoint(eager=True)
     pos = (
-        spread(docs)
-        .select(
-            "doc_id", "text",
-            F.explode(F.sequence(F.lit(1), F.length("text")))
+        docs.select(
+            "doc_id", *(["text", "dlen"] if carry_text else ["dlen"]),
+            F.explode(F.sequence(F.lit(1), F.col("dlen")))
             .alias("off"))
-        .withColumn("dlen", F.length("text"))
         .withColumn("l", F.lit(0))
-    ).localCheckpoint(eager=True)
-    base = pos.select("doc_id", "off", "text", "dlen")
+    )
+    if carry_text:
+        pos = pos.select("doc_id", "off", "text", "dlen", "l")
+    else:
+        pos = pos.select("doc_id", "off", "l")
+    pos = pos.localCheckpoint(eager=True)
+    state_cols = pos.columns
+    # probe side: (text, dlen, off) triples. carry_text reads them
+    # from the initial position checkpoint (free); the co-partitioned
+    # layout re-explodes the checkpointed docs table each round so the
+    # position state never holds text
+    probe_base = (
+        pos.select("text", "dlen", "off") if carry_text
+        else docs.select(
+            "text", "dlen",
+            F.explode(F.sequence(F.lit(1), F.col("dlen")))
+            .alias("off"))
+    )
     for k, lens in _es_round_lengths():
         # corpus-wide duplicated (length, gram) set for this round's
-        # static length ladder
+        # static length ladder; text is consumed by substring() in the
+        # same narrow stage, only (m, g) pairs reach the groupBy
+        # shuffle
         probe = (
-            base.select(
-                "doc_id", "off", "text", "dlen",
+            probe_base.select(
+                "text", "dlen", "off",
                 F.explode(F.array(*[F.lit(m) for m in lens]))
                 .alias("m"))
             .filter(F.col("off") + F.col("m") - 1 <= F.col("dlen"))
@@ -4712,22 +4756,26 @@ def dd_exact_substring_maxlen(spark, sf_dir):
             .filter(F.col("count") >= 2)
             .select("m", "g")
         )
+        live = pos.filter(F.col("l") + k <= _ES_CAP)
+        if carry_text:
+            attached = live
+        else:
+            attached = live.join(docs, "doc_id")  # co-partitioned
         cand = (
-            pos.filter((F.col("l") + k <= _ES_CAP)
-                       & (F.col("off") + F.col("l") + k - 1
-                          <= F.col("dlen")))
-            .select("doc_id", "off", "text", "dlen", "l",
+            attached
+            .filter(F.col("off") + F.col("l") + k - 1 <= F.col("dlen"))
+            .select("doc_id", "off",
                     (F.col("l") + k).alias("m"),
                     F.expr(f"substring(text, off, l + {k})").alias("g"))
         )
         lifted = (
             cand.join(dups, ["m", "g"], "left_semi")
-            .select("doc_id", "off", (F.col("l") + k).alias("l2"))
+            .select("doc_id", "off", F.col("m").alias("l2"))
         )
         pos = (
             pos.join(lifted, ["doc_id", "off"], "left")
-            .select("doc_id", "off", "text", "dlen",
-                    F.coalesce("l2", "l").alias("l"))
+            .withColumn("l", F.coalesce("l2", "l"))
+            .select(*state_cols)
         ).localCheckpoint(eager=True)
     return (
         pos.groupBy("doc_id")

@@ -525,19 +525,25 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
                         store: CatalogStore, checkpoint_dir: str,
                         table: str = "items",
                         key_cols: tuple[str, str] = ("name",
-                                                     "collection_id")):
+                                                     "collection_id"),
+                        max_inlist_keys: int = 256):
     """Continuously apply DELETE requests (erasure/compliance feed) to
     a catalog table: each micro-batch of (name, collection_id) keys
-    becomes ONE ``delete_where`` rewrite through the store's CAS loop.
+    becomes ONE delete rewrite through the store's CAS loop.
 
     Idempotent under at-least-once delivery: re-deleting an absent key
     is a no-op rewrite, so replayed batches converge (same contract as
-    incremental_publish's MERGE). The per-batch predicate is built as
-    an IN-list over the batch's keys — erasure batches are small and
-    bounded (a compliance queue, not the firehose), so the predicate
-    stays a broadcast-sized expression; for large batches swap in an
-    anti-join MERGE (store.merge semantics with deletes,
-    plans/sources.py s31 shape).
+    incremental_publish's MERGE). Two batch-size regimes (VERDICT-r5
+    task 4b promoted the second from a comment to code):
+
+    - up to ``max_inlist_keys`` keys: the predicate is an IN-list over
+      the collected batch (``delete_where``) — one bounded driver
+      collect, cheapest when the compliance queue drips.
+    - larger batches: ``store.delete_keys`` — an anti-join MERGE whose
+      key set stays a DataFrame end-to-end, so a million-key backfill
+      costs one distributed left_anti join and NO data-sized driver
+      collect. The regime probe collects at most max_inlist_keys+1
+      rows, never the batch.
 
     MVCC caveat (same as Delta): the delete creates a new generation —
     prior snapshots still hold the rows until vacuum passes the
@@ -545,9 +551,15 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
     schema = f"{key_cols[0]} string, {key_cols[1]} int"
 
     def erase_batch(batch: DataFrame, epoch_id: int) -> None:
-        keys = batch.dropDuplicates(list(key_cols)).collect()
+        distinct = batch.dropDuplicates(list(key_cols))
+        # bounded probe: fetch threshold+1 rows, NEVER the whole batch
+        keys = distinct.limit(max_inlist_keys + 1).collect()
         if not keys:
             return
+        if len(keys) > max_inlist_keys:
+            store.delete_keys(table, distinct, list(key_cols))
+            return
+
         def lit_sql(v):
             if isinstance(v, str):
                 return "'" + v.replace("'", "''") + "'"

@@ -712,3 +712,42 @@ def test_exact_substring_lifting_truth_table(spark, tmp_path):
     assert got[4][0] == 64 and got[5][0] == 64
     assert got[0][0] >= 30 and got[1][0] >= 30
     assert got[3][0] < 8
+
+
+def test_exact_substring_layouts_equivalent(spark, sf_dir):
+    """VERDICT-r5 task 4a: the ExactSubstr binary-lifting engine has
+    two physical layouts — text carried on position rows (small-scale
+    fast path) and the doc_id-co-partitioned join layout whose lifted
+    state is (doc_id, off, l) only (the 100 TB form). Same corpus,
+    byte-identical statistics; and the co-partitioned state must NOT
+    carry a text column through its checkpoints."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.plans.extensions import (
+        exact_substring_stats,
+    )
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fast = exact_substring_stats(docs, carry_text=True)
+    big = exact_substring_stats(docs, carry_text=False)
+    assert fast.columns == big.columns
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, big.collect()))
+    assert a == b
+    # cross-check one anchor against pure-Python brute force on the
+    # few longest-overlap docs so both layouts can't share a bug
+    pdocs = {r.doc_id: r.text for r in docs.collect()}
+    grams: dict[tuple[int, str], int] = {}
+    for text in pdocs.values():
+        for i in range(len(text)):
+            for L in (8, 64):
+                if i + L <= len(text):
+                    grams[(L, text[i:i + L])] = \
+                        grams.get((L, text[i:i + L]), 0) + 1
+    expect_dup8 = {
+        d: sum(1 for i in range(len(t))
+               if i + 8 <= len(t) and grams[(8, t[i:i + 8])] >= 2)
+        for d, t in pdocs.items()}
+    got_dup8 = {r[0]: r[2] for r in a}
+    assert got_dup8 == expect_dup8

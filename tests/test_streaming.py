@@ -581,3 +581,103 @@ def test_incremental_erasure_deletes_and_is_idempotent(spark, tmp_path):
     assert store.read("items").count() == n0 - n_victims
     # MVCC: pre-erasure snapshot intact until vacuumed past horizon
     assert store.read_at("items", gen0).count() == n0
+
+
+def test_incremental_erasure_large_batch_antijoin_path(spark, tmp_path):
+    """VERDICT-r5 task 4b: batches above max_inlist_keys route through
+    store.delete_keys (anti-join MERGE, no data-sized driver collect)
+    and must produce exactly the same result as the IN-list path."""
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_erasure,
+    )
+
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    store = CatalogStore(spark, str(tmp_path / "ecat-big"))
+    store.overwrite("items", fx["items"])
+    n0 = store.read("items").count()
+
+    victims = fx["items"].limit(9).select("name", "collection_id")
+    n_victims = victims.count()
+    requests = str(tmp_path / "requests-big")
+    victims.write.mode("overwrite").parquet(requests)
+
+    # threshold of 3 forces the 9-key batch onto the anti-join path
+    q = incremental_erasure(spark, requests, store,
+                            str(tmp_path / "eckpt-big"),
+                            max_inlist_keys=3)
+    q.awaitTermination(120)
+
+    after = store.read("items")
+    assert after.count() == n0 - n_victims
+    assert after.join(victims, ["name", "collection_id"]).count() == 0
+
+
+def test_delete_keys_matches_delete_where(spark, tmp_path):
+    """store.delete_keys (anti-join) and delete_where (predicate) are
+    interchangeable: same survivors, NULL key tuples ignored, cascade
+    chains honored."""
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    a = CatalogStore(spark, str(tmp_path / "dk-a"))
+    b = CatalogStore(spark, str(tmp_path / "dk-b"))
+    for st in (a, b):
+        st.overwrite("items", fx["items"])
+    victims = fx["items"].limit(5).select("name", "collection_id")
+    preds = " OR ".join(
+        f"(name = '{r.name}' AND collection_id = {r.collection_id})"
+        for r in victims.collect())
+    a.delete_where("items", preds)
+    # NULL-keyed request rows must be ignored, not match anything
+    from pyspark.sql import functions as F
+    noisy = victims.unionByName(
+        victims.limit(1).select(
+            F.lit(None).cast("string").alias("name"), "collection_id"))
+    b.delete_keys("items", noisy, ["name", "collection_id"])
+    left = sorted(map(tuple, a.read("items").collect()))
+    right = sorted(map(tuple, b.read("items").collect()))
+    assert left == right
+
+    # cascade: delete_keys on providers cascades collection_providers
+    b.overwrite("providers", fx["providers"])
+    b.overwrite("collection_providers", fx["collection_providers"])
+    b.set_constraints(
+        "collection_providers",
+        foreign_keys=({"columns": ["provider_id"],
+                       "ref_table": "providers",
+                       "ref_columns": ["id"],
+                       "on_delete": "cascade"},))
+    pid = b.read("collection_providers").select("provider_id").first()[0]
+    b.delete_keys("providers",
+                  spark.createDataFrame([(pid,)], "id int"), ["id"])
+    assert b.read("providers").filter(F.col("id") == pid).count() == 0
+    assert b.read("collection_providers").filter(
+        F.col("provider_id") == pid).count() == 0
+
+
+def test_partitioned_delete_keys_prunes_partitions(spark, tmp_path):
+    """Partitioned delete_keys rewrites ONLY partitions named in the
+    key set — untouched partitions keep their generation pointer."""
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    st = PartitionedCatalogStore(spark, str(tmp_path / "dk-p"))
+    st.overwrite("items", fx["items"])
+    vals = st._partition_values("items")
+    assert len(vals) >= 2
+    target = vals[0]
+    from pyspark.sql import functions as F
+    victims = (st.read("items")
+               .filter(F.col("collection_id").cast("string") == target)
+               .limit(3).select("name", "collection_id"))
+    n_victims = victims.count()
+    n0 = st.read("items").count()
+    gens = {v: st._sub("items", v)._current_gen("items") for v in vals}
+    st.delete_keys("items", victims, ["name", "collection_id"])
+    assert st.read("items").count() == n0 - n_victims
+    for v in vals[1:]:
+        assert st._sub("items", v)._current_gen("items") == gens[v], \
+            f"untouched partition {v} was rewritten"
+    assert st._sub("items", target)._current_gen("items") != gens[target]
