@@ -620,21 +620,31 @@ class CatalogStore:
         Partitioned tables accept NOT NULL and CHECK (both are
         row-local, so validating each staged partition independently
         IS table-level validation — every row lives in exactly one
-        partition); UNIQUE and FOREIGN KEY stay unsupported there
-        because partitions commit independently and those invariants
-        span partitions."""
+        partition), plus UNIQUE keys that INCLUDE the partition
+        column (two rows sharing such a key share the partition
+        value, so they live in the same partition and per-partition
+        validation sees both — Postgres places the same requirement
+        on unique indexes over partitioned tables). UNIQUE keys
+        without the partition column and FOREIGN KEYs stay
+        unsupported there: partitions commit independently and those
+        invariants span partitions."""
         import json as _json
 
-        if getattr(self, "partition_cols", {}).get(table) and (
-                unique or foreign_keys):
-            raise NotImplementedError(
-                f"{table} is partitioned: partitions commit "
-                "independently, so UNIQUE/FOREIGN KEY would need "
-                "cross-partition validation — declare them on an "
-                "unpartitioned store (NOT NULL and CHECK are fine)")
         fields = {f.name for f in SCHEMAS[table].fields}
         unique_lists = [[u] if isinstance(u, str) else list(u)
                         for u in unique]
+        pcol = getattr(self, "partition_cols", {}).get(table)
+        if pcol:
+            cross = [u for u in unique_lists if pcol not in u]
+            if cross or foreign_keys:
+                raise NotImplementedError(
+                    f"{table} is partitioned: partitions commit "
+                    "independently, so UNIQUE keys without the "
+                    f"partition column ({cross or '-'}) and FOREIGN "
+                    "KEYs would need cross-partition validation — "
+                    "declare them on an unpartitioned store (NOT "
+                    "NULL, CHECK, and UNIQUE keys containing "
+                    f"{pcol!r} are fine)")
         # validate EVERY referenced column name and dry-run every
         # check expression at declaration time (ADVICE-r5): a typo
         # must be a rejected declaration here, not an

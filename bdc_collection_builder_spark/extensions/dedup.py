@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.extensions.text import tokens
 from bdc_collection_builder_spark.functions.persist import tracked_persist
+from bdc_collection_builder_spark.functions.rounds import note_rounds
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -518,6 +519,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         .withColumn("component_id", F.col("doc_id"))
     )
     for _ in range(max_iter):
+        note_rounds(1)
         # smallest neighbor label per node, then min with own label
         neighbor_min = (
             both.join(labels, both.b == labels.doc_id)
@@ -587,6 +589,7 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
     e = both
     prev_count = e.count()
     for _ in range(max_iter):
+        note_rounds(1)
         e = star(e, large=True).localCheckpoint(eager=True)
         e = star(e, large=False).localCheckpoint(eager=True)
         n = e.count()

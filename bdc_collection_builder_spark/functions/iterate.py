@@ -42,6 +42,9 @@ def iterate(state: DataFrame,
     projection and hand the frame to the harness, so forcing an extra
     materialization here would waste a job.
     """
+    from bdc_collection_builder_spark.functions.rounds import note_rounds
+
+    note_rounds(n)
     for i in range(n):
         state = step(state, i)
         if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 \

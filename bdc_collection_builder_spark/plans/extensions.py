@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.functions.persist import tracked_persist
+from bdc_collection_builder_spark.functions.rounds import note_rounds
 from bdc_collection_builder_spark.plans._util import t
 from bdc_collection_builder_spark.plans.registry import query
 
@@ -4739,6 +4740,7 @@ def exact_substring_stats(docs, carry_text: bool = False):
             .alias("off"))
     )
     for k, lens in _es_round_lengths():
+        note_rounds(1)
         # corpus-wide duplicated (length, gram) set for this round's
         # static length ladder; text is consumed by substring() in the
         # same narrow stage, only (m, g) pairs reach the groupBy

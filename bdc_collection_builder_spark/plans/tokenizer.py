@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.extensions.text import tokens
+from bdc_collection_builder_spark.functions.rounds import note_rounds
 from bdc_collection_builder_spark.plans._util import t
 from bdc_collection_builder_spark.plans.registry import query
 
@@ -781,6 +782,7 @@ def tk_bpe_train_rounds(spark, sf_dir):
 
     seg = tracked_persist(_bpe_initial_segmentation(spark, sf_dir))
     learned = []
+    note_rounds(_BPE_ROUNDS)
     for r in range(_BPE_ROUNDS):
         top = (
             _bpe_pair_counts(seg)
@@ -1030,6 +1032,7 @@ def tk_viterbi_em_counts(spark, sf_dir):
 
     walk = best.select("w", F.col("l").alias("pos"))
     pieces = []
+    note_rounds(_VIT_CAP)
     for _ in range(_VIT_CAP):
         step = (
             walk.filter(F.col("pos") > 0)

@@ -39,15 +39,19 @@ def main() -> None:
     all_queries()
     spark = get_spark("planmap", master="local[8]", shuffle_partitions=8)
 
+    from bdc_collection_builder_spark.functions import rounds as cr
+
     rows = []
     for name in sorted(QUERY_REGISTRY):
         if name in _SKIP:
             rows.append((name, None))
             continue
+        cr.reset()
         df = QUERY_REGISTRY[name].spark_fn(spark, sf_dir)
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         rows.append((name, {
+            "rounds": cr.taken(),
             "shuffles": plan.count("Arguments: hashpartitioning"),
             "bhj": plan.count("BroadcastHashJoin"),
             "smj": plan.count("SortMergeJoin"),
@@ -68,17 +72,26 @@ def main() -> None:
         "top-k (never a global sort), `python` = Arrow-batched Python",
         "boundaries (0 for every JVM-only hot path), `window` = window",
         "operators. `stream` = the query drains a real Structured Streaming",
-        "run at construction; see its module for the state-size story.", "",
-        "| query | shuffles | bhj | smj | takeordered | python | window |",
-        "|---|---|---|---|---|---|---|",
+        "run at construction; see its module for the state-size story.",
+        "`rounds` = construction-time iteration rounds (iterate()",
+        "relaxations, binary-lifting / EM / contraction passes) executed",
+        "eagerly BEFORE the fingerprinted plan — each round is typically",
+        "1+ shuffles that the final plan does not show, so for iterative",
+        "queries the true shuffle budget is ~shuffles + rounds x",
+        "per-round shuffles (VERDICT-r5 What's-wrong #2).", "",
+        "| query | shuffles | rounds | bhj | smj | takeordered | python"
+        " | window |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, fp in rows:
         if fp is None:
-            lines.append(f"| `{name}` | stream | | | | | |")
+            lines.append(f"| `{name}` | stream | | | | | | |")
         else:
+            rounds = fp["rounds"] or ""
             lines.append(
-                f"| `{name}` | {fp['shuffles']} | {fp['bhj']} | {fp['smj']}"
-                f" | {fp['takeordered']} | {fp['python']} | {fp['window']} |")
+                f"| `{name}` | {fp['shuffles']} | {rounds} | {fp['bhj']}"
+                f" | {fp['smj']} | {fp['takeordered']} | {fp['python']}"
+                f" | {fp['window']} |")
     tot = [fp for _, fp in rows if fp]
     lines += [
         "",

@@ -413,8 +413,24 @@ def test_partitioned_store_row_local_constraints(spark, tmp_path):
         st2.merge_upsert("items", bad)
 
     # cross-partition kinds stay guarded, with the narrowed message
-    with pytest.raises(NotImplementedError, match="UNIQUE/FOREIGN KEY"):
+    with pytest.raises(NotImplementedError, match="cross-partition"):
         st.set_constraints("items", unique=("name",))
+    # ... but a UNIQUE key CONTAINING the partition column is
+    # partition-local (Postgres's partitioned-unique-index rule):
+    # accepted, enforced per staged partition
+    st.set_constraints("items", unique=(("name", "collection_id"),))
+    dup_row = st.read("items").limit(1)
+    dup = dup_row.unionByName(dup_row).withColumn(
+        "id", F.col("id") + F.monotonically_increasing_id())
+    with pytest.raises(ConstraintViolation, match="unique"):
+        st._sub("items", st._partition_values("items")[0]) \
+            ._commit("items", dup)
+    st.drop_constraints("items")
+    st.set_constraints(
+        "items",
+        not_null=("name",),
+        check=("cloud_cover IS NULL OR "
+               "(cloud_cover >= 0 AND cloud_cover <= 100)",))
     # an FK TARGETING a partitioned table is rejected too (its
     # partition commits can't reverse-validate referencing tables)
     with pytest.raises(NotImplementedError, match="partitioned"):
