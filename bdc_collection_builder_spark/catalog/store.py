@@ -1271,14 +1271,42 @@ class PartitionedCatalogStore(CatalogStore):
     def read(self, table: str) -> DataFrame:
         if table not in self.partition_cols:
             return super().read(table)
-        paths = []
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        # group partitions by their current generation's schema (base
+        # schema unless an evolving merge left a _SCHEMA.json marker):
+        # one scan per distinct schema, reconciled by an
+        # allowMissingColumns union — partitions never touched since an
+        # evolution read NULL for the added columns
+        groups: dict[str, list[str]] = {}
         for value in self._partition_values(table):
-            data = self._sub(table, value).data_path(table)
-            if data is not None:
-                paths.append(data)
-        if not paths:
+            sub = self._sub(table, value)
+            gen = sub._current_gen(table)
+            if gen is None:
+                continue
+            sj = sub._gen_schema(table, gen).json()
+            groups.setdefault(sj, []).append(
+                os.path.join(sub.path(table), gen))
+        if not groups:
             return self.spark.createDataFrame([], SCHEMAS[table])
-        return self.spark.read.schema(SCHEMAS[table]).parquet(*paths)
+        frames = [
+            self.spark.read.schema(
+                StructType.fromJson(_json.loads(sj))).parquet(*paths)
+            for sj, paths in groups.items()
+        ]
+        if len(frames) == 1:
+            return frames[0]
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf, allowMissingColumns=True)
+        # deterministic union view: base columns first, evolved extras
+        # in sorted order (per-partition schemas may list them in
+        # different orders depending on which merge evolved them)
+        base = [f.name for f in SCHEMAS[table].fields]
+        extras = sorted(c for c in out.columns if c not in base)
+        return out.select(*base, *extras)
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         if table not in self.partition_cols:
@@ -1414,18 +1442,22 @@ class PartitionedCatalogStore(CatalogStore):
         if table not in self.partition_cols:
             return super().merge_upsert(table, incoming, keys,
                                         evolve_schema=evolve_schema)
-        if evolve_schema:
-            # per-partition generations would need their schema markers
-            # reconciled across partitions on every read; until that
-            # lands, evolution is a flat-store feature
-            raise NotImplementedError(
-                "schema evolution is not supported for partitioned "
-                "tables yet — evolve on the flat store or extend "
-                "SCHEMAS")
         pcol = self.partition_cols[table]
         keys = keys or MERGE_KEYS[table]
         cols = [f.name for f in SCHEMAS[table].fields]
-        incoming = incoming.select(*cols)
+        if evolve_schema:
+            # ADD-COLUMN evolution on a partitioned table: each touched
+            # partition's new generation carries its own _SCHEMA.json
+            # marker (schema versioned with the snapshot, per
+            # partition), and read() reconciles divergent partition
+            # schemas with an allowMissingColumns union — a partition
+            # never touched since the evolution still reads NULL for
+            # the new columns, exactly like the flat store's old
+            # generations under time travel.
+            extras_in = [c for c in incoming.columns if c not in cols]
+            incoming = incoming.select(*cols, *extras_in)
+        else:
+            incoming = incoming.select(*cols)
         touched = [r[0] for r in incoming.select(pcol).distinct().collect()]
         if not touched:
             return
@@ -1460,17 +1492,38 @@ class PartitionedCatalogStore(CatalogStore):
                     break
                 sub._unprotect(table, g)
                 base_gens[str(value)] = sub._current_gen(table)
-        current_paths = [
-            os.path.join(sub.path(table), g) for sub, g in pinned_subs
+        # Read the touched partitions' current generations with their
+        # OWN (possibly evolved) schemas: paths sharing a schema scan
+        # together; divergent groups reconcile via an
+        # allowMissingColumns union (bounded by #touched partitions).
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema_groups: dict[str, list[str]] = {}
+        for sub, g in pinned_subs:
+            sj = sub._gen_schema(table, g).json()
+            schema_groups.setdefault(sj, []).append(
+                os.path.join(sub.path(table), g))
+        frames = [
+            self.spark.read.schema(
+                StructType.fromJson(_json.loads(sj))).parquet(*paths)
+            for sj, paths in schema_groups.items()
         ]
-        current = (
-            self.spark.read.schema(SCHEMAS[table]).parquet(*current_paths)
-            if current_paths
-            else self.spark.createDataFrame([], SCHEMAS[table])
-        )
-        kept = current.join(
-            F.broadcast(incoming.select(*keys)), keys, "left_anti")
-        merged = kept.unionByName(incoming)
+        if not frames:
+            current = self.spark.createDataFrame([], SCHEMAS[table])
+        else:
+            current = frames[0]
+            for fdf in frames[1:]:
+                current = current.unionByName(
+                    fdf, allowMissingColumns=True)
+        # _merged aligns both sides to the evolved column set (typed
+        # NULL fill) and broadcast-anti-joins the incoming keys — the
+        # same plan the inline kept/union used, plus evolution
+        merged = self._merged(table, current, incoming, keys,
+                              evolve=evolve_schema)
+        out_schema = merged.schema  # before __p is added
+        evolved = [f.name for f in out_schema.fields if f.name not in cols]
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:12]}")
         gen = f"gen-{uuid.uuid4().hex[:12]}"
         try:
@@ -1491,7 +1544,7 @@ class PartitionedCatalogStore(CatalogStore):
             # flat store's stage-validate-flip
             if part_dirs and self.constraints(table):
                 staged_all = self.spark.read.schema(
-                    SCHEMAS[table]).parquet(*part_dirs)
+                    out_schema).parquet(*part_dirs)
                 msgs = self._violations(table, staged_all, self.read)
                 if msgs:
                     raise ConstraintViolation(
@@ -1504,6 +1557,12 @@ class PartitionedCatalogStore(CatalogStore):
                 os.makedirs(sub.path(table), exist_ok=True)
                 os.replace(os.path.join(staging, d),
                            os.path.join(sub.path(table), gen))
+                if evolved:
+                    # schema versioned WITH the partition's snapshot —
+                    # sub._gen_schema picks this up on every read
+                    with open(os.path.join(sub.path(table), gen,
+                                           "_SCHEMA.json"), "w") as fh:
+                        fh.write(out_schema.json())
                 try:
                     sub._flip(table, gen, expected=base_gens.get(value_str))
                 except CommitConflict:
@@ -1517,7 +1576,9 @@ class PartitionedCatalogStore(CatalogStore):
                     sub._cas_commit(
                         table,
                         lambda base, inc=part_incoming:
-                        self._merged(table, base, inc, keys))
+                        self._merged(table, base, inc, keys,
+                                     evolve=evolve_schema),
+                        keep_extra=True)
         finally:
             for sub, g in pinned_subs:
                 sub._unprotect(table, g)
