@@ -180,6 +180,45 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         shingles(docs, text_col, id_col, k), n_hashes, base_hash)
 
 
+def lsh_candidates(sig: DataFrame, bands: int, rows_per_band: int,
+                   engine_neutral: bool = False) -> DataFrame:
+    """Banded LSH candidate pairs (doc_a < doc_b) from a (doc_id,
+    signature) table: explode each signature into its band keys, then
+    ONE equi-join on (band, band_key) — never all-pairs. Shared by the
+    near-dup pipeline and the sketch-accuracy eval."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        _cached_expr,
+    )
+
+    def band_key_sql(band: int) -> str:
+        refs = [f"signature[{band * rows_per_band + r}]"
+                for r in range(rows_per_band)]
+        if engine_neutral:
+            casted = ", ".join(f"CAST({r} AS STRING)" for r in refs)
+            return f"concat_ws('|', {casted})"
+        # 8-byte join key instead of a concat'd string: the band's
+        # sub-signature collapses through one xxhash64
+        return f"xxhash64({', '.join(refs)})"
+
+    banded_sql = "array(" + ", ".join(
+        f"named_struct('band', {band}, 'band_key', {band_key_sql(band)})"
+        for band in range(bands)) + ")"
+    banded = sig.select(
+        "doc_id",
+        F.explode(_cached_expr(banded_sql)).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5, n_hashes: int = 32,
                       bands: int = 8, threshold: float = 0.5,
@@ -219,36 +258,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         sh = tracked_persist(shingles(docs, text_col, id_col, k, hashed=True))
         sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
 
-    from bdc_collection_builder_spark.extensions.similarity import (
-        _cached_expr,
-    )
-
-    def band_key_sql(band: int) -> str:
-        refs = [f"signature[{band * rows_per_band + r}]"
-                for r in range(rows_per_band)]
-        if engine_neutral:
-            casted = ", ".join(f"CAST({r} AS STRING)" for r in refs)
-            return f"concat_ws('|', {casted})"
-        # 8-byte join key instead of a concat'd string: the band's
-        # sub-signature collapses through one xxhash64
-        return f"xxhash64({', '.join(refs)})"
-
-    banded_sql = "array(" + ", ".join(
-        f"named_struct('band', {band}, 'band_key', {band_key_sql(band)})"
-        for band in range(bands)) + ")"
-    banded = sig.select(
-        "doc_id",
-        F.explode(_cached_expr(banded_sql)).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = lsh_candidates(sig, bands, rows_per_band,
+                                engine_neutral)
     # Exact-Jaccard verification restricted to the candidate pairs —
     # never all-pairs: two equi-joins against the shingle table, keyed
     # (doc, shingle), so cost scales with candidates, not corpus².

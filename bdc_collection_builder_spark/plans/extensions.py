@@ -4785,3 +4785,169 @@ def exact_substring_stats(docs, carry_text: bool = False):
              F.sum(F.when(F.col("l") >= 8, 1).otherwise(0))
              .cast("bigint").alias("dup8_positions"))
     )
+
+
+def _minhash_error_oracle(n_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB recomputation of the MinHash sketch-accuracy eval:
+    signatures, banded candidates, estimated vs exact Jaccard."""
+    from bdc_collection_builder_spark.extensions.dedup import _hash_family
+
+    fam = _hash_family(n_hashes)
+    rows_per_band = n_hashes // bands
+    mins = ",\n                   ".join(
+        f"min((h * {a} + {b}) % {_M31}) AS h{i}"
+        for i, (a, b) in enumerate(fam))
+    banded = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {band} AS band, concat_ws('|', "
+        + ", ".join(f"h{band * rows_per_band + r}"
+                    for r in range(rows_per_band))
+        + ") AS band_key FROM sigs"
+        for band in range(bands))
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes))
+    return f"""
+        WITH corpus AS ({_AUG_SQL}),
+        tokd AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+        shingled AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       array_to_string(toks[i + 1 : i + 5], ' ') AS sh
+                FROM tokd, UNNEST(generate_series(0, len(toks) - 5)) AS u(i)
+                WHERE len(toks) >= 5
+            )
+        ),
+        hashed AS (
+            SELECT doc_id, sh, {_HEX60.format(x='sh')} % {_M31} AS h
+            FROM shingled
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   {mins}
+            FROM hashed GROUP BY doc_id
+        ),
+        banded AS (
+            {banded}
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+        common AS (
+            SELECT doc_a, doc_b, count(*) AS n_common
+            FROM cands
+            JOIN shingled sa ON sa.doc_id = doc_a
+            JOIN shingled sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+            GROUP BY doc_a, doc_b
+        ),
+        scored AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST({matches} AS BIGINT) AS n_matching,
+                   CAST(coalesce(m.n_common, 0) AS DOUBLE)
+                     / (za.n + zb.n - coalesce(m.n_common, 0))
+                     AS exact_j
+            FROM cands c
+            JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b
+            LEFT JOIN common m
+              ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+            JOIN sizes za ON za.doc_id = c.doc_a
+            JOIN sizes zb ON zb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, n_matching,
+               round(CAST(n_matching AS DOUBLE) / {n_hashes}, 6)
+                 AS est_jaccard,
+               round(exact_j, 6) AS exact_jaccard,
+               round(abs(CAST(n_matching AS DOUBLE) / {n_hashes}
+                         - exact_j), 6) AS abs_error
+        FROM scored
+    """
+
+
+@query(
+    "dd_minhash_estimate_error",
+    survey=("DD-minhash",),
+    oracle=_minhash_error_oracle(),
+)
+def dd_minhash_estimate_error(spark, sf_dir):
+    """Sketch-accuracy evaluation for the MinHash near-dup pipeline:
+    over every banded LSH candidate pair of the planted-pair corpus,
+    the ESTIMATED Jaccard (matching signature components / 32, the
+    unbiased MinHash estimator, Broder 1997 — public) against the
+    EXACT shingle Jaccard, with the absolute error. This is the
+    statistic that justifies the (n_hashes, bands) operating point:
+    dd_planted_pair_eval measures pair RECOVERY, this measures
+    estimator QUALITY on the recovered pairs.
+
+    Determinism: the match count is an integer (component-wise
+    equality of md5-60bit universal-hash minima — exact on both
+    engines), exact Jaccard is a ratio of exact integers, and the
+    error is one double expression over them; everything rounds at 6
+    decimals far above ulp noise.
+
+    100 TB: identical cost envelope to dd_minhash_lsh_md5 — one
+    shingle shuffle, one signature aggregate, one banded equi-join,
+    two keyed verification joins against candidates only (never
+    all-pairs); the signature comparison is a 32-element zip_with on
+    already-joined rows."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        lsh_candidates,
+        minhash_signatures_from_shingles,
+        shingles,
+    )
+    from bdc_collection_builder_spark.functions.persist import (
+        tracked_persist,
+    )
+
+    base = t(spark, sf_dir, "documents")
+    docs = base.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    near = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    corpus = docs.unionByName(near)
+    sh = tracked_persist(shingles(corpus, "text", "doc_id", 5))
+    sig = tracked_persist(
+        minhash_signatures_from_shingles(sh, 32, "md5"))
+    cands = lsh_candidates(sig, bands=8, rows_per_band=4,
+                           engine_neutral=True)
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"),
+                       F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"),
+                       F.col("signature").alias("sig_b"))
+    n_match = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v).cast("bigint")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    exact_j = (F.coalesce("n_common", F.lit(0)).cast("double")
+               / (F.col("n_a") + F.col("n_b")
+                  - F.coalesce("n_common", F.lit(0))))
+    est_j = F.col("n_matching").cast("double") / 32
+    return (
+        cands.join(sig_a, "doc_a").join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_matching"))
+        .join(common, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a").join(zb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_matching",
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(exact_j, 6).alias("exact_jaccard"),
+            F.round(F.abs(est_j - exact_j), 6).alias("abs_error"))
+    )

@@ -866,3 +866,83 @@ def gr_dag_layering(spark, sf_dir):
     final = iterate(state, step, _LAYER_ROUNDS, checkpoint_every=2)
     return final.groupBy(F.col("layer").cast("bigint").alias("layer")).agg(
         F.count("*").cast("bigint").alias("n_nodes"))
+
+
+@query(
+    "gr_degree_assortativity",
+    survey=("GR-triangles", "A7"),
+    oracle=f"""
+        WITH {_GRAPH_SQL},
+        outd AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS x
+            FROM edges GROUP BY src
+        ),
+        ind AS (
+            SELECT dst, CAST(count(*) AS BIGINT) AS y
+            FROM edges GROUP BY dst
+        ),
+        exy AS (
+            SELECT o.x, i.y
+            FROM edges e
+            JOIN outd o ON o.src = e.src
+            JOIN ind i ON i.dst = e.dst
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM exy
+        )
+        SELECT n AS n_edges,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)),
+                     6) AS assortativity
+        FROM s
+    """,
+)
+def gr_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002, public) of the citation
+    graph: the Pearson correlation, over directed edges, of the
+    source's out-degree with the target's in-degree. Positive =
+    hubs cite hubs (link-ring / boilerplate smell in a web corpus);
+    negative = hubs cite the long tail. Complements the degree
+    histogram and triangle count as a corpus-graph quality signal.
+
+    Determinism contract: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is
+    an exact int64 sum of small integers — order-independent — and the
+    correlation is ONE double expression over those exact integers
+    (products cast to double only where n·Σx² − (Σx)² squared would
+    overflow int64 at scale), so both engines compute bit-identical
+    bytes before the 6-decimal round.
+
+    100 TB: two degree aggregates (shuffle on src / dst), two
+    equi-joins back to the edge table (degree tables are node-sized
+    and co-partitioned with the join keys), one fused moment
+    aggregate. No driver collect, no sort."""
+    _nodes, edges, _n = citation_edges(spark, sf_dir)
+    edges = tracked_persist(edges)
+    outd = edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("x"))
+    ind = edges.groupBy("dst").agg(
+        F.count("*").cast("bigint").alias("y"))
+    exy = edges.join(outd, "src").join(ind, "dst")
+    s = exy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("assortativity"))

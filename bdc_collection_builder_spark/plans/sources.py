@@ -2923,3 +2923,213 @@ def s32_csv_malformed_recovery(spark, sf_dir):
         (F.sum(F.when(good, F.round(F.col("price") * 100).cast("bigint"))
                .otherwise(F.lit(0))).cast("double") / 100)
         .alias("good_total"))
+
+
+_PART_EVO_STORES: dict[str, tuple] = {}
+
+
+def _part_evo_outcomes(spark, sf_dir):
+    """Build a real PARTITIONED MVCC store (partition column
+    collection_id = o_orderkey % 7), commit the %10 orders subset as
+    items, then evolve ONLY partitions 1 and 2 with a quality_score
+    column via merge_upsert(evolve_schema=True). Returns the
+    reconciled read() per-partition profile plus the untouched
+    partitions' pointer stability — the cross-partition schema
+    reconciliation contract (store.py PartitionedCatalogStore.read).
+
+    NOTE (bench): outcomes are cached per sf_dir like the other store
+    seams (s27/s33) — a second invocation in one session measures a
+    dict lookup, not the store; exclude from bench or document if
+    benched."""
+    if sf_dir not in _PART_EVO_STORES:
+        import tempfile
+
+        from bdc_collection_builder_spark.catalog.store import (
+            PartitionedCatalogStore,
+        )
+
+        root = tempfile.mkdtemp(prefix="bdc_part_evo_store_")
+        store = PartitionedCatalogStore(spark, root)
+        orders = t(spark, sf_dir, "orders")
+
+        def items_of(df):
+            return df.select(
+                F.col("o_orderkey").cast("long").alias("id"),
+                F.col("o_orderkey").cast("string").alias("name"),
+                (F.col("o_orderkey") % 7).cast("int").alias("collection_id"),
+                F.lit(None).cast("timestamp_ntz").alias("start_date"),
+                F.lit(None).cast("timestamp_ntz").alias("end_date"),
+                F.col("o_totalprice").alias("cloud_cover"),
+                *[F.lit(None).cast("double").alias(c) for c in
+                  ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")],
+                F.lit(None).cast("string").alias("footprint_wkt"),
+                F.lit(None).cast("int").alias("srid"),
+                F.lit(None).cast("int").alias("tile_id"),
+                F.lit(None).cast("int").alias("provider_id"),
+                F.lit(None).cast("string").alias("assets"),
+                F.lit(True).alias("is_available"),
+                F.lit(None).cast("timestamp_ntz").alias("updated"),
+            )
+
+        store.overwrite(
+            "items", items_of(orders.filter(F.col("o_orderkey") % 10 == 0)))
+        pre_gens = {
+            v: store._sub("items", v)._current_gen("items")
+            for v in store._partition_values("items")
+        }
+        evolved = items_of(
+            orders.filter((F.col("o_orderkey") % 20 == 0)
+                          & ((F.col("o_orderkey") % 7).isin(1, 2)))
+        ).withColumn(
+            "quality_score",
+            (F.col("id") % 1000).cast("double") / 10.0)
+        store.merge_upsert("items", evolved, evolve_schema=True)
+        untouched_stable = all(
+            store._sub("items", v)._current_gen("items") == g
+            for v, g in pre_gens.items() if v not in ("1", "2"))
+        _PART_EVO_STORES[sf_dir] = (root, untouched_stable)
+    return _PART_EVO_STORES[sf_dir]
+
+
+@query(
+    "s34_partitioned_evolution_read",
+    survey=("S15", "Y3"),
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey, o_orderkey % 7 AS cid
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        evo AS (
+            SELECT o_orderkey,
+                   CAST(o_orderkey % 1000 AS DOUBLE) / 10.0 AS q
+            FROM orders
+            WHERE o_orderkey % 20 = 0 AND (o_orderkey % 7) IN (1, 2)
+        )
+        SELECT CAST(v1.cid AS INT) AS collection_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(e.q) AS BIGINT) AS n_quality_nonnull,
+               min(e.q) AS min_quality,
+               max(e.q) AS max_quality,
+               TRUE AS untouched_partitions_stable
+        FROM v1 LEFT JOIN evo e ON e.o_orderkey = v1.o_orderkey
+        GROUP BY v1.cid
+    """,
+)
+def s34_partitioned_evolution_read(spark, sf_dir):
+    """ADD-COLUMN schema evolution on a PARTITIONED store, proven
+    through the reconciled read: only partitions 1 and 2 receive an
+    evolving merge (their new generations carry the evolved
+    _SCHEMA.json), every other partition's generation pointer never
+    moves (asserted from the actual generation ids and returned as a
+    column), and read() reconciles the divergent partition schemas so
+    un-evolved partitions surface NULL quality_score. The oracle
+    recomputes the per-partition profile from the source table —
+    matching hashes prove evolve-merge + schema reconciliation ==
+    recompute.
+
+    Scale: the evolving merge is ONE job over the touched partitions
+    (dynamic-partition-overwrite shape, broadcast anti-join on the
+    merge key); the reconciled read costs one scan per distinct
+    partition schema (2 here) unioned by name — untouched partitions
+    are never rewritten. Reference anchor: collection-scoped publish
+    (publish.py:575-605) where one collection's reprocessing must not
+    touch sibling collections' files."""
+    root, untouched_stable = _part_evo_outcomes(spark, sf_dir)
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    store = PartitionedCatalogStore(spark, root)
+    items = store.read("items")
+    return (
+        items.groupBy("collection_id")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.count("quality_score").cast("bigint")
+             .alias("n_quality_nonnull"),
+             F.min("quality_score").alias("min_quality"),
+             F.max("quality_score").alias("max_quality"))
+        .withColumn("untouched_partitions_stable",
+                    F.lit(bool(untouched_stable)))
+    )
+
+
+_ERASURE_STORES: dict[str, str] = {}
+
+
+def _erasure_store_root(spark, sf_dir) -> str:
+    """Flat MVCC store with the %10 orders subset as items, erased by
+    store.delete_keys with the %30 subset's keys — the anti-join MERGE
+    path (no IN-list, no data-sized collect), applied twice to prove
+    idempotence (the second apply is a no-op rewrite of identical
+    content)."""
+    if sf_dir not in _ERASURE_STORES:
+        import tempfile
+
+        from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+        root = tempfile.mkdtemp(prefix="bdc_erasure_store_")
+        store = CatalogStore(spark, root)
+        orders = t(spark, sf_dir, "orders")
+        items = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            F.col("o_orderkey").cast("long").alias("id"),
+            F.col("o_orderkey").cast("string").alias("name"),
+            (F.col("o_orderkey") % 7).cast("int").alias("collection_id"),
+            F.lit(None).cast("timestamp_ntz").alias("start_date"),
+            F.lit(None).cast("timestamp_ntz").alias("end_date"),
+            F.col("o_totalprice").alias("cloud_cover"),
+            *[F.lit(None).cast("double").alias(c) for c in
+              ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")],
+            F.lit(None).cast("string").alias("footprint_wkt"),
+            F.lit(None).cast("int").alias("srid"),
+            F.lit(None).cast("int").alias("tile_id"),
+            F.lit(None).cast("int").alias("provider_id"),
+            F.lit(None).cast("string").alias("assets"),
+            F.lit(True).alias("is_available"),
+            F.lit(None).cast("timestamp_ntz").alias("updated"),
+        )
+        store.overwrite("items", items)
+        keys = orders.filter(F.col("o_orderkey") % 30 == 0).select(
+            F.col("o_orderkey").cast("string").alias("name"),
+            (F.col("o_orderkey") % 7).cast("int").alias("collection_id"))
+        store.delete_keys("items", keys, ["name", "collection_id"])
+        store.delete_keys("items", keys, ["name", "collection_id"])
+        _ERASURE_STORES[sf_dir] = root
+    return _ERASURE_STORES[sf_dir]
+
+
+@query(
+    "s35_erasure_delete_keys",
+    survey=("S15", "Y3"),
+    oracle="""
+        SELECT CAST(o_orderkey % 7 AS INT) AS collection_id,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_orderkey % 30 <> 0
+        GROUP BY 1
+    """,
+)
+def s35_erasure_delete_keys(spark, sf_dir):
+    """Compliance erasure through the store's anti-join MERGE path
+    (store.delete_keys): the doomed key set stays a DataFrame
+    end-to-end — one distributed left_anti join rewrites the snapshot,
+    no key ever reaches the driver — and a second identical apply is a
+    no-op (at-least-once delivery converges). The oracle recomputes
+    the surviving per-collection counts from the source table;
+    matching hashes prove the anti-join deleted exactly the requested
+    keys and nothing else. Complements s33 (constraint-gated MERGE)
+    and the streaming incremental_erasure's large-batch regime
+    (streaming/incremental.py), which routes through this same store
+    path above its IN-list threshold.
+
+    Scale: one shuffle on the (name, collection_id) delete key; the
+    MVCC caveat applies as documented — prior generations still hold
+    the rows until vacuum passes the retention horizon."""
+    root = _erasure_store_root(spark, sf_dir)
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    store = CatalogStore(spark, root)
+    return (
+        store.read("items")
+        .groupBy("collection_id")
+        .agg(F.count("*").cast("bigint").alias("n_items"))
+    )

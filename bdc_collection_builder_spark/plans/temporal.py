@@ -790,3 +790,87 @@ def tj_seasonal_naive_eval(spark, sf_dir):
         (F.sum(err).cast("double") / (100 * F.count("*")))
         .alias("mae_value"),
         (F.max(err).cast("double") / 100).alias("max_abs_err"))
+
+
+@query(
+    "tj_autocorrelation_lag1",
+    survey=("Y6", "A2"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', {duck_ts()}) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT event_type, c AS x,
+                   lead(c) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS y
+            FROM daily
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, n AS n_pairs,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)),
+                     6) AS autocorr_lag1
+        FROM s
+    """,
+)
+def tj_autocorrelation_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of the per-type daily event volume — the
+    monitoring statistic that separates a drifting/trending feed
+    (autocorr near 1) from independent daily noise (near 0), feeding
+    the same alerting surface as dq_volume_anomaly and the CUSUM
+    changepoint (reference Y6: activity status monitoring). Pairs are
+    (day t, next OBSERVED day) within each type, so an ingestion gap
+    contributes one pair, not a run of artificial zeros.
+
+    Determinism contract (same as gr_degree_assortativity): daily
+    counts are exact int64, all six Pearson moments are exact int64
+    sums, and the correlation is one double expression over them —
+    bit-identical on both engines before the 6-decimal round.
+
+    100 TB: one corpus-scale shuffle (the daily count), then a window
+    over |types| x |days| rows and a moment aggregate over the same —
+    dimension-sized. No collect, no global sort."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts").cast("timestamp"))
+                 .cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = (
+        daily.select("event_type", F.col("c").alias("x"),
+                     F.lead("c").over(w).alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    return s.select(
+        "event_type", F.col("n").alias("n_pairs"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("autocorr_lag1"))

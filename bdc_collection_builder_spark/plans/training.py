@@ -1236,3 +1236,101 @@ def tx_rag_chunking(spark, sf_dir):
         F.size(sliced).cast("bigint").alias("n_tokens"),
         F.md5(F.concat_ws(" ", sliced)).alias("chunk_hash"),
     )
+
+
+@query(
+    "tx_zipf_slope",
+    survey=("TX-vocab", "TX-quality"),
+    oracle=f"""
+        WITH words AS (
+            SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest({_TOKS}) AS tok FROM documents
+            ) GROUP BY tok
+        ),
+        ranked AS (
+            SELECT row_number() OVER (ORDER BY cnt DESC, w) AS r, cnt
+            FROM words
+            ORDER BY cnt DESC, w LIMIT 100
+        ),
+        q AS (
+            SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 10000000e0)
+                        AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000000e0)
+                        AS BIGINT) AS y
+            FROM ranked
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM q
+        )
+        SELECT n AS n_words,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                 AS zipf_slope,
+               round((CAST(sy AS DOUBLE) / 10000000e0
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE) / 10000000e0)
+                     / CAST(n AS DOUBLE), 6) AS zipf_intercept
+        FROM s
+    """,
+)
+def tx_zipf_slope(spark, sf_dir):
+    """Zipf-law fit over the corpus vocabulary: the OLS slope (and
+    intercept) of ln(frequency) against ln(rank) for the top-100
+    words. Natural corpora sit near slope -1 (Zipf 1949, public);
+    machine-generated or template text bends the curve — a one-number
+    corpus-quality diagnostic alongside the entropy and repetition
+    suites.
+
+    Determinism contract: each point's ln() is computed per row and
+    QUANTIZED to an int64 at 1e-7 granularity, so every regression
+    moment is an exact integer sum (order-free); a 1-ulp libm/JVM
+    disagreement on one ln() perturbs a moment by 1e-7 and the slope
+    by under 1e-8 — orders below the 6-decimal round. The slope is
+    then one double expression over exact integers on both engines.
+
+    100 TB: one map-side-combined word-count shuffle (the corpus
+    scan), a TakeOrdered top-100 (per-partition heaps, no global
+    sort), then a 100-row fused aggregate. The regression itself is
+    dimension-sized."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    top = words.orderBy(F.col("cnt").desc(), "w").limit(100)
+    ranked = top.withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(F.col("cnt").desc(),
+                                                 "w")))
+    scale = 10000000.0
+    q = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * scale)
+        .cast("bigint").alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * scale)
+        .cast("bigint").alias("y"))
+    s = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double") / (F.col("n") * F.col("sxx")
+                           - F.col("sx") * F.col("sx")).cast("double")
+    intercept = (F.col("sy").cast("double") / scale
+                 - slope * F.col("sx").cast("double") / scale) \
+        / F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"))
