@@ -74,6 +74,19 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("-w", "--where", required=True,
                     help="SQL predicate; only TRUE rows are removed")
 
+    dk = sub.add_parser("delete-keys",
+                        help="DELETE rows whose key tuples appear in a "
+                             "parquet key file (anti-join MERGE — for "
+                             "erasure batches too large for a "
+                             "predicate)")
+    dk.add_argument("--store", required=True)
+    dk.add_argument("-t", "--table", required=True)
+    dk.add_argument("--keys", required=True,
+                    help="parquet path holding the doomed key tuples")
+    dk.add_argument("--key-cols", default="",
+                    help="comma-separated key columns "
+                         "(default: the table's merge keys)")
+
     ur = sub.add_parser("update-rows",
                         help="UPDATE <table> SET col=expr WHERE <predicate>")
     ur.add_argument("--store", required=True)
@@ -252,6 +265,27 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Deleted {before - after} row(s) from {args.table}")
         except ConstraintViolation as exc:
             # the DB's FK error at the prompt: message + nonzero exit
+            print(str(exc), file=sys.stderr)
+            return 1
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "delete-keys":
+        from bdc_collection_builder_spark.catalog.store import (
+            ConstraintViolation,
+        )
+
+        engine, spark = _engine_for(args.store)
+        try:
+            keys = spark.read.parquet(args.keys)
+            key_cols = [c.strip() for c in args.key_cols.split(",")
+                        if c.strip()] or None
+            before = engine.store.read(args.table).count()
+            engine.store.delete_keys(args.table, keys, key_cols)
+            after = engine.store.read(args.table).count()
+            print(f"Deleted {before - after} row(s) from {args.table}")
+        except ConstraintViolation as exc:
             print(str(exc), file=sys.stderr)
             return 1
         finally:

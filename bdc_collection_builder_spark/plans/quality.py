@@ -1019,3 +1019,56 @@ def dq_cardinality_drift(spark, sf_dir):
         (F.col("cust_b").cast("double") / F.col("cust_a"))
         .alias("cust_ratio"),
         "status_a", "status_b", "priority_a", "priority_b")
+
+
+@query(
+    "dq_k_anonymity",
+    survey=("A2", "TX-quality"),
+    oracle="""
+        WITH classes AS (
+            SELECT lang, source,
+                   CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
+                   CAST(count(*) AS BIGINT) AS class_size
+            FROM documents
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(class_size) AS BIGINT) AS min_class_size,
+               CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_classes_below_k,
+               CAST(sum(CASE WHEN class_size < 5 THEN class_size
+                        ELSE 0 END) AS BIGINT) AS n_docs_at_risk
+        FROM classes
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002, public) over the documents
+    table's quasi-identifier tuple (lang, source, length bucket): an
+    equivalence class smaller than k=5 means those documents are
+    re-identifiable by their metadata alone — the privacy gate a
+    training-data release pipeline runs BEFORE publishing corpus
+    metadata, complementing the PII content scan (tx_pii_scrub) with
+    a structural check the content scan cannot see.
+
+    Pure integer counting — one groupBy on the quasi-identifier
+    tuple (map-side combined), one fused rollup aggregate over the
+    class table. Deterministic bytes by construction.
+
+    100 TB: the class table is bounded by the quasi-identifier
+    cardinality (languages x sources x buckets), orders below the
+    corpus; the only corpus-scale cost is the first combine."""
+    classes = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source",
+                 F.floor(F.col("n_chars") / 100).cast("bigint")
+                 .alias("size_bucket"))
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+    )
+    below = F.when(F.col("class_size") < 5, 1).otherwise(0)
+    at_risk = F.when(F.col("class_size") < 5,
+                     F.col("class_size")).otherwise(0)
+    return classes.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(below).cast("bigint").alias("n_classes_below_k"),
+        F.sum(at_risk).cast("bigint").alias("n_docs_at_risk"))

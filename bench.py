@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline suite: one representative per operator family, weighted
 # toward the scale-relevant paths (joins, windows, dedup, ANN, text).
+#
+# DO NOT add the store-seam queries (s27, s33, s34, s35) to this
+# suite without removing their per-sf_dir outcome caches first: each
+# caches its store build in a module dict (deterministic and
+# test-correct — the store work is idempotent), so only the FIRST
+# invocation in a session measures the engine; every later run
+# measures a dict lookup (VERDICT-r5 What's-wrong #3).
 BENCH_QUERIES = [
     "q1_pricing_summary",        # multi-measure hash aggregate
     "j01_three_way_status_counts",  # 3-way join + agg

@@ -211,3 +211,48 @@ sys.exit(rc)
     assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
     assert "Constraints set on activities" in out.stdout
     assert '"ref_table": "collections"' in out.stdout
+
+
+def test_delete_keys_cli(tmp_path):
+    """delete-keys: erase rows whose key tuples come from a parquet
+    file — the anti-join MERGE admin command (same single-JVM
+    subprocess pattern)."""
+    import subprocess
+
+    store = tmp_path / "cli_dk"
+    keys_pq = tmp_path / "doomed_keys"
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from bdc_collection_builder_spark.__main__ import main, _engine_for
+from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+
+engine, spark = _engine_for({str(store)!r})
+fx = make_fixtures(spark, n_scenes=12, n_tiles=2)
+engine.store.overwrite("items", fx["items"])
+n0 = engine.store.read("items").count()
+victims = fx["items"].limit(4).select("name", "collection_id")
+nv = victims.count()
+victims.write.mode("overwrite").parquet({str(keys_pq)!r})
+
+rc = main(["delete-keys", "--store", {str(store)!r}, "-t", "items",
+           "--keys", {str(keys_pq)!r},
+           "--key-cols", "name,collection_id"])
+engine, spark = _engine_for({str(store)!r})
+got = engine.store.read("items")
+assert got.count() == n0 - nv
+assert got.join(spark.read.parquet({str(keys_pq)!r}),
+                ["name", "collection_id"]).count() == 0
+# default key columns = the table's merge keys (same columns here)
+rc |= main(["delete-keys", "--store", {str(store)!r}, "-t", "items",
+            "--keys", {str(keys_pq)!r}])  # idempotent no-op
+engine, spark = _engine_for({str(store)!r})
+assert engine.store.read("items").count() == n0 - nv
+sys.exit(rc)
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=300,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert f"Deleted 4 row(s)" in out.stdout
+    assert f"Deleted 0 row(s)" in out.stdout

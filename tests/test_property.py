@@ -262,3 +262,37 @@ def test_png_roundtrip_property(height, width, rgb, seed):
     shape = (height, width, 3) if rgb else (height, width)
     a = rng.integers(0, 256, size=shape).astype("uint8")
     assert np.array_equal(read_png(write_png(a)), a)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_delete_keys_equals_filter_delete(shared_spark, tmp_path_factory,
+                                          seed):
+    """Property: for ANY key subset, store.delete_keys (anti-join
+    MERGE) leaves exactly the rows a predicate-based delete_where of
+    the same keys would — survivors identical as multisets."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import CatalogStore
+
+    spark = shared_spark
+    base = tmp_path_factory.mktemp(f"dkprop{seed}")
+    fx = make_fixtures(spark, n_scenes=20, n_tiles=3)
+    a = CatalogStore(spark, str(base / "a"))
+    b = CatalogStore(spark, str(base / "b"))
+    for s in (a, b):
+        s.overwrite("items", fx["items"])
+    victims = fx["items"].filter(
+        F.xxhash64(F.col("name"), F.lit(seed)) % 3 == 0
+    ).select("name", "collection_id")
+    rows = victims.collect()
+    if rows:
+        preds = " OR ".join(
+            f"(name = '{r.name}' AND collection_id = {r.collection_id})"
+            for r in rows)
+        a.delete_where("items", preds)
+    b.delete_keys("items", victims, ["name", "collection_id"])
+    left = sorted(map(tuple, a.read("items").collect()))
+    right = sorted(map(tuple, b.read("items").collect()))
+    assert left == right
