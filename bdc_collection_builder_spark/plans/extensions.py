@@ -4951,3 +4951,100 @@ def dd_minhash_estimate_error(spark, sf_dir):
             F.round(exact_j, 6).alias("exact_jaccard"),
             F.round(F.abs(est_j - exact_j), 6).alias("abs_error"))
     )
+
+
+@query(
+    "dd_suffix_prefix_overlap",
+    survey=("DD-exact",),
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   substr(text, length(text) - 47) || ' tail tail tail'
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        anch AS (
+            SELECT doc_id, text, length(text) AS l,
+                   substr(text, length(text) - 31) AS suf32,
+                   substr(text, 1, 32) AS pre32
+            FROM corpus WHERE length(text) >= 32
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.text AS ta, b.text AS tb,
+                   least(a.l, b.l, 128) AS maxl
+            FROM anch a JOIN anch b
+              ON a.suf32 = b.pre32 AND a.doc_id <> b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(list_max(list_transform(
+                   generate_series(32, maxl),
+                   k -> CASE WHEN substr(ta, length(ta) - k + 1)
+                                  = substr(tb, 1, k)
+                             THEN k ELSE 0 END)) AS BIGINT)
+                 AS overlap_len
+        FROM cand
+    """,
+)
+def dd_suffix_prefix_overlap(spark, sf_dir):
+    """Continuation-stitching dedup: document pairs where A's SUFFIX
+    equals B's PREFIX — the overlap signature of re-crawled
+    continuation pages and of sliding-window chunking re-ingested as
+    separate documents (the overlap class MinHash misses: the shared
+    span may be a small Jaccard fraction of both docs while still
+    causing verbatim train/test leakage at the seam). Planted pairs:
+    every 20th doc spawns a continuation whose first 48 chars are the
+    source's last 48.
+
+    Mechanics: a 32-char boundary anchor (suffix32 = prefix32
+    equi-join — candidates via hash join, NEVER all-pairs), then the
+    exact maximal overlap in [32, 128] per candidate via a bounded
+    in-row ladder (one substring comparison per length — candidate
+    pairs are rare, the ladder is per-pair O(cap²) chars and
+    cap-bounded). Integer output, bit-deterministic.
+
+    100 TB: anchors are 2 rows per doc; the join key is a 32-char
+    hash-partitioned string (or its xxhash64 in the production
+    variant); ladder cost scales with CANDIDATES, not corpus.
+    Reference anchor: F10 scene-dedup pushed to the chunk-boundary
+    case (collection_builder scene dedup, controller.py)."""
+    base = t(spark, sf_dir, "documents")
+    docs = base.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    planted = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.expr("substring(text, length(text) - 47)"),
+                         F.lit(" tail tail tail")).alias("text"))
+    )
+    anch = (
+        docs.unionByName(planted)
+        .filter(F.length("text") >= 32)
+        .select("doc_id", "text", F.length("text").alias("l"),
+                F.expr("substring(text, length(text) - 31)")
+                .alias("suf32"),
+                F.expr("substring(text, 1, 32)").alias("pre32"))
+    )
+    a = anch.select(F.col("doc_id").alias("doc_a"),
+                    F.col("text").alias("ta"),
+                    F.col("l").alias("la"), "suf32")
+    b = anch.select(F.col("doc_id").alias("doc_b"),
+                    F.col("text").alias("tb"),
+                    F.col("l").alias("lb"),
+                    F.col("pre32").alias("suf32"))
+    cand = (
+        a.join(b, "suf32")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "ta", "tb",
+                F.least("la", "lb", F.lit(128)).alias("maxl"))
+    )
+    ladder = F.expr("""
+        aggregate(
+            sequence(32, maxl),
+            CAST(0 AS INT),
+            (acc, k) -> greatest(acc,
+                IF(substring(ta, length(ta) - k + 1) = substring(tb, 1, k),
+                   k, 0)))
+    """)
+    return cand.select(
+        "doc_a", "doc_b", ladder.cast("bigint").alias("overlap_len"))

@@ -946,3 +946,53 @@ def gr_degree_assortativity(spark, sf_dir):
     return s.select(
         F.col("n").alias("n_edges"),
         F.round(num / F.sqrt(vx * vy), 6).alias("assortativity"))
+
+
+@query(
+    "gr_reciprocity",
+    survey=("GR-triangles",),
+    oracle=f"""
+        WITH {_GRAPH_SQL},
+        nonloop AS (SELECT src, dst FROM edges WHERE src <> dst),
+        recip AS (
+            SELECT a.src, a.dst
+            FROM nonloop a JOIN nonloop b
+              ON b.src = a.dst AND b.dst = a.src
+        )
+        SELECT CAST((SELECT count(*) FROM nonloop) AS BIGINT) AS n_edges,
+               CAST((SELECT count(*) FROM recip) AS BIGINT)
+                 AS n_reciprocated,
+               round(CAST((SELECT count(*) FROM recip) AS DOUBLE)
+                     / (SELECT count(*) FROM nonloop), 6) AS reciprocity
+    """,
+)
+def gr_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the citation graph: the fraction of
+    non-loop directed edges whose reverse edge also exists (Newman
+    2002, public). Mutual-citation rings are a link-spam signature in
+    web corpora — near-zero reciprocity is the organic baseline,
+    spikes flag coordinated boilerplate; complements assortativity
+    and the triangle count as the third graph-shape quality signal.
+
+    Exact integer counting: the reciprocated set is ONE self
+    equi-join on the reversed key (never all-pairs), the ratio is one
+    double division of exact int64 counts — bit-deterministic.
+
+    100 TB: the join is keyed (dst, src) against (src, dst) — both
+    sides are the same hash-partitioned edge table, so at scale this
+    co-partitions; cost is one shuffle of the edge set."""
+    _nodes, edges, _n = citation_edges(spark, sf_dir)
+    nonloop = tracked_persist(
+        edges.filter(F.col("src") != F.col("dst")))
+    rev = nonloop.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"),
+                         F.lit(1).alias("m"))
+    # left join + count(m) gets BOTH counts from ONE aggregate — no
+    # scalar re-attach, no nested-loop join anywhere (edges are
+    # distinct by construction, so the marker join is 1:0/1)
+    marked = nonloop.join(rev, ["src", "dst"], "left")
+    return marked.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.count("m").cast("bigint").alias("n_reciprocated"),
+        F.round(F.count("m").cast("double") / F.count("*"), 6)
+        .alias("reciprocity"))

@@ -961,3 +961,83 @@ def w20_weekly_churn(spark, sf_dir):
         .cast("bigint").alias("churned"),
         (F.sum(F.when(F.col("ruser").isNull(), 1).otherwise(0))
          .cast("double") / F.count("*")).alias("churn_rate"))
+
+
+@query(
+    "w21_interarrival_gap_profile",
+    survey=("W1", "A8", "Y6"),
+    oracle=f"""
+        WITH norm AS (
+            SELECT user_id, event_id, {_TS} AS ts FROM events
+        ),
+        seq AS (
+            SELECT user_id, ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+            FROM norm
+        ),
+        gaps AS (
+            SELECT date_diff('second', ts, nxt) AS gap_s
+            FROM seq WHERE nxt IS NOT NULL
+        ),
+        ranked AS (
+            SELECT gap_s,
+                   row_number() OVER (ORDER BY gap_s) AS rn,
+                   count(*) OVER () AS n
+            FROM gaps
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+               CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+               CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END)
+                    AS BIGINT) AS median_low_s,
+               CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN gap_s END) AS BIGINT) AS p90_low_s
+        FROM ranked
+    """,
+)
+def w21_interarrival_gap_profile(spark, sf_dir):
+    """Inter-arrival profile of the event feed: per-user consecutive
+    event gaps in whole seconds, summarized as exact order statistics
+    (min / lower-median / lower-p90 / max) — the feed-health shape a
+    monitoring surface alerts on (a collapsing p90 means a runaway
+    producer; a growing median means ingestion lag). Quantiles are
+    picked at EXPLICIT integer ranks (rank (n+1)/2 and ceil(0.9n)
+    under ORDER BY gap), so no engine's interpolating quantile
+    semantics are involved: the picked VALUE is deterministic even
+    under duplicate gaps, and every output is an exact int64.
+    Consecutive ordering tie-breaks on (ts, event_id) so both engines
+    pair identical rows.
+
+    100 TB: one shuffle on user_id for the lag window (state = one
+    row per user per partition), one global rank over the gap column
+    — at scale the global sort is the cost; swap the rank-pick for
+    approx_percentile on the same gaps frame when exactness is not
+    required (same plan upstream). Reference anchor: activity
+    monitoring cadence (Y6, views status dashboards)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("nxt", F.lead("ts").over(wseq))
+    gaps = (
+        seq.filter(F.col("nxt").isNotNull())
+        .select((F.col("nxt").cast("long") - F.col("ts").cast("long"))
+                .alias("gap_s"))
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy("gap_s")
+    ranked = (
+        gaps.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(Window.partitionBy(F.lit(1))))
+    )
+    med_rank = F.floor((F.col("n") + 1) / 2)
+    p90_rank = F.ceil(0.9 * F.col("n"))
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("gap_s")))
+        .cast("bigint").alias("median_low_s"),
+        F.max(F.when(F.col("rn") == p90_rank, F.col("gap_s")))
+        .cast("bigint").alias("p90_low_s"))

@@ -296,3 +296,48 @@ def test_delete_keys_equals_filter_delete(shared_spark, tmp_path_factory,
     left = sorted(map(tuple, a.read("items").collect()))
     right = sorted(map(tuple, b.read("items").collect()))
     assert left == right
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10**6))
+def test_partitioned_evolution_read_invariants(shared_spark,
+                                               tmp_path_factory, seed):
+    """Property: for ANY subset of partitions touched by an evolving
+    merge, the reconciled read preserves row count, appends exactly
+    one column, marks exactly the merged rows non-null, and leaves
+    untouched partitions' generation pointers unmoved."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.schemas import SCHEMAS
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    spark = shared_spark
+    st_dir = tmp_path_factory.mktemp(f"pevoprop{seed}")
+    fx = make_fixtures(spark, n_scenes=16, n_tiles=3)
+    store = PartitionedCatalogStore(spark, str(st_dir / "c"))
+    store.overwrite("items", fx["items"])
+    vals = store._partition_values("items")
+    pre = {v: store._sub("items", v)._current_gen("items") for v in vals}
+    n0 = store.read("items").count()
+    base_cols = [f.name for f in SCHEMAS["items"].fields]
+
+    touched = {v for v in vals
+               if (hash((seed, v)) % 2 == 0)} or {vals[0]}
+    batch = (fx["items"]
+             .filter(F.col("collection_id").cast("string")
+                     .isin(*touched))
+             .withColumn("flag", F.lit("evolved")))
+    n_batch = batch.count()
+    store.merge_upsert("items", batch, evolve_schema=True)
+
+    got = store.read("items")
+    assert got.columns == base_cols + ["flag"]
+    assert got.count() == n0
+    assert got.filter(F.col("flag") == "evolved").count() == n_batch
+    assert got.filter(F.col("flag").isNull()).count() == n0 - n_batch
+    for v in vals:
+        moved = store._sub("items", v)._current_gen("items") != pre[v]
+        assert moved == (v in touched), (v, touched)
