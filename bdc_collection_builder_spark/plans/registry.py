@@ -131,6 +131,18 @@ def _load_all() -> None:
 # pinned against the exact count in pytest.
 # Everything else follows in registration order — nothing dropped,
 # only reordered.
+#
+# ROUND-7 POOL (registered AFTER this rotation landed, so they cannot
+# displace it — test_driver_window_rotation_round6 freezes the 50):
+# the 10 round-6 additions gr_degree_assortativity, gr_reciprocity,
+# tj_autocorrelation_lag1, tx_zipf_slope, dd_minhash_estimate_error,
+# dd_suffix_prefix_overlap, dq_k_anonymity,
+# w21_interarrival_gap_profile, s34_partitioned_evolution_read,
+# s35_erasure_delete_keys — all oracled and byte-green locally at
+# sf0.001/sf0.01. If round 6 lands 50/50, rotate the round-7 window
+# onto these 10 + 40 deliberate re-checks of the highest-value
+# previously-green queries (streaming drains, store seams, float
+# recursion), keeping a18 excluded.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) float/recursion-oracle risk class — DP recursions first
     "tk_unigram_viterbi", "tk_bpe_merge_round",
