@@ -87,6 +87,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated key columns "
                          "(default: the table's merge keys)")
 
+    vc = sub.add_parser("vacuum",
+                        help="expire old snapshots NOW (the erasure "
+                             "completion step — prior generations "
+                             "still hold deleted rows until vacuumed)")
+    vc.add_argument("--store", required=True)
+    vc.add_argument("-t", "--table", required=True)
+    vc.add_argument("--keep-last", type=int, default=1,
+                    help="retained generations per table/partition "
+                         "(default 1 = current only)")
+
     ur = sub.add_parser("update-rows",
                         help="UPDATE <table> SET col=expr WHERE <predicate>")
     ur.add_argument("--store", required=True)
@@ -288,6 +298,20 @@ def main(argv: list[str] | None = None) -> int:
         except ConstraintViolation as exc:
             print(str(exc), file=sys.stderr)
             return 1
+        finally:
+            spark.stop()
+        return 0
+
+    if args.command == "vacuum":
+        engine, spark = _engine_for(args.store)
+        try:
+            removed = engine.store.vacuum(args.table,
+                                          keep_last=args.keep_last)
+            print(f"Vacuumed {len(removed)} generation(s) from "
+                  f"{args.table}")
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
         finally:
             spark.stop()
         return 0

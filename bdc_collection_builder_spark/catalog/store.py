@@ -962,15 +962,38 @@ class CatalogStore:
             for n in names if n.startswith("_PIN.")
         }
 
-    def _vacuum(self, table: str, keep: str) -> None:
+    def vacuum(self, table: str, keep_last: int = 1) -> list[str]:
+        """EXPIRE SNAPSHOTS (Delta ``VACUUM`` / Iceberg
+        ``expire_snapshots``): remove all but the newest ``keep_last``
+        retained generations NOW instead of waiting for the rolling
+        ``keep_generations`` policy — the step that makes an erasure
+        ACTUALLY forget (delete_where/delete_keys create a new
+        generation; prior snapshots still hold the deleted rows until
+        vacuumed past them, the MVCC caveat documented on both).
+        The current generation, writer-pinned generations, and
+        mid-write directories are never removed, and the pointer lock
+        is held so a concurrent flip cannot race the listing. Returns
+        the removed generation ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        with self._pointer_lock(table):
+            return self._vacuum(table, keep=self._current_gen(table),
+                                keep_last=keep_last)
+
+    def _vacuum(self, table: str, keep: str,
+                keep_last: int | None = None) -> list[str]:
         protected = self._protected.get(table, {})
         pinned = self._disk_pins(table)
         tdir = self.path(table)
+        if not os.path.isdir(tdir):
+            return []
         gens = sorted(
             (d for d in os.listdir(tdir) if d.startswith("gen-")),
             key=lambda d: os.path.getmtime(os.path.join(tdir, d)),
         )
-        for stale in gens[:-self.keep_generations]:
+        removed: list[str] = []
+        horizon = self.keep_generations if keep_last is None else keep_last
+        for stale in gens[:-horizon] if horizon else gens:
             if stale == keep or protected.get(stale, 0) > 0 \
                     or stale in pinned:
                 continue
@@ -982,6 +1005,8 @@ class CatalogStore:
             if os.path.isdir(os.path.join(tdir, stale, "_temporary")):
                 continue
             shutil.rmtree(os.path.join(tdir, stale), ignore_errors=True)
+            removed.append(stale)
+        return removed
 
     def _protect(self, table: str, gen: str) -> None:
         """Pin ``gen`` against vacuum: refcounted in-memory AND as an
@@ -1335,6 +1360,21 @@ class PartitionedCatalogStore(CatalogStore):
         if gen is None:
             raise KeyError(f"{table}: nothing to optimize")
         return gen
+
+    def vacuum(self, table: str, keep_last: int = 1) -> list[str]:
+        """Per-partition snapshot expiry (each partition is its own
+        MVCC table, so each trims its own history independently).
+        Returns partition-prefixed removed generation ids."""
+        if table not in self.partition_cols:
+            return super().vacuum(table, keep_last)
+        pcol = self.partition_cols[table]
+        removed: list[str] = []
+        for value in self._partition_values(table):
+            removed += [
+                f"{pcol}={value}/{g}"
+                for g in self._sub(table, value).vacuum(table, keep_last)
+            ]
+        return removed
 
     def snapshots(self, table: str) -> list[str]:
         """Partitioned tables version PER PARTITION (each partition is

@@ -256,3 +256,34 @@ sys.exit(rc)
     assert out.returncode == 0, out.stderr[-2000:]
     assert f"Deleted 4 row(s)" in out.stdout
     assert f"Deleted 0 row(s)" in out.stdout
+
+
+def test_vacuum_cli(tmp_path):
+    """vacuum: expire snapshots from the prompt (erasure completion)."""
+    import subprocess
+
+    store = tmp_path / "cli_vac"
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from bdc_collection_builder_spark.__main__ import main, _engine_for
+from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+
+engine, spark = _engine_for({str(store)!r})
+fx = make_fixtures(spark, n_scenes=10, n_tiles=2)
+engine.store.overwrite("items", fx["items"])
+engine.store.overwrite("items", fx["items"])
+assert len(engine.store.snapshots("items")) >= 2
+
+rc = main(["vacuum", "--store", {str(store)!r}, "-t", "items"])
+engine, spark = _engine_for({str(store)!r})
+assert len(engine.store.snapshots("items")) == 1
+assert main(["vacuum", "--store", {str(store)!r}, "-t", "items",
+             "--keep-last", "0"]) == 2
+sys.exit(rc)
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=300,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Vacuumed" in out.stdout

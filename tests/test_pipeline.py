@@ -1450,3 +1450,55 @@ def test_partitioned_merge_schema_evolution(spark, tmp_path, fixtures):
         == n_batch - batch2.join(
             batch.select("name", "collection_id"),
             ["name", "collection_id"], "left_semi").count()
+
+
+def test_vacuum_expires_snapshots_and_completes_erasure(
+        spark, tmp_path, fixtures):
+    """Public VACUUM (expire snapshots): after a delete, the doomed
+    rows survive in prior generations (the MVCC caveat) until
+    vacuum(keep_last=1) removes them from DISK — time travel then
+    fails and the bytes are gone. Current generation and keep_last
+    floor are honored; keep_last<1 rejected."""
+    s = CatalogStore(spark, str(tmp_path / "vac"))
+    s.overwrite("items", fixtures["items"])
+    gen0 = s.snapshots("items")[-1]
+    victims = fixtures["items"].limit(3).select("name", "collection_id")
+    s.delete_keys("items", victims, ["name", "collection_id"])
+    n_after = s.read("items").count()
+    # pre-vacuum: history still holds the erased rows
+    assert s.read_at("items", gen0).count() == n_after + 3
+
+    with pytest.raises(ValueError):
+        s.vacuum("items", keep_last=0)
+    removed = s.vacuum("items", keep_last=1)
+    assert gen0 in removed
+    assert s.snapshots("items") == [s._current_gen("items")]
+    assert not os.path.isdir(os.path.join(s.path("items"), gen0))
+    with pytest.raises(KeyError):
+        s.read_at("items", gen0)
+    assert s.read("items").count() == n_after  # current untouched
+
+    # keep_last=2 retains exactly the newest two
+    s.merge_upsert("items", fixtures["items"].limit(1))
+    s.merge_upsert("items", fixtures["items"].limit(2))
+    assert len(s.snapshots("items")) >= 3
+    s.vacuum("items", keep_last=2)
+    assert len(s.snapshots("items")) == 2
+
+
+def test_partitioned_vacuum_per_partition(spark, tmp_path, fixtures):
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pvac"))
+    st.overwrite("items", fixtures["items"])
+    # second generation in every partition
+    st.overwrite("items", fixtures["items"])
+    assert len(st.snapshots("items")) >= 2 * len(
+        st._partition_values("items"))
+    removed = st.vacuum("items", keep_last=1)
+    assert removed and all("/" in r for r in removed)
+    per_part = st.snapshots("items")
+    vals = st._partition_values("items")
+    assert len(per_part) == len(vals)  # exactly one snapshot each
