@@ -289,6 +289,26 @@ class CatalogStore:
         whole tables."""
         before = self.read_at(table, gen_from)
         after = self.read_at(table, gen_to)
+        if before.columns != after.columns:
+            # the feed spans a schema-evolution boundary: align both
+            # snapshots to the union column set (typed NULL fill, the
+            # same rule read() applies across evolved partitions) so
+            # the diff is well-defined — a pre-evolution row then
+            # differs from its evolved self iff a value differs or the
+            # new column is non-null, which is the Delta CDF behavior
+            types = {**dict(before.dtypes), **dict(after.dtypes)}
+            cols = before.columns + [c for c in after.columns
+                                     if c not in before.columns]
+
+            def align(df):
+                out = df
+                for c in cols:
+                    if c not in df.columns:
+                        out = out.withColumn(
+                            c, F.lit(None).cast(types[c]))
+                return out.select(*cols)
+
+            before, after = align(before), align(after)
         inserted = after.exceptAll(before).withColumn(
             "_change_type", F.lit("insert"))
         deleted = before.exceptAll(after).withColumn(

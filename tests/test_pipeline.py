@@ -1502,3 +1502,28 @@ def test_partitioned_vacuum_per_partition(spark, tmp_path, fixtures):
     per_part = st.snapshots("items")
     vals = st._partition_values("items")
     assert len(per_part) == len(vals)  # exactly one snapshot each
+
+
+def test_change_feed_across_evolution_boundary(spark, tmp_path, fixtures):
+    """changes_between spanning a schema-evolution boundary: both
+    snapshots align to the union column set (pre-evolution rows read
+    NULL for the new column), so the feed reports exactly the merged
+    rows as delete+insert pairs and untouched rows as unchanged."""
+    from pyspark.sql import functions as F
+
+    s = CatalogStore(spark, str(tmp_path / "cdfevo"))
+    s.overwrite("items", fixtures["items"])
+    gen0 = s.snapshots("items")[-1]
+    batch = (fixtures["items"].limit(3)
+             .withColumn("grade", F.lit("A")))
+    s.merge_upsert("items", batch, evolve_schema=True)
+    gen1 = s.snapshots("items")[-1]
+
+    feed = s.changes_between("items", gen0, gen1)
+    assert "grade" in feed.columns
+    ins = feed.filter("_change_type = 'insert'")
+    dele = feed.filter("_change_type = 'delete'")
+    # the 3 merged rows changed (grade NULL -> 'A'); nothing else
+    assert ins.count() == 3 and dele.count() == 3
+    assert ins.filter("grade = 'A'").count() == 3
+    assert dele.filter("grade IS NULL").count() == 3
