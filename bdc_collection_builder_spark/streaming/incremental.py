@@ -526,7 +526,8 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
                         table: str = "items",
                         key_cols: tuple[str, str] = ("name",
                                                      "collection_id"),
-                        max_inlist_keys: int = 256):
+                        max_inlist_keys: int = 256,
+                        retain_generations: int | None = None):
     """Continuously apply DELETE requests (erasure/compliance feed) to
     a catalog table: each micro-batch of (name, collection_id) keys
     becomes ONE delete rewrite through the store's CAS loop.
@@ -547,7 +548,12 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
 
     MVCC caveat (same as Delta): the delete creates a new generation —
     prior snapshots still hold the rows until vacuum passes the
-    retention horizon, which is the part that actually forgets."""
+    retention horizon, which is the part that actually forgets. Pass
+    ``retain_generations`` to close that loop IN the stream: after
+    each batch's delete commits, ``store.vacuum(table, keep_last=N)``
+    expires the history holding the erased bytes (N=1 = current
+    snapshot only — full right-to-be-forgotten semantics, at the cost
+    of time travel on this table)."""
     schema = f"{key_cols[0]} string, {key_cols[1]} int"
 
     def erase_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -558,6 +564,8 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
             return
         if len(keys) > max_inlist_keys:
             store.delete_keys(table, distinct, list(key_cols))
+            if retain_generations is not None:
+                store.vacuum(table, keep_last=retain_generations)
             return
 
         def lit_sql(v):
@@ -569,6 +577,8 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
             f"{key_cols[1]} = {lit_sql(r[key_cols[1]])})"
             for r in keys)
         store.delete_where(table, preds)
+        if retain_generations is not None:
+            store.vacuum(table, keep_last=retain_generations)
 
     stream = spark.readStream.schema(schema).parquet(requests_dir)
     return (

@@ -1527,3 +1527,32 @@ def test_change_feed_across_evolution_boundary(spark, tmp_path, fixtures):
     assert ins.count() == 3 and dele.count() == 3
     assert ins.filter("grade = 'A'").count() == 3
     assert dele.filter("grade IS NULL").count() == 3
+
+
+def test_partitioned_optimize_preserves_evolved_columns(
+        spark, tmp_path, fixtures):
+    """OPTIMIZE on a partitioned table whose partitions carry evolved
+    schemas: each partition's compaction rewrite must keep its evolved
+    column (the keep_extra rule the flat optimize already follows)."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "poevo"))
+    st.overwrite("items", fixtures["items"])
+    vals = st._partition_values("items")
+    batch = (fixtures["items"]
+             .filter(F.col("collection_id").cast("string") == vals[0])
+             .limit(2).withColumn("note", F.lit("kept")))
+    n_batch = batch.count()
+    st.merge_upsert("items", batch, evolve_schema=True)
+    n0 = st.read("items").count()
+
+    st.optimize("items")
+
+    got = st.read("items")
+    assert got.count() == n0
+    assert "note" in got.columns
+    assert got.filter(F.col("note") == "kept").count() == n_batch

@@ -681,3 +681,29 @@ def test_partitioned_delete_keys_prunes_partitions(spark, tmp_path):
         assert st._sub("items", v)._current_gen("items") == gens[v], \
             f"untouched partition {v} was rewritten"
     assert st._sub("items", target)._current_gen("items") != gens[target]
+
+
+def test_incremental_erasure_with_retention_forgets(spark, tmp_path):
+    """retain_generations=1 closes the MVCC loop in-stream: after the
+    erasure batch commits, the history holding the erased bytes is
+    vacuumed — only the current snapshot survives on disk."""
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_erasure,
+    )
+
+    fx = make_fixtures(spark, n_scenes=20, n_tiles=3)
+    store = CatalogStore(spark, str(tmp_path / "ecat-ret"))
+    store.overwrite("items", fx["items"])
+    n0 = store.read("items").count()
+    victims = fx["items"].limit(5).select("name", "collection_id")
+    requests = str(tmp_path / "requests-ret")
+    victims.write.mode("overwrite").parquet(requests)
+
+    q = incremental_erasure(spark, requests, store,
+                            str(tmp_path / "eckpt-ret"),
+                            retain_generations=1)
+    q.awaitTermination(120)
+
+    assert store.read("items").count() == n0 - 5
+    gens = store.snapshots("items")
+    assert gens == [store._current_gen("items")]
