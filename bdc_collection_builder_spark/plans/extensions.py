@@ -5048,3 +5048,56 @@ def dd_suffix_prefix_overlap(spark, sf_dir):
     """)
     return cand.select(
         "doc_a", "doc_b", ladder.cast("bigint").alias("overlap_len"))
+
+
+@query(
+    "cu_dedup_rate_by_source",
+    survey=("DD-exact", "CU-sample"),
+    oracle="""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_canonical,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS dedup_rate
+        FROM ranked
+        GROUP BY source
+    """,
+)
+def cu_dedup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per source — the curation dashboard's
+    first column: which feeds are flooding the corpus with copies.
+    Canonical = the minimum doc_id per content hash (the same
+    survivorship rule dd_exact_duplicates applies); a source's
+    dropped count is its documents losing that race. Measuring the
+    rate per SOURCE (not globally) is what turns dedup from a cleanup
+    pass into a data-sourcing decision (cut or down-weight the feed).
+
+    One shuffle on the content hash (the window), one map-side
+    combined rollup per source; all-integer output plus one exact
+    division — bit-deterministic.
+
+    100 TB: identical envelope to exact dedup itself; the per-source
+    rollup is dimension-sized."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    dropped = F.when(F.col("rn") > 1, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_canonical"),
+        F.sum(dropped).cast("bigint").alias("n_dropped"),
+        F.round(F.sum(dropped).cast("double") / F.count("*"), 6)
+        .alias("dedup_rate"))

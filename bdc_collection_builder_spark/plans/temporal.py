@@ -874,3 +874,85 @@ def tj_autocorrelation_lag1(spark, sf_dir):
     return s.select(
         "event_type", F.col("n").alias("n_pairs"),
         F.round(num / F.sqrt(vx * vy), 6).alias("autocorr_lag1"))
+
+
+@query(
+    "tj_theil_sen_trend",
+    survey=("Y6", "A2"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', {duck_ts()}) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   CAST(b.c - a.c AS DOUBLE)
+                     / date_diff('day', a.day, b.day) AS slope
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND a.day < b.day
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM slopes
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_pairs,
+               round(max(CASE WHEN rn = (n + 1) // 2 THEN slope END), 6)
+                 AS theil_sen_slope
+        FROM ranked GROUP BY event_type
+    """,
+)
+def tj_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen trend (median of pairwise slopes, Theil 1950 / Sen
+    1968 — public) of the per-type daily event volume: the robust
+    alternative to OLS for feed-health trending — a single burst day
+    corrupts a least-squares slope but moves the median of slopes by
+    at most one rank. Complements the lag-1 autocorrelation and CUSUM
+    changepoint in the monitoring suite (reference Y6).
+
+    Determinism: every pairwise slope is one double division of exact
+    int64 differences (identical arithmetic both engines), and the
+    median is picked at an EXPLICIT integer rank under ORDER BY slope
+    — the picked value is deterministic even with duplicate slopes.
+
+    Scale shape: the pair join is per-type over the DAILY table
+    (|days|² per type — a dimension-sized quadratic over dozens of
+    rows, NEVER the corpus); the only corpus-scale work is the first
+    daily count shuffle. At very long horizons swap the pair explode
+    for a windowed sample of day pairs — same downstream plan."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts").cast("timestamp"))
+                 .cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    a = daily.select("event_type", F.col("day").alias("d1"),
+                     F.col("c").alias("c1"))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("day").alias("d2"), F.col("c").alias("c2"))
+    slopes = (
+        a.join(b, (F.col("event_type") == F.col("et2"))
+               & (F.col("d1") < F.col("d2")))
+        .select("event_type",
+                ((F.col("c2") - F.col("c1")).cast("double")
+                 / F.datediff("d2", "d1")).alias("slope"))
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(
+            Window.partitionBy("event_type")))
+    )
+    med_rank = F.floor((F.col("n") + 1) / 2)
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.round(F.max(F.when(F.col("rn") == med_rank, F.col("slope"))),
+                6).alias("theil_sen_slope"))
