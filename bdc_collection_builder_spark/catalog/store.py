@@ -1579,9 +1579,16 @@ class PartitionedCatalogStore(CatalogStore):
                     fdf, allowMissingColumns=True)
         # _merged aligns both sides to the evolved column set (typed
         # NULL fill) and broadcast-anti-joins the incoming keys — the
-        # same plan the inline kept/union used, plus evolution
+        # same plan the inline kept/union used, plus evolution.
+        # Re-select into declared order (base schema first, evolved
+        # extras after): the equi-join inside _merged moves the join
+        # keys to the front, and this order is what the staged files
+        # and the _SCHEMA.json marker persist — the same
+        # normalization _stage applies on the flat store.
         merged = self._merged(table, current, incoming, keys,
                               evolve=evolve_schema)
+        merged = merged.select(
+            *cols, *[c for c in merged.columns if c not in cols])
         out_schema = merged.schema  # before __p is added
         evolved = [f.name for f in out_schema.fields if f.name not in cols]
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex[:12]}")
