@@ -1525,3 +1525,51 @@ def j28_distance_within_join(spark, sf_dir):
                 & (dist_sq <= F.lit(_DW_RADIUS * _DW_RADIUS)))
         .select("id_a", "id_b", dist_sq.alias("dist_sq"))
     )
+
+
+@query(
+    "j29_order_priority_checking",
+    survey=("J4", "A2"),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def j29_order_priority_checking(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders placed in one
+    quarter having AT LEAST ONE problem lineitem — here a RETURNED
+    item (the testdata lineitem carries no commit/receipt dates, so
+    l_returnflag = 'R' stands in for the lateness predicate; the
+    join/aggregate shape is Q4's exactly) — counted per priority
+    class, the reference's per-priority problem-activity report
+    (activities.priority column, models.py). The EXISTS decorrelates
+    to a left_semi join: the probe side is pre-filtered to the
+    quarter BEFORE the join (the date predicate reaches the orders
+    scan as a pushed filter), the build side is pre-filtered to
+    returned lineitems, and semi-join semantics deduplicate
+    multi-item orders for free — no distinct, no count comparison.
+    Pure integer output.
+
+    100 TB: one shuffle on orderkey for the semi-join (both sides
+    pruned first), then a map-side-combined count over <= 5 priority
+    rows."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    late = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )

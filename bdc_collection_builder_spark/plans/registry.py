@@ -134,14 +134,15 @@ def _load_all() -> None:
 #
 # ROUND-7 POOL (registered AFTER this rotation landed, so they cannot
 # displace it — test_driver_window_rotation_round6 freezes the 50):
-# the 12 round-6 additions gr_degree_assortativity, gr_reciprocity,
+# the 13 round-6 additions (incl. j29_order_priority_checking,
+# the TPC-H Q4 shape) gr_degree_assortativity, gr_reciprocity,
 # tj_autocorrelation_lag1, tx_zipf_slope, dd_minhash_estimate_error,
 # dd_suffix_prefix_overlap, dq_k_anonymity,
 # w21_interarrival_gap_profile, s34_partitioned_evolution_read,
 # s35_erasure_delete_keys, cu_dedup_rate_by_source,
 # tj_theil_sen_trend — all oracled and byte-green locally at
 # sf0.001/sf0.01. If round 6 lands 50/50, rotate the round-7 window
-# onto these 12 + 38 deliberate re-checks of the highest-value
+# onto these 13 + 37 deliberate re-checks of the highest-value
 # previously-green queries (streaming drains, store seams, float
 # recursion), keeping a18 excluded.
 _DRIVER_PRIORITY: tuple[str, ...] = (
