@@ -4678,11 +4678,13 @@ def dd_exact_substring_maxlen(spark, sf_dir):
     anchor: the same F10 scene-dedup semantics pushed to substring
     granularity (collection_builder scene dedup, controller.py)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    # carry_text=True is the small-scale fast path (no per-round
-    # docs join); exact_substring_stats(carry_text=False) is the
-    # 100 TB layout — same results, tested equivalent in
-    # tests/test_new_ops_properties.py.
-    return exact_substring_stats(docs, carry_text=True)
+    # carry_text=False is the 100 TB layout (VERDICT-r6 task 2): the
+    # lifted state is 3 ints per position, text re-attached per round
+    # via a doc_id-co-partitioned join. The registered query runs
+    # THIS path so the driver-verified path IS the scale path;
+    # carry_text=True (the small-scale fast path) stays covered by
+    # the equivalence test in tests/test_new_ops_properties.py.
+    return exact_substring_stats(docs, carry_text=False)
 
 
 def exact_substring_stats(docs, carry_text: bool = False):
@@ -4962,7 +4964,7 @@ def dd_minhash_estimate_error(spark, sf_dir):
             UNION ALL
             SELECT doc_id + 2000000,
                    substr(text, length(text) - 47) || ' tail tail tail'
-            FROM documents WHERE doc_id % 20 = 0
+            FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 48
         ),
         anch AS (
             SELECT doc_id, text, length(text) AS l,
@@ -5011,8 +5013,14 @@ def dd_suffix_prefix_overlap(spark, sf_dir):
     case (collection_builder scene dedup, controller.py)."""
     base = t(spark, sf_dir, "documents")
     docs = base.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    # length >= 48 guard (ADVICE-r6): for shorter docs the start
+    # position length(text)-47 is <= 0, where Spark's substring
+    # (negative = count from the end) and DuckDB/Postgres substr
+    # (virtual-position rule) DIVERGE — guard on both engines so the
+    # planted branch only ever uses start positions >= 1.
     planted = (
-        base.filter(F.col("doc_id") % 20 == 0)
+        base.filter((F.col("doc_id") % 20 == 0)
+                    & (F.length("text") >= 48))
         .select((F.col("doc_id") + 2000000).alias("doc_id"),
                 F.concat(F.expr("substring(text, length(text) - 47)"),
                          F.lit(" tail tail tail")).alias("text"))

@@ -132,55 +132,61 @@ def _load_all() -> None:
 # Everything else follows in registration order — nothing dropped,
 # only reordered.
 #
-# ROUND-7 POOL (registered AFTER this rotation landed, so they cannot
-# displace it — test_driver_window_rotation_round6 freezes the 50):
-# the 13 round-6 additions (incl. j29_order_priority_checking,
-# the TPC-H Q4 shape) gr_degree_assortativity, gr_reciprocity,
-# tj_autocorrelation_lag1, tx_zipf_slope, dd_minhash_estimate_error,
-# dd_suffix_prefix_overlap, dq_k_anonymity,
-# w21_interarrival_gap_profile, s34_partitioned_evolution_read,
-# s35_erasure_delete_keys, cu_dedup_rate_by_source,
-# tj_theil_sen_trend — all oracled and byte-green locally at
-# sf0.001/sf0.01. If round 6 lands 50/50, rotate the round-7 window
-# onto these 13 + 37 deliberate re-checks of the highest-value
-# previously-green queries (streaming drains, store seams, float
-# recursion), keeping a18 excluded.
+# Round-6 result: 50/50 GREEN — cumulative 293 distinct checked, every
+# oracled query registered before round 6 driver-verified.
+#
+# ROUND-7 rotation (VERDICT-r6 task 1): the 13 round-6 additions FIRST
+# (never driver-checked; float-risk leaders lead — tx_zipf_slope's
+# quantized-ln regression, tj_theil_sen_trend's median-of-slopes,
+# dd_suffix_prefix_overlap's substring ladder), then 37 DELIBERATE
+# RE-CHECKS of previously-green queries weighted toward
+# never-re-checked heavies (st_stateful_sessionize, x17b, j10,
+# dd_exact_substring_maxlen re-run under the carry_text=False 100 TB
+# layout flip, s29, s31, tk_bpe_train_rounds, ss_pca_power_iteration)
+# and the round-2 §2 core block, untouched since round 2.
+# Done ⇒ cumulative 306/307 distinct driver-checked (a18_hll_rollup
+# the sole documented rows-only exclusion, pinned against its green
+# exact twin a18b in pytest).
+# Frozen by tests/test_plans.py::test_driver_window_rotation_round7 —
+# queries registered after this rotation join the ROUND-8 pool
+# (s36_erasure_vacuum_horizon and later) and must not displace it.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) float/recursion-oracle risk class — DP recursions first
-    "tk_unigram_viterbi", "tk_bpe_merge_round",
-    "tx_kneser_ney_bigram", "tx_bigram_logprob", "tx_unigram_logprob",
-    "ss_ndcg_eval", "tj_cusum_changepoint", "tj_seasonal_naive_eval",
-    "cu_epoch_repeat_plan", "x13c_wgs84_to_utm_roundtrip",
-    "dd_exact_substring_maxlen",
-    # float long-tail: entropy / readability / bucketed-perplexity /
-    # whitening / threshold curves / DSIR / Pareto / RAKE
-    "tx_token_entropy", "tx_flesch_readability", "tx_ccnet_buckets",
-    "ss_whiten_remove_pc", "cu_semdedup_threshold_curve",
-    "cu_dsir_resample", "cu_pareto_frontier", "tx_rake_word_scores",
-    "tx_langid_confusion_eval", "tx_ngram_novelty",
-    # (b) engine seams: constraint-enforced MERGE, bucketed
-    # sort-merge join, IVF index mutation + recall curve
-    "s33_constraint_enforced_merge", "lo_bucketed_join",
-    "ss_ivf_incremental_upsert", "ss_ivf_probe_recall_curve",
-    # (c) long tail — similarity / sketches
-    "ss_mmr_diversified_topk", "ss_multiprobe_lsh_topk",
-    "sk_kmv_overlap", "sk_join_cardinality",
-    # curation remainder
-    "cu_dataset_card", "cu_filter_funnel", "cu_reservoir_per_group",
-    "cu_source_budget_selection", "cu_weighted_sample_es",
-    # dedup / tokenizer / text remainder
-    "dd_planted_pair_eval", "tk_vocab_coverage_oov",
-    "tx_c4_line_filter", "tx_line_dedup", "tx_span_dedup",
-    # multimodal remainder
-    "mm_audio_rms_frames", "mm_perceptual_hash_pairs",
-    "mm_shot_boundaries",
-    # windows w17-w20 + misc
-    "w17_event_transition_matrix", "w18_week_over_week_change",
-    "w19_rfm_segments", "w20_weekly_churn",
-    "a22_group_mode", "x26_geohash_encode",
-    "a18b_distinct_rollup_exact",
-    # 50th slot: deliberate re-check of a prior heavy (judge's pick)
-    "st_stream_outer_join",
+    # (a) the 13 round-6 additions, float-risk first
+    "tx_zipf_slope", "tj_theil_sen_trend", "dd_suffix_prefix_overlap",
+    "s34_partitioned_evolution_read", "s35_erasure_delete_keys",
+    "j29_order_priority_checking", "dq_k_anonymity",
+    "w21_interarrival_gap_profile", "cu_dedup_rate_by_source",
+    "gr_reciprocity", "gr_degree_assortativity",
+    "tj_autocorrelation_lag1", "dd_minhash_estimate_error",
+    # (b) judge-named re-checks: the carry_text=False layout flip
+    # runs FIRST among them, then never-re-checked heavies
+    "dd_exact_substring_maxlen", "st_stateful_sessionize",
+    "x17b_geometry_accessors", "j10_spatial_grid_join",
+    "s29_schema_evolution_timetravel", "s31_cdc_apply_ops",
+    "tk_bpe_train_rounds", "ss_pca_power_iteration",
+    # (c) the round-2 §2 core block, untouched since round 2:
+    # joins
+    "j01_three_way_status_counts", "j02_collection_tiles_distinct",
+    "j03_provider_priority_order", "j04_unpublished_anti_join",
+    "j05_latest_failed_per_scene", "j06_fk_broadcast_lookup",
+    "j07_band_file_join", "j08_tile_bbox_projection",
+    "j09_lineage_traversal",
+    # filters
+    "f05_activity_list_filters", "f06_skip_published",
+    "f10_dedup_scenes",
+    # windows / setops
+    "w01_latest_execution", "w03_pagination", "w04_lag_lead_gap",
+    "u01_union_scene_sets", "u02_missing_scenes_difference",
+    # scalars / geometry
+    "x01_scene_id_parsing", "x05_period_generation",
+    "x17_polygon_intersects", "x18_json_args_merge",
+    # pixels
+    "px_x9_band_expression_ndvi", "px_a6_nodata_union",
+    "px_x12_resample_nearest",
+    # sources / streaming / temporal core
+    "s01_remote_search_pushdown", "s15_merge_upsert",
+    "y01_tumbling_window", "y02_sliding_window",
+    "tj_asof_purchase_attribution",
 )
 
 

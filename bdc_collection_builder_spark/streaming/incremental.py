@@ -558,6 +558,12 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
 
     def erase_batch(batch: DataFrame, epoch_id: int) -> None:
         distinct = batch.dropDuplicates(list(key_cols))
+        # NULL-valued key tuples are ignored in BOTH regimes
+        # (ADVICE-r6): delete_keys filters them by rule; the IN-list
+        # path would otherwise render a NULL literal as an
+        # unresolvable token and crash the stream — share the rule.
+        for c in key_cols:
+            distinct = distinct.filter(F.col(c).isNotNull())
         # bounded probe: fetch threshold+1 rows, NEVER the whole batch
         keys = distinct.limit(max_inlist_keys + 1).collect()
         if not keys:

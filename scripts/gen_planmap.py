@@ -87,7 +87,9 @@ def main() -> None:
         if fp is None:
             lines.append(f"| `{name}` | stream | | | | | | |")
         else:
-            rounds = fp["rounds"] or ""
+            # explicit 0 for non-iterative queries (VERDICT-r6 task 5)
+            # — a blank cell isn't machine-parseable
+            rounds = fp["rounds"]
             lines.append(
                 f"| `{name}` | {fp['shuffles']} | {rounds} | {fp['bhj']}"
                 f" | {fp['smj']} | {fp['takeordered']} | {fp['python']}"

@@ -332,6 +332,67 @@ def test_restrict_mid_chain_blocks_cascade(store, spark):
         assert store._current_gen(t) == g, f"{t} moved"
 
 
+def test_fk_cascade_diamond_second_wave_reaches_grandchildren(
+        store, spark):
+    """ADVICE-r6: in a cascade DIAMOND (collections->activities and
+    collections->items both cascading into activity_history, which
+    cascades into activity_src) a grandchild must observe removals
+    from BOTH waves that hit the shared child. Before the re-enqueue
+    fix the second wave's delta was dropped, so the grandchild kept a
+    row whose parent was gone and commit-time FK validation aborted a
+    legitimate Postgres-style cascade."""
+    from bdc_collection_builder_spark.catalog.schemas import SCHEMAS
+
+    def rows(table, tuples):
+        n = len(SCHEMAS[table].fields)
+        return spark.createDataFrame(
+            [tp + (None,) * (n - len(tp)) for tp in tuples],
+            SCHEMAS[table])
+
+    store.overwrite("collections", rows("collections", [
+        (1, "c1", 1), (2, "c2", 1)]))
+    store.overwrite("activities", rows("activities", [
+        (10, 1, "download", "S10"),
+        (11, 2, "download", "S11"),
+        (12, 2, "download", "S12")]))
+    store.overwrite("items", rows("items", [
+        (20, "i20", 1), (21, "i21", 2)]))
+    # (10,21): doomed via the activities wave; (11,20): doomed ONLY
+    # via the items wave (item 20 belongs to collection 1) — and it is
+    # activity 11's LAST history row, so grandchild rows keyed on
+    # activity_id=11 must go too; (12,21): survives.
+    store.overwrite("activity_history", rows("activity_history", [
+        (10, 21), (11, 20), (12, 21)]))
+    store.overwrite("activity_src", rows("activity_src", [
+        (10, 100), (11, 101), (12, 102)]))
+
+    fk = {"ref_columns": ["id"], "on_delete": "cascade"}
+    store.set_constraints("activities", foreign_keys=(
+        {"columns": ["collection_id"], "ref_table": "collections", **fk},))
+    store.set_constraints("items", foreign_keys=(
+        {"columns": ["collection_id"], "ref_table": "collections", **fk},))
+    store.set_constraints("activity_history", foreign_keys=(
+        {"columns": ["activity_id"], "ref_table": "activities", **fk},
+        {"columns": ["task_id"], "ref_table": "items", **fk},))
+    store.set_constraints("activity_src", foreign_keys=(
+        {"columns": ["activity_id"], "ref_table": "activity_history",
+         "ref_columns": ["activity_id"], "on_delete": "cascade"},))
+
+    store.delete_where("collections", "id = 1")
+
+    assert [r[0] for r in store.read("collections")
+            .select("id").collect()] == [2]
+    assert sorted(r[0] for r in store.read("activities")
+                  .select("id").collect()) == [11, 12]
+    assert [r[0] for r in store.read("items")
+            .select("id").collect()] == [21]
+    hist = store.read("activity_history").collect()
+    assert [(r["activity_id"], r["task_id"]) for r in hist] == [(12, 21)]
+    src = store.read("activity_src").collect()
+    assert [(r["activity_id"], r["activity_src_id"])
+            for r in src] == [(12, 102)]
+
+
 def test_set_constraints_rejects_bad_declarations(store):
     """ADVICE-r5: typos in unique columns, check expressions, FK child
     columns, and on_delete values must be rejected AT DECLARATION, not

@@ -352,35 +352,17 @@ def test_doc_counts_match_registry():
 
 
 def test_driver_window_rotation_round6():
-    """VERDICT-r5 task 3: guard the driver-window arithmetic. The
-    external driver checks exactly the FIRST 50 entries of queries();
-    round 6's window must be the 49 never-driver-checked oracled
-    queries (judge-computed list, VERDICT-r5 "What's missing" #1) plus
-    one deliberate re-check. Fails if anyone perturbs the rotation."""
+    """Round-6 window, now HISTORY: the driver ran it (50/50 green in
+    CORRECTNESS_r06.json), so the guard checks the recorded window
+    matches what VERDICT-r5 ordered — the 49 never-checked oracled
+    queries + the st_stream_outer_join re-check — instead of pinning
+    the live _DRIVER_PRIORITY (which rotated on to round 7)."""
     import json
     import os
 
-    from bdc_collection_builder_spark.plans.registry import (
-        _DRIVER_PRIORITY,
-        QUERY_REGISTRY,
-        all_queries,
-    )
-
-    all_queries()
-    assert len(_DRIVER_PRIORITY) == 50
-    assert len(set(_DRIVER_PRIORITY)) == 50, "duplicate window entries"
-    unregistered = [n for n in _DRIVER_PRIORITY if n not in QUERY_REGISTRY]
-    assert not unregistered, unregistered
-    # every entry must be oracled (rows-only entries waste a slot on a
-    # guaranteed err:no_oracle row)
-    rows_only = [n for n in _DRIVER_PRIORITY
-                 if not QUERY_REGISTRY[n].oracle]
-    assert not rows_only, rows_only
-
     # The 49 names below are FROZEN: the judge-computed set of oracled
     # queries with no CORRECTNESS_r01-r05 entry, validated against the
-    # history files when the rotation landed. Queries registered AFTER
-    # the rotation join the round-7 pool and must NOT displace these.
+    # history files when the rotation landed.
     final_tranche = {
         "a22_group_mode", "cu_dataset_card", "cu_dsir_resample",
         "cu_epoch_repeat_plan", "cu_filter_funnel", "cu_pareto_frontier",
@@ -406,10 +388,14 @@ def test_driver_window_rotation_round6():
         "a18b_distinct_rollup_exact",
     }
     assert len(final_tranche) == 49
-    assert set(_DRIVER_PRIORITY) == final_tranche | {
-        "st_stream_outer_join"}  # 50th slot: deliberate re-check
+    window_r6 = final_tranche | {"st_stream_outer_join"}
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r6_path = os.path.join(root, "CORRECTNESS_r06.json")
+    if not os.path.exists(r6_path):
+        pytest.skip("CORRECTNESS_r06.json not present in this checkout")
+    r6 = json.load(open(r6_path))
+    assert set(r6.keys()) == window_r6
     checked: set[str] = set()
     for i in range(1, 6):
         path = os.path.join(root, f"CORRECTNESS_r0{i}.json")
@@ -417,7 +403,132 @@ def test_driver_window_rotation_round6():
             checked |= set(json.load(open(path)).keys())
     if len(checked) < 200:
         pytest.skip("CORRECTNESS history not present in this checkout")
-    # the frozen tranche really was never driver-checked, and the only
-    # already-checked window entry is the deliberate re-check
+    # the frozen tranche really was never driver-checked before r6, and
+    # the only already-checked window entry was the deliberate re-check
     assert not final_tranche & checked
     assert "st_stream_outer_join" in checked
+
+
+def test_driver_window_rotation_round7():
+    """VERDICT-r6 task 1: round 7's driver window must be the 13
+    round-6 additions (never driver-checked, float-risk leaders first)
+    followed by 37 DELIBERATE RE-CHECKS of previously-green queries —
+    the judge-named heavies plus the round-2 §2 core block. Fails if
+    anyone perturbs the rotation before the driver runs it."""
+    import json
+    import os
+
+    from bdc_collection_builder_spark.plans.registry import (
+        _DRIVER_PRIORITY,
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    assert len(_DRIVER_PRIORITY) == 50
+    assert len(set(_DRIVER_PRIORITY)) == 50, "duplicate window entries"
+    unregistered = [n for n in _DRIVER_PRIORITY if n not in QUERY_REGISTRY]
+    assert not unregistered, unregistered
+    # every entry must be oracled (rows-only entries waste a slot on a
+    # guaranteed err:no_oracle row)
+    rows_only = [n for n in _DRIVER_PRIORITY
+                 if not QUERY_REGISTRY[n].oracle]
+    assert not rows_only, rows_only
+
+    new_13 = (
+        "tx_zipf_slope", "tj_theil_sen_trend", "dd_suffix_prefix_overlap",
+        "s34_partitioned_evolution_read", "s35_erasure_delete_keys",
+        "j29_order_priority_checking", "dq_k_anonymity",
+        "w21_interarrival_gap_profile", "cu_dedup_rate_by_source",
+        "gr_reciprocity", "gr_degree_assortativity",
+        "tj_autocorrelation_lag1", "dd_minhash_estimate_error",
+    )
+    recheck_37 = {
+        "dd_exact_substring_maxlen", "st_stateful_sessionize",
+        "x17b_geometry_accessors", "j10_spatial_grid_join",
+        "s29_schema_evolution_timetravel", "s31_cdc_apply_ops",
+        "tk_bpe_train_rounds", "ss_pca_power_iteration",
+        "j01_three_way_status_counts", "j02_collection_tiles_distinct",
+        "j03_provider_priority_order", "j04_unpublished_anti_join",
+        "j05_latest_failed_per_scene", "j06_fk_broadcast_lookup",
+        "j07_band_file_join", "j08_tile_bbox_projection",
+        "j09_lineage_traversal", "f05_activity_list_filters",
+        "f06_skip_published", "f10_dedup_scenes", "w01_latest_execution",
+        "w03_pagination", "w04_lag_lead_gap", "u01_union_scene_sets",
+        "u02_missing_scenes_difference", "x01_scene_id_parsing",
+        "x05_period_generation", "x17_polygon_intersects",
+        "x18_json_args_merge", "px_x9_band_expression_ndvi",
+        "px_a6_nodata_union", "px_x12_resample_nearest",
+        "s01_remote_search_pushdown", "s15_merge_upsert",
+        "y01_tumbling_window", "y02_sliding_window",
+        "tj_asof_purchase_attribution",
+    }
+    assert len(recheck_37) == 37
+    # order matters for the first 13 (never-checked, risk-ranked);
+    # the re-checks are an exact set
+    assert _DRIVER_PRIORITY[:13] == new_13
+    assert set(_DRIVER_PRIORITY[13:]) == recheck_37
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for i in range(1, 7):
+        path = os.path.join(root, f"CORRECTNESS_r0{i}.json")
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)).keys())
+    if len(checked) < 200:
+        pytest.skip("CORRECTNESS history not present in this checkout")
+    # the 13 really are never driver-checked; the 37 really are
+    # re-checks (every one has a prior CORRECTNESS row)
+    assert not set(new_13) & checked, set(new_13) & checked
+    assert recheck_37 <= checked, recheck_37 - checked
+    # after this round lands 50/50, cumulative distinct = everything
+    # but a18_hll_rollup (the documented rows-only exclusion)
+    from bdc_collection_builder_spark.plans.registry import QUERY_REGISTRY
+    pre_r7 = checked | set(new_13)
+    oracled = {n for n, q in QUERY_REGISTRY.items() if q.oracle}
+    never = oracled - pre_r7
+    # only queries REGISTERED AFTER the r7 rotation may remain
+    # unchecked (the round-8 pool); at rotation time this set is empty
+    assert not {n for n in never if n in _DRIVER_PRIORITY}
+
+
+def test_planmap_rounds_column_explicit(tmp_path):
+    """VERDICT-r6 task 5: PLANMAP's `rounds` column must be
+    machine-parseable — an explicit integer in every non-stream row
+    (0 for non-iterative queries, never a blank cell), and every query
+    known to run construction-time iteration (iterate() relaxations,
+    binary lifting, BPE/EM training rounds, contraction passes) must
+    report rounds >= 1."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "PLANMAP.md")).read()
+    rounds: dict[str, str] = {}
+    for line in text.splitlines():
+        m = re.match(r"\| `(\w+)` \| ([^|]*) \| ([^|]*) \|", line)
+        if m:
+            name, shuffles, r = m.group(1), m.group(2).strip(), \
+                m.group(3).strip()
+            if shuffles == "stream":
+                continue  # streaming drains aren't fingerprinted
+            rounds[name] = r
+    assert len(rounds) > 250, "PLANMAP.md table not parsed"
+    blanks = [n for n, r in rounds.items() if not r.isdigit()]
+    assert not blanks, f"non-integer rounds cells: {blanks[:10]}"
+
+    # queries that call note_rounds-instrumented helpers (iterate(),
+    # the ExactSubstr binary-lifting loop, BPE/Viterbi-EM training,
+    # connected-components star contraction, label propagation):
+    iterative = {
+        "dd_cluster_components", "dd_cluster_components_star",
+        "dd_exact_substring_maxlen", "dd_survivorship",
+        "gr_bfs_distance", "gr_dag_layering", "gr_kcore_peeling",
+        "gr_label_propagation", "gr_pagerank",
+        "gr_personalized_pagerank", "px_blob_labeling",
+        "tk_bpe_train_rounds", "tk_viterbi_em_counts",
+    }
+    missing = {n for n in iterative if n not in rounds}
+    assert not missing, missing
+    zeroed = {n for n in iterative if int(rounds[n]) < 1}
+    assert not zeroed, f"iterative queries reporting rounds=0: {zeroed}"

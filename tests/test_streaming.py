@@ -612,6 +612,44 @@ def test_incremental_erasure_large_batch_antijoin_path(spark, tmp_path):
     assert after.join(victims, ["name", "collection_id"]).count() == 0
 
 
+def test_incremental_erasure_ignores_null_keys_small_batch(
+        spark, tmp_path):
+    """ADVICE-r6: NULL key tuples must be ignored in BOTH regimes. The
+    small-batch IN-list path used to render a NULL as the bare token
+    `None`, producing an unresolvable predicate that crashed the
+    streaming query; now both paths share delete_keys' documented
+    NULL-ignoring rule."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.streaming.incremental import (
+        incremental_erasure,
+    )
+
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    store = CatalogStore(spark, str(tmp_path / "ecat-null"))
+    store.overwrite("items", fx["items"])
+    n0 = store.read("items").count()
+
+    victims = fx["items"].limit(3).select("name", "collection_id")
+    n_victims = victims.count()
+    with_null = victims.unionByName(
+        victims.limit(1).select(
+            F.lit(None).cast("string").alias("name"),
+            F.col("collection_id")))
+    requests = str(tmp_path / "requests-null")
+    with_null.write.mode("overwrite").parquet(requests)
+
+    # 4 keys < the default threshold: IN-list regime
+    q = incremental_erasure(spark, requests, store,
+                            str(tmp_path / "eckpt-null"))
+    q.awaitTermination(120)
+
+    after = store.read("items")
+    assert after.count() == n0 - n_victims
+    assert after.join(victims, ["name", "collection_id"]).count() == 0
+    assert after.filter(F.col("name").isNull()).count() == 0
+
+
 def test_delete_keys_matches_delete_where(spark, tmp_path):
     """store.delete_keys (anti-join) and delete_where (predicate) are
     interchangeable: same survivors, NULL key tuples ignored, cascade
