@@ -183,3 +183,43 @@ def audio_rms_frames(media, frame_len: int = 64):
 
     return media.select("media_id", "payload").mapInPandas(
         run, AUDIO_RMS_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = "media_id long, frame_idx int, energy long"
+
+
+def audio_frame_energy(media, frame_len: int = 64):
+    """Per-frame sum-of-squares energy over int16-LE PCM payloads —
+    the ALL-INTEGER sibling of :func:`audio_rms_frames` (energy =
+    rms² · frame_len without the sqrt), for downstream predicates
+    that only threshold (silence trim, clipping detection): exact
+    int64 end-to-end, zero float risk across engines. Same
+    Arrow-batched mapInPandas plumbing — payload bytes never shuffle,
+    only (media_id, frame_idx, energy) rows do; trailing partial
+    frames are dropped."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, en = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                x = np.frombuffer(bytes(payload), dtype="<i2") \
+                      .astype(np.int64)
+                n = (len(x) // frame_len) * frame_len
+                if n == 0:
+                    continue
+                fr = x[:n].reshape(-1, frame_len)
+                sumsq = (fr * fr).sum(axis=1)
+                ids.extend([mid] * len(sumsq))
+                frames.extend(range(len(sumsq)))
+                en.extend(int(v) for v in sumsq)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(frames, dtype="int32"),
+                "energy": pd.Series(en, dtype="int64"),
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_ENERGY_SCHEMA)

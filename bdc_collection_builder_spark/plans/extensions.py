@@ -5109,3 +5109,338 @@ def cu_dedup_rate_by_source(spark, sf_dir):
         F.sum(dropped).cast("bigint").alias("n_dropped"),
         F.round(F.sum(dropped).cast("double") / F.count("*"), 6)
         .alias("dedup_rate"))
+
+
+@query(
+    "ss_knn_label_accuracy",
+    survey=("SS-brute", "DQ-drift"),
+    oracle=f"""
+        WITH topk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT e2.vec_id AS query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY e2.vec_id
+                           ORDER BY
+                             round({_DOT_SQL.format(a='e2.embedding',
+                                                    b='e.embedding')}
+                             / (sqrt({_DOT_SQL.format(a='e2.embedding',
+                                                      b='e2.embedding')})
+                                * sqrt({_DOT_SQL.format(a='e.embedding',
+                                                        b='e.embedding')})),
+                                   6) DESC, e.vec_id
+                       ) AS rank
+                FROM embeddings e CROSS JOIN embeddings e2
+                WHERE e2.vec_id < 32 AND e.vec_id <> e2.vec_id
+            ) WHERE rank <= 10
+        ),
+        votes AS (
+            SELECT t.query_id, c.label, CAST(count(*) AS BIGINT) AS cnt
+            FROM topk t JOIN embeddings c USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT query_id, label AS pred_label FROM (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cnt DESC, label) AS r
+                FROM votes
+            ) WHERE r = 1
+        )
+        SELECT q.label AS true_label,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN p.pred_label = q.label
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               round(CAST(sum(CASE WHEN p.pred_label = q.label
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS accuracy
+        FROM embeddings q JOIN pred p ON p.query_id = q.vec_id
+        WHERE q.vec_id < 32
+        GROUP BY 1
+    """,
+)
+def ss_knn_label_accuracy(spark, sf_dir):
+    """kNN label-consistency eval (Fix & Hodges 1951 / Cover & Hart
+    1967 — public): predict each query vector's label by majority
+    vote of its 10 exact cosine neighbors (deterministic tie-breaks:
+    cosine rounded to 6dp then vec_id for the neighborhood, count
+    then smaller label for the vote), score against the true label,
+    report per-label accuracy. The embedding-quality smoke test a
+    training pipeline runs after re-embedding: labels whose
+    neighborhoods stop predicting them signal a collapsed or drifted
+    embedding space — the labeled complement of ss_ndcg_eval's
+    rank-quality metric.
+
+    Reuses brute_force_topk end-to-end (the documented eval-protocol
+    brute-force: bounded 32-query batch broadcast x corpus scan); the
+    vote and accuracy stages are exact integer counts over the 320
+    neighbor rows plus one final division.
+
+    100 TB: eval cost = one broadcast top-k pass (query batch is
+    bounded); everything downstream is dimension-sized."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        brute_force_topk,
+    )
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    topk = brute_force_topk(emb, queries, k=10)
+    votes = (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"))
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1) \
+        .otherwise(0)
+    return (
+        truth.join(pred, "query_id")
+        .groupBy("true_label")
+        .agg(F.count("*").cast("bigint").alias("n_queries"),
+             F.sum(correct).cast("bigint").alias("n_correct"),
+             F.round(F.sum(correct).cast("double") / F.count("*"), 6)
+             .alias("accuracy"))
+    )
+
+
+@query(
+    "sk_bloom_fpr_eval",
+    survey=("CU-decon", "SK-bloom"),
+    oracle=f"""
+        WITH train AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 17 <> 0),
+        bench AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id % 17 = 0),
+        tr AS ({_SHINGLE5_SQL.format(toks=_TOKS, src="train")}),
+        be AS ({_SHINGLE5_SQL.format(toks=_TOKS, src="bench")}),
+        besh AS (SELECT DISTINCT sh FROM be),
+        trsh AS (SELECT DISTINCT sh FROM tr),
+        probes(i) AS (VALUES (0), (1), (2)),
+        bpos AS (
+            SELECT (({_HEX60.format(x='sh')} % {_BLOOM_M})
+                    + i * ({_HEX60B.format(x='sh')} % {_BLOOM_M}))
+                   % {_BLOOM_M} AS pos
+            FROM besh CROSS JOIN probes
+        ),
+        bitmap AS (
+            SELECT pos // 63 AS word_idx,
+                   bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+            FROM bpos GROUP BY pos // 63
+        ),
+        trh AS (
+            SELECT sh, {_HEX60.format(x='sh')} % {_BLOOM_M} AS r1,
+                   {_HEX60B.format(x='sh')} % {_BLOOM_M} AS r2
+            FROM trsh
+        ),
+        hits AS (
+            SELECT sh,
+                   sum(CASE WHEN b.bits IS NOT NULL
+                            AND (b.bits & (1::BIGINT
+                                 << CAST(((r1 + i * r2) % {_BLOOM_M})
+                                         % 63 AS INT))) <> 0
+                       THEN 1 ELSE 0 END) AS n_hits
+            FROM trh CROSS JOIN probes
+            LEFT JOIN bitmap b
+              ON ((r1 + i * r2) % {_BLOOM_M}) // 63 = b.word_idx
+            GROUP BY sh
+        ),
+        labeled AS (
+            SELECT h.sh,
+                   CASE WHEN h.n_hits = 3 THEN 1 ELSE 0 END AS flagged,
+                   CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END AS member
+            FROM hits h LEFT JOIN besh b ON b.sh = h.sh
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_probed,
+               CAST(sum(member) AS BIGINT) AS n_members,
+               CAST(sum(flagged) AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN flagged = 1 AND member = 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_false_positives,
+               round(CAST(sum(CASE WHEN flagged = 1 AND member = 0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / (count(*) - sum(member)), 6) AS fpr
+        FROM labeled
+    """,
+)
+def sk_bloom_fpr_eval(spark, sf_dir):
+    """Measured Bloom-filter quality (Bloom 1970, public) for the
+    decontamination path: probe the benchmark bitmap with every
+    DISTINCT training shingle, label each probe by EXACT membership
+    in the benchmark shingle set, and report the measured
+    false-positive rate beside the flag counts. The eval that turns
+    cu_bloom_decontaminate's theoretical (1−e^{-kn/m})^k into a
+    number the pipeline can alarm on — and the proof of the zero
+    false-negative guarantee (every member must be flagged; the
+    companion test pins n_flagged >= n_members and this query's
+    n_members equals the exact intersection by construction).
+
+    Same deterministic md5 double-hash bitmap as the production
+    query (bit-for-bit replayable by the oracle); all counts exact
+    int64, FPR one final division.
+
+    100 TB: the bitmap is 4 KiB broadcast; probes are a map-side
+    explode + broadcast word-index join (corpus never shuffles
+    beyond the distinct); exact labeling is one left join on the
+    shingle key — the same envelope as the decontamination pass it
+    audits."""
+    from bdc_collection_builder_spark.extensions.curation import (
+        _md5_hash60_hi,
+        bloom_bitmap,
+        shingles,
+    )
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    m = F.lit(_BLOOM_M)
+    bench_sh = shingles(bench, k=5).select("shingle").distinct()
+    bitmap = bloom_bitmap(shingles(bench, k=5), key_col="shingle",
+                          m_bits=_BLOOM_M, n_hashes=3)
+    trsh = (
+        shingles(train, k=5).select("shingle").distinct()
+        .select("shingle",
+                (md5_hash60(F.col("shingle")) % m).alias("r1"),
+                (_md5_hash60_hi(F.col("shingle")) % m).alias("r2"))
+    )
+    probes = trsh.select(
+        "shingle", "r1", "r2",
+        F.explode(F.array(*[
+            (F.col("r1") + F.lit(i) * F.col("r2")) % m
+            for i in range(3)])).alias("pos"))
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(
+               F.expr("shiftleft(CAST(1 AS BIGINT), "
+                      "CAST(pos % 63 AS INT))")) != 0))
+    hits = (
+        probes
+        .join(F.broadcast(bitmap),
+              F.expr("pos DIV 63") == F.col("word_idx"), "left")
+        .groupBy("shingle")
+        .agg(F.sum(hit.cast("int")).alias("n_hits"))
+    )
+    labeled = (
+        hits.join(bench_sh.withColumn("is_member", F.lit(1)),
+                  "shingle", "left")
+        .select(
+            F.when(F.col("n_hits") == 3, 1).otherwise(0).alias("flagged"),
+            F.coalesce("is_member", F.lit(0)).alias("member"))
+    )
+    fp = F.when((F.col("flagged") == 1) & (F.col("member") == 0), 1) \
+        .otherwise(0)
+    return labeled.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum("member").cast("bigint").alias("n_members"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        F.sum(fp).cast("bigint").alias("n_false_positives"),
+        F.round(F.sum(fp).cast("double")
+                / (F.count("*") - F.sum("member")), 6).alias("fpr"))
+
+
+@query(
+    "mm_audio_silence_trim",
+    survey=("MM-audio",),
+    oracle="""
+        WITH audio AS (
+            SELECT i AS media_id, sha256('media-' || i) AS hex,
+                   CAST(4 + i % 7 AS INT) AS reps
+            FROM range(0, 64) t(i) WHERE i % 3 = 1
+        ),
+        frames AS (
+            SELECT media_id, hex,
+                   unnest(generate_series(0, reps - 1)) AS frame_idx
+            FROM audio
+        ),
+        samples AS (
+            SELECT media_id, hex, frame_idx,
+                   unnest(generate_series(0, 15)) AS k
+            FROM frames
+        ),
+        vals AS (
+            SELECT media_id, frame_idx,
+                   ((strpos('0123456789abcdef', substr(hex,
+                        2*((2*(frame_idx*16+k)) % 32)+1, 1))-1)*16
+                    + strpos('0123456789abcdef', substr(hex,
+                        2*((2*(frame_idx*16+k)) % 32)+2, 1))-1)
+                   + 256 * ((strpos('0123456789abcdef', substr(hex,
+                        2*((2*(frame_idx*16+k)+1) % 32)+1, 1))-1)*16
+                    + strpos('0123456789abcdef', substr(hex,
+                        2*((2*(frame_idx*16+k)+1) % 32)+2, 1))-1) AS raw
+            FROM samples
+        ),
+        energy AS (
+            SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(sum(CASE WHEN raw >= 32768
+                                 THEN (raw - 65536) * (raw - 65536)
+                                 ELSE raw * raw END) AS BIGINT) AS energy
+            FROM vals GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   min(CASE WHEN energy >= 5725000000
+                            THEN frame_idx END) AS mn,
+                   max(CASE WHEN energy >= 5725000000
+                            THEN frame_idx END) AS mx
+            FROM energy GROUP BY media_id
+        )
+        SELECT media_id, n_frames,
+               CAST(coalesce(mn, n_frames) AS BIGINT) AS lead_trim,
+               CAST(coalesce(n_frames - 1 - mx, 0) AS BIGINT)
+                 AS tail_trim,
+               CAST(n_frames - coalesce(mn, n_frames)
+                    - coalesce(n_frames - 1 - mx, 0) AS BIGINT)
+                 AS n_kept
+        FROM per
+    """,
+)
+def mm_audio_silence_trim(spark, sf_dir):
+    """Silence trimming over the audio modality: per clip, the count
+    of leading and trailing frames whose energy sits below the voiced
+    threshold, and the kept span between them — the standard
+    preprocessing step before an audio corpus is tokenized (silence
+    carries no training signal but bills storage and compute).
+    Frames are 16 samples; "voiced" thresholds the EXACT int64
+    sum-of-squares energy (audio_frame_energy — no sqrt, no floats
+    anywhere in this query), threshold = half the uniform-int16
+    expected frame energy.
+
+    Plumbing is the real multimodal path: one Arrow-batched
+    mapInPandas decode (payload bytes stay executor-local), then a
+    conditional min/max aggregate per clip — all integers,
+    deterministic bytes by construction. The oracle re-derives every
+    sample arithmetically from the seeded sha256 fixture.
+
+    100 TB: decode is embarrassingly parallel over clips; only
+    (media_id, frame_idx, energy) rows shuffle, and the trim
+    aggregate is one map-side-combined groupBy."""
+    from bdc_collection_builder_spark.extensions.multimodal import (
+        audio_frame_energy,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64).filter(F.col("kind") == "audio")
+    en = audio_frame_energy(media, frame_len=16)
+    voiced = F.when(F.col("energy") >= 5725000000, F.col("frame_idx"))
+    per = en.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.min(voiced).alias("mn"),
+        F.max(voiced).alias("mx"))
+    lead = F.coalesce(F.col("mn").cast("bigint"), F.col("n_frames"))
+    tail = F.coalesce((F.col("n_frames") - 1 - F.col("mx"))
+                      .cast("bigint"), F.lit(0).cast("bigint"))
+    return per.select(
+        "media_id", "n_frames",
+        lead.alias("lead_trim"),
+        tail.alias("tail_trim"),
+        (F.col("n_frames") - lead - tail).alias("n_kept"))

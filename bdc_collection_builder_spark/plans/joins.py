@@ -1573,3 +1573,58 @@ def j29_order_priority_checking(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").cast("bigint").alias("order_count"))
     )
+
+
+@query(
+    "j30_customer_order_distribution",
+    survey=("J1", "A1"),
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+    """,
+)
+def j30_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed exactly N (non-urgent) orders, INCLUDING the
+    zero-order customers the inner join would silently drop (the
+    left join is the whole point of Q13). The reference's equivalent
+    is the per-collection activity distribution including idle
+    collections (dashboard overview, cli.py overview). The classic
+    Q13 excludes 'special request' comments; this testdata has no
+    o_comment, so the documented substitute predicate excludes
+    '1-URGENT' orders (same join-with-residual-filter shape).
+
+    Plan: the join-side filter prunes BEFORE the join; one shuffle on
+    c_custkey for the per-customer count (the left join keeps
+    zero-count customers via count(o_orderkey) counting non-null keys
+    only), one dimension-sized re-aggregate for the histogram.
+
+    100 TB: the first aggregate is the only customer-scale shuffle —
+    orders are projected to (o_custkey, o_orderkey) before the join;
+    the histogram re-aggregate is bounded by max-orders-per-customer
+    (dozens of rows)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                  "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist"))

@@ -1072,3 +1072,179 @@ def dq_k_anonymity(spark, sf_dir):
         F.min("class_size").cast("bigint").alias("min_class_size"),
         F.sum(below).cast("bigint").alias("n_classes_below_k"),
         F.sum(at_risk).cast("bigint").alias("n_docs_at_risk"))
+
+
+@query(
+    "dq_l_diversity",
+    survey=("A2", "TX-quality"),
+    oracle="""
+        WITH classes AS (
+            SELECT source,
+                   CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct
+            FROM documents
+            GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(l_distinct) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_classes_below_l,
+               CAST(sum(CASE WHEN l_distinct < 3 THEN class_size
+                        ELSE 0 END) AS BIGINT) AS n_docs_at_risk
+        FROM classes
+    """,
+)
+def dq_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007, public) — the
+    k-anonymity companion: an equivalence class over the
+    quasi-identifier tuple (source, length bucket) may be LARGE (so
+    k-anonymous) yet still leak its sensitive attribute if every
+    member shares the same value. Here the sensitive attribute is
+    ``lang``; a class with fewer than l=3 distinct languages lets an
+    observer infer a member's language from its metadata. Pairs with
+    dq_k_anonymity as the release-gate duo.
+
+    One groupBy on the quasi-identifier with a count + exact
+    count(DISTINCT lang) (Spark plans this as the standard two-phase
+    expand-aggregate, still one logical shuffle family), one fused
+    rollup over the dimension-sized class table. All-integer output —
+    deterministic bytes by construction.
+
+    100 TB: the distinct-count expansion is bounded by
+    |classes| x |langs| (both dimension-sized), orders below the
+    corpus; the only corpus-scale cost is the first combine."""
+    classes = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source",
+                 F.floor(F.col("n_chars") / 100).cast("bigint")
+                 .alias("size_bucket"))
+        .agg(F.count("*").cast("bigint").alias("class_size"),
+             F.countDistinct("lang").cast("bigint").alias("l_distinct"))
+    )
+    below = F.when(F.col("l_distinct") < 3, 1).otherwise(0)
+    at_risk = F.when(F.col("l_distinct") < 3,
+                     F.col("class_size")).otherwise(0)
+    return classes.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("l_distinct").cast("bigint").alias("min_l"),
+        F.sum(below).cast("bigint").alias("n_classes_below_l"),
+        F.sum(at_risk).cast("bigint").alias("n_docs_at_risk"))
+
+
+@query(
+    "dq_mutual_information",
+    survey=("A2", "TX-quality"),
+    oracle="""
+        WITH xy AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS nxy
+            FROM documents GROUP BY 1, 2
+        ),
+        x AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx
+              FROM xy GROUP BY 1),
+        y AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny
+              FROM xy GROUP BY 1),
+        tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM xy),
+        mi AS (
+            SELECT CAST(sum(xy.nxy * CAST(floor(ln(
+                       CAST(xy.nxy * t.n AS DOUBLE)
+                       / CAST(x.nx * y.ny AS DOUBLE)) * 10000000e0)
+                   AS BIGINT)) AS BIGINT) AS s
+            FROM xy
+            JOIN x USING (lang) JOIN y USING (source)
+            CROSS JOIN tot t
+        ),
+        hx AS (
+            SELECT CAST(sum(x.nx * CAST(floor(ln(
+                       CAST(x.nx AS DOUBLE) / t.n) * 10000000e0)
+                   AS BIGINT)) AS BIGINT) AS s
+            FROM x CROSS JOIN tot t
+        ),
+        hy AS (
+            SELECT CAST(sum(y.ny * CAST(floor(ln(
+                       CAST(y.ny AS DOUBLE) / t.n) * 10000000e0)
+                   AS BIGINT)) AS BIGINT) AS s
+            FROM y CROSS JOIN tot t
+        )
+        SELECT t.n AS n_total,
+               round(CAST(mi.s AS DOUBLE) / (t.n * 10000000e0), 6)
+                 AS mi_nats,
+               round(-CAST(hx.s AS DOUBLE) / (t.n * 10000000e0), 6)
+                 AS h_lang,
+               round(-CAST(hy.s AS DOUBLE) / (t.n * 10000000e0), 6)
+                 AS h_source,
+               round((CAST(mi.s AS DOUBLE) / (t.n * 10000000e0))
+                     / sqrt((-CAST(hx.s AS DOUBLE) / (t.n * 10000000e0))
+                            * (-CAST(hy.s AS DOUBLE)
+                               / (t.n * 10000000e0))), 6)
+                 AS normalized_mi
+        FROM tot t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def dq_mutual_information(spark, sf_dir):
+    """Mutual information between two categorical metadata columns
+    (lang x source) in nats, plus both marginal entropies and the
+    sqrt-normalized MI — the drift-and-leakage diagnostic: a source
+    whose language distribution is far from the corpus marginal
+    (high MI) is the feed to inspect before mixing, and a sudden MI
+    jump between snapshots is a routing bug. Public formula
+    (Shannon 1948); complements dq_psi_drift (one column over time)
+    with a two-column association measure.
+
+    Determinism contract (the tx_zipf_slope pattern): every ln() is
+    computed per CLASS row from exact integer counts (the ratio is a
+    division of int64 products, each < 2^53 so exactly representable)
+    and quantized to int64 at 1e-7; the MI/entropy sums are then
+    exact integer sums (order-free), and the final values are fixed
+    scalar expressions over those integers — a 1-ulp libm
+    disagreement moves the result by ~1e-8, below the 6-decimal
+    round.
+
+    100 TB: one map-side-combined groupBy on (lang, source); the
+    marginals re-aggregate the CLASS table (dimension-sized, no
+    second corpus scan); tot is a one-row broadcast attach."""
+    xy = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("nxy"))
+    )
+    from bdc_collection_builder_spark.functions.persist import (
+        tracked_persist,
+    )
+
+    xy = tracked_persist(xy)  # reused by both marginals + the MI join
+    x = xy.groupBy("lang").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    y = xy.groupBy("source").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = xy.agg(F.sum("nxy").cast("bigint").alias("n"))
+    scale = 10000000.0
+    q_mi = F.floor(F.log(
+        (F.col("nxy") * F.col("n")).cast("double")
+        / (F.col("nx") * F.col("ny")).cast("double")) * scale) \
+        .cast("bigint")
+    mi = (
+        xy.join(x, "lang").join(y, "source").join(F.broadcast(tot))
+        .agg(F.sum(F.col("nxy") * q_mi).cast("bigint").alias("s_mi"))
+    )
+    q_hx = F.floor(F.log(F.col("nx").cast("double") / F.col("n"))
+                   * scale).cast("bigint")
+    hx = (x.join(F.broadcast(tot))
+          .agg(F.sum(F.col("nx") * q_hx).cast("bigint").alias("s_hx")))
+    q_hy = F.floor(F.log(F.col("ny").cast("double") / F.col("n"))
+                   * scale).cast("bigint")
+    hy = (y.join(F.broadcast(tot))
+          .agg(F.sum(F.col("ny") * q_hy).cast("bigint").alias("s_hy")))
+    denom = F.col("n").cast("double") * F.lit(scale)
+    mi_v = F.col("s_mi").cast("double") / denom
+    hx_v = -F.col("s_hx").cast("double") / denom
+    hy_v = -F.col("s_hy").cast("double") / denom
+    return (
+        tot.join(F.broadcast(mi)).join(F.broadcast(hx))
+        .join(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_total"),
+            F.round(mi_v, 6).alias("mi_nats"),
+            F.round(hx_v, 6).alias("h_lang"),
+            F.round(hy_v, 6).alias("h_source"),
+            F.round(mi_v / F.sqrt(hx_v * hy_v), 6)
+            .alias("normalized_mi"))
+    )

@@ -148,8 +148,15 @@ def _load_all() -> None:
 # the sole documented rows-only exclusion, pinned against its green
 # exact twin a18b in pytest).
 # Frozen by tests/test_plans.py::test_driver_window_rotation_round7 —
-# queries registered after this rotation join the ROUND-8 pool
-# (s36_erasure_vacuum_horizon and later) and must not displace it.
+# queries registered after this rotation join the ROUND-8 pool and
+# must not displace it. Round-8 pool so far (all oracled, byte-green
+# locally at sf0.001 + sf0.01): s36_erasure_vacuum_horizon,
+# tj_mann_kendall_trend, gr_clustering_coefficient, dq_l_diversity,
+# dq_mutual_information, ss_knn_label_accuracy,
+# j30_customer_order_distribution (+ any later round-7 additions —
+# see the git log). If round 7 lands 50/50, cumulative = 306/307 of
+# the pre-r7 registry; rotate round 8 onto this pool + deliberate
+# re-checks, keeping a18_hll_rollup excluded as documented.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 13 round-6 additions, float-risk first
     "tx_zipf_slope", "tj_theil_sen_trend", "dd_suffix_prefix_overlap",

@@ -956,3 +956,86 @@ def tj_theil_sen_trend(spark, sf_dir):
         F.max("n").cast("bigint").alias("n_pairs"),
         F.round(F.max(F.when(F.col("rn") == med_rank, F.col("slope"))),
                 6).alias("theil_sen_slope"))
+
+
+@query(
+    "tj_mann_kendall_trend",
+    survey=("Y6", "A2"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', {duck_ts()}) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        nd AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN b.c > a.c THEN 1
+                        WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND a.day < b.day
+        )
+        SELECT p.event_type,
+               max(n.n_days) AS n_days,
+               CAST(sum(p.sgn) AS BIGINT) AS s_statistic,
+               round(2.0 * CAST(sum(p.sgn) AS DOUBLE)
+                     / (max(n.n_days) * (max(n.n_days) - 1)), 6)
+                 AS kendall_tau_a
+        FROM pairs p JOIN nd n ON n.event_type = p.event_type
+        GROUP BY p.event_type
+    """,
+)
+def tj_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend test statistic (Mann 1945 / Kendall 1975 —
+    public) over the per-type daily event volume: S = Σ_{i<j}
+    sign(c_j − c_i), the non-parametric monotonic-trend detector that
+    complements tj_theil_sen_trend (Theil-Sen estimates the slope;
+    Mann-Kendall decides whether a trend EXISTS — the standard
+    pairing in monitoring literature). Also reports Kendall's tau-a
+    (S normalized by the pair count).
+
+    Determinism: daily counts are exact int64; every pairwise term is
+    an integer sign, summed as int64 (order-free); tau-a is ONE final
+    double division of exact integers — bit-deterministic on both
+    engines, no float folds anywhere.
+
+    Scale shape: identical envelope to tj_theil_sen_trend — the pair
+    join is per-type over the DAILY aggregate (dimension-sized
+    quadratic over dozens of rows), the only corpus-scale work is the
+    first daily-count shuffle (map-side combined). Reference anchor:
+    Y6 status monitoring (the reference eyeballs activity trends in
+    its dashboard; this is the statistical version)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts").cast("timestamp"))
+                 .cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"))
+    a = daily.select("event_type", F.col("day").alias("d1"),
+                     F.col("c").alias("c1"))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("day").alias("d2"), F.col("c").alias("c2"))
+    sgn = (F.when(F.col("c2") > F.col("c1"), 1)
+           .when(F.col("c2") < F.col("c1"), -1).otherwise(0))
+    pairs = (
+        a.join(b, (F.col("event_type") == F.col("et2"))
+               & (F.col("d1") < F.col("d2")))
+        .select("event_type", sgn.alias("sgn"))
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("bigint").alias("s_statistic"))
+    return (
+        agg.join(nd, "event_type")
+        .select(
+            "event_type", "n_days", "s_statistic",
+            F.round(F.lit(2.0) * F.col("s_statistic").cast("double")
+                    / (F.col("n_days") * (F.col("n_days") - 1)), 6)
+            .alias("kendall_tau_a"))
+    )

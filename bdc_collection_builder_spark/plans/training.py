@@ -1334,3 +1334,74 @@ def tx_zipf_slope(spark, sf_dir):
         F.col("n").alias("n_words"),
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("zipf_intercept"))
+
+
+@query(
+    "tx_word_burstiness",
+    survey=("TX-vocab", "TX-quality"),
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT doc_id, tok AS w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        moments AS (
+            SELECT w,
+                   CAST(count(*) AS BIGINT) AS n_docs_with,
+                   CAST(sum(c) AS BIGINT) AS s1,
+                   CAST(sum(c * c) AS BIGINT) AS s2
+            FROM per_doc GROUP BY w
+        ),
+        top AS (
+            SELECT w, n_docs_with, s1, s2
+            FROM moments ORDER BY s1 DESC, w LIMIT 50
+        )
+        SELECT w AS word, n_docs_with,
+               s1 AS total_count,
+               round((CAST(t.n * s2 - s1 * s1 AS DOUBLE) / t.n)
+                     / CAST(s1 AS DOUBLE), 6) AS burstiness
+        FROM top CROSS JOIN nd t
+    """,
+)
+def tx_word_burstiness(spark, sf_dir):
+    """Word burstiness (Church & Gale 1995, public): the
+    variance-to-mean ratio of a word's per-document count over the
+    WHOLE corpus (zero-count documents included via the moment
+    identity — never materialized). Function words sit near 1
+    (Poisson); content words and boilerplate fragments burst far
+    above it — a template/spam fingerprint the frequency rank alone
+    cannot see (a word can be mid-frequency yet appear 40 times in
+    each of a few documents). Top-50 words by total count.
+
+    Exactness: per-doc counts are exact int64; the corpus moments
+    (Σc, Σc²) are exact integer sums, zero documents contribute 0 to
+    both, so var/mean = ((N·Σc² − (Σc)²)/N)/Σc is ONE fixed double
+    expression over exact integers (N·Σc² < 2^63 at any realistic
+    top-word mass) — bit-deterministic, no float folds.
+
+    100 TB: one map-side-combined (doc_id, word) count shuffle, one
+    word-moment rollup, a TakeOrdered top-50 (per-partition heaps) —
+    the same envelope as the vocabulary/Zipf passes."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()  # bounded scalar (dimension count)
+    per_doc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text")))
+                    .alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    moments = per_doc.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n_docs_with"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"))
+    top = moments.orderBy(F.col("s1").desc(), "w").limit(50)
+    burst = ((F.lit(n_docs) * F.col("s2")
+              - F.col("s1") * F.col("s1")).cast("double")
+             / F.lit(n_docs)) / F.col("s1").cast("double")
+    return top.select(
+        F.col("w").alias("word"), "n_docs_with",
+        F.col("s1").alias("total_count"),
+        F.round(burst, 6).alias("burstiness"))

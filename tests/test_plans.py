@@ -110,6 +110,8 @@ def test_plan_lint_every_query(spark, sf_dir):
         "ss_ndcg_eval",          # eval protocol: brute-force truth
         "dq_cardinality_drift",  # one-row x one-row slice summary join
         "tk_viterbi_em_counts",  # one-row vocab-total + count-total attach
+        "ss_knn_label_accuracy",  # eval protocol: brute-force neighbors
+        "dq_mutual_information",  # one-row total / moment attaches
 
     }
     offenders = {}
@@ -424,9 +426,12 @@ def test_driver_window_rotation_round7():
         all_queries,
     )
 
-    all_queries()
+    ordered = list(all_queries())
     assert len(_DRIVER_PRIORITY) == 50
     assert len(set(_DRIVER_PRIORITY)) == 50, "duplicate window entries"
+    # the driver checks the FIRST 50 entries of queries() — the
+    # priority list must actually lead the registration order
+    assert tuple(ordered[:50]) == _DRIVER_PRIORITY
     unregistered = [n for n in _DRIVER_PRIORITY if n not in QUERY_REGISTRY]
     assert not unregistered, unregistered
     # every entry must be oracled (rows-only entries waste a slot on a
