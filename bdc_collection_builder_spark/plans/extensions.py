@@ -5444,3 +5444,93 @@ def mm_audio_silence_trim(spark, sf_dir):
         lead.alias("lead_trim"),
         tail.alias("tail_trim"),
         (F.col("n_frames") - lead - tail).alias("n_kept"))
+
+
+@query(
+    "cu_cluster_size_distribution",
+    survey=("DD-cluster", "CU-sample"),
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jpairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM jpairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS component_id
+            FROM reach GROUP BY a
+        ),
+        allc AS (
+            SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 1000000 FROM documents WHERE doc_id % 20 = 0
+        ),
+        assigned AS (
+            SELECT c.doc_id,
+                   coalesce(p.component_id, c.doc_id) AS component_id
+            FROM allc c LEFT JOIN comp p USING (doc_id)
+        ),
+        csizes AS (
+            SELECT component_id, CAST(count(*) AS BIGINT) AS size
+            FROM assigned GROUP BY 1
+        )
+        SELECT size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(size * count(*) AS BIGINT) AS n_docs,
+               CAST((size - 1) * count(*) AS BIGINT)
+                 AS n_duplicates_removable
+        FROM csizes GROUP BY size
+    """,
+)
+def cu_cluster_size_distribution(spark, sf_dir):
+    """Near-duplicate CLUSTER-SIZE distribution — the dedup planning
+    report: every document lands in exactly one cluster (its
+    connected component from the n-gram-Jaccard pair graph, or itself
+    as a singleton), and the histogram of cluster sizes says what
+    survivorship will actually reclaim (n_duplicates_removable =
+    (size-1) per cluster) and whether duplication is a long tail of
+    pairs or a few pathological mega-clusters — the number that
+    decides between plain survivorship and template-removal. Sits on
+    top of dd_cluster_components exactly as the curation dashboard
+    would.
+
+    Pipeline: pair generation (hash-anchored, never all-pairs) →
+    min-label-propagation components (bounded rounds, checkpointed) →
+    a left join assigning singletons to themselves → two
+    dimension-sized aggregates. All-integer output.
+
+    100 TB: identical envelope to the dedup pass it reports on; the
+    histogram is bounded by the largest cluster size."""
+    from bdc_collection_builder_spark.extensions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    base = t(spark, sf_dir, "documents")
+    docs = base.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    near = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" xy zz wq")).alias("text"))
+    )
+    corpus = docs.unionByName(near)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    comp = connected_components(pairs)
+    assigned = (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component_id", "doc_id").alias("component_id"))
+    )
+    sizes = assigned.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.col("size") * F.count("*")).cast("bigint").alias("n_docs"),
+        ((F.col("size") - 1) * F.count("*")).cast("bigint")
+        .alias("n_duplicates_removable"))
