@@ -1628,3 +1628,444 @@ def j30_customer_order_distribution(spark, sf_dir):
     )
     return per_cust.groupBy("c_count").agg(
         F.count("*").cast("bigint").alias("custdist"))
+
+
+@query(
+    "j31_waiting_supplier_blame",
+    survey=("J4", "J1", "A2"),
+    oracle="""
+        SELECT s.s_name,
+               CAST(count(*) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND o.o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s.s_name
+    """,
+)
+def j31_waiting_supplier_blame(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for each
+    supplier, count its RETURNED lineitems in finished multi-supplier
+    orders where it was the ONLY supplier with a returned item — the
+    sole-blame attribution the reference runs when a merge window
+    fails and exactly one provider's download erred
+    (publish.py failure attribution). The testdata carries no
+    commit/receipt dates, so ``l_returnflag = 'R'`` stands in for the
+    lateness predicate; the EXISTS / NOT-EXISTS double correlation is
+    Q21's exactly.
+
+    Decorrelation: instead of two correlated subqueries (which would
+    re-scan lineitem twice per row), ONE per-order aggregate computes
+    both at once — ``n_supp`` (distinct suppliers in the order) and
+    ``n_prob_supp`` (distinct suppliers with a returned item). Then
+    EXISTS(other supplier)        <=> n_supp > 1
+    NOT EXISTS(other problem sup) <=> n_prob_supp = 1
+    (l1's own supplier IS a problem supplier, so "no other" means
+    "exactly one"). The double correlation costs one extra groupBy on
+    l_orderkey plus one broadcast-or-shuffle join back — no
+    re-scans, no distincts on the probe side.
+
+    100 TB: two shuffles on l_orderkey (the per-order aggregate and
+    the join back), one supplier-dimension broadcast; the final
+    count is map-side combined over ~|suppliers| groups."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_prob_supp"))
+    fin = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(fin.withColumnRenamed("o_orderkey", "l_orderkey"),
+              "l_orderkey", "left_semi")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_prob_supp") == 1))
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    return (
+        l1.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+@query(
+    "j32_important_part_value",
+    survey=("A2", "J1"),
+    oracle="""
+        WITH value_per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM lineitem
+            GROUP BY l_partkey
+        ),
+        total AS (
+            SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM value_per_part
+        )
+        SELECT v.l_partkey, v.value_cents
+        FROM value_per_part v, total t
+        WHERE 2 * v.value_cents * t.n_parts > 3 * t.total_cents
+    """,
+)
+def j32_important_part_value(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): parts whose
+    total lineitem value exceeds a multiple of the AVERAGE per-part
+    value — a HAVING over a scalar subquery. The reference's analog
+    is the per-collection storage report flagging collections above
+    a share of total archive bytes (cli.py overview). TPC-H scales
+    Q11's fraction by 1/SF to keep the answer non-empty; the
+    equivalent scale-invariant predicate is ``share > 1.5x average
+    share``, i.e. ``2 * value_cents * n_parts > 3 * total_cents``
+    (this data's per-part values are near-uniform — max/avg is ~1.9 —
+    so a TPC-H-style heavy-hitter cutoff would be vacuous).
+
+    The global (total, n_parts) is a one-row aggregate attached by
+    broadcast cross-join (the house scalar-attach pattern) — the
+    per-part table is aggregated ONCE and reused for both the total
+    and the filter, so lineitem is scanned exactly once. The
+    predicate is exact integer arithmetic carried in decimal(38,0)
+    on the Spark side — matching DuckDB's hugeint sum semantics and
+    immune to int64 overflow when total_cents x n_parts crosses
+    ~9.2e18 at 100 TB — no float division, deterministic bytes.
+
+    100 TB: one map-side-combined shuffle on l_partkey; the total is
+    a second aggregate over the already part-sized table; the filter
+    is a broadcast of ONE row."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+         * F.col("l_quantity").cast("bigint")).alias("v"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("v").cast("bigint").alias("value_cents"))
+    total = per_part.agg(
+        F.sum("value_cents").cast("bigint").alias("total_cents"),
+        F.count("*").cast("bigint").alias("n_parts"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.lit(2) * F.col("value_cents").cast("decimal(38,0)")
+                * F.col("n_parts").cast("decimal(38,0)")
+                > F.lit(3) * F.col("total_cents").cast("decimal(38,0)"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@query(
+    "j33_small_quantity_order_revenue",
+    survey=("J6", "A2"),
+    oracle="""
+        WITH stats AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN stats s ON s.l_partkey = l.l_partkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+    """,
+)
+def j33_small_quantity_order_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of
+    one brand whose quantity is below 20% of that part's average
+    order quantity — the correlated-average filter the reference
+    applies when flagging under-filled merge windows (scenes with
+    fewer assets than the collection's norm). The correlated
+    ``l_quantity < 0.2 * avg(...)`` decorrelates to a per-part
+    aggregate joined back; the comparison is cleared of division:
+    ``qty < 0.2 * (sum/cnt)  <=>  5*qty*cnt < sum`` — pure int64
+    (quantities are integral in this data), so the predicate is
+    EXACT on both engines, no float-epsilon edge.
+
+    100 TB: one shuffle on l_partkey for the stats, one co-keyed
+    join back (AQE turns it into a shuffle-hash join), the part
+    dimension broadcast; the output is a single fused aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+        .alias("sum_qty"),
+        F.count("*").cast("bigint").alias("cnt"))
+    brand = t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1").select(
+        F.col("p_partkey").alias("l_partkey"))
+    small = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(brand), "l_partkey", "left_semi")
+        .join(stats, "l_partkey")
+        .filter(5 * F.col("l_quantity").cast("bigint") * F.col("cnt")
+                < F.col("sum_qty"))
+    )
+    return small.agg(
+        F.count("*").cast("bigint").alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint").alias("revenue_cents"))
+
+
+@query(
+    "j34_large_volume_customers",
+    survey=("J1", "A2", "F-having"),
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 210
+        )
+        SELECT c.c_name, o.o_custkey, o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT)
+                 AS totalprice_cents,
+               b.sum_qty
+        FROM big b
+        JOIN orders o   ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def j34_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity clears a HAVING threshold, carried back to the
+    customer — the reference's oversized-merge report (collections
+    whose windows exceed the asset budget, publish.py guard). The IN
+    (GROUP BY ... HAVING) subquery decorrelates to an aggregate used
+    directly as the probe side, so lineitem is scanned once and only
+    qualifying orders flow into the joins. Quantities sum as int64;
+    the price is cents-quantized — deterministic bytes.
+
+    100 TB: one shuffle on l_orderkey (map-side combined, then the
+    HAVING prunes to a tiny set), then two joins that AQE converts to
+    broadcasts because the filtered aggregate is small."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+             .alias("sum_qty"))
+        .filter(F.col("sum_qty") > 210)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("totalprice_cents"))
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name")
+    return (
+        big.join(orders, "o_orderkey")
+        .join(F.broadcast(cust), "o_custkey")
+        .select("c_name", "o_custkey", "o_orderkey",
+                "totalprice_cents", "sum_qty")
+    )
+
+
+@query(
+    "j35_idle_rich_customers",
+    survey=("J4", "A2"),
+    oracle="""
+        WITH pos AS (
+            SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM customer
+            WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey % 5 AS cntry_group,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS totacctbal_cents
+        FROM customer c, pos
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.cnt
+                > pos.sum_cents
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c.c_nationkey % 5
+    """,
+)
+def j35_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance who never placed an URGENT order,
+    grouped by country code — the reference's idle-provider audit
+    (providers with credentials configured but no priority downloads,
+    cli.py). Substitutions for this data: the country code is
+    ``c_nationkey % 5`` (no phone column), and the NOT-EXISTS subset
+    is urgent orders (every customer here has SOME order, so Q22's
+    literal no-orders predicate would be vacuously empty — the
+    anti-join-against-a-filtered-subset shape is preserved exactly).
+    Two decorrelations: the scalar AVG becomes a one-row broadcast
+    with the division cleared (``bal > avg  <=>  bal_cents * cnt >
+    sum_cents``, pure int64), and NOT EXISTS becomes a left_anti
+    join on o_custkey.
+
+    100 TB: the anti join is the only customer-scale shuffle (orders
+    filtered then projected to the single key column first); the
+    scalar is ONE broadcast row; the final groupBy has 5 groups,
+    map-side combined."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint")
+        .alias("bal_cents"))
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("bigint").alias("sum_cents"),
+        F.count("*").cast("bigint").alias("cnt"))
+    okeys = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("cnt") > F.col("sum_cents"))
+        .join(okeys, "c_custkey", "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntry_group"))
+        .agg(F.count("*").cast("bigint").alias("numcust"),
+             F.sum("bal_cents").cast("bigint")
+             .alias("totacctbal_cents"))
+    )
+
+
+@query(
+    "j36_promo_revenue_share",
+    survey=("J6", "A2", "X-scalar"),
+    oracle="""
+        WITH rev AS (
+            SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
+                     AS is_promo,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     AS rev_unit
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+        )
+        SELECT CAST(sum(CASE WHEN is_promo = 1 THEN rev_unit ELSE 0 END)
+                    AS BIGINT) AS promo_rev_units,
+               CAST(sum(rev_unit) AS BIGINT) AS total_rev_units,
+               CAST(floor(CAST(sum(CASE WHEN is_promo = 1 THEN rev_unit
+                                   ELSE 0 END) AS DOUBLE) * 1000000e0
+                          / CAST(sum(rev_unit) AS DOUBLE))
+                    AS BIGINT) AS promo_ppm
+        FROM rev
+    """,
+)
+def j36_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    discounted revenue that came from PROMO-type parts — the
+    reference's per-type publication share (quicklook vs COG bytes
+    published per window, cli.py overview). Revenue is kept in
+    integer units (cents x discount-percent: ``price_cents *
+    (100 - disc_pct)``) so both sums are exact int64; the headline
+    share is parts-per-million computed by ONE double division over
+    the two exact int64 sums then floored — both engines perform the
+    identical IEEE ops on identical integers (an int64→double→×1e6→÷
+    chain, not an int64 multiply that would overflow near
+    ~9.2e18 revenue-units at large scale), deterministic bytes.
+
+    100 TB: the ship-date predicate pushes to the lineitem scan
+    (PushedFilters), part is a broadcast dimension, and the result
+    is ONE fused aggregate row — no shuffle at all beyond the
+    broadcast-join's map side."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")).select(
+        "l_partkey",
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+         * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
+        .alias("rev_unit"))
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.when(F.col("p_type") == "PROMO", 1).otherwise(0)
+        .alias("is_promo"))
+    joined = li.join(F.broadcast(part), "l_partkey")
+    promo = F.sum(F.when(F.col("is_promo") == 1,
+                         F.col("rev_unit")).otherwise(0))
+    return joined.agg(
+        promo.cast("bigint").alias("promo_rev_units"),
+        F.sum("rev_unit").cast("bigint").alias("total_rev_units"),
+        F.floor(promo.cast("double") * F.lit(1000000.0)
+                / F.sum("rev_unit").cast("double")).cast("bigint")
+        .alias("promo_ppm"))
+
+
+@query(
+    "j37_branded_discount_revenue",
+    survey=("J6", "F-compound", "A2"),
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100)
+                                      AS BIGINT))) AS BIGINT)
+                 AS revenue_units
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def j37_branded_discount_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs predicate):
+    revenue from three disjunctive brand/size/quantity bands — the
+    compound eligibility predicate the reference evaluates when
+    matching scenes to collection-specific publication rules
+    (per-collection band + cloud + period combinations,
+    publish.py:112). The disjunction mixes columns from BOTH join
+    sides, so it cannot fully push below the join — but the
+    part-side conjuncts' union (brand IN the 3 brands) CAN and does:
+    the broadcast build side carries only those brands, shrinking
+    the probe's hash lookups; the residual OR evaluates post-join
+    inside codegen. Integer revenue units as in
+    j36_promo_revenue_share — deterministic bytes.
+
+    100 TB: part pre-filtered to 3 brands then broadcast; lineitem
+    scans once with the quantity bands' union NOT pushable (bands
+    differ per brand) but evaluated vectorized; output is one row."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+         * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
+        .alias("rev_unit"))
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9")).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bands = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#5") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#9") & s.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), "l_partkey")
+        .filter(bands)
+        .agg(F.count("*").cast("bigint").alias("n_items"),
+             F.sum("rev_unit").cast("bigint").alias("revenue_units"))
+    )

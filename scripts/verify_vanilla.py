@@ -8,10 +8,12 @@ on our session configuration (e.g. pandas conversion paths differing
 with Arrow on/off — the bug class behind the ss_quantize_int8 array
 stringification fix).
 
-Usage: python scripts/verify_vanilla.py [sf_dir] [--window]
+Usage: python scripts/verify_vanilla.py [sf_dir] [--window] [--only a,b]
 ``--window`` restricts the sweep to the first 50 registered queries —
 exactly the driver's per-round check window — so the rotation batch
 can be stress-run repeatedly before a round closes.
+``--only name1,name2`` restricts to the named queries (fast local
+check while authoring a new registration).
 Exit code 0 iff every oracle matches.
 """
 
@@ -35,8 +37,14 @@ def main() -> int:
 
     import __spark_entry__ as mod
 
-    args = [a for a in sys.argv[1:] if a != "--window"]
-    window_only = "--window" in sys.argv[1:]
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--window"]
+    window_only = "--window" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
@@ -54,6 +62,12 @@ def main() -> int:
         # dict order IS registration order — the driver checks the
         # first 50 entries, so this is its exact per-round window
         queries = {n: queries[n] for n in list(queries)[:50]}
+    if only is not None:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        queries = {n: q for n, q in queries.items() if n in only}
     failures = []
     for name in sorted(queries):
         try:
