@@ -712,3 +712,53 @@ def a22_group_mode(spark, sf_dir):
         .filter(F.col("rnk") == 1)
         .select("status", "modal_priority", "n")
     )
+
+
+@query(
+    "a23_copurchase_support",
+    survey=("A2", "J1", "DD-pairs"),
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS p1, b.l_partkey AS p2
+            FROM items a
+            JOIN items b ON b.l_orderkey = a.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+        )
+        SELECT p1, p2, CAST(count(*) AS BIGINT) AS support
+        FROM pairs
+        GROUP BY p1, p2
+        HAVING count(*) >= 3
+    """,
+)
+def a23_copurchase_support(spark, sf_dir):
+    """Frequent-pair mining (the support-counting core of Apriori /
+    market-basket analysis, Agrawal & Srikant 1994, public): part
+    pairs bought together in at least 3 orders. The reference's
+    analog is the band-combination report (which asset pairs co-occur
+    in published scenes, publish.py band loops). Items are deduped
+    per order FIRST (a part can appear on several lineitems of one
+    order; support counts orders, not lineitems). Pure integer
+    output.
+
+    100 TB: the self-join is keyed on l_orderkey — ONE shuffle
+    co-locates each order's items, and the pair fan-out is bounded
+    by (items-per-order choose 2), a per-group constant (~21 for
+    TPC-H's ~7-item orders), not a cross product; the support count
+    shuffles once more on the pair key with map-side combine. The
+    HAVING prunes the long tail before any downstream use."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 3)
+    )

@@ -5534,3 +5534,170 @@ def cu_cluster_size_distribution(spark, sf_dir):
         (F.col("size") * F.count("*")).cast("bigint").alias("n_docs"),
         ((F.col("size") - 1) * F.count("*")).cast("bigint")
         .alias("n_duplicates_removable"))
+
+
+@query(
+    "dd_prefix_filter_jaccard",
+    survey=("DD-near", "J4", "A2"),
+    oracle=f"""
+        WITH ts AS (
+            SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT)
+                 AS n_common,
+               CAST(len(a.tk) AS BIGINT) AS size_a,
+               CAST(len(b.tk) AS BIGINT) AS size_b
+        FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+        WHERE 39 * len(list_intersect(a.tk, b.tk))
+                >= 19 * (len(a.tk) + len(b.tk))
+    """,
+)
+def dd_prefix_filter_jaccard(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family — Bayardo et al. 2007, Xiao et al. 2008, public):
+    every document pair whose token-SET Jaccard is >= 0.95, found
+    WITHOUT comparing all pairs. Complements the estimate-based
+    MinHash/SimHash dedups with a zero-false-negative exact variant.
+
+    Correctness of the filter (symmetric-prefix pigeonhole): under
+    any global token order, take each set's first
+    p = s - ceil(s*t/(1+t)) + 1 tokens. If J(A,B) >= t then
+    |A inter B| >= t/(1+t)*(|A|+|B|); a common token missing from
+    BOTH prefixes would force |A inter B| <= (|A|-p_A) + (|B|-p_B)
+    < t/(1+t)*(|A|+|B|) — contradiction. So candidates = pairs
+    sharing a token in both prefixes; each candidate is then verified
+    EXACTLY. The global order here is rarest-token-first (ascending
+    document frequency), the standard choice because rare tokens
+    have short postings lists. t = 0.95 = 19/20, so all thresholds
+    are integer: prefix skip = ceil(19*s/39) = (19*s + 38) div 39,
+    size prune 20*min >= 19*max, verify 39*inter >= 19*(sa+sb) —
+    no float comparisons anywhere, deterministic bytes.
+
+    100 TB: the df computation and the prefix self-join shuffle on
+    TOKEN (postings bounded by the rare-first order); verification
+    shuffles candidates + postings on doc_id. No all-pairs stage
+    exists in the plan — the quadratic work is confined to tokens'
+    postings within the prefix zone, the published scaling story of
+    AllPairs. The oracle brute-forces the same predicate, which is
+    only feasible at oracle scale — equality with it at sf0.01 is
+    the proof the filter dropped nothing."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    post = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    sizes = post.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("s"))
+    df = post.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    # per-doc tokens sorted rare-first; prefix length p = s - skip + 1
+    ordered = (
+        post.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok")))
+             .alias("ord"), F.count("*").cast("bigint").alias("s"))
+    )
+    skip = F.expr("(19 * s + 38) DIV 39")
+    prefix = ordered.select(
+        "doc_id", "s",
+        F.explode(F.slice(F.col("ord").getField("tok"), F.lit(1),
+                          (F.col("s") - skip + 1).cast("int")))
+        .alias("tok"))
+    pa = prefix.select(F.col("doc_id").alias("doc_a"),
+                       F.col("s").alias("size_a"), "tok")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"),
+                       F.col("s").alias("size_b"), "tok")
+    cand = (
+        pa.join(pb, "tok")
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & (20 * F.least("size_a", "size_b")
+                   >= 19 * F.greatest("size_a", "size_b")))
+        .select("doc_a", "doc_b", "size_a", "size_b").distinct()
+    )
+    ta = post.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = post.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.filter(39 * F.col("n_common")
+                     >= 19 * (F.col("size_a") + F.col("size_b")))
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b")
+    )
+
+
+@query(
+    "dd_hamming_near_pairs",
+    survey=("DD-near", "J4"),
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, substr(text || repeat('#', 32), 1, 32) AS s
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(hamming(a.s, b.s) AS BIGINT) AS n_mismatch
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        WHERE hamming(a.s, b.s) <= 2
+    """,
+)
+def dd_hamming_near_pairs(spark, sf_dir):
+    """EXACT Hamming-distance near-duplicate join over each document's
+    fixed-width 32-char head (padded with '#'): pairs differing in at
+    most 2 character positions — the substitution-noise dedup model
+    (OCR scan noise, mojibake, single-field template fills) that
+    SimHash only approximates. Zero false negatives by the pigeonhole
+    blocking of Gionis/Indyk-style partitioning (public): split the
+    32 chars into 3 fixed segments (11+11+10); <= 2 substitutions
+    cannot touch all 3, so every qualifying pair agrees EXACTLY on
+    some segment — candidates come from 3 equi-joins on (segment id,
+    segment text), then each candidate is verified by counting
+    mismatching positions. All-integer output, no float anywhere.
+
+    100 TB: one shuffle on the (seg_id, seg_text) blocking key (the
+    3x fan-out is a constant); candidate verification is a
+    per-row 32-position vectorized expression (higher-order filter
+    over a sequence — JVM codegen, no Python). Skew guard: a
+    template-heavy corpus concentrates one segment value; the
+    blocking key includes the segment INDEX so the three segment
+    spaces don't collide, and AQE splits oversized buckets. The
+    oracle brute-forces hamming() over all pairs — equality at
+    sf0.01 proves the blocking lost nothing."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.concat(F.col("text"), F.lit("#" * 32)), 1, 32)
+        .alias("s"))
+    segs = docs.select(
+        "doc_id", "s",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("i"),
+                     F.substring("s", 1, 11).alias("seg")),
+            F.struct(F.lit(1).alias("i"),
+                     F.substring("s", 12, 11).alias("seg")),
+            F.struct(F.lit(2).alias("i"),
+                     F.substring("s", 23, 10).alias("seg")),
+        )).alias("blk"))
+    sa = segs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("s").alias("str_a"),
+                     F.col("blk.i").alias("i"),
+                     F.col("blk.seg").alias("seg"))
+    sb = segs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("s").alias("str_b"),
+                     F.col("blk.i").alias("i"),
+                     F.col("blk.seg").alias("seg"))
+    cand = (
+        sa.join(sb, ["i", "seg"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "str_a", "str_b").distinct()
+    )
+    ham = F.size(F.filter(
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: F.substring(F.col("str_a"), 1, 32).substr(i, F.lit(1))
+        != F.substring(F.col("str_b"), 1, 32).substr(i, F.lit(1))))
+    return (
+        cand.withColumn("n_mismatch", ham.cast("bigint"))
+        .filter(F.col("n_mismatch") <= 2)
+        .select("doc_a", "doc_b", "n_mismatch")
+    )

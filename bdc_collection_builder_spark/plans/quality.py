@@ -1248,3 +1248,173 @@ def dq_mutual_information(spark, sf_dir):
             F.round(mi_v / F.sqrt(hx_v * hy_v), 6)
             .alias("normalized_mi"))
     )
+
+
+@query(
+    "dq_t_closeness",
+    survey=("A2", "TX-quality"),
+    oracle="""
+        WITH g AS (
+            SELECT lang, CAST(count(*) AS HUGEINT) AS gl
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM documents),
+        cl AS (
+            SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS b,
+                   lang, CAST(count(*) AS HUGEINT) AS n
+            FROM documents GROUP BY 1, 2, 3
+        ),
+        msize AS (
+            SELECT source, b, CAST(sum(n) AS HUGEINT) AS m
+            FROM cl GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT cl.source, cl.b,
+                   sum(abs(cl.n * tot.nn - g.gl * msize.m))
+                     + max(msize.m) * (max(tot.nn) - sum(g.gl)) AS s,
+                   max(msize.m) AS m, max(tot.nn) AS nn
+            FROM cl
+            JOIN g USING (lang)
+            JOIN msize ON msize.source = cl.source AND msize.b = cl.b,
+            tot
+            GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN s > m * nn THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_classes_above_t,
+               CAST(sum(CASE WHEN s > m * nn THEN m ELSE 0 END)
+                    AS BIGINT) AS n_docs_at_risk,
+               CAST(max(floor(CAST(s AS DOUBLE) * 1000000e0
+                              / (2e0 * CAST(m AS DOUBLE)
+                                 * CAST(nn AS DOUBLE)))) AS BIGINT)
+                 AS worst_tvd_ppm
+        FROM per
+    """,
+)
+def dq_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, public) —
+    the third member of the release-gate trio with dq_k_anonymity and
+    dq_l_diversity: an equivalence class over the quasi-identifier
+    (source, length bucket) may be large AND diverse yet still leak
+    if its sensitive-attribute DISTRIBUTION (here ``lang``) deviates
+    far from the corpus-wide one. Distance is total variation
+    TVD = (1/2) sum_l |n_cl/m_c - g_l/N|; a class with TVD > t=1/2 is
+    flagged.
+
+    Exactness: clearing denominators gives
+    S_c = sum_{l present} |n*N - g_l*m| + m*(N - sum_{l present} g_l)
+    (the second term folds every ABSENT language's |0 - g_l*m| without
+    generating absent combos), and ``TVD > 1/2  <=>  S > m*N`` — all
+    integer. Products reach N^2 (~1e22 at 100 TB), so the Spark side
+    carries decimal(38,0) matching DuckDB's hugeint; the reported
+    worst-class ppm is one identical double chain over the exact
+    integers on both engines.
+
+    100 TB: one corpus-scale shuffle for the (class, lang) counts;
+    everything after is dimension-sized (classes x langs), with the
+    language marginals and class sizes attached by broadcast."""
+    dec = "decimal(38,0)"
+    docs = t(spark, sf_dir, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("b"),
+        "lang")
+    cl = docs.groupBy("source", "b", "lang").agg(
+        F.count("*").cast(dec).alias("n"))
+    g = docs.groupBy("lang").agg(F.count("*").cast(dec).alias("gl"))
+    tot = docs.agg(F.count("*").cast(dec).alias("nn"))
+    msize = cl.groupBy("source", "b").agg(
+        F.sum("n").cast(dec).alias("m"))
+    j = (
+        cl.join(F.broadcast(g), "lang")
+        .join(F.broadcast(msize), ["source", "b"])
+        .crossJoin(F.broadcast(tot))
+    )
+    per = j.groupBy("source", "b").agg(
+        F.sum(F.abs(F.col("n") * F.col("nn") - F.col("gl") * F.col("m")))
+        .alias("s1"),
+        F.sum("gl").alias("sg"),
+        F.max("m").alias("m"), F.max("nn").alias("nn"))
+    per = per.withColumn(
+        "s", F.col("s1") + F.col("m") * (F.col("nn") - F.col("sg")))
+    above = F.col("s") > F.col("m") * F.col("nn")
+    ppm = F.floor(F.col("s").cast("double") * F.lit(1000000.0)
+                  / (F.lit(2.0) * F.col("m").cast("double")
+                     * F.col("nn").cast("double")))
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(F.when(above, 1).otherwise(0)).cast("bigint")
+        .alias("n_classes_above_t"),
+        F.sum(F.when(above, F.col("m")).otherwise(F.lit(0).cast(dec)))
+        .cast("bigint").alias("n_docs_at_risk"),
+        F.max(ppm).cast("bigint").alias("worst_tvd_ppm"))
+
+
+@query(
+    "dq_benford_first_digit",
+    survey=("A1", "TX-quality"),
+    oracle="""
+        WITH d AS (
+            SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS digit
+            FROM orders
+        ),
+        cnt AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+            FROM d GROUP BY digit
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+        SELECT c.digit, c.n_orders,
+               CAST((c.n_orders * 1000000) // t.n_total AS BIGINT)
+                 AS observed_ppm,
+               e.expected_ppm,
+               CAST((c.n_orders * 1000000) // t.n_total
+                    - e.expected_ppm AS BIGINT) AS delta_ppm
+        FROM cnt c
+        JOIN (VALUES ('1', CAST(301029 AS BIGINT)), ('2', 176091),
+                     ('3', 124938), ('4', 96910), ('5', 79181),
+                     ('6', 66946), ('7', 57991), ('8', 51152),
+                     ('9', 45757)) AS e(digit, expected_ppm)
+          ON e.digit = c.digit,
+        tot t
+    """,
+)
+def dq_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938,
+    public) over order totals: naturally occurring multi-scale
+    amounts follow P(d) = log10(1 + 1/d); synthetic, capped, or
+    tampered figures don't — a one-scan fraud/quality screen (the
+    reference's analog is the per-collection byte-size sanity report,
+    cli.py overview). This data's totals are uniform-ish, so the
+    audit FLAGS them — the point of the oracle row is the exact
+    per-digit deviation, not a pass.
+
+    Exactness: the first digit comes from the integer part's decimal
+    string (no log10 on the data path — libm-free); the expected
+    shares are hardcoded integer ppm constants (floor(1e6*log10(1+
+    1/d)), precomputed, same literals on both engines); observed ppm
+    is integer floor-division. Every output column is exact int64 (or
+    the digit string) — deterministic bytes by construction.
+
+    100 TB: one map-side-combined groupBy over 9 digit groups; the
+    total and the 9-row expectation table attach by broadcast."""
+    d = t(spark, sf_dir, "orders").select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint")
+                    .cast("string"), 1, 1).alias("digit"))
+    cnt = d.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_orders"))
+    tot = d.agg(F.count("*").cast("bigint").alias("n_total"))
+    exp = spark.createDataFrame(
+        [("1", 301029), ("2", 176091), ("3", 124938), ("4", 96910),
+         ("5", 79181), ("6", 66946), ("7", 57991), ("8", 51152),
+         ("9", 45757)],
+        "digit string, expected_ppm bigint")
+    obs = F.expr("(n_orders * 1000000) div n_total")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(exp), "digit")
+        .select("digit", "n_orders",
+                obs.cast("bigint").alias("observed_ppm"),
+                "expected_ppm",
+                (obs - F.col("expected_ppm")).cast("bigint")
+                .alias("delta_ppm"))
+    )

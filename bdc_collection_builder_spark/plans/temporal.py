@@ -1039,3 +1039,82 @@ def tj_mann_kendall_trend(spark, sf_dir):
                     / (F.col("n_days") * (F.col("n_days") - 1)), 6)
             .alias("kendall_tau_a"))
     )
+
+
+@query(
+    "tj_runs_test_randomness",
+    survey=("Y6", "W1", "A2"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', {_TS}) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        deltas AS (
+            SELECT day,
+                   c - lag(c) OVER (ORDER BY day) AS d
+            FROM daily
+        ),
+        signs AS (
+            SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+            FROM deltas WHERE d IS NOT NULL AND d <> 0
+        ),
+        runs AS (
+            SELECT sgn,
+                   CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                         OR lag(sgn) OVER (ORDER BY day) <> sgn
+                        THEN 1 ELSE 0 END AS new_run
+            FROM signs
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_moves,
+               CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_up,
+               CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_down,
+               CAST(sum(new_run) AS BIGINT) AS n_runs
+        FROM runs
+    """,
+)
+def tj_runs_test_randomness(spark, sf_dir):
+    """Wald-Wolfowitz runs test statistics (1940, public) over the
+    daily event-volume series: the number of maximal same-direction
+    runs in the up/down sequence of day-over-day changes. Too FEW
+    runs = trending/autocorrelated feed, too MANY = oscillating
+    (load-balancer flapping, retry storms) — the monitoring
+    complement to tj_autocorrelation_lag1 that is distribution-free
+    (reference Y6: activity status monitoring). Zero deltas are
+    dropped (the standard treatment); the z-score is left to the
+    caller since n_up/n_down/n_runs determine it — every output is
+    an exact integer, deterministic bytes by construction.
+
+    100 TB: one corpus-scale shuffle (the daily count); both windows
+    run over |days| rows — dimension-sized by construction (the
+    single-partition window is over a ~3k-row table for a decade of
+    days). No collect."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                 .cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("day")
+    signs = (
+        daily.select("day", (F.col("c") - F.lag("c").over(w)).alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") != 0))
+        .select("day", F.when(F.col("d") > 0, 1).otherwise(-1)
+                .alias("sgn"))
+    )
+    runs = signs.select(
+        "sgn",
+        F.when(F.lag("sgn").over(w).isNull()
+               | (F.lag("sgn").over(w) != F.col("sgn")), 1)
+        .otherwise(0).alias("new_run"))
+    return runs.agg(
+        F.count("*").cast("bigint").alias("n_moves"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint").alias("n_down"),
+        F.sum("new_run").cast("bigint").alias("n_runs"))

@@ -1405,3 +1405,142 @@ def tx_word_burstiness(spark, sf_dir):
         F.col("w").alias("word"), "n_docs_with",
         F.col("s1").alias("total_count"),
         F.round(burst, 6).alias("burstiness"))
+
+
+@query(
+    "tx_heaps_vocab_growth",
+    survey=("TX-vocab", "A2", "W1"),
+    oracle=f"""
+        WITH tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+        ),
+        toks AS (
+            SELECT CAST(d.doc_id * 16 // tot.nd AS BIGINT) AS bucket,
+                   unnest({_TOKS}) AS tok
+            FROM documents d, tot
+        ),
+        per_bucket AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_toks
+            FROM toks GROUP BY bucket
+        ),
+        firsts AS (
+            SELECT CAST(min(bucket) AS BIGINT) AS first_bucket
+            FROM toks GROUP BY tok
+        ),
+        new_vocab AS (
+            SELECT first_bucket AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_new
+            FROM firsts GROUP BY first_bucket
+        )
+        SELECT p.bucket,
+               CAST(sum(p.n_toks) OVER (ORDER BY p.bucket) AS BIGINT)
+                 AS cum_tokens,
+               CAST(sum(coalesce(v.n_new, 0)) OVER (ORDER BY p.bucket)
+                    AS BIGINT) AS cum_vocab
+        FROM per_bucket p
+        LEFT JOIN new_vocab v ON v.bucket = p.bucket
+    """,
+)
+def tx_heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (Heaps 1978, public): how
+    the distinct-token count grows as the corpus is consumed in
+    ingestion order — 16 ordered slices of the doc_id range, each row
+    reporting CUMULATIVE tokens seen and CUMULATIVE vocabulary. A
+    natural corpus grows ~ K*n^beta (beta ~0.5); a deduplicated or
+    template-heavy corpus flattens early — the curve is the
+    diagnostic the tokenizer-budget planner reads before fixing a
+    vocab size (pairs with tx_zipf_slope's frequency view).
+
+    The cumulative-distinct is NOT computed by re-scanning per prefix:
+    each token contributes to exactly ONE slice (its first-occurrence
+    slice, ``min(bucket)`` per token), so cumulative vocabulary is a
+    running sum of first-occurrence counts — one extra groupBy, no
+    quadratic prefix work. All counts exact int64.
+
+    100 TB: one corpus-scale shuffle for the per-token min-bucket
+    (map-side combined min), one for per-bucket token totals; the
+    window runs over 16 rows on a single partition — dimension-sized
+    by construction. doc_id * 16 stays well under int64."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    nd = docs.count()
+    toks = docs.select(
+        F.expr(f"CAST(doc_id * 16 DIV {nd} AS BIGINT)").alias("bucket"),
+        F.explode(tokens(F.col("text"))).alias("tok"))
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_toks"))
+    new_vocab = (
+        toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").cast("bigint")
+                               .alias("n_new"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket")
+    return (
+        per_bucket.join(new_vocab, "bucket", "left")
+        .select("bucket",
+                F.sum("n_toks").over(w).cast("bigint")
+                .alias("cum_tokens"),
+                F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w)
+                .cast("bigint").alias("cum_vocab"))
+    )
+
+
+@query(
+    "tx_simpson_diversity",
+    survey=("TX-vocab", "A2"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, unnest({_TOKS}) AS tok FROM documents
+        ),
+        wc AS (
+            SELECT lang, tok, CAST(count(*) AS HUGEINT) AS n
+            FROM toks GROUP BY lang, tok
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(floor(CAST(sum(n * (n - 1)) AS DOUBLE) * 1000000e0
+                          / (CAST(sum(n) AS DOUBLE)
+                             * CAST(sum(n) - 1 AS DOUBLE)))
+                    AS BIGINT) AS repeat_prob_ppm
+        FROM wc GROUP BY lang
+    """,
+)
+def tx_simpson_diversity(spark, sf_dir):
+    """Simpson diversity of the token distribution per language
+    (Simpson 1949, public): the probability that two tokens drawn
+    without replacement are the SAME type — sum n_i(n_i-1) over
+    N(N-1). High repeat probability = low lexical diversity =
+    template/boilerplate-heavy text; the per-language split localizes
+    which slice of a multilingual corpus needs heavier dedup (pairs
+    with the entropy and burstiness screens).
+
+    Exactness: both the numerator and denominator are exact integer
+    sums — n_i(n_i-1) crosses int64 when a single token's count
+    passes ~3e9 at 100 TB, so the Spark side carries decimal(38,0)
+    matching DuckDB's hugeint; the reported ppm is ONE identical
+    double chain (cast, x1e6, divide, floor) over those exact
+    integers on both engines.
+
+    100 TB: one corpus-scale shuffle for the (lang, token) counts
+    (map-side combined), then a per-language rollup over the
+    vocabulary — dimension-sized. No collect, no window."""
+    from bdc_collection_builder_spark.extensions.text import tokens
+
+    dec = "decimal(38,0)"
+    toks = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    wc = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast(dec).alias("n"))
+    return wc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.floor(
+            F.sum(F.col("n") * (F.col("n") - 1)).cast("double")
+            * F.lit(1000000.0)
+            / (F.sum("n").cast("double")
+               * (F.sum("n") - 1).cast("double"))
+        ).cast("bigint").alias("repeat_prob_ppm"))
