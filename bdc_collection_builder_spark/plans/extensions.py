@@ -5558,7 +5558,11 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
     PPJoin family — Bayardo et al. 2007, Xiao et al. 2008, public):
     every document pair whose token-SET Jaccard is >= 0.95, found
     WITHOUT comparing all pairs. Complements the estimate-based
-    MinHash/SimHash dedups with a zero-false-negative exact variant.
+    MinHash/SimHash dedups with a zero-false-negative exact variant —
+    and is the SCALE path the existing exact baseline lacks:
+    dd_ngram_jaccard_pairs self-joins on EVERY shingle (postings
+    quadratic in the most common shingle), while the prefix filter
+    confines the join to each set's short rare-token prefix.
 
     Correctness of the filter (symmetric-prefix pigeonhole): under
     any global token order, take each set's first

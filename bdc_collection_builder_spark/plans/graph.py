@@ -1196,3 +1196,161 @@ def gr_harmonic_centrality(spark, sf_dir):
             F.round((6 * n1 + 3 * n2 + 2 * n3) / F.lit(6.0), 6)
             .alias("harmonic_c3"))
     )
+
+
+@query(
+    "gr_strongly_connected",
+    survey=("GR-iter", "J9"),
+    oracle=f"""
+        WITH RECURSIVE {_GRAPH_SQL},
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r
+            JOIN edges e ON e.src = r.dst
+        )
+        SELECT d.doc_id AS node,
+               CAST(coalesce(
+                   (SELECT min(a.dst) FROM reach a
+                    WHERE a.src = d.doc_id
+                      AND a.dst < d.doc_id
+                      AND EXISTS (SELECT 1 FROM reach b
+                                  WHERE b.src = a.dst
+                                    AND b.dst = d.doc_id)),
+                   d.doc_id) AS BIGINT) AS scc_id
+        FROM documents d
+    """,
+)
+def gr_strongly_connected(spark, sf_dir):
+    """EXACT strongly connected components over the directed citation
+    graph, labeling every node with the minimum doc_id of its SCC —
+    the directed counterpart of dd_cluster_components (which is
+    undirected) and the missing member of the graph family: SCCs are
+    what lineage-cycle detection and crawl-frontier analysis actually
+    need (mutual reachability, not weak connectivity).
+
+    Algorithm: distributed Trim + Forward-Backward coloring
+    (Fleischer/Hendrickson/Pinar 2000; Orzan 2004; Slota/Rajamanickam
+    /Madduri 2014 — all public). Each outer round: (1) TRIM nodes
+    with no non-self in- or out-edges in the remaining subgraph
+    (singleton SCCs, assigned directly); (2) COLOR: propagate the
+    MAXIMUM ancestor id forward to a fixpoint — by construction every
+    node on a path between two same-color nodes shares that color, so
+    color classes are closed over SCCs; (3) BACKWARD: from each root
+    (color(v) == v), mark nodes that reach their root WITHIN their
+    color class — marked nodes are exactly SCC(root) (any escape
+    through a higher-colored node would contradict the root's own
+    color); (4) assign each extracted SCC the min member id, remove,
+    repeat. Every fixpoint is detected by a one-scalar changed-row
+    count (config-sized driver reads); lineage is truncated with
+    localCheckpoint every few rounds, the house iterate() recipe.
+
+    Worst case is O(n) outer rounds (a reverse id-ordered chain of
+    SCCs); the trim pass removes chain tails a level per round and
+    real graphs (including this one) finish in a handful of rounds —
+    the published behavior of FW-BW-Trim. The oracle computes the
+    same labels from a recursive-CTE transitive closure, feasible
+    only at oracle scale; Spark never materializes a closure.
+
+    100 TB: per inner round ONE join of the color frame against the
+    edge list (both partitioned on the join key) + one max-aggregate;
+    state is one row per active node, monotonically shrinking; no
+    all-pairs structure anywhere."""
+    from bdc_collection_builder_spark.functions.rounds import note_rounds
+
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    edges = tracked_persist(edges)
+
+    remaining = nodes.select(F.col("doc_id").alias("v"))
+    assigned = None  # accumulated (node, scc_id)
+
+    def acc(a: DataFrame | None, b: DataFrame) -> DataFrame:
+        return b if a is None else a.unionByName(b)
+
+    outer = 0
+    while True:
+        remaining = remaining.localCheckpoint(eager=True)
+        if remaining.count() == 0:
+            break
+        outer += 1
+        note_rounds(1)
+        er = (
+            edges.join(remaining.withColumnRenamed("v", "src"), "src",
+                       "left_semi")
+            .join(remaining.withColumnRenamed("v", "dst"), "dst",
+                  "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        # (1) trim: no non-self in-edge or no non-self out-edge
+        nonself = er.filter(F.col("src") != F.col("dst"))
+        has_in = nonself.select(F.col("dst").alias("v")).distinct()
+        has_out = nonself.select(F.col("src").alias("v")).distinct()
+        core = (
+            remaining.join(has_in, "v", "left_semi")
+            .join(has_out, "v", "left_semi")
+        )
+        trivial = remaining.join(core, "v", "left_anti")
+        assigned = acc(assigned, trivial.select(
+            F.col("v").alias("node"), F.col("v").alias("scc_id")))
+        core = core.localCheckpoint(eager=True)
+        if core.count() == 0:
+            remaining = core
+            continue
+        ec = (
+            nonself.join(core.withColumnRenamed("v", "src"), "src",
+                         "left_semi")
+            .join(core.withColumnRenamed("v", "dst"), "dst",
+                  "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # (2) color: forward max-ancestor propagation to fixpoint
+        color = core.select("v", F.col("v").alias("c"))
+        i = 0
+        while True:
+            note_rounds(1)
+            push = (
+                ec.join(color.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.max("c").alias("cin"))
+            )
+            nxt = (
+                color.join(push, "v", "left")
+                .select("v", F.greatest("c", F.coalesce("cin", "c"))
+                        .alias("c"))
+            )
+            i += 1
+            if i % 3 == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            changed = (
+                nxt.alias("n")
+                .join(color.alias("o"), "v")
+                .filter(F.col("n.c") != F.col("o.c")).count()
+            )
+            color = nxt
+            if changed == 0:
+                break
+        color = color.localCheckpoint(eager=True)
+        # (3) backward sweep within color class from each root
+        mark = color.filter(F.col("v") == F.col("c")).select("v", "c")
+        while True:
+            note_rounds(1)
+            step = (
+                ec.join(mark.withColumnRenamed("v", "dst"), "dst")
+                .select(F.col("src").alias("v"), "c").distinct()
+                .join(color.withColumnRenamed("c", "vc"), "v")
+                .filter(F.col("c") == F.col("vc"))
+                .select("v", "c")
+                .join(mark, ["v", "c"], "left_anti")
+            )
+            step = step.localCheckpoint(eager=True)
+            if step.count() == 0:
+                break
+            mark = mark.unionByName(step).localCheckpoint(eager=True)
+        # (4) scc_id = min member id per extracted class
+        scc_min = mark.groupBy("c").agg(F.min("v").alias("scc_id"))
+        assigned = acc(assigned, mark.join(scc_min, "c").select(
+            F.col("v").alias("node"), "scc_id"))
+        assigned = assigned.localCheckpoint(eager=True)
+        remaining = core.join(mark.select("v"), "v", "left_anti")
+    return assigned.select("node", F.col("scc_id").cast("bigint"))

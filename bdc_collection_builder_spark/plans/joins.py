@@ -1664,7 +1664,15 @@ def j31_waiting_supplier_blame(spark, sf_dir):
     (publish.py failure attribution). The testdata carries no
     commit/receipt dates, so ``l_returnflag = 'R'`` stands in for the
     lateness predicate; the EXISTS / NOT-EXISTS double correlation is
-    Q21's exactly.
+    Q21's exactly. This is the AGGREGATE decorrelation of the Q21
+    shape — the deliberate counterpart to j20_last_shipper_waiting's
+    WINDOW decorrelation: j20 turns both subqueries into one window
+    over per-(order, supplier) maxima (right when the correlated
+    predicate compares an ORDERED measure like ship date), while this
+    form turns them into two countDistincts in one per-order
+    aggregate (right when the predicate is a set-membership test like
+    "another supplier with a returned item"). Same logical shape, the
+    two physical strategies an optimizer must choose between.
 
     Decorrelation: instead of two correlated subqueries (which would
     re-scan lineitem twice per row), ONE per-order aggregate computes
@@ -1770,120 +1778,6 @@ def j32_important_part_value(spark, sf_dir):
 
 
 @query(
-    "j33_small_quantity_order_revenue",
-    survey=("J6", "A2"),
-    oracle="""
-        WITH stats AS (
-            SELECT l_partkey,
-                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-                     AS sum_qty,
-                   CAST(count(*) AS BIGINT) AS cnt
-            FROM lineitem
-            GROUP BY l_partkey
-        )
-        SELECT CAST(count(*) AS BIGINT) AS n_small,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                    AS BIGINT) AS revenue_cents
-        FROM lineitem l
-        JOIN stats s ON s.l_partkey = l.l_partkey
-        JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand = 'Brand#1'
-          AND 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
-    """,
-)
-def j33_small_quantity_order_revenue(spark, sf_dir):
-    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of
-    one brand whose quantity is below 20% of that part's average
-    order quantity — the correlated-average filter the reference
-    applies when flagging under-filled merge windows (scenes with
-    fewer assets than the collection's norm). The correlated
-    ``l_quantity < 0.2 * avg(...)`` decorrelates to a per-part
-    aggregate joined back; the comparison is cleared of division:
-    ``qty < 0.2 * (sum/cnt)  <=>  5*qty*cnt < sum`` — pure int64
-    (quantities are integral in this data), so the predicate is
-    EXACT on both engines, no float-epsilon edge.
-
-    100 TB: one shuffle on l_partkey for the stats, one co-keyed
-    join back (AQE turns it into a shuffle-hash join), the part
-    dimension broadcast; the output is a single fused aggregate."""
-    li = t(spark, sf_dir, "lineitem")
-    stats = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
-        .alias("sum_qty"),
-        F.count("*").cast("bigint").alias("cnt"))
-    brand = t(spark, sf_dir, "part").filter(
-        F.col("p_brand") == "Brand#1").select(
-        F.col("p_partkey").alias("l_partkey"))
-    small = (
-        li.select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(brand), "l_partkey", "left_semi")
-        .join(stats, "l_partkey")
-        .filter(5 * F.col("l_quantity").cast("bigint") * F.col("cnt")
-                < F.col("sum_qty"))
-    )
-    return small.agg(
-        F.count("*").cast("bigint").alias("n_small"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
-        .cast("bigint").alias("revenue_cents"))
-
-
-@query(
-    "j34_large_volume_customers",
-    survey=("J1", "A2", "F-having"),
-    oracle="""
-        WITH big AS (
-            SELECT l_orderkey,
-                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
-                     AS sum_qty
-            FROM lineitem
-            GROUP BY l_orderkey
-            HAVING sum(CAST(l_quantity AS BIGINT)) > 210
-        )
-        SELECT c.c_name, o.o_custkey, o.o_orderkey,
-               CAST(round(o.o_totalprice * 100) AS BIGINT)
-                 AS totalprice_cents,
-               b.sum_qty
-        FROM big b
-        JOIN orders o   ON o.o_orderkey = b.l_orderkey
-        JOIN customer c ON c.c_custkey = o.o_custkey
-    """,
-)
-def j34_large_volume_customers(spark, sf_dir):
-    """TPC-H Q18 shape (large-volume customers): orders whose total
-    lineitem quantity clears a HAVING threshold, carried back to the
-    customer — the reference's oversized-merge report (collections
-    whose windows exceed the asset budget, publish.py guard). The IN
-    (GROUP BY ... HAVING) subquery decorrelates to an aggregate used
-    directly as the probe side, so lineitem is scanned once and only
-    qualifying orders flow into the joins. Quantities sum as int64;
-    the price is cents-quantized — deterministic bytes.
-
-    100 TB: one shuffle on l_orderkey (map-side combined, then the
-    HAVING prunes to a tiny set), then two joins that AQE converts to
-    broadcasts because the filtered aggregate is small."""
-    li = t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
-             .alias("sum_qty"))
-        .filter(F.col("sum_qty") > 210)
-        .withColumnRenamed("l_orderkey", "o_orderkey")
-    )
-    orders = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint")
-        .alias("totalprice_cents"))
-    cust = t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_name")
-    return (
-        big.join(orders, "o_orderkey")
-        .join(F.broadcast(cust), "o_custkey")
-        .select("c_name", "o_custkey", "o_orderkey",
-                "totalprice_cents", "sum_qty")
-    )
-
-
-@query(
     "j35_idle_rich_customers",
     survey=("J4", "A2"),
     oracle="""
@@ -1916,9 +1810,12 @@ def j35_idle_rich_customers(spark, sf_dir):
     (providers with credentials configured but no priority downloads,
     cli.py). Substitutions for this data: the country code is
     ``c_nationkey % 5`` (no phone column), and the NOT-EXISTS subset
-    is urgent orders (every customer here has SOME order, so Q22's
-    literal no-orders predicate would be vacuously empty — the
-    anti-join-against-a-filtered-subset shape is preserved exactly).
+    is urgent orders — deliberately: every customer here has SOME
+    order, so the literal no-orders predicate (which
+    j21_dormant_high_balance exercises) matches ZERO rows at every
+    scale factor; this variant is the NON-VACUOUS twin whose anti
+    join actually discriminates, keeping the Q22 shape's
+    anti-join-against-a-filtered-subset plan under real selectivity.
     Two decorrelations: the scalar AVG becomes a one-row broadcast
     with the division cleared (``bal > avg  <=>  bal_cents * cnt >
     sum_cents``, pure int64), and NOT EXISTS becomes a left_anti
@@ -1946,126 +1843,4 @@ def j35_idle_rich_customers(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("numcust"),
              F.sum("bal_cents").cast("bigint")
              .alias("totacctbal_cents"))
-    )
-
-
-@query(
-    "j36_promo_revenue_share",
-    survey=("J6", "A2", "X-scalar"),
-    oracle="""
-        WITH rev AS (
-            SELECT CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
-                     AS is_promo,
-                   CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
-                     AS rev_unit
-            FROM lineitem l
-            JOIN part p ON p.p_partkey = l.l_partkey
-            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l.l_shipdate <  TIMESTAMP '1996-02-01'
-        )
-        SELECT CAST(sum(CASE WHEN is_promo = 1 THEN rev_unit ELSE 0 END)
-                    AS BIGINT) AS promo_rev_units,
-               CAST(sum(rev_unit) AS BIGINT) AS total_rev_units,
-               CAST(floor(CAST(sum(CASE WHEN is_promo = 1 THEN rev_unit
-                                   ELSE 0 END) AS DOUBLE) * 1000000e0
-                          / CAST(sum(rev_unit) AS DOUBLE))
-                    AS BIGINT) AS promo_ppm
-        FROM rev
-    """,
-)
-def j36_promo_revenue_share(spark, sf_dir):
-    """TPC-H Q14 shape (promotion effect): the share of one month's
-    discounted revenue that came from PROMO-type parts — the
-    reference's per-type publication share (quicklook vs COG bytes
-    published per window, cli.py overview). Revenue is kept in
-    integer units (cents x discount-percent: ``price_cents *
-    (100 - disc_pct)``) so both sums are exact int64; the headline
-    share is parts-per-million computed by ONE double division over
-    the two exact int64 sums then floored — both engines perform the
-    identical IEEE ops on identical integers (an int64→double→×1e6→÷
-    chain, not an int64 multiply that would overflow near
-    ~9.2e18 revenue-units at large scale), deterministic bytes.
-
-    100 TB: the ship-date predicate pushes to the lineitem scan
-    (PushedFilters), part is a broadcast dimension, and the result
-    is ONE fused aggregate row — no shuffle at all beyond the
-    broadcast-join's map side."""
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1996-02-01")).select(
-        "l_partkey",
-        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
-         * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
-        .alias("rev_unit"))
-    part = t(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey"),
-        F.when(F.col("p_type") == "PROMO", 1).otherwise(0)
-        .alias("is_promo"))
-    joined = li.join(F.broadcast(part), "l_partkey")
-    promo = F.sum(F.when(F.col("is_promo") == 1,
-                         F.col("rev_unit")).otherwise(0))
-    return joined.agg(
-        promo.cast("bigint").alias("promo_rev_units"),
-        F.sum("rev_unit").cast("bigint").alias("total_rev_units"),
-        F.floor(promo.cast("double") * F.lit(1000000.0)
-                / F.sum("rev_unit").cast("double")).cast("bigint")
-        .alias("promo_ppm"))
-
-
-@query(
-    "j37_branded_discount_revenue",
-    survey=("J6", "F-compound", "A2"),
-    oracle="""
-        SELECT CAST(count(*) AS BIGINT) AS n_items,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100)
-                                      AS BIGINT))) AS BIGINT)
-                 AS revenue_units
-        FROM lineitem l
-        JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
-               AND l.l_quantity BETWEEN 1 AND 20)
-           OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 10 AND 30
-               AND l.l_quantity BETWEEN 10 AND 30)
-           OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
-               AND l.l_quantity BETWEEN 20 AND 50)
-    """,
-)
-def j37_branded_discount_revenue(spark, sf_dir):
-    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs predicate):
-    revenue from three disjunctive brand/size/quantity bands — the
-    compound eligibility predicate the reference evaluates when
-    matching scenes to collection-specific publication rules
-    (per-collection band + cloud + period combinations,
-    publish.py:112). The disjunction mixes columns from BOTH join
-    sides, so it cannot fully push below the join — but the
-    part-side conjuncts' union (brand IN the 3 brands) CAN and does:
-    the broadcast build side carries only those brands, shrinking
-    the probe's hash lookups; the residual OR evaluates post-join
-    inside codegen. Integer revenue units as in
-    j36_promo_revenue_share — deterministic bytes.
-
-    100 TB: part pre-filtered to 3 brands then broadcast; lineitem
-    scans once with the quantity bands' union NOT pushable (bands
-    differ per brand) but evaluated vectorized; output is one row."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity",
-        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
-         * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
-        .alias("rev_unit"))
-    part = t(spark, sf_dir, "part").filter(
-        F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9")).select(
-        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")
-    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
-    bands = (
-        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
-        | ((b == "Brand#5") & s.between(10, 30) & q.between(10, 30))
-        | ((b == "Brand#9") & s.between(20, 50) & q.between(20, 50))
-    )
-    return (
-        li.join(F.broadcast(part), "l_partkey")
-        .filter(bands)
-        .agg(F.count("*").cast("bigint").alias("n_items"),
-             F.sum("rev_unit").cast("bigint").alias("revenue_units"))
     )

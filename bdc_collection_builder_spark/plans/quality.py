@@ -1347,74 +1347,3 @@ def dq_t_closeness(spark, sf_dir):
         F.sum(F.when(above, F.col("m")).otherwise(F.lit(0).cast(dec)))
         .cast("bigint").alias("n_docs_at_risk"),
         F.max(ppm).cast("bigint").alias("worst_tvd_ppm"))
-
-
-@query(
-    "dq_benford_first_digit",
-    survey=("A1", "TX-quality"),
-    oracle="""
-        WITH d AS (
-            SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                               AS VARCHAR), 1, 1) AS digit
-            FROM orders
-        ),
-        cnt AS (
-            SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
-            FROM d GROUP BY digit
-        ),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
-        SELECT c.digit, c.n_orders,
-               CAST((c.n_orders * 1000000) // t.n_total AS BIGINT)
-                 AS observed_ppm,
-               e.expected_ppm,
-               CAST((c.n_orders * 1000000) // t.n_total
-                    - e.expected_ppm AS BIGINT) AS delta_ppm
-        FROM cnt c
-        JOIN (VALUES ('1', CAST(301029 AS BIGINT)), ('2', 176091),
-                     ('3', 124938), ('4', 96910), ('5', 79181),
-                     ('6', 66946), ('7', 57991), ('8', 51152),
-                     ('9', 45757)) AS e(digit, expected_ppm)
-          ON e.digit = c.digit,
-        tot t
-    """,
-)
-def dq_benford_first_digit(spark, sf_dir):
-    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938,
-    public) over order totals: naturally occurring multi-scale
-    amounts follow P(d) = log10(1 + 1/d); synthetic, capped, or
-    tampered figures don't — a one-scan fraud/quality screen (the
-    reference's analog is the per-collection byte-size sanity report,
-    cli.py overview). This data's totals are uniform-ish, so the
-    audit FLAGS them — the point of the oracle row is the exact
-    per-digit deviation, not a pass.
-
-    Exactness: the first digit comes from the integer part's decimal
-    string (no log10 on the data path — libm-free); the expected
-    shares are hardcoded integer ppm constants (floor(1e6*log10(1+
-    1/d)), precomputed, same literals on both engines); observed ppm
-    is integer floor-division. Every output column is exact int64 (or
-    the digit string) — deterministic bytes by construction.
-
-    100 TB: one map-side-combined groupBy over 9 digit groups; the
-    total and the 9-row expectation table attach by broadcast."""
-    d = t(spark, sf_dir, "orders").select(
-        F.substring(F.floor(F.col("o_totalprice")).cast("bigint")
-                    .cast("string"), 1, 1).alias("digit"))
-    cnt = d.groupBy("digit").agg(
-        F.count("*").cast("bigint").alias("n_orders"))
-    tot = d.agg(F.count("*").cast("bigint").alias("n_total"))
-    exp = spark.createDataFrame(
-        [("1", 301029), ("2", 176091), ("3", 124938), ("4", 96910),
-         ("5", 79181), ("6", 66946), ("7", 57991), ("8", 51152),
-         ("9", 45757)],
-        "digit string, expected_ppm bigint")
-    obs = F.expr("(n_orders * 1000000) div n_total")
-    return (
-        cnt.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(exp), "digit")
-        .select("digit", "n_orders",
-                obs.cast("bigint").alias("observed_ppm"),
-                "expected_ppm",
-                (obs - F.col("expected_ppm")).cast("bigint")
-                .alias("delta_ppm"))
-    )

@@ -153,10 +153,22 @@ def _load_all() -> None:
 # locally at sf0.001 + sf0.01): s36_erasure_vacuum_horizon,
 # tj_mann_kendall_trend, gr_clustering_coefficient, dq_l_diversity,
 # dq_mutual_information, ss_knn_label_accuracy,
-# j30_customer_order_distribution (+ any later round-7 additions —
-# see the git log). If round 7 lands 50/50, cumulative = 306/307 of
-# the pre-r7 registry; rotate round 8 onto this pool + deliberate
-# re-checks, keeping a18_hll_rollup excluded as documented.
+# j30_customer_order_distribution, gr_harmonic_centrality,
+# gr_reciprocity(redo n/a), mm_audio_silence_trim, sk_bloom_fpr_eval,
+# tx_word_burstiness, px_morph_erode_dilate3x3,
+# cu_cluster_size_distribution, and the late-round-7 batch:
+# j31_waiting_supplier_blame (Q21 aggregate-decorrelation twin of
+# j20), j32_important_part_value (Q11), j35_idle_rich_customers
+# (non-vacuous Q22 twin of j21), dq_t_closeness,
+# tx_heaps_vocab_growth, tx_simpson_diversity,
+# tj_runs_test_randomness, a23_copurchase_support,
+# dd_prefix_filter_jaccard (exact AllPairs), dd_hamming_near_pairs
+# (exact segment-blocked), gr_strongly_connected (FW-BW coloring,
+# cross-checked against an in-process Tarjan in
+# tests/test_new_ops_properties.py). If round 7 lands 50/50,
+# cumulative = 306/307 of the pre-r7 registry; rotate round 8 onto
+# this pool + deliberate re-checks, keeping a18_hll_rollup excluded
+# as documented.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 13 round-6 additions, float-risk first
     "tx_zipf_slope", "tj_theil_sen_trend", "dd_suffix_prefix_overlap",

@@ -1041,78 +1041,3 @@ def w21_interarrival_gap_profile(spark, sf_dir):
         .cast("bigint").alias("median_low_s"),
         F.max(F.when(F.col("rn") == p90_rank, F.col("gap_s")))
         .cast("bigint").alias("p90_low_s"))
-
-
-@query(
-    "w22_gap_sessionization",
-    survey=("Y5", "W1", "A2"),
-    oracle=f"""
-        WITH ev AS (
-            SELECT user_id, epoch_us({_TS}) AS us FROM events
-        ),
-        marked AS (
-            SELECT user_id, us,
-                   CASE WHEN lag(us) OVER w IS NULL
-                         OR us - lag(us) OVER w > 1800000000
-                        THEN 1 ELSE 0 END AS new_s
-            FROM ev
-            WINDOW w AS (PARTITION BY user_id ORDER BY us)
-        ),
-        sess AS (
-            SELECT user_id,
-                   sum(new_s) OVER (PARTITION BY user_id ORDER BY us
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM marked
-        ),
-        per_session AS (
-            SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev
-            FROM sess GROUP BY user_id, sid
-        )
-        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-               CAST(count(*) AS BIGINT) AS n_sessions,
-               CAST(sum(n_ev) AS BIGINT) AS n_events,
-               CAST(max(n_ev) AS BIGINT) AS max_session_events,
-               CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_singleton_sessions
-        FROM per_session
-    """,
-)
-def w22_gap_sessionization(spark, sf_dir):
-    """Batch gap sessionization — the BATCH twin of
-    st_stateful_sessionize (Y5): per-user events are cut into
-    sessions wherever the inter-event gap exceeds 30 minutes, via the
-    classic two-window trick (mark boundaries with lag, assign ids
-    with a running sum of marks). Output is the corpus-level session
-    profile (counts, max size, singleton share) — every column an
-    exact int64; gaps compare in integer MICROSECONDS (epoch_us /
-    unix_micros on identical timestamps), no float time arithmetic.
-
-    100 TB: one shuffle on user_id; both windows and the per-session
-    aggregate stay inside that partitioning (no second shuffle until
-    the final one-row rollup). State is O(1) per row — this is the
-    plan a warehouse would run; the streaming twin replaces the sort
-    with applyInPandasWithState for unbounded input."""
-    from pyspark.sql import Window
-
-    ev = t(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
-    w = Window.partitionBy("user_id").orderBy("us")
-    marked = ev.select(
-        "user_id", "us",
-        F.when(F.lag("us").over(w).isNull()
-               | (F.col("us") - F.lag("us").over(w) > 1800000000), 1)
-        .otherwise(0).alias("new_s"))
-    sess = marked.select(
-        "user_id",
-        F.sum("new_s").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"))
-    per_session = sess.groupBy("user_id", "sid").agg(
-        F.count("*").cast("bigint").alias("n_ev"))
-    return per_session.agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
-        F.count("*").cast("bigint").alias("n_sessions"),
-        F.sum("n_ev").cast("bigint").alias("n_events"),
-        F.max("n_ev").cast("bigint").alias("max_session_events"),
-        F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
-        .cast("bigint").alias("n_singleton_sessions"))

@@ -751,3 +751,112 @@ def test_exact_substring_layouts_equivalent(spark, sf_dir):
         for d, t in pdocs.items()}
     got_dup8 = {r[0]: r[2] for r in a}
     assert got_dup8 == expect_dup8
+
+
+def test_scc_matches_tarjan(spark, sf_dir):
+    """gr_strongly_connected must agree with an INDEPENDENT in-process
+    Tarjan run on the same derived citation edges — a third opinion
+    beside the DuckDB closure oracle, so a shared misunderstanding of
+    the graph derivation cannot hide in both engine paths."""
+    from bdc_collection_builder_spark.plans.graph import citation_edges
+
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    # dimension-sized collects: the derived test graph, not a corpus
+    vs = [r.doc_id for r in nodes.collect()]
+    es: dict[int, list[int]] = {v: [] for v in vs}
+    for r in edges.collect():
+        es[r.src].append(r.dst)
+
+    # iterative Tarjan (textbook, recursion-free for deep graphs)
+    index_of: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    scc_id: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root: int) -> None:
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index_of[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            for j in range(pi, len(es[v])):
+                w = es[v][j]
+                if w not in index_of:
+                    work[-1] = (v, j + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index_of[w])
+            if advanced:
+                continue
+            if low[v] == index_of[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    scc_id[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+
+    for v in vs:
+        if v not in index_of:
+            strongconnect(v)
+
+    got = {r.node: r.scc_id
+           for r in rows(spark, sf_dir, "gr_strongly_connected")}
+    assert got == scc_id
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark, sf_dir):
+    """dd_prefix_filter_jaccard's candidate pruning must lose nothing:
+    compare against a token-set brute force computed in-process."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    sets = {r.doc_id: frozenset(w for w in r.text.lower().split() if w)
+            for r in docs}
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if 39 * inter >= 19 * (len(sets[a]) + len(sets[b])):
+                want.add((a, b))
+    got = {(r.doc_a, r.doc_b)
+           for r in rows(spark, sf_dir, "dd_prefix_filter_jaccard")}
+    assert got == want
+
+
+def test_hamming_near_pairs_planted(spark, sf_dir):
+    """dd_hamming_near_pairs: every returned pair must verify by
+    in-process hamming, and the blocking must find each brute pair."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    heads = {r.doc_id: (r.text + "#" * 32)[:32] for r in docs}
+    ids = sorted(heads)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(heads[a], heads[b]))
+            if h <= 2:
+                want.add((a, b, h))
+    got = {(r.doc_a, r.doc_b, r.n_mismatch)
+           for r in rows(spark, sf_dir, "dd_hamming_near_pairs")}
+    assert got == want
