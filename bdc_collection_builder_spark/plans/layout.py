@@ -16,7 +16,7 @@ from bdc_collection_builder_spark.operators.layout import (
     zorder_oracle_sql,
     zorder_value,
 )
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
 
 _Z_BITS = 8
@@ -271,3 +271,105 @@ def lo_bucketed_join(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
+
+
+_DPP_PART_DIRS: dict[str, str] = {}
+
+
+@query(
+    "lo_dynamic_partition_pruning",
+    survey=("S9", "J6", "F5"),
+    oracle=f"""
+        WITH ev AS (
+            SELECT {duck_ts()} AS ts, event_type, value
+            FROM events
+        ),
+        err AS (
+            SELECT strftime(CAST(date_trunc('day', ts) AS DATE),
+                            '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM ev WHERE event_type = 'error'
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS tt,
+                   CAST(count(*) AS BIGINT) AS d
+            FROM err
+        ),
+        hot AS (
+            SELECT day FROM err, tot WHERE err.c * tot.d > tot.tt
+        )
+        SELECT e.day,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM (SELECT strftime(CAST(date_trunc('day', ts) AS DATE),
+                              '%Y-%m-%d') AS day, value
+              FROM ev WHERE event_type = 'purchase') e
+        JOIN hot ON hot.day = e.day
+        GROUP BY e.day
+    """,
+)
+def lo_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning (DPP) demonstrated end-to-end: events
+    land hive-partitioned by DAY; the probe asks for purchase volume
+    on the days whose ERROR count ran above the daily average — a
+    predicate that only exists at RUNTIME (it is computed from the
+    data), so no static PartitionFilter can prune for it. Spark's DPP
+    turns the broadcast dim into a partition filter on the fact scan
+    at execution time, so only the hot days' directories are read —
+    the difference between O(selected-days) and O(archive) when the
+    fact side is 100 TB. The physical plan's ``dynamicpruning``
+    subquery on the partition column is pinned in
+    tests/test_plans.py::test_dpp_plan_prunes_partitions; this
+    oracle-checked query pins the VALUES (the oracle recomputes both
+    sides from the source table — partitioning must never change
+    answers).
+
+    The hot-day rule is scale-invariant integer arithmetic
+    (``day_errors * n_error_days > total_errors`` — no float, no
+    absolute threshold that would go vacuous at another SF). Money is
+    cents-quantized int64.
+
+    100 TB: the dim side is |days| rows (broadcast); the fact side
+    reads only pruned partitions; ONE aggregate per surviving
+    partition group, map-side combined."""
+    import tempfile
+
+    if sf_dir not in _DPP_PART_DIRS:
+        out = tempfile.mkdtemp(prefix="bdc_dpp_part_")
+        (t(spark, sf_dir, "events")
+         .withColumn("day", F.date_format(
+             F.date_trunc("day", F.col("ts").cast("timestamp")),
+             "yyyy-MM-dd"))
+         .write.mode("overwrite").partitionBy("day").parquet(out))
+        _DPP_PART_DIRS[sf_dir] = out
+    root = _DPP_PART_DIRS[sf_dir]
+
+    err = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.date_format(
+            F.date_trunc("day", F.col("ts").cast("timestamp")),
+            "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = err.agg(F.sum("c").cast("bigint").alias("tt"),
+                  F.count("*").cast("bigint").alias("d"))
+    hot = (
+        err.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") * F.col("d") > F.col("tt"))
+        .select("day")
+    )
+    fact = (
+        spark.read.parquet(root)
+        .filter(F.col("event_type") == "purchase")
+        .select("day", F.round(F.col("value") * 100).cast("bigint")
+                .alias("cents"))
+    )
+    return (
+        fact.join(F.broadcast(hot), "day")
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"),
+             F.sum("cents").cast("bigint").alias("value_cents"))
+    )

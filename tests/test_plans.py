@@ -530,10 +530,33 @@ def test_planmap_rounds_column_explicit(tmp_path):
         "dd_exact_substring_maxlen", "dd_survivorship",
         "gr_bfs_distance", "gr_dag_layering", "gr_kcore_peeling",
         "gr_label_propagation", "gr_pagerank",
-        "gr_personalized_pagerank", "px_blob_labeling",
+        "gr_personalized_pagerank", "gr_strongly_connected",
+        "px_blob_labeling",
         "tk_bpe_train_rounds", "tk_viterbi_em_counts",
     }
     missing = {n for n in iterative if n not in rounds}
     assert not missing, missing
     zeroed = {n for n in iterative if int(rounds[n]) < 1}
     assert not zeroed, f"iterative queries reporting rounds=0: {zeroed}"
+
+
+def test_dpp_plan_prunes_partitions(spark, sf_dir):
+    """lo_dynamic_partition_pruning: the fact scan's PartitionFilters
+    must carry a runtime `dynamicpruning` subquery on the partition
+    column `day` — proving the hot-day predicate (computed from data,
+    unknowable at plan time) reaches the file listing, not just a
+    post-scan filter."""
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        QUERY_REGISTRY["lo_dynamic_partition_pruning"]
+        .spark_fn(spark, sf_dir)._jdf.queryExecution(), "formatted")
+    part_lines = [ln for ln in plan.splitlines()
+                  if "PartitionFilters" in ln]
+    assert part_lines, plan
+    assert any("dynamicpruning" in ln and "day" in ln
+               for ln in part_lines), plan
