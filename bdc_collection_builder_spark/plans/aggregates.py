@@ -730,7 +730,7 @@ def a22_group_mode(spark, sf_dir):
         SELECT p1, p2, CAST(count(*) AS BIGINT) AS support
         FROM pairs
         GROUP BY p1, p2
-        HAVING count(*) >= 3
+        HAVING count(*) >= 2
     """,
 )
 def a23_copurchase_support(spark, sf_dir):
@@ -760,5 +760,5 @@ def a23_copurchase_support(spark, sf_dir):
         .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("bigint").alias("support"))
-        .filter(F.col("support") >= 3)
+        .filter(F.col("support") >= 2)
     )

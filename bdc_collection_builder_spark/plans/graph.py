@@ -1304,9 +1304,12 @@ def gr_strongly_connected(spark, sf_dir):
                   "left_semi")
             .localCheckpoint(eager=True)
         )
-        # (2) color: forward max-ancestor propagation to fixpoint
+        # (2) color: forward max-ancestor propagation to fixpoint.
+        # The changed-row count comes from the SAME joined frame that
+        # builds the next state (a row changed iff an in-neighbor
+        # pushed a strictly larger color), so each round is ONE join
+        # materialized once — no second old-vs-new comparison join.
         color = core.select("v", F.col("v").alias("c"))
-        i = 0
         while True:
             note_rounds(1)
             push = (
@@ -1314,20 +1317,13 @@ def gr_strongly_connected(spark, sf_dir):
                 .groupBy(F.col("dst").alias("v"))
                 .agg(F.max("c").alias("cin"))
             )
-            nxt = (
+            joined = (
                 color.join(push, "v", "left")
-                .select("v", F.greatest("c", F.coalesce("cin", "c"))
-                        .alias("c"))
+                .localCheckpoint(eager=True)
             )
-            i += 1
-            if i % 3 == 0:
-                nxt = nxt.localCheckpoint(eager=True)
-            changed = (
-                nxt.alias("n")
-                .join(color.alias("o"), "v")
-                .filter(F.col("n.c") != F.col("o.c")).count()
-            )
-            color = nxt
+            changed = joined.filter(F.col("cin") > F.col("c")).count()
+            color = joined.select(
+                "v", F.greatest("c", F.coalesce("cin", "c")).alias("c"))
             if changed == 0:
                 break
         color = color.localCheckpoint(eager=True)
