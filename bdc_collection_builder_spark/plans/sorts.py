@@ -70,3 +70,48 @@ def t05_top_k(spark, sf_dir):
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+_ANSI_SHARED_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(min(l_orderkey) AS BIGINT) AS first_order,
+           CAST(max(l_orderkey) AS BIGINT) AS last_order
+    FROM lineitem
+    WHERE l_quantity > 5
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql01_shared_ansi_text",
+    survey=("A1", "X-scalar"),
+    oracle=_ANSI_SHARED_SQL,
+)
+def sql01_shared_ansi_text(spark, sf_dir):
+    """SQL front-end parity: ONE shared ANSI SQL string — the module
+    constant above — is executed verbatim by BOTH engines: Spark SQL
+    here (`spark.sql` over a temp view), DuckDB as the oracle (the
+    oracle IS the same constant, not a translation). Every other
+    query in the registry pairs a DataFrame plan with a DuckDB
+    dialect oracle; this one pins the dialect-portable subset the two
+    SQL parsers agree on byte-for-byte — aggregate casts, round(),
+    TIMESTAMP date literals, grouped scans — so a user porting ANSI
+    warehouse SQL onto this engine knows the text runs unchanged.
+    The reference exposes exactly this surface through SQLAlchemy
+    textual queries (controller.py raw-SQL paths).
+
+    The temp view is (re)registered from the CURRENT sf_dir on every
+    call — createOrReplaceTempView is idempotent and session-scoped,
+    so a stale registration from a previous scale factor cannot leak
+    into this run.
+
+    100 TB: Catalyst compiles the text to the identical plan the
+    DataFrame API would build (one partial-agg shuffle, filters
+    pushed to the scan); the SQL surface adds zero execution cost."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ANSI_SHARED_SQL)

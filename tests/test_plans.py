@@ -112,7 +112,11 @@ def test_plan_lint_every_query(spark, sf_dir):
         "tk_viterbi_em_counts",  # one-row vocab-total + count-total attach
         "ss_knn_label_accuracy",  # eval protocol: brute-force neighbors
         "dq_mutual_information",  # one-row total / moment attaches
-
+        "j32_important_part_value",  # one-row global-value-total attach
+        "j35_idle_rich_customers",   # one-row avg-balance-threshold attach
+        "dq_t_closeness",        # one-row corpus-total attach
+        "lo_dynamic_partition_pruning",  # one-row error-total attach
+                                         # on the DIM side (days-sized)
     }
     offenders = {}
     for name, fn in all_queries().items():
