@@ -736,7 +736,12 @@ def a22_group_mode(spark, sf_dir):
 def a23_copurchase_support(spark, sf_dir):
     """Frequent-pair mining (the support-counting core of Apriori /
     market-basket analysis, Agrawal & Srikant 1994, public): part
-    pairs bought together in at least 3 orders. The reference's
+    pairs bought together in at least 2 orders. (Minsup 2 is the
+    scale-stable choice here: the pair space grows quadratically with
+    the part dimension while pair instances grow linearly, so a
+    higher absolute minsup empties out as SF grows — at minsup 2 the
+    expected collision count is birthday-bounded and stays O(1000) at
+    every SF of this generator.) The reference's
     analog is the band-combination report (which asset pairs co-occur
     in published scenes, publish.py band loops). Items are deduped
     per order FIRST (a part can appear on several lineitems of one

@@ -5542,6 +5542,7 @@ def cu_cluster_size_distribution(spark, sf_dir):
     oracle=f"""
         WITH ts AS (
             SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents
+            WHERE len(list_distinct({_TOKS})) > 0
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT)
@@ -5576,7 +5577,11 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
     have short postings lists. t = 0.95 = 19/20, so all thresholds
     are integer: prefix skip = ceil(19*s/39) = (19*s + 38) div 39,
     size prune 20*min >= 19*max, verify 39*inter >= 19*(sa+sb) —
-    no float comparisons anywhere, deterministic bytes.
+    no float comparisons anywhere, deterministic bytes. Token-LESS
+    documents (empty/whitespace text) are excluded on BOTH sides:
+    J(empty, empty) is undefined (0/0), and the Spark plan's posting
+    lists structurally cannot emit such pairs, so the oracle must not
+    vacuously match them either (39*0 >= 19*0 would).
 
     100 TB: the df computation and the prefix self-join shuffle on
     TOKEN (postings bounded by the rare-first order); verification
@@ -5592,8 +5597,6 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
     post = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
-    sizes = post.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("s"))
     df = post.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     # per-doc tokens sorted rare-first; prefix length p = s - skip + 1
     ordered = (
@@ -5640,11 +5643,16 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
         WITH p AS (
             SELECT doc_id, substr(text || repeat('#', 32), 1, 32) AS s
             FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(length(list_filter(range(1, 33),
+                       i -> substr(a.s, i, 1) <> substr(b.s, i, 1)))
+                       AS BIGINT) AS n_mismatch
+            FROM p a JOIN p b ON a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(hamming(a.s, b.s) AS BIGINT) AS n_mismatch
-        FROM p a JOIN p b ON a.doc_id < b.doc_id
-        WHERE hamming(a.s, b.s) <= 2
+        SELECT doc_a, doc_b, n_mismatch
+        FROM pairs WHERE n_mismatch <= 2
     """,
 )
 def dd_hamming_near_pairs(spark, sf_dir):
@@ -5658,7 +5666,11 @@ def dd_hamming_near_pairs(spark, sf_dir):
     cannot touch all 3, so every qualifying pair agrees EXACTLY on
     some segment — candidates come from 3 equi-joins on (segment id,
     segment text), then each candidate is verified by counting
-    mismatching positions. All-integer output, no float anywhere.
+    mismatching positions. Both engines count CHARACTER positions
+    (per-position substr comparison on each side — deliberately NOT
+    DuckDB's byte-based hamming(), which throws on unequal BYTE
+    lengths the moment a non-ASCII character lands in one head).
+    All-integer output, no float anywhere.
 
     100 TB: one shuffle on the (seg_id, seg_text) blocking key (the
     3x fan-out is a constant); candidate verification is a

@@ -41,6 +41,9 @@ def main() -> int:
     only: set[str] | None = None
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            print("usage: --only name1,name2")
+            return 1
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if a != "--window"]
@@ -58,16 +61,18 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     queries, oracles = mod.queries(), mod.oracle_sql()
-    if window_only:
-        # dict order IS registration order — the driver checks the
-        # first 50 entries, so this is its exact per-round window
-        queries = {n: queries[n] for n in list(queries)[:50]}
     if only is not None:
+        # --only wins over --window: a registered name must never be
+        # reported unknown just because it sits outside the first 50
         unknown = only - set(queries)
         if unknown:
             print(f"unknown query names: {sorted(unknown)}")
             return 1
         queries = {n: q for n, q in queries.items() if n in only}
+    elif window_only:
+        # dict order IS registration order — the driver checks the
+        # first 50 entries, so this is its exact per-round window
+        queries = {n: queries[n] for n in list(queries)[:50]}
     failures = []
     for name in sorted(queries):
         try:

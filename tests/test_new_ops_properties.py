@@ -830,7 +830,9 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, sf_dir):
         "doc_id", "text").collect()
     sets = {r.doc_id: frozenset(w for w in r.text.lower().split() if w)
             for r in docs}
-    ids = sorted(sets)
+    # token-less docs are excluded on both engine sides (J(0,0) is
+    # undefined); mirror that here
+    ids = sorted(d for d, s in sets.items() if s)
     want = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
