@@ -4656,35 +4656,33 @@ def _es_round_lengths() -> list[tuple[int, list[int]]]:
     """,
 )
 def dd_exact_substring_maxlen(spark, sf_dir):
-    """ExactSubstr dedup statistics (Lee et al. 2022) without a suffix
-    array: per document, the length of the LONGEST substring (up to
-    64 chars) that occurs at least twice anywhere in the corpus,
-    plus the count of positions whose 8-gram repeats (the trim-
-    membership measure). EXACT, via binary lifting: each position
-    carries its certified duplicate length l; round k asks "does my
-    (l+k)-gram still repeat corpus-wide?" — 7 rounds for a 64 bound,
-    each one substring-hash groupBy + one join-back, never an
-    all-pairs comparison and never a single-node suffix sort. The
-    per-round check-length set is a static ladder (see
-    _es_round_lengths), so the corpus probe side is a literal-array
-    explode. At 100 TB: per-round shuffle volume is corpus-positions x
-    round-width (bounded by the cap), partitioned by gram hash —
-    the same scaling as the winnowing/CDC passes — and the position
-    state is checkpointed each round to keep lineage flat (the
-    documented Viterbi-EM lesson). Monotonicity of "has a duplicate
-    of length L" makes the lifted l exact, and makes dup8_positions
-    equal to count(l >= 8) with no extra pass. Independent oracle:
-    DuckDB brute-forces the full 1..64 length grid. Reference
-    anchor: the same F10 scene-dedup semantics pushed to substring
-    granularity (collection_builder scene dedup, controller.py)."""
+    """ExactSubstr dedup statistics (Lee et al. 2022): per document,
+    the length of the LONGEST substring (up to 64 chars) that occurs
+    at least twice anywhere in the corpus, plus the count of positions
+    whose 8-gram repeats (the trim-membership measure). EXACT, via the
+    suffix-array neighbor-LCP identity (Manber & Myers 1990): sort
+    every position's 64-char head once, and each position's answer is
+    the max LCP with its two sorted neighbors — one range shuffle +
+    one window pass, never an all-pairs comparison and never a
+    single-node suffix sort (partition-boundary neighbors are patched
+    exactly; see exact_substring_stats_sorted). dup8_positions equals
+    count(ml >= 8) with no extra pass because prefix-duplication is
+    monotone in length. The binary-lifting engine
+    (exact_substring_stats, both physical layouts) remains as an
+    independent second implementation, pinned byte-equivalent in
+    tests. Independent oracle: DuckDB brute-forces the full 1..64
+    length grid. Reference anchor: the same F10 scene-dedup semantics
+    pushed to substring granularity (collection_builder scene dedup,
+    controller.py)."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    # carry_text=False is the 100 TB layout (VERDICT-r6 task 2): the
-    # lifted state is 3 ints per position, text re-attached per round
-    # via a doc_id-co-partitioned join. The registered query runs
-    # THIS path so the driver-verified path IS the scale path;
-    # carry_text=True (the small-scale fast path) stays covered by
-    # the equivalence test in tests/test_new_ops_properties.py.
-    return exact_substring_stats(docs, carry_text=False)
+    # Round 8: the registered engine is the SORTED-NEIGHBOR-LCP path
+    # (one range sort + window; see exact_substring_stats_sorted) —
+    # the binary-lifting ladder's probe side degenerates to the full
+    # 1..64 gram grid on template-heavy corpora (measured 290s at
+    # sf0.1, now ~10x cheaper; VERDICT-r7 BENCH_HEAVY order). Both
+    # lifting layouts remain implemented and pinned byte-equivalent
+    # to this path in tests/test_new_ops_properties.py.
+    return exact_substring_stats_sorted(docs)
 
 
 def exact_substring_stats(docs, carry_text: bool = False):
@@ -4743,14 +4741,33 @@ def exact_substring_stats(docs, carry_text: bool = False):
     )
     for k, lens in _es_round_lengths():
         note_rounds(1)
+        # Restrict the static worst-case ladder to lengths some LIVE
+        # position will actually probe this round: the probe side only
+        # exists to count corpus occurrences of grams the candidate
+        # side asks about, and a candidate at certified length l asks
+        # exactly for m = l + k. Distinct certified l values number at
+        # most cap+1 (0..64) by construction, so this driver read is
+        # CAP-bounded, not data-bounded (house regime-probe rule), and
+        # dropping never-probed lengths cannot change any answer —
+        # their dup rows could never match the left_semi. The static
+        # worst-case ladder Σ|lens| = 64 (the full 1..64 grid); on
+        # real corpora the achieved-l set is sparse, so this is the
+        # difference between probing the whole grid and probing the
+        # handful of lengths in play (measured 290s -> see BENCH_HEAVY
+        # at sf0.1).
+        live_ls = sorted(
+            r[0] for r in pos.select("l").distinct().collect())
+        needed = sorted({l + k for l in live_ls if l + k <= _ES_CAP})
+        if not needed:
+            continue
         # corpus-wide duplicated (length, gram) set for this round's
-        # static length ladder; text is consumed by substring() in the
+        # needed lengths; text is consumed by substring() in the
         # same narrow stage, only (m, g) pairs reach the groupBy
         # shuffle
         probe = (
             probe_base.select(
                 "text", "dlen", "off",
-                F.explode(F.array(*[F.lit(m) for m in lens]))
+                F.explode(F.array(*[F.lit(m) for m in needed]))
                 .alias("m"))
             .filter(F.col("off") + F.col("m") - 1 <= F.col("dlen"))
             .select("m", F.expr("substring(text, off, m)").alias("g"))
@@ -4785,6 +4802,106 @@ def exact_substring_stats(docs, carry_text: bool = False):
         pos.groupBy("doc_id")
         .agg(F.max("l").cast("bigint").alias("max_dup_len"),
              F.sum(F.when(F.col("l") >= 8, 1).otherwise(0))
+             .cast("bigint").alias("dup8_positions"))
+    )
+
+
+def _lcp_expr(a: str, b: str) -> str:
+    """SQL for the longest-common-prefix length of two NON-EMPTY
+    strings (0 when ``b`` is NULL): the first mismatching character
+    position minus one, or the shorter length when one is a prefix of
+    the other. Pure codegen HOF — O(min-length) char compares, no
+    Python."""
+    n = f"least(length({a}), length({b}))"
+    return (f"CASE WHEN {b} IS NULL THEN 0 ELSE coalesce("
+            f"array_min(filter(sequence(1, {n}), "
+            f"i -> substring({a}, i, 1) <> substring({b}, i, 1))) - 1, "
+            f"{n}) END")
+
+
+def exact_substring_stats_sorted(docs):
+    """ExactSubstr statistics via SORTED-NEIGHBOR LCP — the suffix-
+    array identity (Manber & Myers 1990, public): in lexicographic
+    order of the corpus' per-position heads (substring(text, off, 64)),
+    the longest prefix a head shares with ANY other head equals its
+    max LCP with its two SORTED neighbors. So ONE range-partitioned
+    sort + one within-partition window pass yields, for every
+    position, the length of the longest substring (<= 64 cap) starting
+    there that occurs at least twice corpus-wide — byte-identical to
+    the binary-lifting engine (:func:`exact_substring_stats`;
+    equivalence pinned in tests/test_new_ops_properties.py) at a
+    fraction of the cost. The lifting ladder's probe side is
+    positions x Σ|round lengths| gram extractions — the full 1..64
+    grid (64x positions) on corpora whose achieved-length set is
+    dense, which template-heavy training corpora are (measured 290s
+    at sf0.1; VERDICT-r7 BENCH_HEAVY order). This path shuffles each
+    position ONCE carrying one <=64-char head.
+
+    Partition-boundary exactness: lag/lead run INSIDE each range
+    partition (Window.partitionBy(spark_partition_id()) — never a
+    global single-partition window over data); each partition's
+    first/last row then has its missing neighbor patched from the
+    adjacent NON-EMPTY partition via a per-partition edge frame
+    (one row per partition, config-bounded — the tiny global window
+    over it is #partitions-sized, the j03 dimension-window class).
+
+    100 TB: shuffle volume = positions x (head + 2 ints) in one range
+    exchange + one pid-hash exchange; no per-length probes, no
+    fixpoint iteration, no data-sized driver state. Reference anchor:
+    same F10 scene-dedup semantics pushed to substring granularity
+    (collection_builder scene dedup, controller.py)."""
+    from pyspark.sql import Window
+
+    from bdc_collection_builder_spark.functions.parallel import spread
+
+    docs = (spread(docs.select("doc_id", "text"))
+            .withColumn("dlen", F.length("text")))
+    heads = (
+        docs.select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(1), F.col("dlen"))).alias("off"))
+        .select("doc_id", "off",
+                F.expr(f"substring(text, off, {_ES_CAP})").alias("g"))
+    )
+    # spark_partition_id is only stable within one materialization —
+    # checkpoint eagerly so the window, the edge frame, and any retry
+    # all see the SAME partition assignment.
+    ranged = (heads.repartitionByRange("g", "doc_id", "off")
+              .withColumn("pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    win = Window.partitionBy("pid").orderBy("g", "doc_id", "off")
+    lagged = ranged.select(
+        "doc_id", "pid", "g",
+        F.lag("g").over(win).alias("pg"),
+        F.lead("g").over(win).alias("ng"))
+    # Boundary patch: each partition's first row lacks its true
+    # predecessor (the previous non-empty partition's last head) and
+    # the last row its successor. The edge frame is ONE row per
+    # non-empty partition; lag/lead over it (ordered by pid) walks
+    # the non-empty chain, so empty range partitions cannot break
+    # adjacency.
+    key = F.struct("g", "doc_id", "off")
+    edge = ranged.groupBy("pid").agg(F.min(key).alias("fk"),
+                                     F.max(key).alias("lk"))
+    w_edge = Window.orderBy("pid")  # #partitions rows — config-sized
+    patch = edge.select(
+        "pid",
+        F.lag("lk.g").over(w_edge).alias("patch_pg"),
+        F.lead("fk.g").over(w_edge).alias("patch_ng"))
+    per_pos = (
+        lagged.join(F.broadcast(patch), "pid")
+        .select(
+            "doc_id",
+            F.coalesce("pg", "patch_pg").alias("pg"),
+            F.coalesce("ng", "patch_ng").alias("ng"), "g")
+        .select("doc_id", F.expr(
+            f"greatest({_lcp_expr('g', 'pg')}, "
+            f"{_lcp_expr('g', 'ng')})").alias("ml"))
+    )
+    return (
+        per_pos.groupBy("doc_id")
+        .agg(F.max("ml").cast("bigint").alias("max_dup_len"),
+             F.sum(F.when(F.col("ml") >= 8, 1).otherwise(0))
              .cast("bigint").alias("dup8_positions"))
     )
 
@@ -5585,7 +5702,8 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
 
     100 TB: the df computation and the prefix self-join shuffle on
     TOKEN (postings bounded by the rare-first order); verification
-    shuffles candidates + postings on doc_id. No all-pairs stage
+    shuffles candidates + per-doc sorted token arrays on doc_id and
+    intersects per pair (no pair x token blowup). No all-pairs stage
     exists in the plan — the quadratic work is confined to tokens'
     postings within the prefix zone, the published scaling story of
     AllPairs. The oracle brute-forces the same predicate, which is
@@ -5622,12 +5740,24 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
                    >= 19 * F.greatest("size_a", "size_b")))
         .select("doc_a", "doc_b", "size_a", "size_b").distinct()
     )
-    ta = post.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = post.select(F.col("doc_id").alias("doc_b"), "tok")
+    # Verification: attach each side's full token ARRAY (already
+    # computed in `ordered`) to the candidate pair and intersect
+    # per-pair — two joins, NO (pair x common-token) row explosion
+    # and no re-aggregation shuffle (the previous posting-join form
+    # materialized one row per shared token per pair; VERDICT-r7
+    # What's-wrong #2). Tokens are distinct per doc, so
+    # size(array_intersect) is the exact intersection cardinality.
+    toks_a = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ord").getField("tok").alias("arr_a"))
+    toks_b = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ord").getField("tok").alias("arr_b"))
     inter = (
-        cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+        cand.join(toks_a, "doc_a").join(toks_b, "doc_b")
+        .select("doc_a", "doc_b", "size_a", "size_b",
+                F.size(F.array_intersect("arr_a", "arr_b"))
+                .cast("bigint").alias("n_common"))
     )
     return (
         inter.filter(39 * F.col("n_common")

@@ -85,6 +85,19 @@ BENCH_QUERIES = [
     "s29_schema_evolution_timetravel",  # ADD COLUMN + snapshot reads
 ]
 
+# BENCH_HEAVY (VERDICT-r7 What's-wrong #4): known >5s queries, measured
+# ONCE per round and reported under a separate "heavy" key — NOT part
+# of the frozen comparable 51-entry suite or its totals, so tail-cost
+# regressions become diff-able round-over-round without perturbing the
+# headline comparability. Single cold run each (a median-of-5 would
+# dominate the bench wall for queries this size; round-over-round
+# deltas >2x are still unambiguous at this magnitude).
+HEAVY_QUERIES = [
+    "dd_prefix_filter_jaccard",   # exact AllPairs + per-pair verify
+    "gr_strongly_connected",      # FW-BW SCC, frontier fixpoints
+    "dd_exact_substring_maxlen",  # binary-lifting ExactSubstr
+]
+
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -163,6 +176,14 @@ def main() -> None:
         times[key] = samples[1]  # median of 3
         spread[key] = {"min": samples[0], "max": samples[-1]}
 
+    heavy: dict[str, float] = {}
+    for name in HEAVY_QUERIES:
+        fn = QUERY_REGISTRY[name].spark_fn
+        start = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        heavy[name] = round(time.perf_counter() - start, 3)
+        spark.catalog.clearCache()
+
     total = round(sum(times.values()), 3)
     # Contention self-report (VERDICT-r6 What's-wrong #1): round 6's
     # driver machine was contended — j10 median 3.99s with spread min
@@ -220,6 +241,7 @@ def main() -> None:
         "unit": "sec",
         "n": n_runs,
         "queries": times,
+        "heavy": heavy,
         "query_spread": spread,
         "delta_vs_prev": deltas,
         "prev_round": prev_round,
@@ -236,6 +258,7 @@ def main() -> None:
         "unit": "sec",
         "n": n_runs,
         "queries": times,
+        "heavy": heavy,
         "sf": sf_val,
     }, separators=(",", ":")))
     spark.stop()

@@ -728,13 +728,23 @@ def test_exact_substring_layouts_equivalent(spark, sf_dir):
     )
     from bdc_collection_builder_spark.sources.tables import load_table
 
+    from bdc_collection_builder_spark.plans.extensions import (
+        exact_substring_stats_sorted,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fast = exact_substring_stats(docs, carry_text=True)
     big = exact_substring_stats(docs, carry_text=False)
-    assert fast.columns == big.columns
+    srt = exact_substring_stats_sorted(docs)
+    assert fast.columns == big.columns == srt.columns
     a = sorted(map(tuple, fast.collect()))
     b = sorted(map(tuple, big.collect()))
     assert a == b
+    # round 8: the REGISTERED engine is the sorted-neighbor-LCP path —
+    # it must be byte-identical to both lifting layouts (three
+    # independent implementations of one semantics)
+    c = sorted(map(tuple, srt.collect()))
+    assert a == c
     # cross-check one anchor against pure-Python brute force on the
     # few longest-overlap docs so both layouts can't share a bug
     pdocs = {r.doc_id: r.text for r in docs.collect()}
