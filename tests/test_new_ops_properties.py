@@ -282,16 +282,24 @@ def test_last_shipper_subset_of_multisupplier_orders(spark, sf_dir):
 
 
 def test_dormant_high_balance_excludes_order_placers(spark, sf_dir):
-    """Total dormant customers <= customers with no orders at all."""
+    """Total dormant customers <= customers with no RECENT order (the
+    round-8 recency-cutoff semantics), and the result is non-empty —
+    the original never-ordered predicate was vacuously empty at
+    every SF."""
+    from pyspark.sql import functions as F
+
     from bdc_collection_builder_spark.sources.tables import load_table
 
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    recent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01").cast("date"))
+              .select("o_custkey"))
     n_dormant_all = cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
+        recent, cust.c_custkey == recent.o_custkey, "left_anti").count()
     reported = sum(r.n_customers for r in rows(
         spark, sf_dir, "j21_dormant_high_balance"))
-    assert reported <= n_dormant_all
+    assert 0 < reported <= n_dormant_all
 
 
 def test_bilateral_trade_flow_directional(spark, sf_dir):
@@ -631,12 +639,17 @@ def test_blob_labeling_tiles_mask(spark, sf_dir):
         NODATA_SENTINEL,
         synthetic_pixels,
     )
+    from bdc_collection_builder_spark.plans.pixels import _BLOB_THRESH
     from pyspark.sql import functions as F
 
     out = rows(spark, sf_dir, "px_blob_labeling")
     mask_n = synthetic_pixels(spark, n_scenes=4, height=16, width=16) \
         .filter((F.col("B04") != NODATA_SENTINEL)
-                & (F.col("B04") >= 5000)).count()
+                & (F.col("B04") >= _BLOB_THRESH)).count()
+    # round 8: the mask must be NON-EMPTY — the original 5000
+    # threshold sat above the synthetic band's max (453), so every
+    # assertion here passed vacuously on an empty mask
+    assert mask_n > 0
     assert sum(r.n_pixels for r in out) == mask_n
     for r in out:
         h = r.max_y - r.min_y + 1

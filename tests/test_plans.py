@@ -501,6 +501,45 @@ def test_driver_window_rotation_round7():
     assert not {n for n in never if n in _DRIVER_PRIORITY}
 
 
+def test_oracles_nonvacuous_at_sf0_01():
+    """VERDICT-r7 task 5: every oracled query must return >= 1 row at
+    sf0.01 unless allowlisted here with a reason — a green hash-match
+    on an EMPTY result proves almost nothing, and round 8's sweep
+    found three such silent vacuums (j21's no-orders predicate that
+    no customer satisfies, dd_suffix_prefix_overlap's misaligned
+    32-char anchor that could never match its own planted pairs, and
+    px_blob_labeling's threshold above the synthetic band's value
+    range). The check runs the DuckDB side only: the oracle gate
+    already pins Spark == DuckDB value-for-value, so one engine's
+    row count is both engines' row count."""
+    import os
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not present")
+    # name -> reason; empty on purpose after the round-8 de-vacuous
+    # sweep. Adding an entry REQUIRES a reason string.
+    allow: dict[str, str] = {}
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    empties = []
+    for name, q in QUERY_REGISTRY.items():
+        if not q.oracle or name in allow:
+            continue
+        n = con.execute(
+            f"SELECT count(*) FROM ({q.oracle})").fetchone()[0]
+        if n == 0:
+            empties.append(name)
+    assert not empties, (
+        f"oracled queries with EMPTY results at sf0.01 (vacuous "
+        f"green — fix the query or allowlist with a reason): {empties}")
+
+
 def test_planmap_rounds_column_explicit(tmp_path):
     """VERDICT-r6 task 5: PLANMAP's `rounds` column must be
     machine-parseable — an explicit integer in every non-stream row
