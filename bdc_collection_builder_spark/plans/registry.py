@@ -169,43 +169,60 @@ def _load_all() -> None:
 # cumulative = 306/307 of the pre-r7 registry; rotate round 8 onto
 # this pool + deliberate re-checks, keeping a18_hll_rollup excluded
 # as documented.
+# ROUND-8 rotation (VERDICT-r7 task 1): the 26 round-7 additions
+# FIRST (never driver-checked; all 26 judge-verified green under the
+# driver's own harness in the r7 session, so risk is low but the
+# rotation must still land), ordered oracle-risk first per the
+# VERDICT: the two ex-heavies (both rewritten this round — prefix
+# filter's per-pair array_intersect verification, SCC's frontier +
+# pointer-jumping fixpoints — and re-verified against their oracles
+# and the in-process Tarjan/brute-force cross-checks), the Hamming
+# near-pair join, the shared-ANSI-text dialect seam, the DPP
+# store-seam temp dirs, the integer-stat trend/randomness tests,
+# then the text/privacy/join/graph/misc tail. The 24 re-check slots
+# lead with the FOUR queries whose code or semantics changed in
+# round 8 (j21's recency rework, dd_suffix_prefix_overlap's
+# alignment-correct anchor, px_blob_labeling's in-range threshold,
+# dd_exact_substring_maxlen's sorted-neighbor-LCP engine) — their
+# old CORRECTNESS rows describe code that no longer exists — then
+# the VERDICT-named never-re-checked r5/r6 heavies (s33, x13b/x13c
+# Karney chains, st_late_data_audit) and engine-seam/float-risk
+# fills, all previously green exactly once.
+# Done ⇒ cumulative 328/328 oracled queries driver-checked at least
+# once — verification debt zero for the first time (a18_hll_rollup
+# stays the sole documented rows-only exclusion, pinned against its
+# green exact twin a18b in pytest).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the 13 round-6 additions, float-risk first
-    "tx_zipf_slope", "tj_theil_sen_trend", "dd_suffix_prefix_overlap",
-    "s34_partitioned_evolution_read", "s35_erasure_delete_keys",
-    "j29_order_priority_checking", "dq_k_anonymity",
-    "w21_interarrival_gap_profile", "cu_dedup_rate_by_source",
-    "gr_reciprocity", "gr_degree_assortativity",
-    "tj_autocorrelation_lag1", "dd_minhash_estimate_error",
-    # (b) judge-named re-checks: the carry_text=False layout flip
-    # runs FIRST among them, then never-re-checked heavies
-    "dd_exact_substring_maxlen", "st_stateful_sessionize",
-    "x17b_geometry_accessors", "j10_spatial_grid_join",
-    "s29_schema_evolution_timetravel", "s31_cdc_apply_ops",
-    "tk_bpe_train_rounds", "ss_pca_power_iteration",
-    # (c) the round-2 §2 core block, untouched since round 2:
-    # joins
-    "j01_three_way_status_counts", "j02_collection_tiles_distinct",
-    "j03_provider_priority_order", "j04_unpublished_anti_join",
-    "j05_latest_failed_per_scene", "j06_fk_broadcast_lookup",
-    "j07_band_file_join", "j08_tile_bbox_projection",
-    "j09_lineage_traversal",
-    # filters
-    "f05_activity_list_filters", "f06_skip_published",
-    "f10_dedup_scenes",
-    # windows / setops
-    "w01_latest_execution", "w03_pagination", "w04_lag_lead_gap",
-    "u01_union_scene_sets", "u02_missing_scenes_difference",
-    # scalars / geometry
-    "x01_scene_id_parsing", "x05_period_generation",
-    "x17_polygon_intersects", "x18_json_args_merge",
-    # pixels
-    "px_x9_band_expression_ndvi", "px_a6_nodata_union",
-    "px_x12_resample_nearest",
-    # sources / streaming / temporal core
-    "s01_remote_search_pushdown", "s15_merge_upsert",
-    "y01_tumbling_window", "y02_sliding_window",
-    "tj_asof_purchase_attribution",
+    # (a) the 26 round-7 additions, oracle-risk first
+    "dd_prefix_filter_jaccard", "gr_strongly_connected",
+    "dd_hamming_near_pairs", "sql01_shared_ansi_text",
+    "lo_dynamic_partition_pruning", "tj_mann_kendall_trend",
+    "tj_runs_test_randomness", "tx_heaps_vocab_growth",
+    "tx_simpson_diversity", "tx_word_burstiness",
+    "dq_t_closeness", "dq_l_diversity", "dq_mutual_information",
+    "a23_copurchase_support", "cu_cluster_size_distribution",
+    "gr_clustering_coefficient", "gr_harmonic_centrality",
+    "j30_customer_order_distribution", "j31_waiting_supplier_blame",
+    "j32_important_part_value", "j35_idle_rich_customers",
+    "mm_audio_silence_trim", "px_morph_erode_dilate3x3",
+    "s36_erasure_vacuum_horizon", "sk_bloom_fpr_eval",
+    "ss_knn_label_accuracy",
+    # (b) re-checks: round-8 semantics/engine changes first
+    "j21_dormant_high_balance", "dd_suffix_prefix_overlap",
+    "px_blob_labeling", "dd_exact_substring_maxlen",
+    # (c) VERDICT-named never-re-checked r5/r6 heavies
+    "s33_constraint_enforced_merge", "s34_partitioned_evolution_read",
+    "s35_erasure_delete_keys", "tj_theil_sen_trend", "tx_zipf_slope",
+    "x13b_extent_to_wgs84_exact", "x13c_wgs84_to_utm_roundtrip",
+    "st_late_data_audit",
+    # (d) engine-seam / float-risk / heavy fills, each green exactly
+    # once before this round
+    "s27_docker_correction", "s26_incremental_cdf_maintenance",
+    "s30_hive_partitioned_roundtrip", "lo_bucketed_join",
+    "st_stream_stream_join", "st_incremental_near_dedup",
+    "tk_viterbi_em_counts", "tx_kneser_ney_bigram",
+    "ss_ivf_probe_recall_curve", "gr_hits_hubs_authorities",
+    "w14_rolling_median", "dd_ngram_jaccard_pairs",
 )
 
 

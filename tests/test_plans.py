@@ -415,12 +415,15 @@ def test_driver_window_rotation_round6():
     assert "st_stream_outer_join" in checked
 
 
-def test_driver_window_rotation_round7():
-    """VERDICT-r6 task 1: round 7's driver window must be the 13
-    round-6 additions (never driver-checked, float-risk leaders first)
-    followed by 37 DELIBERATE RE-CHECKS of previously-green queries —
-    the judge-named heavies plus the round-2 §2 core block. Fails if
-    anyone perturbs the rotation before the driver runs it."""
+def test_driver_window_rotation_round8():
+    """VERDICT-r7 task 1: round 8's driver window must be the 26
+    round-7 additions (never driver-checked, oracle-risk order)
+    followed by 24 DELIBERATE RE-CHECKS — the four queries whose code
+    or semantics changed in round 8 first (their old CORRECTNESS rows
+    describe code that no longer exists), then the judge-named
+    never-re-checked r5/r6 heavies and engine-seam/float-risk fills.
+    Fails if anyone perturbs the rotation before the driver runs it.
+    Done => cumulative 328/328 oracled queries driver-checked."""
     import json
     import os
 
@@ -444,61 +447,64 @@ def test_driver_window_rotation_round7():
                  if not QUERY_REGISTRY[n].oracle]
     assert not rows_only, rows_only
 
-    new_13 = (
-        "tx_zipf_slope", "tj_theil_sen_trend", "dd_suffix_prefix_overlap",
-        "s34_partitioned_evolution_read", "s35_erasure_delete_keys",
-        "j29_order_priority_checking", "dq_k_anonymity",
-        "w21_interarrival_gap_profile", "cu_dedup_rate_by_source",
-        "gr_reciprocity", "gr_degree_assortativity",
-        "tj_autocorrelation_lag1", "dd_minhash_estimate_error",
+    new_26 = (
+        "dd_prefix_filter_jaccard", "gr_strongly_connected",
+        "dd_hamming_near_pairs", "sql01_shared_ansi_text",
+        "lo_dynamic_partition_pruning", "tj_mann_kendall_trend",
+        "tj_runs_test_randomness", "tx_heaps_vocab_growth",
+        "tx_simpson_diversity", "tx_word_burstiness",
+        "dq_t_closeness", "dq_l_diversity", "dq_mutual_information",
+        "a23_copurchase_support", "cu_cluster_size_distribution",
+        "gr_clustering_coefficient", "gr_harmonic_centrality",
+        "j30_customer_order_distribution", "j31_waiting_supplier_blame",
+        "j32_important_part_value", "j35_idle_rich_customers",
+        "mm_audio_silence_trim", "px_morph_erode_dilate3x3",
+        "s36_erasure_vacuum_horizon", "sk_bloom_fpr_eval",
+        "ss_knn_label_accuracy",
     )
-    recheck_37 = {
-        "dd_exact_substring_maxlen", "st_stateful_sessionize",
-        "x17b_geometry_accessors", "j10_spatial_grid_join",
-        "s29_schema_evolution_timetravel", "s31_cdc_apply_ops",
-        "tk_bpe_train_rounds", "ss_pca_power_iteration",
-        "j01_three_way_status_counts", "j02_collection_tiles_distinct",
-        "j03_provider_priority_order", "j04_unpublished_anti_join",
-        "j05_latest_failed_per_scene", "j06_fk_broadcast_lookup",
-        "j07_band_file_join", "j08_tile_bbox_projection",
-        "j09_lineage_traversal", "f05_activity_list_filters",
-        "f06_skip_published", "f10_dedup_scenes", "w01_latest_execution",
-        "w03_pagination", "w04_lag_lead_gap", "u01_union_scene_sets",
-        "u02_missing_scenes_difference", "x01_scene_id_parsing",
-        "x05_period_generation", "x17_polygon_intersects",
-        "x18_json_args_merge", "px_x9_band_expression_ndvi",
-        "px_a6_nodata_union", "px_x12_resample_nearest",
-        "s01_remote_search_pushdown", "s15_merge_upsert",
-        "y01_tumbling_window", "y02_sliding_window",
-        "tj_asof_purchase_attribution",
+    changed_round8 = (
+        "j21_dormant_high_balance", "dd_suffix_prefix_overlap",
+        "px_blob_labeling", "dd_exact_substring_maxlen",
+    )
+    recheck_24 = set(changed_round8) | {
+        "s33_constraint_enforced_merge", "s34_partitioned_evolution_read",
+        "s35_erasure_delete_keys", "tj_theil_sen_trend", "tx_zipf_slope",
+        "x13b_extent_to_wgs84_exact", "x13c_wgs84_to_utm_roundtrip",
+        "st_late_data_audit",
+        "s27_docker_correction", "s26_incremental_cdf_maintenance",
+        "s30_hive_partitioned_roundtrip", "lo_bucketed_join",
+        "st_stream_stream_join", "st_incremental_near_dedup",
+        "tk_viterbi_em_counts", "tx_kneser_ney_bigram",
+        "ss_ivf_probe_recall_curve", "gr_hits_hubs_authorities",
+        "w14_rolling_median", "dd_ngram_jaccard_pairs",
     }
-    assert len(recheck_37) == 37
-    # order matters for the first 13 (never-checked, risk-ranked);
-    # the re-checks are an exact set
-    assert _DRIVER_PRIORITY[:13] == new_13
-    assert set(_DRIVER_PRIORITY[13:]) == recheck_37
+    assert len(recheck_24) == 24
+    # order matters for the 26 (never-checked, risk-ranked) and the 4
+    # round-8 semantic changes that must run before the fills
+    assert _DRIVER_PRIORITY[:26] == new_26
+    assert _DRIVER_PRIORITY[26:30] == changed_round8
+    assert set(_DRIVER_PRIORITY[26:]) == recheck_24
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
-    for i in range(1, 7):
+    for i in range(1, 8):
         path = os.path.join(root, f"CORRECTNESS_r0{i}.json")
         if os.path.exists(path):
             checked |= set(json.load(open(path)).keys())
     if len(checked) < 200:
         pytest.skip("CORRECTNESS history not present in this checkout")
-    # the 13 really are never driver-checked; the 37 really are
+    # the 26 really are never driver-checked; the 24 really are
     # re-checks (every one has a prior CORRECTNESS row)
-    assert not set(new_13) & checked, set(new_13) & checked
-    assert recheck_37 <= checked, recheck_37 - checked
-    # after this round lands 50/50, cumulative distinct = everything
-    # but a18_hll_rollup (the documented rows-only exclusion)
-    from bdc_collection_builder_spark.plans.registry import QUERY_REGISTRY
-    pre_r7 = checked | set(new_13)
+    assert not set(new_26) & checked, set(new_26) & checked
+    assert recheck_24 <= checked, recheck_24 - checked
+    # after this round lands 50/50, cumulative distinct = every
+    # oracled query (a18_hll_rollup stays the documented rows-only
+    # exclusion, pinned against its green exact twin a18b in pytest)
     oracled = {n for n, q in QUERY_REGISTRY.items() if q.oracle}
-    never = oracled - pre_r7
-    # only queries REGISTERED AFTER the r7 rotation may remain
-    # unchecked (the round-8 pool); at rotation time this set is empty
-    assert not {n for n in never if n in _DRIVER_PRIORITY}
+    never = oracled - checked - set(new_26)
+    # only queries REGISTERED AFTER this rotation may remain
+    # unchecked (the round-9 pool); at rotation time this set is empty
+    assert not never, never
 
 
 def test_oracles_nonvacuous_at_sf0_01():
