@@ -634,7 +634,8 @@ class CatalogStore:
             return {}
 
     def set_constraints(self, table: str, *, not_null=(), unique=(),
-                        check=(), foreign_keys=()) -> None:
+                        check=(), foreign_keys=(),
+                        allow_cross_partition: bool = False) -> None:
         """Declare table constraints (ALTER TABLE ADD CONSTRAINT):
         ``not_null`` = column names; ``unique`` = column names or
         column lists; ``check`` = SQL boolean expressions; each
@@ -652,59 +653,49 @@ class CatalogStore:
         value, so they live in the same partition and per-partition
         validation sees both — Postgres places the same requirement
         on unique indexes over partitioned tables). UNIQUE keys
-        without the partition column and FOREIGN KEYs stay
-        unsupported there: partitions commit independently and those
-        invariants span partitions."""
+        without the partition column and FOREIGN KEYs involving a
+        partitioned table are refused BY DEFAULT (partitions commit
+        independently and those invariants span partitions — the
+        same reason Postgres refuses a partitioned unique index
+        without the partition key), but can be opted into with
+        ``allow_cross_partition=True``: constrained commits then
+        ESCALATE to the table-level lock and validate globally —
+        O(table) validation per commit instead of O(partition), the
+        honest price of a global invariant (see the design note at
+        the escalation site, PartitionedCatalogStore._escalated).
+        ``on_delete='cascade'`` across a partitioned parent stays
+        unsupported (route the child deletes yourself, then the
+        parent's)."""
         import json as _json
 
         fields = {f.name for f in SCHEMAS[table].fields}
         unique_lists = [[u] if isinstance(u, str) else list(u)
                         for u in unique]
         pcol = getattr(self, "partition_cols", {}).get(table)
+        cross_partition = False
         if pcol:
-            # DESIGN NOTE (VERDICT-r6 stretch; decide-in-round-8
-            # whether demand justifies building it): closing the
-            # cross-partition UNIQUE / FK gap needs exactly two
-            # pieces, both bounded:
-            #
-            # 1. Lock escalation. A commit whose table carries a
-            #    cross-partition constraint takes a TABLE-level
-            #    pointer lock (one flock on the parent table dir, the
-            #    same primitive _pointer_lock already uses) instead
-            #    of its partition's lock, serializing constrained
-            #    commits while leaving unconstrained partitioned
-            #    tables fully concurrent. This is precisely Postgres'
-            #    trade: a partitioned unique index without the
-            #    partition key forces global coordination, which is
-            #    why Postgres refuses it and why we do too.
-            # 2. Global validation. Under that lock, validate the
-            #    union of (staged partition) + (current snapshots of
-            #    every OTHER partition): one distributed groupBy on
-            #    the unique key (violation iff count>1 across the
-            #    union), or one anti-join per FK against the
-            #    referenced table's current full view. Cost: a scan
-            #    of all partitions per constrained commit — O(table),
-            #    not O(partition), which is the honest price of a
-            #    global invariant and the reason it must be opt-in.
-            #
-            # Crash story: unchanged — the escalated commit still
-            # stages then flips one partition pointer; the lock only
-            # widens the validation window. Recovery needs no new
-            # code. The reference itself never partitions its
-            # constrained tables (alembic puts FKs on activities /
-            # activity_history, both catalog-sized), so until a use
-            # case demands the O(table) validation price, the guard
-            # below stays — with the correct reason.
+            # Cross-partition UNIQUE / FK-out: refused by default
+            # (Postgres' trade — a partitioned unique index without
+            # the partition key forces global coordination); opt-in
+            # via allow_cross_partition, which marks the table so
+            # every write path escalates to the table-level lock and
+            # validates globally (the VERDICT-r6 design note, BUILT
+            # in round 8 — see PartitionedCatalogStore._escalated).
             cross = [u for u in unique_lists if pcol not in u]
             if cross or foreign_keys:
-                raise NotImplementedError(
-                    f"{table} is partitioned: partitions commit "
-                    "independently, so UNIQUE keys without the "
-                    f"partition column ({cross or '-'}) and FOREIGN "
-                    "KEYs would need cross-partition validation — "
-                    "declare them on an unpartitioned store (NOT "
-                    "NULL, CHECK, and UNIQUE keys containing "
-                    f"{pcol!r} are fine)")
+                if not allow_cross_partition:
+                    raise NotImplementedError(
+                        f"{table} is partitioned: partitions commit "
+                        "independently, so UNIQUE keys without the "
+                        f"partition column ({cross or '-'}) and FOREIGN "
+                        "KEYs would need cross-partition validation — "
+                        "declare them on an unpartitioned store (NOT "
+                        "NULL, CHECK, and UNIQUE keys containing "
+                        f"{pcol!r} are fine), or opt in with "
+                        "allow_cross_partition=True to serialize "
+                        "commits on the table-level lock and pay "
+                        "O(table) validation per constrained commit")
+                cross_partition = True
         # validate EVERY referenced column name and dry-run every
         # check expression at declaration time (ADVICE-r5): a typo
         # must be a rejected declaration here, not an
@@ -731,11 +722,23 @@ class CatalogStore:
                 raise KeyError(
                     f"{fk['ref_table']}: no column(s) {missing}")
             if getattr(self, "partition_cols", {}).get(fk["ref_table"]):
-                raise NotImplementedError(
-                    f"{fk['ref_table']} is partitioned: its partition "
-                    "sub-stores commit without seeing referencing "
-                    "tables, so a foreign key targeting it cannot be "
-                    "reverse-validated on delete")
+                if not allow_cross_partition:
+                    raise NotImplementedError(
+                        f"{fk['ref_table']} is partitioned: its "
+                        "partition sub-stores commit without seeing "
+                        "referencing tables, so a foreign key "
+                        "targeting it cannot be reverse-validated on "
+                        "delete — opt in with "
+                        "allow_cross_partition=True to escalate the "
+                        "parent's deletes/updates to the table-level "
+                        "lock with a global reverse check")
+                if fk.get("on_delete", "restrict") == "cascade":
+                    raise NotImplementedError(
+                        f"on_delete='cascade' across partitioned "
+                        f"parent {fk['ref_table']} is not supported: "
+                        "delete the referencing rows first, then the "
+                        "parent's (restrict works)")
+                cross_partition = True
         if check:
             # analysis alone resolves names/types — no job runs
             empty = self.spark.createDataFrame([], SCHEMAS[table])
@@ -752,6 +755,12 @@ class CatalogStore:
             "check": list(check),
             "foreign_keys": [dict(fk) for fk in foreign_keys],
         }
+        if cross_partition:
+            # marker read by PartitionedCatalogStore._escalated: every
+            # write path to this table (or to a partitioned parent it
+            # references) serializes on the table-level lock and
+            # validates the FULL candidate table view
+            cons["cross_partition"] = True
         if self.exists(table):
             msgs = self._violations(table, self.read(table), self.read,
                                     cons=cons)
@@ -1347,12 +1356,27 @@ class PartitionedCatalogStore(CatalogStore):
         sub = CatalogStore.__new__(CatalogStore)
         sub.spark, sub.root = self.spark, self._pdir(table, value)
         sub.keep_generations = self.keep_generations
-        # per-partition commits enforce the parent table's row-local
-        # constraints (NOT NULL / CHECK — the only kinds set_constraints
-        # accepts on a partitioned table): every row lives in exactly
-        # one partition, so validating each staged partition IS
-        # table-level validation for those kinds
-        sub._inherited_constraints = {table: self.constraints(table)}
+        # per-partition commits enforce the parent table's ROW-LOCAL
+        # constraints (NOT NULL / CHECK / UNIQUE containing the
+        # partition column): every row lives in exactly one partition,
+        # so validating each staged partition IS table-level
+        # validation for those kinds. Cross-partition kinds (UNIQUE
+        # without pcol, FKs — declarable only via
+        # allow_cross_partition) are STRIPPED here: the partition dir
+        # cannot resolve FK targets (sibling tables live at the parent
+        # root, so sub.read(ref) would be empty and every child row a
+        # false orphan), and the parent's escalated write paths
+        # already validate them globally under the table-level lock.
+        cons = self.constraints(table)
+        if cons.get("cross_partition"):
+            pcol = self.partition_cols[table]
+            cons = {
+                "not_null": cons.get("not_null", []),
+                "check": cons.get("check", []),
+                "unique": [u for u in cons.get("unique", [])
+                           if pcol in u],
+            }
+        sub._inherited_constraints = {table: cons}
         # in-memory pins are per-instance, but _vacuum also honors the
         # on-disk _PIN markers, so sibling _sub() instances for the
         # same partition (and other processes) share protection
@@ -1362,6 +1386,40 @@ class PartitionedCatalogStore(CatalogStore):
         sub.cas_backend = self.cas_backend
         os.makedirs(sub.root, exist_ok=True)
         return sub
+
+    def _escalated(self, table: str) -> bool:
+        """Lock escalation (the VERDICT-r6 design note, built round 8):
+        True when commits to partitioned ``table`` must serialize on
+        the TABLE-level pointer lock and validate the full candidate
+        table view — because the table itself declares cross-partition
+        constraints (UNIQUE without the partition column, or outgoing
+        FKs), or because some table's FK references it (both only
+        declarable via ``allow_cross_partition=True``). Exactly
+        Postgres' trade: a global invariant over a partitioned table
+        forces global coordination; unconstrained partitioned tables
+        keep fully concurrent per-partition commits. The crash story
+        is unchanged — an escalated commit still stages then flips
+        partition pointers; the lock only widens the validation
+        window, so recovery needs no new code."""
+        if table not in self.partition_cols:
+            return False
+        if self.constraints(table).get("cross_partition"):
+            return True
+        return bool(self._referencing(table))
+
+    def _global_validate(self, table: str, candidate: DataFrame,
+                         reverse_only: bool = False) -> None:
+        """Validate ``candidate`` as the would-be FULL table view
+        (staged changes + untouched partitions' current snapshots):
+        one distributed groupBy per unique key, one anti-join per FK,
+        plus the reverse-FK check for tables referencing this one.
+        O(table) per constrained commit — the documented opt-in price.
+        Caller holds the table-level lock."""
+        msgs = ([] if reverse_only
+                else self._violations(table, candidate, self.read))
+        msgs += self._reverse_violations(table, candidate, self.read)
+        if msgs:
+            raise ConstraintViolation(f"{table}: " + "; ".join(msgs))
 
     def exists(self, table: str) -> bool:
         if table not in self.partition_cols:
@@ -1412,10 +1470,29 @@ class PartitionedCatalogStore(CatalogStore):
         if table not in self.partition_cols:
             return super().overwrite(table, df)
         pcol = self.partition_cols[table]
-        values = [r[0] for r in df.select(pcol).distinct().collect()]
-        for value in values:
-            self._sub(table, value)._commit(
-                table, df.filter(F.col(pcol) == value))
+        if not self._escalated(table):
+            values = [r[0] for r in df.select(pcol).distinct().collect()]
+            for value in values:
+                self._sub(table, value)._commit(
+                    table, df.filter(F.col(pcol) == value))
+            return
+        # escalated: overwrite replaces only the partitions PRESENT in
+        # df, so the candidate table view is df + every untouched
+        # partition's current snapshot — validated globally under the
+        # table-level lock before any partition flips
+        with self._pointer_lock(table):
+            values = [r[0] for r in df.select(pcol).distinct().collect()]
+            vset = [str(v) for v in values]
+            candidate = df
+            if self.exists(table):
+                untouched = self.read(table).filter(
+                    ~F.col(pcol).cast("string").isin(vset))
+                candidate = df.unionByName(
+                    untouched, allowMissingColumns=True)
+            self._global_validate(table, candidate)
+            for value in values:
+                self._sub(table, value)._commit(
+                    table, df.filter(F.col(pcol) == value))
 
     def optimize(self, table: str, target_bytes: int = 128 * 1024 * 1024,
                  zorder_by: list[str] | None = None) -> str:
@@ -1509,6 +1586,19 @@ class PartitionedCatalogStore(CatalogStore):
             return super().delete_where(table, condition)
         cond = F.expr(condition) if isinstance(condition, str) \
             else condition
+        if self._escalated(table) and self._referencing(table):
+            # deletes cannot violate NOT NULL/CHECK/UNIQUE/outgoing
+            # FKs (the table only shrinks) — only the RESTRICT side of
+            # FKs pointing AT this table: validate the post-delete
+            # view against every referencing table under the lock
+            with self._pointer_lock(table):
+                survivor = self.read(table).filter(
+                    ~F.coalesce(cond, F.lit(False)))
+                self._global_validate(table, survivor,
+                                      reverse_only=True)
+                for value in self._touched_partitions(table, cond):
+                    self._sub(table, value).delete_where(table, cond)
+            return
         for value in self._touched_partitions(table, cond):
             self._sub(table, value).delete_where(table, cond)
 
@@ -1520,27 +1610,64 @@ class PartitionedCatalogStore(CatalogStore):
         for c in key_cols:
             keys = keys.filter(F.col(c).isNotNull())
         pcol = self.partition_cols[table]
-        if pcol in key_cols:
-            # partition-pruned: only partitions named in the key set
-            # are rewritten (dimension-sized collect of partition
-            # values, same bound as merge_upsert's touched list)
-            touched = {str(r[0]) for r in
-                       keys.select(pcol).distinct().collect()}
-            existing = set(self._partition_values(table))
-            for value in sorted(touched & existing):
-                self._sub(table, value).delete_keys(
-                    table,
-                    keys.filter(F.col(pcol).cast("string") == value),
-                    key_cols)
+
+        def _run() -> None:
+            if pcol in key_cols:
+                # partition-pruned: only partitions named in the key
+                # set are rewritten (dimension-sized collect of
+                # partition values, same bound as merge_upsert's
+                # touched list)
+                touched = {str(r[0]) for r in
+                           keys.select(pcol).distinct().collect()}
+                existing = set(self._partition_values(table))
+                for value in sorted(touched & existing):
+                    self._sub(table, value).delete_keys(
+                        table,
+                        keys.filter(
+                            F.col(pcol).cast("string") == value),
+                        key_cols)
+                return
+            for value in self._partition_values(table):
+                self._sub(table, value).delete_keys(table, keys,
+                                                    key_cols)
+
+        if self._escalated(table) and self._referencing(table):
+            # RESTRICT check for FKs pointing at this table (see
+            # delete_where): validate the post-delete view globally
+            # under the table-level lock
+            with self._pointer_lock(table):
+                survivor = self.read(table).join(
+                    keys, key_cols, "left_anti")
+                self._global_validate(table, survivor,
+                                      reverse_only=True)
+                _run()
             return
-        for value in self._partition_values(table):
-            self._sub(table, value).delete_keys(table, keys, key_cols)
+        _run()
 
     def update_where(self, table: str, condition, assignments) -> None:
         if table not in self.partition_cols:
             return super().update_where(table, condition, assignments)
         cond = F.expr(condition) if isinstance(condition, str) \
             else condition
+        if self._escalated(table):
+            # an UPDATE can forge a cross-partition duplicate or break
+            # an FK (changing key/referenced values), so pre-validate
+            # the full post-update view under the table-level lock
+            with self._pointer_lock(table):
+                base = self.read(table)
+                types = dict(base.dtypes)
+                candidate = base
+                for col, val in assignments.items():
+                    expr = F.expr(val) if isinstance(val, str) else val
+                    candidate = candidate.withColumn(
+                        col,
+                        F.when(cond, expr.cast(types[col]))
+                         .otherwise(F.col(col)))
+                self._global_validate(table, candidate)
+                for value in self._touched_partitions(table, cond):
+                    self._sub(table, value).update_where(
+                        table, cond, assignments)
+            return
         for value in self._touched_partitions(table, cond):
             self._sub(table, value).update_where(table, cond, assignments)
 
@@ -1553,10 +1680,24 @@ class PartitionedCatalogStore(CatalogStore):
         read; a partition that moved concurrently falls back to that
         partition's own optimistic re-derive loop (Delta's
         partition-level conflict granularity: writers touching
-        disjoint partitions never conflict at all)."""
+        disjoint partitions never conflict at all). Cross-partition-
+        constrained tables (:meth:`_escalated`) instead hold the
+        TABLE-level lock for the whole merge and validate the full
+        candidate view before any flip."""
         if table not in self.partition_cols:
             return super().merge_upsert(table, incoming, keys,
                                         evolve_schema=evolve_schema)
+        if self._escalated(table):
+            with self._pointer_lock(table):
+                return self._merge_partitions(
+                    table, incoming, keys, evolve_schema,
+                    escalated=True)
+        return self._merge_partitions(table, incoming, keys,
+                                      evolve_schema)
+
+    def _merge_partitions(self, table: str, incoming: DataFrame,
+                          keys: list[str] | None, evolve_schema: bool,
+                          escalated: bool = False) -> None:
         pcol = self.partition_cols[table]
         keys = keys or MERGE_KEYS[table]
         cols = [f.name for f in SCHEMAS[table].fields]
@@ -1658,19 +1799,32 @@ class PartitionedCatalogStore(CatalogStore):
             part_dirs = [os.path.join(staging, d)
                          for d in os.listdir(staging)
                          if d.startswith("__p=")]
-            # validate the WHOLE staged batch once before any flip
-            # (one fused-aggregate scan — set_constraints only allows
-            # row-local NOT NULL/CHECK here, so no FK resolution):
+            # validate the WHOLE staged batch once before any flip:
             # a violating merge is rejected with every partition
             # pointer untouched, same all-or-nothing contract as the
-            # flat store's stage-validate-flip
-            if part_dirs and self.constraints(table):
+            # flat store's stage-validate-flip. Row-local constraints
+            # need only the staged rows; under ESCALATION the
+            # candidate extends to the untouched partitions' current
+            # snapshots so cross-partition UNIQUE/FK see the whole
+            # would-be table (caller holds the table-level lock).
+            if part_dirs and (self.constraints(table)
+                              or (escalated
+                                  and self._referencing(table))):
                 staged_all = self.spark.read.schema(
                     out_schema).parquet(*part_dirs)
-                msgs = self._violations(table, staged_all, self.read)
-                if msgs:
-                    raise ConstraintViolation(
-                        f"{table}: " + "; ".join(msgs))
+                if escalated:
+                    vset = [str(v) for v in touched]
+                    untouched_cur = self.read(table).filter(
+                        ~F.col(pcol).cast("string").isin(vset))
+                    candidate = staged_all.unionByName(
+                        untouched_cur, allowMissingColumns=True)
+                    self._global_validate(table, candidate)
+                else:
+                    msgs = self._violations(table, staged_all,
+                                            self.read)
+                    if msgs:
+                        raise ConstraintViolation(
+                            f"{table}: " + "; ".join(msgs))
             for d in os.listdir(staging):
                 if not d.startswith("__p="):
                     continue

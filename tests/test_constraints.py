@@ -515,3 +515,119 @@ def test_partitioned_declaration_validates_existing_rows(spark, tmp_path):
     with pytest.raises(ConstraintViolation, match="existing rows"):
         st.set_constraints("items", check=("cloud_cover <= 100",))
     assert not st.constraints("items")
+
+
+def test_cross_partition_unique_opt_in_escalates(spark, tmp_path):
+    """Round 8 (the VERDICT-r6 stretch, built): UNIQUE without the
+    partition column is declarable on a partitioned table with
+    allow_cross_partition=True; constrained commits then hold the
+    TABLE-level lock and validate the FULL candidate view, so a
+    duplicate landing in a DIFFERENT partition than its twin — which
+    per-partition validation can never see — is rejected with no
+    pointer moved, on the merge, overwrite, and update paths alike."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat_xp"))
+    fx = make_fixtures(spark, n_scenes=40, n_tiles=4)
+    st.overwrite("items", fx["items"])
+    st.set_constraints("items", unique=("name",),
+                       allow_cross_partition=True)
+    assert st._escalated("items")
+    assert st.constraints("items").get("cross_partition") is True
+
+    vals = st._partition_values("items")
+    assert len(vals) >= 2
+    gens = {v: st._sub("items", v)._current_gen("items") for v in vals}
+    src = st.read("items").filter(
+        F.col("collection_id").cast("string") == vals[0]).limit(1)
+    twin_name = src.collect()[0]["name"]
+    # same NAME, different partition, fresh id: only a GLOBAL check
+    # can see the twin
+    dup_other = (src
+                 .withColumn("collection_id",
+                             F.lit(int(vals[1])).cast("int"))
+                 .withColumn("id", F.col("id") + 1000000))
+    with pytest.raises(ConstraintViolation, match="unique"):
+        st.merge_upsert("items", dup_other)
+    with pytest.raises(ConstraintViolation, match="unique"):
+        st.overwrite("items", dup_other)
+    # UPDATE forging the duplicate across partitions is pre-validated
+    victim = st.read("items").filter(
+        F.col("collection_id").cast("string") == vals[1]).limit(1)
+    victim_id = victim.collect()[0]["id"]
+    with pytest.raises(ConstraintViolation, match="unique"):
+        st.update_where("items", f"id = {victim_id}",
+                        {"name": F.lit(twin_name)})
+    # nothing moved anywhere
+    assert gens == {v: st._sub("items", v)._current_gen("items")
+                    for v in vals}
+    # a non-duplicate cross-partition batch lands, and a fresh
+    # instance still escalates (the marker is persisted)
+    ok = (dup_other.withColumn("name", F.lit("xp-unique-ok")))
+    st.merge_upsert("items", ok)
+    st2 = PartitionedCatalogStore(spark, st.root)
+    assert st2._escalated("items")
+    with pytest.raises(ConstraintViolation, match="unique"):
+        st2.merge_upsert("items", dup_other)
+
+
+def test_fk_to_partitioned_parent_opt_in(spark, tmp_path):
+    """Round 8: an FK targeting a PARTITIONED parent is declarable
+    with allow_cross_partition=True (cascade stays refused); the
+    parent's deletes and key-updates then escalate and reverse-
+    validate against the referencing table, so removing or renaming
+    a referenced key is rejected while unreferenced rows delete
+    fine."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat_fk"))
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    st.overwrite("activities", fx["activities"])
+    st.overwrite("activity_history", fx["activity_history"])
+    with pytest.raises(NotImplementedError, match="cascade"):
+        st.set_constraints(
+            "activity_history",
+            foreign_keys=({"columns": ["activity_id"],
+                           "ref_table": "activities",
+                           "ref_columns": ["id"],
+                           "on_delete": "cascade"},),
+            allow_cross_partition=True)
+    st.set_constraints(
+        "activity_history",
+        foreign_keys=({"columns": ["activity_id"],
+                       "ref_table": "activities",
+                       "ref_columns": ["id"]},),
+        allow_cross_partition=True)
+    # activities itself is now escalated BY REFERENCE
+    assert st._escalated("activities")
+
+    # an orphan child row is rejected (child validates against the
+    # parent store's FULL partitioned view)
+    orphan = (st.read("activity_history").limit(1)
+              .withColumn("activity_id", F.lit(99999999)))
+    with pytest.raises(ConstraintViolation, match="foreign_key"):
+        st.merge_upsert("activity_history", orphan,
+                        keys=["activity_id", "task_id"])
+
+    # deleting a REFERENCED activity is rejected by the escalated
+    # reverse check; an unreferenced one deletes fine
+    referenced = st.read("activity_history").limit(1) \
+        .collect()[0]["activity_id"]
+    with pytest.raises(ConstraintViolation, match="orphan"):
+        st.delete_where("activities", f"id = {referenced}")
+    fresh = (st.read("activities").limit(1)
+             .withColumn("id", F.lit(77770001).cast("long"))
+             .withColumn("sceneid", F.lit("xp-fk-unref")))
+    st.merge_upsert("activities", fresh)
+    st.delete_where("activities", "id = 77770001")
+    assert st.read("activities").filter("id = 77770001").count() == 0
+    # renaming a referenced key away is rejected too
+    with pytest.raises(ConstraintViolation, match="orphan"):
+        st.update_where("activities", f"id = {referenced}",
+                        {"id": F.lit(88880001)})
