@@ -767,3 +767,58 @@ def a23_copurchase_support(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+@query(
+    "a24_pivot_status_matrix",
+    survey=("A1", "A2"),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS n_f,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O')
+                    AS BIGINT) AS n_o,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P')
+                    AS BIGINT) AS n_p,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS f_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def a24_pivot_status_matrix(spark, sf_dir):
+    """PIVOT — the status x priority cross-matrix as COLUMNS (the
+    operations dashboard's wide layout; the reference renders this
+    matrix from its per-status counts, controller.py:426-445). Spark's
+    relational PIVOT with an EXPLICIT value list compiles to one
+    hash aggregate with conditional measures — no second pass to
+    discover the pivot domain, no shuffle beyond the one groupBy.
+    n_total is deliberately count(*) on the oracle side but the SUM
+    of the three pivoted columns on the Spark side: equality proves
+    the pivot domain assumption ('F','O','P' exhausts the status
+    column) instead of silently dropping an unexpected status. Money
+    is cents-quantized int64 before the sum (house exactness style).
+
+    100 TB: one map-side-combined hash aggregate over the fact scan;
+    the pivoted width is |priorities| x |statuses| cells, a constant."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("cents").alias("cents"))
+    )
+    z = F.lit(0).cast("bigint")
+    n_f = F.coalesce(F.col("F_n"), z)
+    n_o = F.coalesce(F.col("O_n"), z)
+    n_p = F.coalesce(F.col("P_n"), z)
+    return pv.select(
+        "o_orderpriority",
+        n_f.alias("n_f"), n_o.alias("n_o"), n_p.alias("n_p"),
+        (n_f + n_o + n_p).alias("n_total"),
+        F.col("F_cents").cast("bigint").alias("f_cents"))

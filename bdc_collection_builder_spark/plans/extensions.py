@@ -5849,3 +5849,80 @@ def dd_hamming_near_pairs(spark, sf_dir):
         .filter(F.col("n_mismatch") <= 2)
         .select("doc_a", "doc_b", "n_mismatch")
     )
+
+
+@query(
+    "dd_edit1_near_pairs",
+    survey=("DD-near", "J4"),
+    oracle=r"""
+        WITH h AS (
+            SELECT doc_id,
+                   regexp_replace(substr(text, 1, 32),
+                                  '[^\x20-\x7E]', '?', 'g') AS g
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.g, b.g) AS BIGINT) AS n_edits
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.g, b.g) <= 1
+    """,
+)
+def dd_edit1_near_pairs(spark, sf_dir):
+    r"""EXACT edit-distance<=1 near-duplicate join over each document's
+    32-char head — the single-typo/OCR-glitch dedup model that
+    Hamming blocking (dd_hamming_near_pairs) misses whenever the edit
+    SHIFTS the tail (an insertion or deletion misaligns every later
+    position). Zero false negatives by the DELETION-NEIGHBORHOOD
+    blocking of FastSS (Bocek et al. 2007, public): each head emits
+    itself (pos 0) and its |g| single-character deletions (pos i);
+    two heads are within edit distance 1 iff they are equal (pos-0
+    keys match), differ by one substitution (their pos-i deletions
+    match at the SAME i), or by one insertion/deletion (one equals a
+    deletion of the other — a pos-0 key meets a pos-i key). So
+    candidates come from ONE equi-join on the deletion key with a
+    position-compatibility filter, then each candidate is verified
+    with the built-in (JVM codegen) levenshtein — never an all-pairs
+    pass. Heads are ASCII-projected on BOTH engines first
+    (non-printable/non-ASCII chars -> '?'): DuckDB's levenshtein
+    counts BYTES (levenshtein('e-acute','e') = 2), Spark's counts
+    characters — the projection makes the two metrics provably
+    coincide instead of relying on the corpus staying ASCII (the
+    dd_hamming byte-vs-char lesson, f42f0b3).
+
+    100 TB: <= 33 keys per doc (cap-bounded constant), shuffled on
+    the 31/32-char key — postings bounded like the prefix-filter
+    join; verification is one O(32^2) DP per CANDIDATE. The oracle
+    brute-forces all pairs, feasible only at oracle scale — equality
+    proves the neighborhood dropped nothing."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    heads = docs.select(
+        "doc_id",
+        F.regexp_replace(F.expr("substring(text, 1, 32)"),
+                         r"[^\x20-\x7E]", "?").alias("g"))
+    keys = heads.select(
+        "doc_id", "g",
+        F.explode(F.expr(
+            "transform(sequence(0, length(g)), i -> struct("
+            "i AS pos, IF(i = 0, g, concat(substring(g, 1, i - 1), "
+            "substring(g, i + 1))) AS k))")).alias("d")
+    ).select("doc_id", "g", F.col("d.pos").alias("pos"),
+             F.col("d.k").alias("k"))
+    ka = keys.select(F.col("doc_id").alias("doc_a"),
+                     F.col("g").alias("ga"),
+                     F.col("pos").alias("pa"), "k")
+    kb = keys.select(F.col("doc_id").alias("doc_b"),
+                     F.col("g").alias("gb"),
+                     F.col("pos").alias("pb"), "k")
+    cand = (
+        ka.join(kb, "k")
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & ((F.col("pa") == F.col("pb"))
+                   | (F.col("pa") == 0) | (F.col("pb") == 0)))
+        .select("doc_a", "doc_b", "ga", "gb").distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("ga", "gb") <= 1)
+        .select("doc_a", "doc_b",
+                F.levenshtein("ga", "gb").cast("bigint")
+                .alias("n_edits"))
+    )

@@ -1347,3 +1347,97 @@ def dq_t_closeness(spark, sf_dir):
         F.sum(F.when(above, F.col("m")).otherwise(F.lit(0).cast(dec)))
         .cast("bigint").alias("n_docs_at_risk"),
         F.max(ppm).cast("bigint").alias("worst_tvd_ppm"))
+
+
+# -- differentially private release (deterministic discrete Laplace) -------
+
+_DP_B = 20  # resolution: uniform ticks U in [0, 3 * 2^B)
+
+
+def _dp_geometric_case(u: str) -> str:
+    """Shared SQL (identical text on BOTH engines) mapping a uniform
+    integer tick ``u`` in [0, 3*2^B) to a two-sided-geometric noise
+    value with alpha = 1/2 (the DISCRETE Laplace mechanism of
+    Ghosh/Roughgarden/Sundararajan 2009, epsilon = ln 2): P(0) = 1/3,
+    P(+-k) = (1/3) * 2^-k. All cumulative thresholds are EXACT
+    integers because the probabilities are dyadic rationals over the
+    common denominator 3*2^B — no float, no ln(), no libm divergence
+    anywhere (the house exactness rule for anything on the data
+    path). The 2 leftover ticks of the truncated tail go to +-(B)
+    deterministically."""
+    lines, acc = [], 0
+    acc += 1 << _DP_B
+    lines.append(f"WHEN {u} < {acc} THEN 0")
+    for k in range(1, _DP_B + 1):
+        w = 1 << (_DP_B - k)
+        acc += w
+        lines.append(f"WHEN {u} < {acc} THEN {k}")
+        acc += w
+        lines.append(f"WHEN {u} < {acc} THEN {-k}")
+    # acc == 3*2^B - 2 here; the final 2 ticks split symmetrically
+    lines.append(f"WHEN {u} < {acc + 1} THEN {_DP_B}")
+    return "CASE " + " ".join(lines) + f" ELSE {-_DP_B} END"
+
+
+_DP_U = ("(CAST(concat('0x', substr(md5(concat('dp:', event_type)), "
+         f"1, 15)) AS BIGINT) % {3 * (1 << _DP_B)})")
+
+
+@query(
+    "dq_dp_laplace_counts",
+    survey=("DQ-privacy", "A1"),
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+            FROM events GROUP BY event_type
+        ),
+        noised AS (
+            SELECT event_type, n_true,
+                   CAST({_dp_geometric_case(_DP_U)} AS BIGINT) AS z
+            FROM c
+        )
+        SELECT event_type, n_true, z, n_true + z AS n_noisy
+        FROM noised
+    """,
+)
+def dq_dp_laplace_counts(spark, sf_dir):
+    """Differentially private count release — per-event-type counts
+    plus DISCRETE Laplace noise (two-sided geometric, alpha = 1/2 <=>
+    epsilon = ln 2; Ghosh/Roughgarden/Sundararajan 2009, the
+    utility-optimal mechanism for counting queries). The training-
+    data pipeline needs this the moment corpus statistics leave the
+    enclave (per-source doc counts, PII-hit counts): a DP release
+    bounds what any one record reveals. The noise here is SEEDED
+    (md5 of 'dp:'||key -> uniform tick -> exact integer inverse-CDF
+    ladder over dyadic probabilities), so the mechanism is
+    reproducible and BOTH engines compute bit-identical noise — the
+    oracle value-checks the mechanism itself, not just the true
+    counts. (A production release would draw the tick from a real
+    RNG per release and drop n_true from the output; the mechanism,
+    ladder, and post-processing are exactly this query. n_true rides
+    along here so the oracle pins signal AND noise.) No ln(), no
+    float: the geometric CDF's dyadic thresholds make the inverse
+    transform pure integer comparison (the house no-libm rule).
+
+    100 TB: ONE map-side-combined groupBy(event_type); the noise map
+    is a constant 42-branch CASE over a dimension-sized frame."""
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    # tick derivation differs in spelling only (Spark's conv() vs
+    # DuckDB's 0x-cast — both are the house md5-60bit hash); the
+    # inverse-CDF ladder below is the SAME generated SQL text on
+    # both engines
+    u = (md5_hash60(F.concat(F.lit("dp:"), F.col("event_type")))
+         % (3 * (1 << _DP_B)))
+    z = F.expr(f"CAST({_dp_geometric_case('u')} AS BIGINT)")
+    return (
+        c.withColumn("u", u)
+        .withColumn("z", z)
+        .select("event_type", "n_true", "z",
+                (F.col("n_true") + F.col("z")).alias("n_noisy"))
+    )

@@ -192,6 +192,13 @@ def _load_all() -> None:
 # once — verification debt zero for the first time (a18_hll_rollup
 # stays the sole documented rows-only exclusion, pinned against its
 # green exact twin a18b in pytest).
+# ROUND-9 pool (registered after this rotation, all byte-green
+# locally at sf0.001 + sf0.01, enumerated in
+# test_driver_window_rotation_round8): a24_pivot_status_matrix,
+# dd_edit1_near_pairs (FastSS deletion neighborhood),
+# sk_ams_f2_estimate (AMS tug-of-war), dq_dp_laplace_counts
+# (deterministic discrete-Laplace DP release),
+# tj_classical_decomposition (period-7 MA decomposition).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 26 round-7 additions, oracle-risk first
     "dd_prefix_filter_jaccard", "gr_strongly_connected",

@@ -557,3 +557,100 @@ def sk_join_cardinality(spark, sf_dir):
                 "n_a", "n_b", "exact_join_rows",
                 F.round(est, 2).alias("est_join_rows"))
     )
+
+
+# AMS/tug-of-war second-moment sketch: 16 fixed estimators, each a
+# +-1-signed sum over the per-user counts; median-of-estimators is
+# reported x2 (sum of the two middle order statistics) so it stays
+# integer-exact across engines.
+_AMS_J = 16
+
+
+@query(
+    "sk_ams_f2_estimate",
+    survey=("SK-moment", "A3"),
+    oracle="""
+        WITH per_user AS (
+            SELECT CAST(user_id AS VARCHAR) AS u,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        sums AS (
+            SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('0:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x0,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('1:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x1,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('2:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x2,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('3:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x3,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('4:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x4,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('5:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x5,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('6:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x6,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('7:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x7,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('8:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x8,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('9:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x9,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('10:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x10,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('11:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x11,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('12:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x12,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('13:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x13,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('14:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x14,
+                   CAST(sum(cnt * (1 - 2 * (CAST(concat('0x', substr(md5(concat('15:', u)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS x15
+            FROM per_user
+        ),
+        est AS (
+            SELECT f2, list_sort([x0 * x0, x1 * x1, x2 * x2, x3 * x3, x4 * x4, x5 * x5, x6 * x6, x7 * x7, x8 * x8, x9 * x9, x10 * x10, x11 * x11, x12 * x12, x13 * x13, x14 * x14, x15 * x15]) AS s FROM sums
+        )
+        SELECT f2 AS f2_exact,
+               CAST(s[8] + s[9] AS BIGINT) AS f2_est_x2,
+               CAST(abs(s[8] + s[9] - 2 * f2) * 1000000 // (2 * f2)
+                    AS BIGINT) AS err_ppm
+        FROM est
+""",
+)
+def sk_ams_f2_estimate(spark, sf_dir):
+    """AMS (Alon-Matias-Szegedy 1996, public) tug-of-war sketch for
+    the SECOND FREQUENCY MOMENT of the event stream's user
+    distribution — F2 = sum over users of count^2, the self-join-size
+    / skew statistic that decides salting and partitioning choices at
+    100 TB, estimated from 16 counters instead of a per-key
+    dictionary. Each estimator j keeps X_j = sum_u sign_j(u) * cnt_u
+    with a 4-independent-enough fixed sign hash (md5-parity of
+    'j:user'); E[X_j^2] = F2 exactly, and the reported estimate is
+    the MEDIAN of the 16 X_j^2 — emitted as the sum of the two middle
+    order statistics (2x the median) so no division ever happens:
+    every value in the row is integer bigint arithmetic, identical in
+    both engines (md5-60bit parity is the house engine-neutral hash).
+    The exact F2 rides along from the same per-user aggregate, so the
+    oracle pins sketch AND truth, and err_ppm (integer ppm vs 2*F2)
+    makes the estimator's accuracy a value-checked fact rather than a
+    claim.
+
+    100 TB: ONE map-side-combined groupBy(user) then ONE row of 17
+    sums — the sketch state is 16 integers, mergeable by addition
+    across partitions/streams (the AMS property); no second pass, no
+    dictionary. The per-user frame is the only shuffle."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u"))
+    per_user = ev.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("cnt"))
+    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
+
+    signs = [
+        (1 - 2 * (md5_hash60(F.concat(F.lit(f"{j}:"), F.col("u")))
+                  % 2)).cast("bigint")
+        for j in range(_AMS_J)
+    ]
+    sums = per_user.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2"),
+        *[F.sum(F.col("cnt") * s).cast("bigint").alias(f"x{j}")
+          for j, s in enumerate(signs)])
+    s = F.array_sort(F.array(*[
+        (F.col(f"x{j}") * F.col(f"x{j}")).cast("bigint")
+        for j in range(_AMS_J)]))
+    return sums.select(
+        F.col("f2").alias("f2_exact"),
+        (F.element_at(s, 8) + F.element_at(s, 9)).cast("bigint")
+        .alias("f2_est_x2"),
+        "f2",
+    ).select(
+        "f2_exact", "f2_est_x2",
+        F.expr("CAST(abs(f2_est_x2 - 2 * f2) * 1000000 DIV (2 * f2) "
+               "AS BIGINT)").alias("err_ppm"))

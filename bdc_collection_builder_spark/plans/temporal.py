@@ -1118,3 +1118,96 @@ def tj_runs_test_randomness(spark, sf_dir):
         F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
         .cast("bigint").alias("n_down"),
         F.sum("new_run").cast("bigint").alias("n_runs"))
+
+
+@query(
+    "tj_classical_decomposition",
+    survey=("Y6", "A2", "W2"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', {duck_ts()}) AS DATE) AS d,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        win AS (
+            SELECT a.d AS d,
+                   CAST(sum(b.cents) AS BIGINT) AS sum7,
+                   CAST(count(*) AS BIGINT) AS n7
+            FROM daily a
+            JOIN daily b ON b.d BETWEEN a.d - 3 AND a.d + 3
+            GROUP BY a.d
+        ),
+        det AS (
+            SELECT w.d,
+                   CAST(date_diff('day', DATE '2024-01-01', w.d) % 7
+                        AS BIGINT) AS dow_idx,
+                   7 * daily.cents - w.sum7 AS det_x7
+            FROM win w JOIN daily ON daily.d = w.d
+            WHERE w.n7 = 7
+        )
+        SELECT dow_idx,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(det_x7) AS BIGINT) AS det_sum_x7,
+               CAST(sum(det_x7) AS BIGINT)
+                 / (7.0 * CAST(count(*) AS BIGINT)) AS seasonal
+        FROM det GROUP BY dow_idx
+    """,
+)
+def tj_classical_decomposition(spark, sf_dir):
+    """CLASSICAL seasonal decomposition (moving-average method,
+    period 7 — the textbook decompose() everyone runs before picking
+    a forecaster; Holt/EWMA/seasonal-naive already exist here, the
+    DECOMPOSITION step itself was the gap): trend = centered 7-day
+    moving average of daily purchase cents, seasonal index = mean of
+    the detrended series per day-of-week over FULL windows only.
+
+    Exactness engineering: the centered MA is computed as SCATTER —
+    each day explodes its 7 target anchors and one groupBy(anchor)
+    sums them (an equi-join shuffle, never a partition-less global
+    window: the 100 TB-honest shape, and at fixture scale the days
+    frame is dimension-sized anyway). Everything stays x7-scaled
+    int64 (detrended_x7 = 7*cents - sum7) so no division touches the
+    data path; the reported ``seasonal`` is ONE identical two-op
+    double chain (int / (7.0 * n)) over exact integer sums, the house
+    ratio rule. Day-of-week is datediff-mod-7 from an explicit epoch
+    — Spark's dayofweek() and DuckDB's dayofweek() disagree on
+    numbering, so neither is used.
+
+    100 TB: daily aggregate is map-side combined; the scatter
+    multiplies the DAYS frame by 7 (dimension-sized), not the fact
+    table; one join back on day; final groupBy has 7 groups."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.to_date(F.date_trunc("day",
+                                       F.col("ts").cast("timestamp")))
+                .alias("d"),
+                F.round(F.col("value") * 100).cast("bigint")
+                .alias("cents"))
+        .groupBy("d").agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    win = (
+        daily.select(
+            "cents",
+            F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("off"),
+            F.col("d").alias("src"))
+        .select(F.expr("date_add(src, off)").alias("d"), "cents")
+        .groupBy("d")
+        .agg(F.sum("cents").cast("bigint").alias("sum7"),
+             F.count("*").cast("bigint").alias("n7"))
+    )
+    det = (
+        win.filter(F.col("n7") == 7)
+        .join(daily, "d")
+        .select(
+            (F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+             % 7).cast("bigint").alias("dow_idx"),
+            (7 * F.col("cents") - F.col("sum7")).alias("det_x7"))
+    )
+    return det.groupBy("dow_idx").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("det_x7").cast("bigint").alias("det_sum_x7"),
+        (F.sum("det_x7").cast("bigint")
+         / (7.0 * F.count("*").cast("bigint"))).alias("seasonal"))

@@ -503,8 +503,18 @@ def test_driver_window_rotation_round8():
     oracled = {n for n, q in QUERY_REGISTRY.items() if q.oracle}
     never = oracled - checked - set(new_26)
     # only queries REGISTERED AFTER this rotation may remain
-    # unchecked (the round-9 pool); at rotation time this set is empty
-    assert not never, never
+    # unchecked (the round-9 pool) — none of them may sit inside the
+    # frozen window, and every pre-rotation oracled query is covered
+    assert not never & set(_DRIVER_PRIORITY), never & set(_DRIVER_PRIORITY)
+    round9_pool = {
+        "a24_pivot_status_matrix", "dd_edit1_near_pairs",
+        "sk_ams_f2_estimate", "dq_dp_laplace_counts",
+        "tj_classical_decomposition",
+    }
+    stragglers = never - round9_pool
+    assert not stragglers, (
+        f"oracled queries neither driver-checked nor in the "
+        f"enumerated round-9 pool: {stragglers}")
 
 
 def test_oracles_nonvacuous_at_sf0_01():
