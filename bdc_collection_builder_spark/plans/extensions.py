@@ -5684,20 +5684,30 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
     quadratic in the most common shingle), while the prefix filter
     confines the join to each set's short rare-token prefix.
 
-    Correctness of the filter (symmetric-prefix pigeonhole): under
-    any global token order, take each set's first
-    p = s - ceil(s*t/(1+t)) + 1 tokens. If J(A,B) >= t then
-    |A inter B| >= t/(1+t)*(|A|+|B|); a common token missing from
-    BOTH prefixes would force |A inter B| <= (|A|-p_A) + (|B|-p_B)
-    < t/(1+t)*(|A|+|B|) — contradiction. So candidates = pairs
-    sharing a token in both prefixes; each candidate is then verified
-    EXACTLY. The global order here is rarest-token-first (ascending
-    document frequency), the standard choice because rare tokens
-    have short postings lists. t = 0.95 = 19/20, so all thresholds
-    are integer: prefix skip = ceil(19*s/39) = (19*s + 38) div 39,
-    size prune 20*min >= 19*max, verify 39*inter >= 19*(sa+sb) —
-    no float comparisons anywhere, deterministic bytes. Token-LESS
-    documents (empty/whitespace text) are excluded on BOTH sides:
+    Correctness of the filter (Bayardo's prefix bound, tightened in
+    round 8 from the earlier t/(1+t) form): for any qualifying pair,
+    O = |A inter B| >= t/(1+t)*(sa+sb), which with the size bounds
+    (t*sb <= sa <= sb wlog) gives O >= ceil(t*sa) AND O >= ceil(t*sb).
+    Take each set's first p = s - ceil(t*s) + 1 tokens under the
+    global order. The FIRST common token w1 (positions p1a, p1b) has
+    every earlier token non-common, so O <= sa - p1a + 1, i.e.
+    p1a <= sa - O + 1 <= p_A — w1 lies inside BOTH prefixes, so the
+    prefix equi-join cannot lose a qualifying pair. The PPJoin
+    POSITIONAL filter (Xiao et al. 2008) then prunes per candidate
+    row: sharing token at positions (pa, pb) bounds the overlap
+    through w1's row by 1 + min(sa - pa, sb - pb); a pair is kept if
+    ANY of its shared-prefix-token rows passes, and the w1 row always
+    does for qualifying pairs, so pruning stays lossless while
+    dropping the accidental rare-token collisions that dominate the
+    candidate set on template corpora. The global order is
+    rarest-token-first (ascending document frequency), the standard
+    choice because rare tokens have short postings lists.
+    t = 0.95 = 19/20, so all thresholds are integer: prefix skip =
+    ceil(19*s/20) = (19*s + 19) div 20, size prune
+    20*min >= 19*max, positional 39*(1 + min(sa-pa, sb-pb)) >=
+    19*(sa+sb), verify 39*inter >= 19*(sa+sb) — no float comparisons
+    anywhere, deterministic bytes. Token-LESS documents
+    (empty/whitespace text) are excluded on BOTH sides:
     J(empty, empty) is undefined (0/0), and the Spark plan's posting
     lists structurally cannot emit such pairs, so the oracle must not
     vacuously match them either (39*0 >= 19*0 would).
@@ -5725,21 +5735,26 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
         .agg(F.sort_array(F.collect_list(F.struct("df", "tok")))
              .alias("ord"), F.count("*").cast("bigint").alias("s"))
     )
-    skip = F.expr("(19 * s + 38) DIV 39")
+    skip = F.expr("(19 * s + 19) DIV 20")
     prefix = ordered.select(
         "doc_id", "s",
-        F.explode(F.slice(F.col("ord").getField("tok"), F.lit(1),
-                          (F.col("s") - skip + 1).cast("int")))
-        .alias("tok"))
+        F.posexplode(F.slice(F.col("ord").getField("tok"), F.lit(1),
+                             (F.col("s") - skip + 1).cast("int")))
+        .alias("p0", "tok"))
     pa = prefix.select(F.col("doc_id").alias("doc_a"),
-                       F.col("s").alias("size_a"), "tok")
+                       F.col("s").alias("size_a"),
+                       (F.col("p0") + 1).alias("pa"), "tok")
     pb = prefix.select(F.col("doc_id").alias("doc_b"),
-                       F.col("s").alias("size_b"), "tok")
+                       F.col("s").alias("size_b"),
+                       (F.col("p0") + 1).alias("pb"), "tok")
     cand = (
         pa.join(pb, "tok")
         .filter((F.col("doc_a") < F.col("doc_b"))
                 & (20 * F.least("size_a", "size_b")
-                   >= 19 * F.greatest("size_a", "size_b")))
+                   >= 19 * F.greatest("size_a", "size_b"))
+                & (39 * (1 + F.least(F.col("size_a") - F.col("pa"),
+                                     F.col("size_b") - F.col("pb")))
+                   >= 19 * (F.col("size_a") + F.col("size_b"))))
         .select("doc_a", "doc_b", "size_a", "size_b").distinct()
     )
     # Verification: attach each side's full token ARRAY (already
