@@ -3244,3 +3244,68 @@ def s36_erasure_vacuum_horizon(spark, sf_dir):
         .withColumn("pre_delete_generation_gone",
                     F.lit(bool(pre_delete_gone)))
     )
+
+
+@query(
+    "st_stream_static_enrich",
+    survey=("Y1", "J6", "Y3"),
+    oracle=f"""
+        SELECT n.n_name AS region_name,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events e
+        JOIN nation n ON n.n_nationkey = e.user_id % 25
+        WHERE e.event_type = 'purchase'
+        GROUP BY n.n_name
+    """,
+)
+def st_stream_static_enrich(spark, sf_dir):
+    """Stream-STATIC broadcast enrichment — the one streaming join
+    topology the st_* family did not yet cover (stream-stream inner
+    and outer exist): the purchase firehose enriched per micro-batch
+    with a broadcast reference dimension (nation, keyed by
+    user_id % 25 — a total surjection at every SF). Stateless by
+    construction: no watermark, no join state, no eviction — each
+    micro-batch runs the same map-side BroadcastHashJoin the batch
+    engine would, so the checkpointed AvailableNow drain emits
+    exactly the batch join's rows, and the final per-region rollup
+    over the drained sink is value-checked by the oracle replaying
+    it as plain SQL. (Aggregation happens AFTER the drain on
+    purpose: the streaming surface under test is the enrichment
+    join; a streaming aggregate would change output mode, not the
+    join.)
+
+    100 TB: the dim broadcasts once per batch (dimension-sized); the
+    stream side never shuffles for the join; the post-drain rollup
+    is one map-side-combined groupBy with |nations| groups."""
+    import tempfile
+    import uuid
+
+    from bdc_collection_builder_spark.sources.tables import load_table
+    from bdc_collection_builder_spark.streaming.incremental import (
+        streaming_static_enrich,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="bdc_sse_")
+    events_dir = f"{scratch}/events"
+    load_table(spark, sf_dir, "events").coalesce(8).write.mode(
+        "overwrite").parquet(events_dir)
+    dim = (load_table(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").cast("int").alias("nkey"),
+                   F.col("n_name").alias("region_name")))
+    qname = f"sse_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = streaming_static_enrich(spark, events_dir, dim,
+                                    f"{scratch}/ckpt", qname)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.sql(f"SELECT region_name, cents FROM {qname}")
+        .groupBy("region_name")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"),
+             F.sum("cents").cast("bigint").alias("cents"))
+    )

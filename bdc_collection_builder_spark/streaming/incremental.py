@@ -594,3 +594,38 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_static_enrich(spark: SparkSession, events_dir: str,
+                            dim_df, checkpoint_dir: str,
+                            query_name: str):
+    """Y-series stream-STATIC enrichment join: the live purchase
+    stream joined against a broadcast dimension (the canonical
+    "enrich the firehose with reference data" topology — the
+    reference's collector tags every scene with its collection row
+    the same way). The join is STATELESS: the static side is
+    broadcast to every task and each micro-batch joins map-side, so
+    there is no join state, no watermark requirement, and nothing to
+    evict — the streaming plan is the batch broadcast join replayed
+    per batch, which is why the drained output equals the batch join
+    exactly (the oracle's check). Exactly-once: checkpointed
+    AvailableNow drain into an idempotent memory sink (parquet in
+    production)."""
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id",
+                F.round(F.col("value") * 100).cast("bigint")
+                .alias("cents"))
+        .withColumn("nkey", F.pmod(F.col("user_id"), F.lit(25))
+                    .cast("int"))
+    )
+    enriched = stream.join(F.broadcast(dim_df), "nkey").select(
+        "event_id", "region_name", "cents")
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
