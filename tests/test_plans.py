@@ -582,11 +582,14 @@ def test_planmap_rounds_column_explicit(tmp_path):
     assert not blanks, f"non-integer rounds cells: {blanks[:10]}"
 
     # queries that call note_rounds-instrumented helpers (iterate(),
-    # the ExactSubstr binary-lifting loop, BPE/Viterbi-EM training,
-    # connected-components star contraction, label propagation):
+    # BPE/Viterbi-EM training, connected-components star contraction,
+    # label propagation). dd_exact_substring_maxlen left this set in
+    # round 8: its registered engine is now the ONE-PASS sorted-
+    # neighbor-LCP path (rounds=0 is correct); the binary-lifting
+    # engine it replaced stays covered by its equivalence test.
     iterative = {
         "dd_cluster_components", "dd_cluster_components_star",
-        "dd_exact_substring_maxlen", "dd_survivorship",
+        "dd_survivorship",
         "gr_bfs_distance", "gr_dag_layering", "gr_kcore_peeling",
         "gr_label_propagation", "gr_pagerank",
         "gr_personalized_pagerank", "gr_strongly_connected",
