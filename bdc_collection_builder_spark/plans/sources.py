@@ -3265,7 +3265,9 @@ def st_stream_static_enrich(spark, sf_dir):
     topology the st_* family did not yet cover (stream-stream inner
     and outer exist): the purchase firehose enriched per micro-batch
     with a broadcast reference dimension (nation, keyed by
-    user_id % 25 — a total surjection at every SF). Stateless by
+    user_id % 25 — a total surjection at every SF; the Spark side
+    uses pmod, value-identical to the oracle's % because user_id is
+    non-negative by schema at every SF). Stateless by
     construction: no watermark, no join state, no eviction — each
     micro-batch runs the same map-side BroadcastHashJoin the batch
     engine would, so the checkpointed AvailableNow drain emits
