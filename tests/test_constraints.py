@@ -631,3 +631,48 @@ def test_fk_to_partitioned_parent_opt_in(spark, tmp_path):
     with pytest.raises(ConstraintViolation, match="orphan"):
         st.update_where("activities", f"id = {referenced}",
                         {"id": F.lit(88880001)})
+
+
+def test_cross_partition_unique_serializes_racing_merges(spark, tmp_path):
+    """The POINT of lock escalation: two concurrent merges inserting
+    the SAME new name into DIFFERENT partitions would each pass a
+    snapshot-isolated global check (neither sees the other's staged
+    twin) — the table-level lock serializes them so the second
+    validates against the first's committed state and is rejected.
+    Exactly one writer wins, and the final table holds exactly one
+    row with the contested name."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat_race"))
+    fx = make_fixtures(spark, n_scenes=40, n_tiles=4)
+    st.overwrite("items", fx["items"])
+    st.set_constraints("items", unique=("name",),
+                       allow_cross_partition=True)
+    vals = st._partition_values("items")
+    assert len(vals) >= 2
+    base = st.read("items").limit(1)
+
+    def writer(idx: int):
+        row = (base
+               .withColumn("name", F.lit("xp-race-contested"))
+               .withColumn("collection_id",
+                           F.lit(int(vals[idx])).cast("int"))
+               .withColumn("id", F.col("id") + 2000000 + idx))
+        try:
+            # separate store instance per thread — like two drivers
+            PartitionedCatalogStore(spark, st.root).merge_upsert(
+                "items", row)
+            return "ok"
+        except ConstraintViolation:
+            return "rejected"
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        outcomes = sorted(ex.map(writer, [0, 1]))
+    assert outcomes == ["ok", "rejected"], outcomes
+    assert st.read("items").filter(
+        F.col("name") == "xp-race-contested").count() == 1
