@@ -5941,3 +5941,84 @@ def dd_edit1_near_pairs(spark, sf_dir):
                 F.levenshtein("ga", "gb").cast("bigint")
                 .alias("n_edits"))
     )
+
+
+@query(
+    "cu_kcenter_coreset",
+    survey=("CU-sample", "SS-ann"),
+    oracle="""
+        WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS v FROM embeddings),
+        c1 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+        d1 AS (SELECT q.vec_id, q.v, list_sum(list_transform(list_zip(q.v, c1.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS mind FROM q, c1),
+        c2 AS (SELECT vec_id, v, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1),
+        d2 AS (SELECT d.vec_id, d.v, least(d.mind, list_sum(list_transform(list_zip(d.v, c2.v), p -> (p[1]-p[2])*(p[1]-p[2])))) AS mind FROM d1 d, c2),
+        c3 AS (SELECT vec_id, v, mind FROM d2 ORDER BY mind DESC, vec_id LIMIT 1),
+        d3 AS (SELECT d.vec_id, d.v, least(d.mind, list_sum(list_transform(list_zip(d.v, c3.v), p -> (p[1]-p[2])*(p[1]-p[2])))) AS mind FROM d2 d, c3),
+        c4 AS (SELECT vec_id, v, mind FROM d3 ORDER BY mind DESC, vec_id LIMIT 1),
+        d4 AS (SELECT d.vec_id, d.v, least(d.mind, list_sum(list_transform(list_zip(d.v, c4.v), p -> (p[1]-p[2])*(p[1]-p[2])))) AS mind FROM d3 d, c4),
+        c5 AS (SELECT vec_id, v, mind FROM d4 ORDER BY mind DESC, vec_id LIMIT 1),
+        d5 AS (SELECT d.vec_id, d.v, least(d.mind, list_sum(list_transform(list_zip(d.v, c5.v), p -> (p[1]-p[2])*(p[1]-p[2])))) AS mind FROM d4 d, c5),
+        c6 AS (SELECT vec_id, v, mind FROM d5 ORDER BY mind DESC, vec_id LIMIT 1),
+        d6 AS (SELECT d.vec_id, d.v, least(d.mind, list_sum(list_transform(list_zip(d.v, c6.v), p -> (p[1]-p[2])*(p[1]-p[2])))) AS mind FROM d5 d, c6),
+        c7 AS (SELECT vec_id, v, mind FROM d6 ORDER BY mind DESC, vec_id LIMIT 1),
+        d7 AS (SELECT d.vec_id, d.v, least(d.mind, list_sum(list_transform(list_zip(d.v, c7.v), p -> (p[1]-p[2])*(p[1]-p[2])))) AS mind FROM d6 d, c7),
+        c8 AS (SELECT vec_id, v, mind FROM d7 ORDER BY mind DESC, vec_id LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(0 AS BIGINT) AS radius2 FROM c1
+        UNION ALL SELECT CAST(2 AS BIGINT) AS rank, vec_id, CAST(mind AS BIGINT) AS radius2 FROM c2
+        UNION ALL SELECT CAST(3 AS BIGINT) AS rank, vec_id, CAST(mind AS BIGINT) AS radius2 FROM c3
+        UNION ALL SELECT CAST(4 AS BIGINT) AS rank, vec_id, CAST(mind AS BIGINT) AS radius2 FROM c4
+        UNION ALL SELECT CAST(5 AS BIGINT) AS rank, vec_id, CAST(mind AS BIGINT) AS radius2 FROM c5
+        UNION ALL SELECT CAST(6 AS BIGINT) AS rank, vec_id, CAST(mind AS BIGINT) AS radius2 FROM c6
+        UNION ALL SELECT CAST(7 AS BIGINT) AS rank, vec_id, CAST(mind AS BIGINT) AS radius2 FROM c7
+        UNION ALL SELECT CAST(8 AS BIGINT) AS rank, vec_id, CAST(mind AS BIGINT) AS radius2 FROM c8
+    """,
+)
+def cu_kcenter_coreset(spark, sf_dir):
+    """Diversity CORESET selection via farthest-first traversal
+    (Gonzalez 1985, the 2-approximation for k-center — public): pick
+    k = 8 maximally-spread embedding vectors, the curation move that
+    picks diverse exemplars instead of i.i.d. samples (the gap in the
+    cu_ sampling family: hash/stratified/reservoir/DSIR all sample by
+    weight, none by COVERAGE). Deterministic and integer-exact:
+    embeddings are quantized once as round(double(x) * 64) — the * 64
+    is a float exponent shift (EXACT, no rounding before round()) —
+    and all distances are int64 squared-L2; the seed is the minimum
+    vec_id and every argmax tie-breaks on vec_id, so both engines
+    walk the identical center sequence. radius2 reports each center's
+    min-distance-to-previous-centers at selection time — the
+    monotonically NON-INCREASING coverage radius sequence (pinned in
+    pytest), which is the coreset's quality certificate.
+
+    100 TB: the Gonzalez loop is k passes over the corpus, each ONE
+    scan + TakeOrdered(1) (per-partition top-1 heaps, no global
+    sort); driver state per round is one 64-int vector + one id —
+    k-bounded scalar reads, the ss_kmeans centroid-collect class. The
+    oracle unrolls the same 8 steps as chained CTEs, feasible only at
+    oracle scale."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> "
+               "CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+        .alias("v"))
+    emb = tracked_persist(emb)
+
+    def dist2_to(vec: list) -> "F.Column":
+        lits = ",".join(str(int(x)) for x in vec)
+        return F.expr(
+            f"aggregate(zip_with(v, array({lits}), "
+            "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x)")
+
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(first.vec_id), 0)]
+    mind = emb.select("vec_id", "v", dist2_to(first.v).alias("mind"))
+    for rank in range(2, 9):
+        top = (mind.orderBy(F.desc("mind"), F.asc("vec_id"))
+               .limit(1).collect()[0])
+        centers.append((rank, int(top.vec_id), int(top.mind)))
+        if rank < 8:
+            mind = mind.select(
+                "vec_id", "v",
+                F.least("mind", dist2_to(top.v)).alias("mind"))
+    return spark.createDataFrame(
+        centers, "rank bigint, vec_id bigint, radius2 bigint")

@@ -199,7 +199,8 @@ def _load_all() -> None:
 # sk_ams_f2_estimate (AMS tug-of-war), dq_dp_laplace_counts
 # (deterministic discrete-Laplace DP release),
 # tj_classical_decomposition (period-7 MA decomposition),
-# st_stream_static_enrich (stateless broadcast enrichment drain).
+# st_stream_static_enrich (stateless broadcast enrichment drain),
+# cu_kcenter_coreset (Gonzalez farthest-first diversity coreset).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 26 round-7 additions, oracle-risk first
     "dd_prefix_filter_jaccard", "gr_strongly_connected",

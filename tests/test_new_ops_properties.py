@@ -885,3 +885,22 @@ def test_hamming_near_pairs_planted(spark, sf_dir):
     got = {(r.doc_a, r.doc_b, r.n_mismatch)
            for r in rows(spark, sf_dir, "dd_hamming_near_pairs")}
     assert got == want
+
+
+def test_kcenter_coreset_radius_monotone(spark, sf_dir):
+    """Farthest-first coverage radii are non-increasing (each new
+    center is the current farthest point, so the next farthest can
+    only be closer), centers are distinct, and the seed is the
+    minimum vec_id."""
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    out = sorted(rows(spark, sf_dir, "cu_kcenter_coreset"),
+                 key=lambda r: r.rank)
+    assert [r.rank for r in out] == list(range(1, 9))
+    assert len({r.vec_id for r in out}) == 8
+    radii = [r.radius2 for r in out[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert radii[-1] >= 0
+    min_id = (load_table(spark, sf_dir, "embeddings")
+              .agg({"vec_id": "min"}).collect()[0][0])
+    assert out[0].vec_id == min_id

@@ -510,6 +510,7 @@ def test_driver_window_rotation_round8():
         "a24_pivot_status_matrix", "dd_edit1_near_pairs",
         "sk_ams_f2_estimate", "dq_dp_laplace_counts",
         "tj_classical_decomposition", "st_stream_static_enrich",
+        "cu_kcenter_coreset",
     }
     stragglers = never - round9_pool
     assert not stragglers, (
