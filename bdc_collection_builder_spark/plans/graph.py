@@ -1259,12 +1259,22 @@ def gr_strongly_connected(spark, sf_dir):
     late round touching 5 vertices costs 5 vertices' edges, not O(E);
     state is one row per active node, monotonically shrinking; no
     all-pairs structure anywhere."""
+    nodes, edges, _ = citation_edges(spark, sf_dir)
+    return scc_labels(nodes.select(F.col("doc_id").alias("v")), edges)
+
+
+def scc_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """FW-BW-Trim SCC engine behind :func:`gr_strongly_connected` —
+    factored out so tests can drive it with ADVERSARIAL synthetic
+    graphs (chains of cycles, long paths) beyond the derived citation
+    graph. ``nodes`` is (v); ``edges`` is (src, dst) with both
+    endpoints in the node domain. Returns (node, scc_id=min member).
+    """
     from bdc_collection_builder_spark.functions.rounds import note_rounds
 
-    nodes, edges, _ = citation_edges(spark, sf_dir)
     edges = tracked_persist(edges)
 
-    remaining = nodes.select(F.col("doc_id").alias("v"))
+    remaining = nodes
     assigned = None  # accumulated (node, scc_id)
 
     def acc(a: DataFrame | None, b: DataFrame) -> DataFrame:

@@ -904,3 +904,84 @@ def test_kcenter_coreset_radius_monotone(spark, sf_dir):
     min_id = (load_table(spark, sf_dir, "embeddings")
               .agg({"vec_id": "min"}).collect()[0][0])
     assert out[0].vec_id == min_id
+
+
+def test_scc_labels_adversarial_chain_of_cycles(spark):
+    """Drive the factored FW-BW-Trim engine with the structure it is
+    WORST at — a long chain of small cycles (each link forces another
+    outer extraction or trim level) plus a pure path of singletons,
+    a self-loop, and reverse-ordered ids (max-ancestor coloring must
+    fight the id order) — and demand exact agreement with an
+    in-process Tarjan."""
+    from bdc_collection_builder_spark.plans.graph import scc_labels
+
+    edges = []
+    # 6 cycles of 4, ids DESCENDING along each cycle's edges, chained
+    # tail -> next head so the condensation is a path
+    for c in range(6):
+        base = 1000 - c * 10  # descending bases: 1000, 990, ...
+        ring = [base, base - 1, base - 2, base - 3]
+        edges += list(zip(ring, ring[1:] + ring[:1]))
+        if c < 5:
+            edges.append((base - 3, base - 10))  # bridge to next cycle
+    # pure path of singletons
+    edges += [(i, i + 1) for i in range(100, 110)]
+    # self-loop singleton (retained by design)
+    edges.append((200, 200))
+    verts = sorted({v for e in edges for v in e})
+
+    nodes = spark.createDataFrame([(v,) for v in verts], "v long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.scc_id) for r in scc_labels(nodes, edf).collect()}
+
+    # iterative Tarjan (textbook)
+    adj: dict[int, list[int]] = {v: [] for v in verts}
+    for s, d in edges:
+        adj[s].append(d)
+    index, low, onstk, stk = {}, {}, set(), []
+    comp: dict[int, int] = {}
+    counter = [0]
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stk.append(v)
+                onstk.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                rep = min(members)
+                for w in members:
+                    comp[w] = rep
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    want = {(v, comp[v]) for v in verts}
+    assert got == want
+    # structure sanity: 6 four-member SCCs + everything else singleton
+    sizes: dict[int, int] = {}
+    for _v, rep in got:
+        sizes[rep] = sizes.get(rep, 0) + 1
+    assert sorted(s for s in sizes.values() if s > 1) == [4] * 6
