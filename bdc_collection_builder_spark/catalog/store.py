@@ -1466,6 +1466,37 @@ class PartitionedCatalogStore(CatalogStore):
         extras = sorted(c for c in out.columns if c not in base)
         return out.select(*base, *extras)
 
+    def append(self, table: str, df: DataFrame) -> None:
+        """Partition-routed APPEND. Without this override the flat
+        path would stage a ``gen-*`` + ``_CURRENT`` directly under the
+        parent table dir — which the partitioned :meth:`read` (it
+        scans only ``<pcol>=*`` subdirs) silently never sees, i.e.
+        appended rows would VANISH (round-8 audit finding). Each
+        partition's sub-store appends under its own CAS; escalated
+        tables validate the full candidate view first, same contract
+        as merge/overwrite."""
+        if table not in self.partition_cols:
+            return super().append(table, df)
+        pcol = self.partition_cols[table]
+        cols = [f.name for f in SCHEMAS[table].fields]
+        df = df.select(*cols)
+
+        def _run() -> None:
+            values = [r[0] for r in
+                      df.select(pcol).distinct().collect()]
+            for value in values:
+                self._sub(table, value).append(
+                    table, df.filter(F.col(pcol) == value))
+
+        if self._escalated(table):
+            with self._pointer_lock(table):
+                candidate = (self.read(table).unionByName(df)
+                             if self.exists(table) else df)
+                self._global_validate(table, candidate)
+                _run()
+            return
+        _run()
+
     def overwrite(self, table: str, df: DataFrame) -> None:
         if table not in self.partition_cols:
             return super().overwrite(table, df)

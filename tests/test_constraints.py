@@ -676,3 +676,51 @@ def test_cross_partition_unique_serializes_racing_merges(spark, tmp_path):
     assert outcomes == ["ok", "rejected"], outcomes
     assert st.read("items").filter(
         F.col("name") == "xp-race-contested").count() == 1
+
+
+def test_partitioned_append_routes_to_partitions(spark, tmp_path):
+    """Round-8 audit finding: append() on a partitioned table used to
+    take the FLAT path — a gen-*/_CURRENT written directly under the
+    parent dir that the partitioned read() (which scans only
+    <pcol>=* subdirs) silently never sees, i.e. appended rows
+    VANISHED. The override must route per partition, stay visible,
+    leave no flat artifacts, and respect cross-partition UNIQUE under
+    escalation."""
+    import os
+
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat_app"))
+    fx = make_fixtures(spark, n_scenes=30, n_tiles=4)
+    st.overwrite("items", fx["items"])
+    n0 = st.read("items").count()
+    batch = (st.read("items").limit(2)
+             .withColumn("id", F.col("id") + 3000000)
+             .withColumn("name",
+                         F.concat(F.lit("app-"), F.col("id"))))
+    st.append("items", batch)
+    assert st.read("items").count() == n0 + 2
+    assert st.read("items").filter(
+        F.col("name").startswith("app-")).count() == 2
+    # no flat-store artifacts under the parent table dir
+    tdir = st.path("items")
+    flat = [d for d in os.listdir(tdir)
+            if d.startswith("gen-") or d == "_CURRENT"]
+    assert not flat, flat
+    # escalated: an appended cross-partition duplicate name is
+    # rejected with nothing appended
+    st.set_constraints("items", unique=("name",),
+                       allow_cross_partition=True)
+    vals = st._partition_values("items")
+    src = st.read("items").filter(
+        F.col("collection_id").cast("string") == vals[0]).limit(1)
+    twin = (src.withColumn("collection_id",
+                           F.lit(int(vals[1])).cast("int"))
+            .withColumn("id", F.col("id") + 4000000))
+    n1 = st.read("items").count()
+    with pytest.raises(ConstraintViolation, match="unique"):
+        st.append("items", twin)
+    assert st.read("items").count() == n1
