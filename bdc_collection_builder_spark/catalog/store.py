@@ -663,9 +663,14 @@ class CatalogStore:
         O(table) validation per commit instead of O(partition), the
         honest price of a global invariant (see the design note at
         the escalation site, PartitionedCatalogStore._escalated).
-        ``on_delete='cascade'`` across a partitioned parent stays
-        unsupported (route the child deletes yourself, then the
-        parent's)."""
+        "Globally" means over the full candidate view of THIS table:
+        FK edges to OTHER tables keep the flat store's cross-commit
+        optimism (each end's writers hold only their own table's
+        lock — see _escalated's scope note for the racing
+        delete/insert window and the flat-pair transactional fix).
+        ``on_delete='cascade'`` involving a partitioned table on
+        EITHER end stays unsupported (route the child deletes
+        yourself, then the parent's)."""
         import json as _json
 
         fields = {f.name for f in SCHEMAS[table].fields}
@@ -721,6 +726,21 @@ class CatalogStore:
             if missing:
                 raise KeyError(
                     f"{fk['ref_table']}: no column(s) {missing}")
+            if (fk.get("on_delete", "restrict") == "cascade"
+                    and getattr(self, "partition_cols", {}).get(table)):
+                # ADVICE-r8: a cascade declared BY a partitioned child
+                # could never execute — the cascade path writes the
+                # child through Transaction._put, which refuses
+                # partitioned tables — so every delete on the parent
+                # would fail loudly.  Reject at declaration time,
+                # mirroring the partitioned-parent refusal below.
+                raise NotImplementedError(
+                    f"{table} is partitioned: on_delete='cascade' "
+                    "would have to rewrite the partitioned child from "
+                    "the parent's delete transaction, which commits "
+                    "without partition routing — declare "
+                    "on_delete='restrict' and delete the child rows "
+                    "first")
             if getattr(self, "partition_cols", {}).get(fk["ref_table"]):
                 if not allow_cross_partition:
                     raise NotImplementedError(
@@ -1400,7 +1420,24 @@ class PartitionedCatalogStore(CatalogStore):
         keep fully concurrent per-partition commits. The crash story
         is unchanged — an escalated commit still stages then flips
         partition pointers; the lock only widens the validation
-        window, so recovery needs no new code."""
+        window, so recovery needs no new code.
+
+        Scope of the guarantee (ADVICE-r8): the table-level lock
+        serializes writers of THIS table; an FK spans two tables, and
+        the other end's writers hold the other end's lock. Escalated
+        validation therefore inherits the flat store's documented
+        cross-commit FK optimism: a child insert (validating its FK
+        against the parent's current snapshot under the CHILD's lock)
+        racing a parent delete (reverse-validating against the child's
+        current snapshot under the PARENT's lock) can both pass and
+        commit a dangling reference. Same window as the flat store's
+        OCC FK checks. For FLAT table pairs, routing both writes
+        through one :meth:`transaction` closes it (one validation over
+        both staged states, then a CAS under both tables' sorted locks
+        that aborts if either moved); a partitioned table cannot join
+        a transaction, so its FK edges keep the optimistic window —
+        sequence the two writes if the invariant must hold
+        continuously."""
         if table not in self.partition_cols:
             return False
         if self.constraints(table).get("cross_partition"):
@@ -1490,7 +1527,12 @@ class PartitionedCatalogStore(CatalogStore):
 
         if self._escalated(table):
             with self._pointer_lock(table):
-                candidate = (self.read(table).unionByName(df)
+                # allowMissingColumns: read() of a schema-evolved
+                # table returns base+evolved extras while df carries
+                # base columns only (ADVICE-r8 — matches the
+                # escalated overwrite path below)
+                candidate = (self.read(table).unionByName(
+                                 df, allowMissingColumns=True)
                              if self.exists(table) else df)
                 self._global_validate(table, candidate)
                 _run()

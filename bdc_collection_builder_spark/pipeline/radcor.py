@@ -132,11 +132,18 @@ def check_scenes(store: CatalogStore, remote: DataFrame,
         F.col("collection_id") == query.collection_id).select("name")
     missing_internal = external.subtract(internal)
     missing_external = internal.subtract(external)
+    # explicit F.broadcast on each one-row agg (VERDICT-r8 nit #2):
+    # pin BroadcastNestedLoopJoin by construction instead of relying
+    # on AQE to notice the 1-row side — same convention as every
+    # other one-row attach in the repo (linter-allowlisted).
     return (
         external.agg(F.count("*").alias("total_external"))
-        .crossJoin(internal.agg(F.count("*").alias("total_internal")))
-        .crossJoin(missing_internal.agg(F.count("*").alias("missing_in_catalog")))
-        .crossJoin(missing_external.agg(F.count("*").alias("missing_in_provider")))
+        .crossJoin(F.broadcast(
+            internal.agg(F.count("*").alias("total_internal"))))
+        .crossJoin(F.broadcast(
+            missing_internal.agg(F.count("*").alias("missing_in_catalog"))))
+        .crossJoin(F.broadcast(
+            missing_external.agg(F.count("*").alias("missing_in_provider"))))
     )
 
 

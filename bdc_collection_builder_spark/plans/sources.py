@@ -3281,6 +3281,8 @@ def st_stream_static_enrich(spark, sf_dir):
     100 TB: the dim broadcasts once per batch (dimension-sized); the
     stream side never shuffles for the join; the post-drain rollup
     is one map-side-combined groupBy with |nations| groups."""
+    import atexit
+    import shutil
     import tempfile
     import uuid
 
@@ -3290,6 +3292,10 @@ def st_stream_static_enrich(spark, sf_dir):
     )
 
     scratch = tempfile.mkdtemp(prefix="bdc_sse_")
+    # reclaim the events copy + checkpoint on interpreter exit
+    # (ADVICE-r8 — same /tmp-accumulation fix as
+    # lo_dynamic_partition_pruning's _DPP_PART_DIRS)
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     events_dir = f"{scratch}/events"
     load_table(spark, sf_dir, "events").coalesce(8).write.mode(
         "overwrite").parquet(events_dir)

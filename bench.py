@@ -95,7 +95,10 @@ BENCH_QUERIES = [
 HEAVY_QUERIES = [
     "dd_prefix_filter_jaccard",   # exact AllPairs + per-pair verify
     "gr_strongly_connected",      # FW-BW SCC, frontier fixpoints
-    "dd_exact_substring_maxlen",  # binary-lifting ExactSubstr
+    "dd_exact_substring_maxlen",  # sorted-neighbor-LCP ExactSubstr
+                                  # (r8 engine swap; stays heavy: the
+                                  # 1.5M-row checkpoint+window still
+                                  # lands ~12s at sf0.1)
 ]
 
 

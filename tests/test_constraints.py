@@ -724,3 +724,91 @@ def test_partitioned_append_routes_to_partitions(spark, tmp_path):
     with pytest.raises(ConstraintViolation, match="unique"):
         st.append("items", twin)
     assert st.read("items").count() == n1
+
+
+def test_cascade_by_partitioned_child_rejected_at_declaration(
+        spark, tmp_path):
+    """ADVICE-r8 (medium): a cascade FK declared BY a partitioned
+    child onto a FLAT parent used to be ACCEPTED — but the cascade
+    path rewrites the child through Transaction._put, which refuses
+    partitioned tables, so every delete on the parent failed loudly
+    and the declared cascade could never execute. It must be a
+    rejected DECLARATION (mirroring the partitioned-parent refusal),
+    while the restrict form of the same FK stays declarable."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat_casc"))
+    fx = make_fixtures(spark, n_scenes=20, n_tiles=4)
+    st.overwrite("collections", fx["collections"])  # flat parent
+    st.overwrite("items", fx["items"])              # partitioned child
+    fk = {"columns": ["collection_id"], "ref_table": "collections",
+          "ref_columns": ["id"]}
+    with pytest.raises(NotImplementedError,
+                       match="items is partitioned"):
+        st.set_constraints(
+            "items", foreign_keys=(dict(fk, on_delete="cascade"),),
+            allow_cross_partition=True)
+    assert not st.constraints("items")
+    # the restrict form is fine, and the parent's deletes work:
+    # referenced rows are blocked, unreferenced rows delete
+    st.set_constraints("items", foreign_keys=(fk,),
+                       allow_cross_partition=True)
+    referenced = st.read("items").limit(1) \
+        .collect()[0]["collection_id"]
+    with pytest.raises(ConstraintViolation, match="orphan"):
+        st.delete_where("collections", f"id = {referenced}")
+    fresh = (st.read("collections").limit(1)
+             .withColumn("id", F.lit(66660001).cast("int"))
+             .withColumn("name", F.lit("casc-unref")))
+    st.merge_upsert("collections", fresh, keys=["id"])
+    st.delete_where("collections", "id = 66660001")
+    assert st.read("collections").filter("id = 66660001").count() == 0
+
+
+def test_escalated_append_on_schema_evolved_table(spark, tmp_path):
+    """ADVICE-r8 (low): the escalated append built its candidate via
+    read(table).unionByName(df) WITHOUT allowMissingColumns — on a
+    schema-evolved partitioned table (read() returns base+evolved
+    extras, the appended batch carries base columns only) that threw
+    AnalysisException, while the sibling escalated overwrite path
+    already reconciled. Appends must land with NULL for the evolved
+    extras, and escalated validation must still run (a duplicate is
+    rejected)."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.schemas import SCHEMAS
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat_evo_app"))
+    fx = make_fixtures(spark, n_scenes=20, n_tiles=4)
+    st.overwrite("items", fx["items"])
+    st.set_constraints("items", unique=("name",),
+                       allow_cross_partition=True)
+    assert st._escalated("items")
+    # evolve one partition's schema with an extra column
+    evolved = (st.read("items").limit(1)
+               .withColumn("id", F.col("id") + 5000000)
+               .withColumn("name", F.lit("evo-seed"))
+               .withColumn("ingest_note", F.lit("r9")))
+    st.merge_upsert("items", evolved, evolve_schema=True)
+    assert "ingest_note" in st.read("items").columns
+    # base-columns-only append now reconciles and lands
+    n0 = st.read("items").count()
+    batch = (st.read("items").select(
+                 *[f.name for f in SCHEMAS["items"].fields])
+             .limit(1)
+             .withColumn("id", F.col("id") + 6000000)
+             .withColumn("name", F.lit("evo-app")))
+    st.append("items", batch)
+    out = st.read("items")
+    assert out.count() == n0 + 1
+    row = out.filter(F.col("name") == "evo-app").collect()
+    assert len(row) == 1 and row[0]["ingest_note"] is None
+    # escalated validation still runs on the reconciled candidate
+    dup = batch.withColumn("id", F.col("id") + 1)
+    with pytest.raises(ConstraintViolation, match="unique"):
+        st.append("items", dup)
