@@ -192,46 +192,68 @@ def _load_all() -> None:
 # once — verification debt zero for the first time (a18_hll_rollup
 # stays the sole documented rows-only exclusion, pinned against its
 # green exact twin a18b in pytest).
-# ROUND-9 pool (registered after this rotation, all byte-green
-# locally at sf0.001 + sf0.01, enumerated in
-# test_driver_window_rotation_round8): a24_pivot_status_matrix,
-# dd_edit1_near_pairs (FastSS deletion neighborhood),
-# sk_ams_f2_estimate (AMS tug-of-war), dq_dp_laplace_counts
-# (deterministic discrete-Laplace DP release),
-# tj_classical_decomposition (period-7 MA decomposition),
-# st_stream_static_enrich (stateless broadcast enrichment drain),
-# cu_kcenter_coreset (Gonzalez farthest-first diversity coreset).
+# ROUND-9 rotation (VERDICT-r8 task 1): the 7 round-9-pool queries
+# FIRST (registered after the round-8 freeze; never driver-checked,
+# though the judge pre-verified all 7 green under the driver's own
+# harness in the r8 session), in the VERDICT's risk order —
+# st_stream_static_enrich (checkpointed streaming drain, the highest
+# harness-latency variance in the registry; budget-checked 2x green
+# at sf0.01, ~15s wall including JVM boot), dd_edit1_near_pairs (the
+# levenshtein byte/char seam; measured 7.3s at sf0.1 -> added to
+# BENCH_HEAVY per the dd_prefix precedent), dq_dp_laplace_counts
+# (CASE-ladder parity), sk_ams_f2_estimate (integer-median ties),
+# cu_kcenter_coreset (8-step CTE chain), tj_classical_decomposition,
+# a24_pivot_status_matrix. The 43 fills are the OLDEST
+# never-re-checked rows: every oracled query whose only CORRECTNESS
+# row is round 1 (42 of them — 6 rounds of engine drift since their
+# green row) plus ONE round-2 row, px_x10_quicklook_radiometry (the
+# float-risk pixel-radiometry path, chosen over its 18 r2 peers
+# which roll to the round-10 fill pool: f06-f11, t02/t04/t05,
+# u03/u04, w02, x02-x06/x20/x21, tj_range_error_followups,
+# cu_pack_sequences, dd_embedding_near_pairs). Fill order is
+# risk-grouped: codec seams (mm_*), embedding math (ss_*), dedup
+# (dd_*), curation (cu_*), text (tx_*), aggregates (a01-a13), the
+# r1 filters (f01-f04), and the q1 flagship last.
+# Done => cumulative 335/335 oracled queries driver-checked at least
+# once — verification debt zero for the first time (a18_hll_rollup,
+# a11, a15, dd_minhash_lsh_pairs, dd_simhash_pairs stay the five
+# documented rows-only exclusions, each pinned against a green exact
+# twin in pytest).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the 26 round-7 additions, oracle-risk first
-    "dd_prefix_filter_jaccard", "gr_strongly_connected",
-    "dd_hamming_near_pairs", "sql01_shared_ansi_text",
-    "lo_dynamic_partition_pruning", "tj_mann_kendall_trend",
-    "tj_runs_test_randomness", "tx_heaps_vocab_growth",
-    "tx_simpson_diversity", "tx_word_burstiness",
-    "dq_t_closeness", "dq_l_diversity", "dq_mutual_information",
-    "a23_copurchase_support", "cu_cluster_size_distribution",
-    "gr_clustering_coefficient", "gr_harmonic_centrality",
-    "j30_customer_order_distribution", "j31_waiting_supplier_blame",
-    "j32_important_part_value", "j35_idle_rich_customers",
-    "mm_audio_silence_trim", "px_morph_erode_dilate3x3",
-    "s36_erasure_vacuum_horizon", "sk_bloom_fpr_eval",
-    "ss_knn_label_accuracy",
-    # (b) re-checks: round-8 semantics/engine changes first
-    "j21_dormant_high_balance", "dd_suffix_prefix_overlap",
-    "px_blob_labeling", "dd_exact_substring_maxlen",
-    # (c) VERDICT-named never-re-checked r5/r6 heavies
-    "s33_constraint_enforced_merge", "s34_partitioned_evolution_read",
-    "s35_erasure_delete_keys", "tj_theil_sen_trend", "tx_zipf_slope",
-    "x13b_extent_to_wgs84_exact", "x13c_wgs84_to_utm_roundtrip",
-    "st_late_data_audit",
-    # (d) engine-seam / float-risk / heavy fills, each green exactly
-    # once before this round
-    "s27_docker_correction", "s26_incremental_cdf_maintenance",
-    "s30_hive_partitioned_roundtrip", "lo_bucketed_join",
-    "st_stream_stream_join", "st_incremental_near_dedup",
-    "tk_viterbi_em_counts", "tx_kneser_ney_bigram",
-    "ss_ivf_probe_recall_curve", "gr_hits_hubs_authorities",
-    "w14_rolling_median", "dd_ngram_jaccard_pairs",
+    # (a) the 7 round-9-pool queries, VERDICT risk order
+    "st_stream_static_enrich", "dd_edit1_near_pairs",
+    "dq_dp_laplace_counts", "sk_ams_f2_estimate",
+    "cu_kcenter_coreset", "tj_classical_decomposition",
+    "a24_pivot_status_matrix",
+    # (b) float-risk r2 pixel path (the one non-r1 re-check)
+    "px_x10_quicklook_radiometry",
+    # (c) the 42 round-1 rows, risk-grouped: codec seams first
+    "mm_decode_features", "mm_frame_sample", "mm_media_dedup",
+    # embedding math
+    "ss_brute_force_topk", "ss_lsh_topk", "ss_ivf_topk",
+    "ss_quantize_int8",
+    # dedup family
+    "dd_exact_duplicates", "dd_cluster_components",
+    "dd_minhash_lsh_md5", "dd_simhash_md5",
+    # curation
+    "cu_hash_split", "cu_stratified_sample", "cu_seeded_shuffle",
+    "cu_decontaminate", "cu_token_budget_mix",
+    # text suite
+    "tx_text_stats", "tx_quality_score", "tx_language_id",
+    "tx_fingerprint", "tx_pii_scrub", "tx_repetition_stats",
+    "tx_chunk_documents", "tx_tfidf_topk", "tx_vocabulary_topk",
+    "tx_corpus_curation",
+    # aggregates
+    "a01_status_histogram", "a02_daily_status_histogram",
+    "a03_latest_attempt_per_scene", "a04_distinct_collections",
+    "a05_missing_per_collection", "a07_result_count",
+    "a08_band_min_max", "a09_rollup_hierarchy",
+    "a10_cube_cross_totals", "a12_group_percentiles",
+    "a13_grouping_sets",
+    # filters + flagship
+    "f01_cloud_cover_filter", "f02_bbox_intersects",
+    "f03_temporal_overlap", "f04_restart_filters",
+    "q1_pricing_summary",
 )
 
 

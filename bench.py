@@ -99,6 +99,11 @@ HEAVY_QUERIES = [
                                   # (r8 engine swap; stays heavy: the
                                   # 1.5M-row checkpoint+window still
                                   # lands ~12s at sf0.1)
+    "dd_edit1_near_pairs",        # FastSS deletion-neighborhood join;
+                                  # candidate set is quadratic in
+                                  # duplicate-head group size on the
+                                  # template corpus — measured 7.3s
+                                  # at sf0.1 (round-9 budget check)
 ]
 
 

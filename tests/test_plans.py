@@ -416,14 +416,73 @@ def test_driver_window_rotation_round6():
 
 
 def test_driver_window_rotation_round8():
-    """VERDICT-r7 task 1: round 8's driver window must be the 26
-    round-7 additions (never driver-checked, oracle-risk order)
-    followed by 24 DELIBERATE RE-CHECKS — the four queries whose code
-    or semantics changed in round 8 first (their old CORRECTNESS rows
-    describe code that no longer exists), then the judge-named
-    never-re-checked r5/r6 heavies and engine-seam/float-risk fills.
-    Fails if anyone perturbs the rotation before the driver runs it.
-    Done => cumulative 328/328 oracled queries driver-checked."""
+    """Round-8 window, now HISTORY (the driver ran it — 50/50 green in
+    CORRECTNESS_r08.json): the recorded window must be exactly what
+    VERDICT-r7 ordered — the 26 round-7 additions plus 24 deliberate
+    re-checks (the four round-8 semantic changes among them) — and
+    the 26 really were never driver-checked before round 8."""
+    import json
+    import os
+
+    new_26 = {
+        "dd_prefix_filter_jaccard", "gr_strongly_connected",
+        "dd_hamming_near_pairs", "sql01_shared_ansi_text",
+        "lo_dynamic_partition_pruning", "tj_mann_kendall_trend",
+        "tj_runs_test_randomness", "tx_heaps_vocab_growth",
+        "tx_simpson_diversity", "tx_word_burstiness",
+        "dq_t_closeness", "dq_l_diversity", "dq_mutual_information",
+        "a23_copurchase_support", "cu_cluster_size_distribution",
+        "gr_clustering_coefficient", "gr_harmonic_centrality",
+        "j30_customer_order_distribution", "j31_waiting_supplier_blame",
+        "j32_important_part_value", "j35_idle_rich_customers",
+        "mm_audio_silence_trim", "px_morph_erode_dilate3x3",
+        "s36_erasure_vacuum_horizon", "sk_bloom_fpr_eval",
+        "ss_knn_label_accuracy",
+    }
+    recheck_24 = {
+        "j21_dormant_high_balance", "dd_suffix_prefix_overlap",
+        "px_blob_labeling", "dd_exact_substring_maxlen",
+        "s33_constraint_enforced_merge", "s34_partitioned_evolution_read",
+        "s35_erasure_delete_keys", "tj_theil_sen_trend", "tx_zipf_slope",
+        "x13b_extent_to_wgs84_exact", "x13c_wgs84_to_utm_roundtrip",
+        "st_late_data_audit",
+        "s27_docker_correction", "s26_incremental_cdf_maintenance",
+        "s30_hive_partitioned_roundtrip", "lo_bucketed_join",
+        "st_stream_stream_join", "st_incremental_near_dedup",
+        "tk_viterbi_em_counts", "tx_kneser_ney_bigram",
+        "ss_ivf_probe_recall_curve", "gr_hits_hubs_authorities",
+        "w14_rolling_median", "dd_ngram_jaccard_pairs",
+    }
+    assert len(new_26) == 26 and len(recheck_24) == 24
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r8_path = os.path.join(root, "CORRECTNESS_r08.json")
+    if not os.path.exists(r8_path):
+        pytest.skip("CORRECTNESS_r08.json not present in this checkout")
+    r8 = json.load(open(r8_path))
+    assert set(r8.keys()) == new_26 | recheck_24
+    checked: set[str] = set()
+    for i in range(1, 8):
+        path = os.path.join(root, f"CORRECTNESS_r0{i}.json")
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)).keys())
+    if len(checked) < 200:
+        pytest.skip("CORRECTNESS history not present in this checkout")
+    assert not new_26 & checked, new_26 & checked
+    assert recheck_24 <= checked, recheck_24 - checked
+
+
+def test_driver_window_rotation_round9():
+    """VERDICT-r8 task 1: round 9's driver window must be the 7
+    round-9-pool queries (never driver-checked; judge pre-verified
+    all 7 green under the driver's own harness) in the VERDICT's
+    risk order, followed by 43 DELIBERATE RE-CHECKS — the OLDEST
+    rows in the CORRECTNESS history: all 42 oracled queries whose
+    only green row is round 1, plus the float-risk round-2 pixel
+    path px_x10_quicklook_radiometry. Fails if anyone perturbs the
+    rotation before the driver runs it. Done => cumulative 335/335
+    oracled queries driver-checked at least once — verification
+    debt zero."""
     import json
     import os
 
@@ -447,75 +506,44 @@ def test_driver_window_rotation_round8():
                  if not QUERY_REGISTRY[n].oracle]
     assert not rows_only, rows_only
 
-    new_26 = (
-        "dd_prefix_filter_jaccard", "gr_strongly_connected",
-        "dd_hamming_near_pairs", "sql01_shared_ansi_text",
-        "lo_dynamic_partition_pruning", "tj_mann_kendall_trend",
-        "tj_runs_test_randomness", "tx_heaps_vocab_growth",
-        "tx_simpson_diversity", "tx_word_burstiness",
-        "dq_t_closeness", "dq_l_diversity", "dq_mutual_information",
-        "a23_copurchase_support", "cu_cluster_size_distribution",
-        "gr_clustering_coefficient", "gr_harmonic_centrality",
-        "j30_customer_order_distribution", "j31_waiting_supplier_blame",
-        "j32_important_part_value", "j35_idle_rich_customers",
-        "mm_audio_silence_trim", "px_morph_erode_dilate3x3",
-        "s36_erasure_vacuum_horizon", "sk_bloom_fpr_eval",
-        "ss_knn_label_accuracy",
+    pool_7 = (
+        "st_stream_static_enrich", "dd_edit1_near_pairs",
+        "dq_dp_laplace_counts", "sk_ams_f2_estimate",
+        "cu_kcenter_coreset", "tj_classical_decomposition",
+        "a24_pivot_status_matrix",
     )
-    changed_round8 = (
-        "j21_dormant_high_balance", "dd_suffix_prefix_overlap",
-        "px_blob_labeling", "dd_exact_substring_maxlen",
-    )
-    recheck_24 = set(changed_round8) | {
-        "s33_constraint_enforced_merge", "s34_partitioned_evolution_read",
-        "s35_erasure_delete_keys", "tj_theil_sen_trend", "tx_zipf_slope",
-        "x13b_extent_to_wgs84_exact", "x13c_wgs84_to_utm_roundtrip",
-        "st_late_data_audit",
-        "s27_docker_correction", "s26_incremental_cdf_maintenance",
-        "s30_hive_partitioned_roundtrip", "lo_bucketed_join",
-        "st_stream_stream_join", "st_incremental_near_dedup",
-        "tk_viterbi_em_counts", "tx_kneser_ney_bigram",
-        "ss_ivf_probe_recall_curve", "gr_hits_hubs_authorities",
-        "w14_rolling_median", "dd_ngram_jaccard_pairs",
-    }
-    assert len(recheck_24) == 24
-    # order matters for the 26 (never-checked, risk-ranked) and the 4
-    # round-8 semantic changes that must run before the fills
-    assert _DRIVER_PRIORITY[:26] == new_26
-    assert _DRIVER_PRIORITY[26:30] == changed_round8
-    assert set(_DRIVER_PRIORITY[26:]) == recheck_24
+    # order matters for the 7 (never-checked, risk-ranked per
+    # VERDICT-r8); the 43 fills are order-free re-checks
+    assert _DRIVER_PRIORITY[:7] == pool_7
+    recheck_43 = set(_DRIVER_PRIORITY[7:])
+    assert len(recheck_43) == 43
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for i in range(1, 8):
+    history: dict[str, int] = {}
+    for i in range(1, 9):
         path = os.path.join(root, f"CORRECTNESS_r0{i}.json")
         if os.path.exists(path):
-            checked |= set(json.load(open(path)).keys())
-    if len(checked) < 200:
+            for name in json.load(open(path)):
+                history[name] = max(history.get(name, 0), i)
+    if len(history) < 200:
         pytest.skip("CORRECTNESS history not present in this checkout")
-    # the 26 really are never driver-checked; the 24 really are
-    # re-checks (every one has a prior CORRECTNESS row)
-    assert not set(new_26) & checked, set(new_26) & checked
-    assert recheck_24 <= checked, recheck_24 - checked
-    # after this round lands 50/50, cumulative distinct = every
-    # oracled query (a18_hll_rollup stays the documented rows-only
-    # exclusion, pinned against its green exact twin a18b in pytest)
+    # the 7 really are never driver-checked
+    assert not set(pool_7) & set(history), set(pool_7) & set(history)
+    # the 43 really are the OLDEST rows: every round-1-only oracled
+    # query is in the window, and the single non-r1 entry is the
+    # chosen float-risk r2 pixel path
     oracled = {n for n, q in QUERY_REGISTRY.items() if q.oracle}
-    never = oracled - checked - set(new_26)
-    # only queries REGISTERED AFTER this rotation may remain
-    # unchecked (the round-9 pool) — none of them may sit inside the
-    # frozen window, and every pre-rotation oracled query is covered
-    assert not never & set(_DRIVER_PRIORITY), never & set(_DRIVER_PRIORITY)
-    round9_pool = {
-        "a24_pivot_status_matrix", "dd_edit1_near_pairs",
-        "sk_ams_f2_estimate", "dq_dp_laplace_counts",
-        "tj_classical_decomposition", "st_stream_static_enrich",
-        "cu_kcenter_coreset",
-    }
-    stragglers = never - round9_pool
-    assert not stragglers, (
+    r1_only = {n for n, r in history.items() if r == 1 and n in oracled}
+    assert r1_only <= recheck_43, r1_only - recheck_43
+    extra = recheck_43 - r1_only
+    assert extra == {"px_x10_quicklook_radiometry"}, extra
+    assert history["px_x10_quicklook_radiometry"] == 2
+    # after this round lands 50/50, every oracled query has a driver
+    # row: nothing registered before this rotation is left unchecked
+    never = oracled - set(history) - set(pool_7)
+    assert not never, (
         f"oracled queries neither driver-checked nor in the "
-        f"enumerated round-9 pool: {stragglers}")
+        f"round-9 window: {never}")
 
 
 def test_oracles_nonvacuous_at_sf0_01():
