@@ -34,3 +34,24 @@ def duck_ts(col: str = "ts") -> str:
     """Type-robust DuckDB expression yielding ``col`` as plain UTC
     TIMESTAMP regardless of how the parquet surfaced it."""
     return DUCK_TS.format(c=col)
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with interpreter-exit reclamation.
+
+    Every query/stage scratch (store roots, streaming checkpoints,
+    staged parquet copies) must come through here: harness processes
+    are transient and run hundreds of queries per round, so a bare
+    mkdtemp accumulates table-sized litter in /tmp across rounds
+    (ADVICE-r7 lo_dpp, ADVICE-r8 st_stream_static_enrich — this
+    helper fixes the whole class). Cleanup is best-effort
+    (``ignore_errors``): a scratch that outlives a crashed process is
+    the OS tmpfiles reaper's job, exactly like before.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path

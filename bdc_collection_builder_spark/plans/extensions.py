@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.functions.rounds import note_rounds
-from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.plans._util import scratch_dir, t
 from bdc_collection_builder_spark.plans.registry import query
 
 # Tokenization shared by the DuckDB oracles (identical semantics to
@@ -2811,7 +2811,6 @@ def ss_ivf_incremental_upsert(spark, sf_dir):
     exactly the full corpus assigned once each — byte-identical to the
     oracle's from-scratch assignment, proving the incremental path
     converges to the batch rebuild."""
-    import tempfile
 
     from bdc_collection_builder_spark.extensions.similarity import (
         build_ivf_index_seeded,
@@ -2819,7 +2818,7 @@ def ss_ivf_incremental_upsert(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    path = tempfile.mkdtemp(prefix="bdc_ivf_upsert_")
+    path = scratch_dir("bdc_ivf_upsert_")
     # base = even half plus the 16 seed vectors (the quantizer must see
     # its own seeds; odd seeds redelivered in the batch then no-op)
     build_ivf_index_seeded(

@@ -16,7 +16,7 @@ from bdc_collection_builder_spark.operators.layout import (
     zorder_oracle_sql,
     zorder_value,
 )
-from bdc_collection_builder_spark.plans._util import duck_ts, t
+from bdc_collection_builder_spark.plans._util import duck_ts, scratch_dir, t
 from bdc_collection_builder_spark.plans.registry import query
 
 _Z_BITS = 8
@@ -340,9 +340,6 @@ def lo_dynamic_partition_pruning(spark, sf_dir):
     100 TB: the dim side is |days| rows (broadcast); the fact side
     reads only pruned partitions; ONE aggregate per surviving
     partition group, map-side combined."""
-    import atexit
-    import shutil
-    import tempfile
 
     # First invocation per (process, sf_dir) pays an O(table)
     # partitioned rewrite — deliberately kept OUT of bench.py's
@@ -350,8 +347,7 @@ def lo_dynamic_partition_pruning(spark, sf_dir):
     # exit so repeated harness processes don't accumulate table
     # copies in /tmp (ADVICE-r7).
     if sf_dir not in _DPP_PART_DIRS:
-        out = tempfile.mkdtemp(prefix="bdc_dpp_part_")
-        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        out = scratch_dir("bdc_dpp_part_")
         (t(spark, sf_dir, "events")
          .withColumn("day", F.date_format(
              F.date_trunc("day", F.col("ts").cast("timestamp")),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.functions.pixel import synthetic_pixels_oracle
-from bdc_collection_builder_spark.plans._util import duck_ts, t
+from bdc_collection_builder_spark.plans._util import duck_ts, scratch_dir, t
 from bdc_collection_builder_spark.plans.registry import query
 
 _TS = duck_ts()
@@ -237,7 +237,6 @@ def _hdf_scene_dir(spark) -> str:
     :func:`_tiff_scene_dir`."""
     if "hdf_dir" not in _TIFF_DIRS:
         import os
-        import tempfile
 
         import pandas as pd
 
@@ -246,7 +245,7 @@ def _hdf_scene_dir(spark) -> str:
         )
         from bdc_collection_builder_spark.sources.hdf4 import write_hdf4
 
-        out = tempfile.mkdtemp(prefix="bdc_hdf_scenes_")
+        out = scratch_dir("bdc_hdf_scenes_")
         px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
 
         def write_group(key, pdf):
@@ -1132,7 +1131,6 @@ def st_stateful_sessionize(spark, sf_dir):
     sessionization minus each user's last session) is a FULL value
     check; only the always-on multi-restart schedule is engine-order
     dependent (covered by the streaming tests instead)."""
-    import tempfile
     import uuid
 
     from bdc_collection_builder_spark.sources.tables import load_table
@@ -1140,7 +1138,7 @@ def st_stateful_sessionize(spark, sf_dir):
         streaming_sessionize,
     )
 
-    scratch = tempfile.mkdtemp(prefix="bdc_sessionize_")
+    scratch = scratch_dir("bdc_sessionize_")
     events_dir = f"{scratch}/events"
     load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
         events_dir)
@@ -1173,14 +1171,13 @@ def st_incremental_dedup(spark, sf_dir):
     value-checkable: the oracle is simply the distinct text digests
     (the planted re-uploads duplicate existing texts and must
     contribute nothing)."""
-    import tempfile
 
     from bdc_collection_builder_spark.sources.tables import load_table
     from bdc_collection_builder_spark.streaming.incremental import (
         incremental_dedup,
     )
 
-    scratch = tempfile.mkdtemp(prefix="bdc_stream_dedup_")
+    scratch = scratch_dir("bdc_stream_dedup_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.write.mode("append").parquet(f"{scratch}/in")
     (docs.filter(F.col("doc_id") % 10 == 0)
@@ -1228,7 +1225,6 @@ def st_incremental_near_dedup(spark, sf_dir):
     (engine-neutral, cross-doc Jaccard ~0, planted-pair Jaccard
     36/39 ≈ 0.92 >= the 0.5 threshold; asserted by the companion
     streaming test), which exercises the operator identically."""
-    import tempfile
 
     from bdc_collection_builder_spark.sources.tables import load_table
     from bdc_collection_builder_spark.streaming.incremental import (
@@ -1237,7 +1233,7 @@ def st_incremental_near_dedup(spark, sf_dir):
 
     from bdc_collection_builder_spark.extensions.dedup import md5_hash60
 
-    scratch = tempfile.mkdtemp(prefix="bdc_stream_neardup_")
+    scratch = scratch_dir("bdc_stream_neardup_")
     # deterministic 40-token corpus keyed by doc_id (see docstring):
     # token j of doc d = 'w' + (md5_60(d:j) % 100000)
     synth_text = F.concat_ws(" ", F.transform(
@@ -1292,7 +1288,6 @@ def st_stream_stream_join(spark, sf_dir):
     not O(history). The inner join's emitted pairs equal the batch
     interval join exactly, which the DuckDB oracle replays — a FULL
     value check, not rows-only, unlike the stateful st_* queries."""
-    import tempfile
     import uuid
 
     from bdc_collection_builder_spark.sources.tables import load_table
@@ -1300,7 +1295,7 @@ def st_stream_stream_join(spark, sf_dir):
         streaming_interval_join,
     )
 
-    scratch = tempfile.mkdtemp(prefix="bdc_ssj_")
+    scratch = scratch_dir("bdc_ssj_")
     events_dir = f"{scratch}/events"
     load_table(spark, sf_dir, "events").coalesce(8).write.mode(
         "overwrite").parquet(events_dir)
@@ -1454,11 +1449,10 @@ _ROUNDTRIP_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _roundtrip_dir(spark, sf_dir: str, fmt: str) -> str:
-    import tempfile
 
     key = (sf_dir, fmt)
     if key not in _ROUNDTRIP_DIRS:
-        out = tempfile.mkdtemp(prefix=f"bdc_{fmt}_roundtrip_")
+        out = scratch_dir(f"bdc_{fmt}_roundtrip_")
         docs = t(spark, sf_dir, "documents")
         if fmt == "json":
             docs.coalesce(4).write.mode("overwrite").json(out)
@@ -1556,7 +1550,6 @@ def _tiff_scene_dir(spark) -> str:
     storage; locally it's a temp dir."""
     if "dir" not in _TIFF_DIRS:
         import os
-        import tempfile
 
         import pandas as pd
 
@@ -1565,7 +1558,7 @@ def _tiff_scene_dir(spark) -> str:
         )
         from bdc_collection_builder_spark.sources.tiff import write_tiff
 
-        out = tempfile.mkdtemp(prefix="bdc_tiff_scenes_")
+        out = scratch_dir("bdc_tiff_scenes_")
         px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
 
         def write_group(key, pdf):
@@ -1675,7 +1668,6 @@ def _tiff_multiband_dir(spark) -> str:
     Same distributed applyInPandas sink as :func:`_tiff_scene_dir`."""
     if "mb_dir" not in _TIFF_DIRS:
         import os
-        import tempfile
 
         import numpy as np
         import pandas as pd
@@ -1685,7 +1677,7 @@ def _tiff_multiband_dir(spark) -> str:
         )
         from bdc_collection_builder_spark.sources.tiff import write_tiff
 
-        out = tempfile.mkdtemp(prefix="bdc_tiff_mb_scenes_")
+        out = scratch_dir("bdc_tiff_mb_scenes_")
         px = synthetic_pixels(spark, n_scenes=4, height=16, width=16)
 
         def write_group(key, pdf):
@@ -1798,7 +1790,6 @@ _HTTP_SRV: dict[str, object] = {}
 
 def _http_providers() -> list[tuple[str, str]]:
     if "providers" not in _HTTP_SRV:
-        import tempfile
 
         from bdc_collection_builder_spark.pipeline.stages import (
             start_fixture_provider,
@@ -1809,7 +1800,7 @@ def _http_providers() -> list[tuple[str, str]]:
         _HTTP_SRV["providers"] = [("flaky", flaky_url),
                                   ("stable", stable_url)]
         _HTTP_SRV["servers"] = (flaky_srv, stable_srv)
-        _HTTP_SRV["out_dir"] = tempfile.mkdtemp(prefix="bdc_http_dl_")
+        _HTTP_SRV["out_dir"] = scratch_dir("bdc_http_dl_")
     return _HTTP_SRV["providers"]  # type: ignore[return-value]
 
 
@@ -1914,7 +1905,6 @@ def s25_subprocess_correction(spark, sf_dir):
     template only."""
     import os
     import sys
-    import tempfile
 
     from bdc_collection_builder_spark.pipeline.stages import (
         http_download_stage,
@@ -1924,11 +1914,11 @@ def s25_subprocess_correction(spark, sf_dir):
 
     providers = _http_providers()
     if "proc_script" not in _HTTP_SRV:
-        script = os.path.join(tempfile.mkdtemp(prefix="bdc_proc_"),
+        script = os.path.join(scratch_dir("bdc_proc_"),
                               "fixture_processor.py")
         write_fixture_processor(script)
         _HTTP_SRV["proc_script"] = script
-        _HTTP_SRV["corr_dir"] = tempfile.mkdtemp(prefix="bdc_corr_")
+        _HTTP_SRV["corr_dir"] = scratch_dir("bdc_corr_")
     script = str(_HTTP_SRV["proc_script"])
     argv = [sys.executable, script, "{version}", "{input}", "{output}"]
     scenes = _scenes(spark, sf_dir).orderBy("scene_id").limit(60)
@@ -2160,11 +2150,10 @@ def _cdf_store(spark, sf_dir) -> tuple[str, str, str]:
     MERGE v2 (the %20 subset with bumped payloads), and return
     (root, gen_v1, gen_v2) for change-feed reads."""
     if sf_dir not in _CDF_STORES:
-        import tempfile
 
         from bdc_collection_builder_spark.catalog.store import CatalogStore
 
-        root = tempfile.mkdtemp(prefix="bdc_cdf_store_")
+        root = scratch_dir("bdc_cdf_store_")
         store = CatalogStore(spark, root)
         orders = t(spark, sf_dir, "orders")
 
@@ -2307,7 +2296,6 @@ def s27_docker_correction(spark, sf_dir):
     twin decodes — so the oracle predicts the landing version and the
     md5 of the container's actual mounted output bytes."""
     import os
-    import tempfile
 
     from bdc_collection_builder_spark.pipeline.stages import (
         docker_correction_stage,
@@ -2315,7 +2303,7 @@ def s27_docker_correction(spark, sf_dir):
     )
 
     if "bin" not in _DOCKER_FIX:
-        root = tempfile.mkdtemp(prefix="bdc_docker_")
+        root = scratch_dir("bdc_docker_")
         fake = os.path.join(root, "docker")
         write_fake_docker(fake)
         _DOCKER_FIX.update(bin=fake, in_dir=os.path.join(root, "in"),
@@ -2352,14 +2340,13 @@ def _constraint_store_outcomes(spark, sf_dir) -> tuple[int, bool, bool]:
     restrict_delete_blocked). Cached per sf_dir so repeated query
     invocations (verify + driver) are idempotent."""
     if sf_dir not in _CONSTRAINT_STORES:
-        import tempfile
 
         from bdc_collection_builder_spark.catalog.store import (
             CatalogStore,
             ConstraintViolation,
         )
 
-        root = tempfile.mkdtemp(prefix="bdc_constraint_store_")
+        root = scratch_dir("bdc_constraint_store_")
         store = CatalogStore(spark, root)
         nation = t(spark, sf_dir, "nation")
         orders = t(spark, sf_dir, "orders")
@@ -2485,11 +2472,10 @@ def _schema_evo_store(spark, sf_dir) -> tuple[str, str, str]:
     the Delta ``mergeSchema`` ADD-COLUMN path (store.merge_upsert).
     Returns (root, gen_v1, gen_v2)."""
     if sf_dir not in _SCHEMA_EVO_STORES:
-        import tempfile
 
         from bdc_collection_builder_spark.catalog.store import CatalogStore
 
-        root = tempfile.mkdtemp(prefix="bdc_schema_evo_store_")
+        root = scratch_dir("bdc_schema_evo_store_")
         store = CatalogStore(spark, root)
         orders = t(spark, sf_dir, "orders")
 
@@ -2626,10 +2612,9 @@ def s30_hive_partitioned_roundtrip(spark, sf_dir):
     (string key here; the oracle recomputes from the source table, so
     the hash match proves write→list→prune→read loses nothing)."""
     import os
-    import tempfile
 
     if sf_dir not in _HIVE_PART_DIRS:
-        out = tempfile.mkdtemp(prefix="bdc_hive_part_")
+        out = scratch_dir("bdc_hive_part_")
         (t(spark, sf_dir, "events")
          .write.mode("overwrite").partitionBy("event_type").parquet(out))
         _HIVE_PART_DIRS[sf_dir] = out
@@ -2711,7 +2696,6 @@ def st_stream_outer_join(spark, sf_dir):
     100 TB: state is O(watermark window x arrival rate) per side,
     never O(history); the memory sink here is test plumbing — a real
     deployment writes the same append stream to parquet/Delta."""
-    import tempfile
     import uuid
 
     from bdc_collection_builder_spark.sources.tables import load_table
@@ -2719,7 +2703,7 @@ def st_stream_outer_join(spark, sf_dir):
         streaming_interval_join_left,
     )
 
-    scratch = tempfile.mkdtemp(prefix="bdc_ssjl_")
+    scratch = scratch_dir("bdc_ssjl_")
     events_dir = f"{scratch}/events"
     load_table(spark, sf_dir, "events").coalesce(8).write.mode(
         "overwrite").parquet(events_dir)
@@ -2879,7 +2863,6 @@ def s32_csv_malformed_recovery(spark, sf_dir):
     100 TB: single-line CSV stays splittable; the corrupt-rate
     aggregate combines map-side; quarantining is `WHERE
     _corrupt_record IS NOT NULL` on the same scan."""
-    import tempfile
 
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
@@ -2899,7 +2882,7 @@ def s32_csv_malformed_recovery(spark, sf_dir):
         .otherwise(F.concat_ws(",", F.col("k"), F.col("status"),
                                price_str))
     )
-    path = tempfile.mkdtemp(prefix="bdc_csvmal_") + "/orders_csv"
+    path = scratch_dir("bdc_csvmal_") + "/orders_csv"
     orders.select(line.alias("value")).write.mode("overwrite").text(path)
     parsed = (
         spark.read
@@ -2942,13 +2925,12 @@ def _part_evo_outcomes(spark, sf_dir):
     dict lookup, not the store; exclude from bench or document if
     benched."""
     if sf_dir not in _PART_EVO_STORES:
-        import tempfile
 
         from bdc_collection_builder_spark.catalog.store import (
             PartitionedCatalogStore,
         )
 
-        root = tempfile.mkdtemp(prefix="bdc_part_evo_store_")
+        root = scratch_dir("bdc_part_evo_store_")
         store = PartitionedCatalogStore(spark, root)
         orders = t(spark, sf_dir, "orders")
 
@@ -3063,11 +3045,10 @@ def _erasure_store_root(spark, sf_dir) -> str:
     idempotence (the second apply is a no-op rewrite of identical
     content)."""
     if sf_dir not in _ERASURE_STORES:
-        import tempfile
 
         from bdc_collection_builder_spark.catalog.store import CatalogStore
 
-        root = tempfile.mkdtemp(prefix="bdc_erasure_store_")
+        root = scratch_dir("bdc_erasure_store_")
         store = CatalogStore(spark, root)
         orders = t(spark, sf_dir, "orders")
         items = orders.filter(F.col("o_orderkey") % 10 == 0).select(
@@ -3150,11 +3131,10 @@ def _vacuum_horizon_store(spark, sf_dir) -> tuple[str, bool, bool]:
     cache — deterministic and test-correct; NOT benchmarkable, see
     bench.py preamble)."""
     if sf_dir not in _VACUUM_HORIZON_STORES:
-        import tempfile
 
         from bdc_collection_builder_spark.catalog.store import CatalogStore
 
-        root = tempfile.mkdtemp(prefix="bdc_vacuum_horizon_")
+        root = scratch_dir("bdc_vacuum_horizon_")
         store = CatalogStore(spark, root)
         orders = t(spark, sf_dir, "orders")
         items = orders.filter(F.col("o_orderkey") % 10 == 0).select(
@@ -3281,9 +3261,6 @@ def st_stream_static_enrich(spark, sf_dir):
     100 TB: the dim broadcasts once per batch (dimension-sized); the
     stream side never shuffles for the join; the post-drain rollup
     is one map-side-combined groupBy with |nations| groups."""
-    import atexit
-    import shutil
-    import tempfile
     import uuid
 
     from bdc_collection_builder_spark.sources.tables import load_table
@@ -3291,11 +3268,9 @@ def st_stream_static_enrich(spark, sf_dir):
         streaming_static_enrich,
     )
 
-    scratch = tempfile.mkdtemp(prefix="bdc_sse_")
-    # reclaim the events copy + checkpoint on interpreter exit
-    # (ADVICE-r8 — same /tmp-accumulation fix as
-    # lo_dynamic_partition_pruning's _DPP_PART_DIRS)
-    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    # scratch_dir reclaims the events copy + checkpoint on
+    # interpreter exit (ADVICE-r8)
+    scratch = scratch_dir("bdc_sse_")
     events_dir = f"{scratch}/events"
     load_table(spark, sf_dir, "events").coalesce(8).write.mode(
         "overwrite").parquet(events_dir)

@@ -88,3 +88,4 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
         .format("parquet")
         .saveAsTable(table_name)
     )
+

@@ -85,6 +85,33 @@ BENCH_QUERIES = [
     "s29_schema_evolution_timetravel",  # ADD COLUMN + snapshot reads
 ]
 
+# FROZEN-v2 transition (VERDICT-r8 What's-wrong #3): the 51-entry
+# suite above predates rounds 7-8, so ~60 newer queries were benched
+# only if they hit the >5s heavy list. These 10 round-7/8
+# representatives extend it to the FROZEN-v2 suite (61 entries).
+# For ONE transition round both totals are reported — "value" stays
+# the old-51 sum (comparable with BENCH_r08), "value_v2" is the
+# 61-entry sum that becomes the headline next round. Judge-suggested
+# members, with two documented substitutions: gr_strongly_connected
+# stays in BENCH_HEAVY (8.3s > the 5s suite ceiling) -> replaced by
+# gr_clustering_coefficient (the round-7 triangle/wedge graph rep);
+# lo_dynamic_partition_pruning's first call per (process, sf_dir)
+# pays an O(table) partitioned rewrite into a module cache, so its
+# max/min spread would trip the noisy flag every round -> replaced
+# by tj_mann_kendall_trend (the round-7 integer-stat temporal rep).
+BENCH_V2_ADDITIONS = [
+    "dd_hamming_near_pairs",     # pigeonhole segment-blocked join
+    "sql01_shared_ansi_text",    # shared-ANSI-text dialect seam
+    "tx_heaps_vocab_growth",     # vocab-growth log-log regression
+    "dq_t_closeness",            # per-group EMD vs global dist
+    "j31_waiting_supplier_blame",  # Q21 aggregate-decorrelation twin
+    "a23_copurchase_support",    # pair-support self-join + prune
+    "mm_audio_silence_trim",     # Arrow-batched PCM trim
+    "st_incremental_near_dedup",  # streaming LSH dedup drain
+    "gr_clustering_coefficient",  # triangle/wedge ratios
+    "tj_mann_kendall_trend",     # integer S-statistic trend test
+]
+
 # BENCH_HEAVY (VERDICT-r7 What's-wrong #4): known >5s queries, measured
 # ONCE per round and reported under a separate "heavy" key — NOT part
 # of the frozen comparable 51-entry suite or its totals, so tail-cost
@@ -148,7 +175,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + BENCH_V2_ADDITIONS:
         fn = QUERY_REGISTRY[name].spark_fn
         samples = []
         for _ in range(n_runs):
@@ -192,7 +219,13 @@ def main() -> None:
         heavy[name] = round(time.perf_counter() - start, 3)
         spark.catalog.clearCache()
 
-    total = round(sum(times.values()), 3)
+    # Transition-round totals: "value" keeps the exact BENCH_r08
+    # membership (old 51 queries + 3 proxies) so the round-over-round
+    # delta stays apples-to-apples; "value_v2" adds the 10 FROZEN-v2
+    # entries and becomes the headline total next round.
+    v2_set = set(BENCH_V2_ADDITIONS)
+    total = round(sum(t for n, t in times.items() if n not in v2_set), 3)
+    total_v2 = round(sum(times.values()), 3)
     # Contention self-report (VERDICT-r6 What's-wrong #1): round 6's
     # driver machine was contended — j10 median 3.99s with spread min
     # 1.40s on a plan unchanged since r5 — and the total read as a 17%
@@ -207,7 +240,9 @@ def main() -> None:
     for n in spread:
         spread[n]["noisy"] = n in noisy
     clean_total = round(sum(t for n, t in times.items()
-                            if n not in noisy), 3)
+                            if n not in noisy and n not in v2_set), 3)
+    clean_total_v2 = round(sum(t for n, t in times.items()
+                               if n not in noisy), 3)
     # Per-query delta vs the LATEST recorded round: surfaces
     # regressions query-by-query instead of letting suite growth mask
     # them. Noisy queries are EXCLUDED from the delta — their medians
@@ -245,6 +280,10 @@ def main() -> None:
         "metric": "headline_query_suite_wall",
         "value": total,
         "clean_queries_total": clean_total,
+        "value_v2": total_v2,
+        "clean_queries_total_v2": clean_total_v2,
+        "v2_additions": BENCH_V2_ADDITIONS,
+        "suite": "frozen51+v2-transition",
         "noisy_queries": sorted(noisy),
         "unit": "sec",
         "n": n_runs,
@@ -258,15 +297,22 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full))
+    # Compact-line budget: the driver's stdout tail keeps exactly 2000
+    # chars and parses the LAST line; the 10 v2 additions pushed the
+    # 3-dp everything-included shape to ~2100 chars (the round-4
+    # "parsed": null failure mode). The compact line therefore carries
+    # 1-dp per-query medians (sub-0.1s resolution lives in the
+    # committed BENCH_FULL.json, same 3-dp record as always) and drops
+    # the fields recoverable from there (n, noisy_count,
+    # clean_queries_total_v2) — ~1930 chars, ~70 of headroom.
     print(json.dumps({
         "metric": "headline_query_suite_wall",
-        "value": total,
-        "clean_queries_total": clean_total,
-        "noisy_count": len(noisy),
+        "value": round(total, 2),
+        "clean_queries_total": round(clean_total, 2),
+        "value_v2": round(total_v2, 2),
         "unit": "sec",
-        "n": n_runs,
-        "queries": times,
-        "heavy": heavy,
+        "queries": {n: round(t, 1) for n, t in times.items()},
+        "heavy": {n: round(t, 2) for n, t in heavy.items()},
         "sf": sf_val,
     }, separators=(",", ":")))
     spark.stop()
