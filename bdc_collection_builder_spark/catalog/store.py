@@ -1194,6 +1194,24 @@ class Transaction:
         if table in self._staged:
             return self.store.spark.read.schema(SCHEMAS[table]).parquet(
                 os.path.join(self.store.path(table), self._staged[table]))
+        pcols = getattr(self.store, "partition_cols", None)
+        if pcols and table in pcols:
+            # Partitioned tables can't be STAGED in a transaction
+            # (their atomicity unit is the partition — _put refuses)
+            # but they must be READABLE: commit-time FK validation of
+            # staged flat tables reads the referenced/referencing
+            # tables through this method, and the flat pointer of a
+            # partitioned table doesn't exist — the old fall-through
+            # returned an EMPTY view, so a child insert validated
+            # against a partitioned parent rejected every row, and a
+            # parent delete's reverse check silently missed a
+            # partitioned child's references (round-9 escalation-
+            # matrix finding; cells pinned in test_constraints.py).
+            # Unpinned read: partition pointers may advance during
+            # the transaction — the same documented cross-commit FK
+            # optimism as _cas_commit; the moved-gen CAS at commit
+            # covers staged (flat) tables only.
+            return self.store.read(table)
         self._touch(table)
         return self.store._read_pinned(table, self._base[table])
 

@@ -812,3 +812,162 @@ def test_escalated_append_on_schema_evolved_table(spark, tmp_path):
     dup = batch.withColumn("id", F.col("id") + 1)
     with pytest.raises(ConstraintViolation, match="unique"):
         st.append("items", dup)
+
+
+# ---------------------------------------------------------------------------
+# Escalation matrix (VERDICT-r8 stretch). Writer kinds x constraint
+# kinds on partitioned tables, each cell pinned somewhere in this file:
+#
+#   writer \ cell        | forward FK        | reverse FK (restrict) | cascade          | cross-part UNIQUE
+#   ---------------------+-------------------+-----------------------+------------------+------------------
+#   escalated merge      | fk_to_partitioned | fk_to_partitioned     | refused at decl  | opt_in_escalates,
+#                        | _parent_opt_in    | _parent_opt_in        | (both directions)| racing_merges
+#   escalated overwrite/ | opt_in_escalates  | fk_to_partitioned     | refused at decl  | opt_in_escalates
+#   update/delete/append | (update path)     | _parent_opt_in        |                  | append_routes
+#   TRANSACTION (flat    | tx_fk_validates_  | tx_reverse_fk_sees_   | refused at decl  | n/a (flat writer,
+#   table, partitioned   | against_partition | partitioned_child     | (cascade_by_     | partitioned twin
+#   FK neighbor)         | ed_parent         |                       | partitioned_...) | unreachable)
+#   vacuum vs escalated  | --- vacuum_concurrent_with_escalated_merge: snapshot expiry never collects ---
+#   merge                | --- a generation the in-flight merge's validation view is streaming        ---
+# ---------------------------------------------------------------------------
+
+
+def test_tx_fk_validates_against_partitioned_parent(spark, tmp_path):
+    """Matrix cell (transaction x forward FK): a TRANSACTIONAL insert
+    into a flat child whose FK references a PARTITIONED parent must
+    validate against the parent's real partitioned view. Before the
+    round-9 fix, Transaction.read of a partitioned table fell through
+    to the (nonexistent) flat pointer and returned an EMPTY view — so
+    every transactional child insert was rejected as an orphan."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(
+        spark, str(tmp_path / "pcat_txfk"),
+        partition_cols={"items": "collection_id"})
+    fx = make_fixtures(spark, n_scenes=20, n_tiles=4)
+    st.overwrite("items", fx["items"])
+    st.overwrite("activities", fx["activities"])
+    st.set_constraints(
+        "activities",
+        foreign_keys=({"columns": ["collection_id"],
+                       "ref_table": "items",
+                       "ref_columns": ["collection_id"]},),
+        allow_cross_partition=True)
+
+    valid_cid = st.read("items").limit(1).collect()[0]["collection_id"]
+    base = st.read("activities").limit(1)
+    good = (base.withColumn("id", F.lit(91110001).cast("int"))
+            .withColumn("collection_id",
+                        F.lit(int(valid_cid)).cast("int")))
+    # valid referenced key: the transaction must COMMIT (the empty-
+    # parent bug rejected this row)
+    with st.transaction() as tx:
+        tx.merge_upsert("activities", good, keys=["id"])
+    assert st.read("activities").filter("id = 91110001").count() == 1
+    # orphan key: rejected, nothing committed
+    orphan = good.withColumn("id", F.lit(91110002).cast("int")) \
+        .withColumn("collection_id", F.lit(99999999).cast("int"))
+    with pytest.raises(ConstraintViolation, match="foreign_key"):
+        with st.transaction() as tx:
+            tx.merge_upsert("activities", orphan, keys=["id"])
+    assert st.read("activities").filter("id = 91110002").count() == 0
+
+
+def test_tx_reverse_fk_sees_partitioned_child(spark, tmp_path):
+    """Matrix cell (transaction x reverse FK): a TRANSACTIONAL delete
+    of flat-parent rows must be blocked when a PARTITIONED child still
+    references them. Before the round-9 fix this was the SILENT
+    variant of the empty-view bug: the reverse check read the
+    partitioned child as empty, saw no references, and committed a
+    dangling reference."""
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(
+        spark, str(tmp_path / "pcat_txrev"),
+        partition_cols={"items": "collection_id"})
+    fx = make_fixtures(spark, n_scenes=20, n_tiles=4)
+    st.overwrite("collections", fx["collections"])
+    st.overwrite("items", fx["items"])
+    st.set_constraints(
+        "items",
+        foreign_keys=({"columns": ["collection_id"],
+                       "ref_table": "collections",
+                       "ref_columns": ["id"]},),
+        allow_cross_partition=True)
+
+    referenced = st.read("items").limit(1).collect()[0]["collection_id"]
+    n0 = st.read("collections").count()
+    with pytest.raises(ConstraintViolation, match="orphan"):
+        with st.transaction() as tx:
+            tx.overwrite(
+                "collections",
+                tx.read("collections").filter(
+                    F.col("id") != int(referenced)))
+    assert st.read("collections").count() == n0
+    # an UNREFERENCED parent row deletes fine through the same path
+    fresh = (st.read("collections").limit(1)
+             .withColumn("id", F.lit(92220001).cast("int"))
+             .withColumn("name", F.lit("txrev-unref")))
+    st.merge_upsert("collections", fresh, keys=["id"])
+    with st.transaction() as tx:
+        tx.overwrite("collections",
+                     tx.read("collections").filter("id != 92220001"))
+    assert st.read("collections").filter("id = 92220001").count() == 0
+
+
+def test_vacuum_concurrent_with_escalated_merge(spark, tmp_path):
+    """Matrix cell (vacuum x escalated merge): snapshot expiry running
+    concurrently with escalated merges must never collect a generation
+    the in-flight merge's _global_validate view is streaming — the
+    merge pins every base generation it reads (pin-then-verify) and
+    per-partition vacuum honors on-disk _PIN markers, so both
+    operations complete and every committed batch stays visible."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat_vac"))
+    fx = make_fixtures(spark, n_scenes=40, n_tiles=4)
+    st.overwrite("items", fx["items"])
+    st.set_constraints("items", unique=("name",),
+                       allow_cross_partition=True)
+    assert st._escalated("items")
+
+    def merger(i: int) -> str:
+        # read the CURRENT snapshot inside the round: a lazy plan
+        # captured before an earlier round's merge references that
+        # round's base generation, which a later vacuum legitimately
+        # collects — the documented MVCC caveat (VACUUM breaks
+        # old-snapshot readers, exactly like Delta). The property
+        # under test is about generations the IN-FLIGHT merge reads.
+        mst = PartitionedCatalogStore(spark, st.root)
+        row = (mst.read("items").limit(1)
+               .withColumn("id", F.col("id") + 7000000 + i)
+               .withColumn("name", F.concat(F.lit("vac-"),
+                                            F.lit(str(i)))))
+        mst.merge_upsert("items", row)
+        return f"merged-{i}"
+
+    def vacuumer(i: int) -> str:
+        PartitionedCatalogStore(spark, st.root).vacuum(
+            "items", keep_last=1)
+        return f"vacuumed-{i}"
+
+    for round_no in range(3):
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(merger, round_no)
+            f2 = ex.submit(vacuumer, round_no)
+            assert f1.result(timeout=300).startswith("merged")
+            assert f2.result(timeout=300).startswith("vacuumed")
+        # the committed batch is visible and unique-key intact
+        assert st.read("items").filter(
+            F.col("name") == f"vac-{round_no}").count() == 1
