@@ -219,6 +219,15 @@ def _load_all() -> None:
 # a11, a15, dd_minhash_lsh_pairs, dd_simhash_pairs stay the five
 # documented rows-only exclusions, each pinned against a green exact
 # twin in pytest).
+# VERDICT-r8 task 8 (new-operator pool) resolved by inventory, per
+# the round-7 dedup lesson: BOTH candidates are shape-duplicates and
+# were NOT added — weighted reservoir sampling IS
+# cu_weighted_sample_es (Efraimidis–Spirakis A-ES, oracled, green),
+# and the semantic-dedup cluster-id assignment is the composition
+# dd_embedding_near_pairs (bucketed-cosine pairs) ->
+# dd_cluster_components (min-label CC emitting cluster ids + the
+# min-id survivor rule), with dd_semantic_dedup /
+# cu_semdedup_threshold_curve covering the quantizer-bounded form.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 7 round-9-pool queries, VERDICT risk order
     "st_stream_static_enrich", "dd_edit1_near_pairs",
