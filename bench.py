@@ -129,8 +129,12 @@ HEAVY_QUERIES = [
     "dd_edit1_near_pairs",        # FastSS deletion-neighborhood join;
                                   # candidate set is quadratic in
                                   # duplicate-head group size on the
-                                  # template corpus — measured 7.3s
-                                  # at sf0.1 (round-9 budget check)
+                                  # template corpus — 7.3s COLD
+                                  # (round-9 budget check, first
+                                  # query of a fresh session) but
+                                  # 1.3s in bench's warmed session;
+                                  # candidate to graduate into the
+                                  # v2 suite next round
 ]
 
 
