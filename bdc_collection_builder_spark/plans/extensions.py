@@ -5909,6 +5909,18 @@ def dd_edit1_near_pairs(spark, sf_dir):
     brute-forces all pairs, feasible only at oracle scale — equality
     proves the neighborhood dropped nothing."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return edit1_near_pairs(docs)
+
+
+def edit1_near_pairs(docs: "DataFrame") -> "DataFrame":
+    """FastSS edit-distance<=1 join engine behind
+    :func:`dd_edit1_near_pairs` — factored out (the scc_labels
+    pattern) so tests can drive it with ADVERSARIAL planted corpora
+    (substitution/insertion/deletion at head/middle/tail, distance-2
+    decoys, exact duplicates, non-ASCII projection seams) beyond the
+    derived documents table. ``docs`` is (doc_id, text). Returns
+    (doc_a, doc_b, n_edits) for every unordered pair whose
+    ASCII-projected 32-char heads are within edit distance 1."""
     heads = docs.select(
         "doc_id",
         F.regexp_replace(F.expr("substring(text, 1, 32)"),

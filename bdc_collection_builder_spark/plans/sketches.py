@@ -631,6 +631,16 @@ def sk_ams_f2_estimate(spark, sf_dir):
         F.col("user_id").cast("string").alias("u"))
     per_user = ev.groupBy("u").agg(
         F.count("*").cast("bigint").alias("cnt"))
+    return ams_f2_from_counts(per_user)
+
+
+def ams_f2_from_counts(per_user):
+    """AMS tug-of-war estimator behind :func:`sk_ams_f2_estimate` —
+    factored out (the scc_labels pattern) so tests can drive it with
+    PLANTED per-key counts and cross-check the md5-parity sign hash
+    and the median-of-16 order statistics bit-exactly against an
+    in-process Python mirror. ``per_user`` is (u string, cnt
+    bigint)."""
     from bdc_collection_builder_spark.extensions.dedup import md5_hash60
 
     signs = [

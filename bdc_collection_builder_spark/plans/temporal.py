@@ -1188,6 +1188,16 @@ def tj_classical_decomposition(spark, sf_dir):
                 .alias("cents"))
         .groupBy("d").agg(F.sum("cents").cast("bigint").alias("cents"))
     )
+    return classical_decomposition(daily)
+
+
+def classical_decomposition(daily: "DataFrame") -> "DataFrame":
+    """Period-7 MA decomposition engine behind
+    :func:`tj_classical_decomposition` — factored out (the scc_labels
+    pattern) so tests can drive it with PLANTED series (a pure
+    zero-mean weekly signal is recovered EXACTLY: cents = C + s[dow]
+    with sum(s)=0 gives sum7 = 7C, det_x7 = 7*s, seasonal = s).
+    ``daily`` is (d date, cents bigint), one row per day."""
     win = (
         daily.select(
             "cents",

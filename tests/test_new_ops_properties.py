@@ -985,3 +985,178 @@ def test_scc_labels_adversarial_chain_of_cycles(spark):
     for _v, rep in got:
         sizes[rep] = sizes.get(rep, 0) + 1
     assert sorted(s for s in sizes.values() if s > 1) == [4] * 6
+
+
+def test_edit1_near_pairs_adversarial_vs_bruteforce(spark):
+    """Drive the factored FastSS engine with the corpus it is worst
+    at — substitutions at head/middle/tail, an insertion and a
+    deletion (which shift every later position past Hamming
+    blocking), exact duplicates, distance-2 decoys, empty and 1-char
+    strings, >32-char strings differing only in the invisible tail,
+    and the non-ASCII '?'-projection seams — and demand exact set
+    agreement with an in-process brute-force DP levenshtein over the
+    projected 32-char heads (the query's declared metric)."""
+    import re
+
+    from bdc_collection_builder_spark.plans.extensions import (
+        edit1_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over32"  # exactly 32 chars
+    assert len(base) == 32
+    docs = {
+        1: base,
+        2: base,                                  # exact duplicate
+        3: "Xhe quick brown fox jumps over32",    # subst at head
+        4: "the quick brown fox jumps over3X",    # subst at tail
+        5: "the quick brXwn fox jumps over32",    # subst mid
+        6: base[:-1],                             # deletion at tail
+        7: base[1:],                              # deletion at head
+        8: "Z" + base,           # insertion at head (33 chars: head
+                                 # = 'Z'+base[:31], head-dist 2 vs 1)
+        9: base + "trailing tail beyond the cap",  # same head as base
+        10: "XXe quick brown fox jumps over32",   # distance-2 decoy
+        11: "",                                   # empty
+        12: "a",
+        13: "b",                                  # dist 1 from 'a'
+        14: "ab",                                 # dist 1 from both
+        15: "café one two three",            # é -> '?'
+        16: "cafe one two three",                 # dist 1 after proj
+        17: "caf§ one two three",            # § -> '?': equals 15
+    }
+    sdf = spark.createDataFrame(list(docs.items()),
+                                "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.n_edits)
+           for r in edit1_near_pairs(sdf).collect()}
+
+    def head(s: str) -> str:
+        return re.sub(r"[^\x20-\x7E]", "?", s[:32])
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ids = sorted(docs)
+    want = {
+        (a, b, lev(head(docs[a]), head(docs[b])))
+        for ai, a in enumerate(ids) for b in ids[ai + 1:]
+        if lev(head(docs[a]), head(docs[b])) <= 1
+    }
+    assert got == want
+    # sanity on the planted structure itself: the dup, every single-
+    # edit neighbor, and the projection twins are in; the decoy and
+    # the head-insertion (head-distance 2) are out
+    pairs = {(a, b) for a, b, _ in want}
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    assert (1, 5) in pairs and (1, 6) in pairs and (1, 9) in pairs
+    assert (15, 16) in pairs and (15, 17) in pairs
+    assert (11, 12) in pairs and (12, 14) in pairs
+    assert (1, 10) not in pairs and (1, 8) not in pairs
+
+
+def test_classical_decomposition_recovers_planted_seasonal(spark):
+    """A pure zero-mean weekly signal riding a constant level is
+    recovered EXACTLY by the period-7 MA decomposition: cents[d] =
+    C + s[dow(d)] with sum(s) = 0 gives sum7 = 7C for every full
+    window, det_x7 = 7*s, and seasonal = s to the last bit (the
+    engine's integer x7 scaling makes this equality exact, not
+    approximate). A constant series decomposes to all-zero seasonal
+    indices through the same path."""
+    import datetime as dt
+
+    from bdc_collection_builder_spark.plans.temporal import (
+        classical_decomposition,
+    )
+
+    s = [300, -100, 250, -450, 120, -80, -40]  # sum = 0
+    assert sum(s) == 0
+    epoch = dt.date(2024, 1, 1)
+    start = dt.date(2024, 3, 4)
+    days = [start + dt.timedelta(days=i) for i in range(35)]
+    rows_in = [(d, 10000 + s[(d - epoch).days % 7]) for d in days]
+    daily = spark.createDataFrame(rows_in, "d date, cents long")
+    out = {r.dow_idx: r for r in
+           classical_decomposition(daily).collect()}
+    assert set(out) == set(range(7))
+    for dow in range(7):
+        r = out[dow]
+        assert r.det_sum_x7 == 7 * s[dow] * r.n_days, (dow, r)
+        assert r.seasonal == float(s[dow]), (dow, r)
+    # full windows exist only for days 4..31 of the 35 (0-indexed)
+    assert sum(r.n_days for r in out.values()) == 35 - 6
+
+    flat = spark.createDataFrame([(d, 5000) for d in days],
+                                 "d date, cents long")
+    for r in classical_decomposition(flat).collect():
+        assert r.det_sum_x7 == 0 and r.seasonal == 0.0
+
+
+def test_dp_laplace_ladder_exhaustive(spark):
+    """Evaluate the shared-SQL discrete-Laplace inverse-CDF ladder on
+    EVERY tick u in [0, 3*2^B) and demand the per-value tick counts
+    equal the analytic dyadic two-sided geometric exactly: P(0) =
+    2^B ticks, P(+-k) = 2^(B-k) ticks for k < B, and the truncated
+    tail's 2 leftover ticks split symmetrically onto +-B — which
+    also forces exact symmetry (count(+k) == count(-k) for all k)
+    and a zero-mean mechanism."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.plans.quality import (
+        _DP_B,
+        _dp_geometric_case,
+    )
+
+    n = 3 * (1 << _DP_B)
+    z = spark.range(n).select(
+        F.expr(f"CAST({_dp_geometric_case('id')} AS BIGINT)")
+        .alias("z"))
+    got = {r.z: r.c for r in
+           z.groupBy("z").agg(F.count("*").alias("c")).collect()}
+    want = {0: 1 << _DP_B}
+    for k in range(1, _DP_B):
+        want[k] = want[-k] = 1 << (_DP_B - k)
+    want[_DP_B] = want[-_DP_B] = 2  # 1 ladder tick + 1 tail tick each
+    assert got == want
+    assert sum(got.values()) == n
+    assert sum(v * c for v, c in got.items()) == 0  # exact symmetry
+
+
+def test_ams_f2_matches_python_mirror_on_planted_counts(spark):
+    """Drive the factored AMS estimator with planted per-key counts
+    and cross-check EVERY emitted integer against an in-process
+    mirror that recomputes the md5-parity sign hash (int(md5[:15],
+    16) % 2 — the exact house 60-bit hash seam), the 16 tug-of-war
+    sums, and the median-of-16 as the sum of the two middle order
+    statistics. Bit-exact agreement pins the hash spelling, the
+    order-statistic indexing, and the integer err_ppm formula."""
+    import hashlib
+
+    from bdc_collection_builder_spark.plans.sketches import (
+        _AMS_J,
+        ams_f2_from_counts,
+    )
+
+    counts = {"alpha": 3, "beta": 4, "gamma": 5, "delta": 1,
+              "heavy": 40}  # skewed: one key dominates F2
+    per_user = spark.createDataFrame(list(counts.items()),
+                                     "u string, cnt long")
+    r = ams_f2_from_counts(per_user).collect()[0]
+
+    def sign(j: int, u: str) -> int:
+        h = int(hashlib.md5(f"{j}:{u}".encode()).hexdigest()[:15], 16)
+        return 1 - 2 * (h % 2)
+
+    f2 = sum(c * c for c in counts.values())
+    xs = [sum(c * sign(j, u) for u, c in counts.items())
+          for j in range(_AMS_J)]
+    sq = sorted(x * x for x in xs)
+    est_x2 = sq[7] + sq[8]
+    assert r.f2_exact == f2
+    assert r.f2_est_x2 == est_x2
+    assert r.err_ppm == abs(est_x2 - 2 * f2) * 1000000 // (2 * f2)
