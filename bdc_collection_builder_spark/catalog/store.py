@@ -1138,12 +1138,14 @@ class CatalogStore:
 
         removed = 0
         now = time.time()
-        for table in os.listdir(self.root):
-            tdir = os.path.join(self.root, table)
-            if not os.path.isdir(tdir):
-                continue
-            for n in os.listdir(tdir):
-                p = os.path.join(tdir, n)
+        # os.walk, not a one-level listing: a partitioned table's pins
+        # live in its partition SUB-store dirs
+        # (<table>/<pcol>=<v>/<table>/_PIN.*), which the old flat scan
+        # never reached — their stale pins blocked vacuum reclaim
+        # forever (round-9 audit; space-only, never correctness).
+        for dirpath, _dirs, files in os.walk(self.root):
+            for n in files:
+                p = os.path.join(dirpath, n)
                 if n.startswith("_PIN.") \
                         and now - os.path.getmtime(p) > max_age_seconds:
                     os.remove(p)

@@ -971,3 +971,35 @@ def test_vacuum_concurrent_with_escalated_merge(spark, tmp_path):
         # the committed batch is visible and unique-key intact
         assert st.read("items").filter(
             F.col("name") == f"vac-{round_no}").count() == 1
+
+
+def test_clean_stale_pins_reaches_partition_substores(spark, tmp_path):
+    """Round-9 audit: clean_stale_pins scanned only root/<table>/ one
+    level deep, but a partitioned table's pin markers live in its
+    partition SUB-store dirs (<table>/<pcol>=<v>/<table>/_PIN.*) —
+    stale pins from crashed writers there were never reclaimed and
+    blocked vacuum space-reclaim forever. The walk must find them,
+    and fresh pins must survive the age filter."""
+    import os
+
+    from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
+    from bdc_collection_builder_spark.catalog.store import (
+        PartitionedCatalogStore,
+    )
+
+    st = PartitionedCatalogStore(spark, str(tmp_path / "pcat_pins"))
+    fx = make_fixtures(spark, n_scenes=20, n_tiles=4)
+    st.overwrite("items", fx["items"])
+    value = st._partition_values("items")[0]
+    sub = st._sub("items", value)
+    # simulate a crashed writer's leftover pin in the sub-store
+    stale = os.path.join(sub.path("items"), "_PIN.gen-deadbeef.xx")
+    with open(stale, "w"):
+        pass
+    os.utime(stale, (0, 0))  # ancient
+    fresh = os.path.join(sub.path("items"), "_PIN.gen-cafecafe.yy")
+    with open(fresh, "w"):
+        pass
+    assert st.clean_stale_pins(max_age_seconds=3600) == 1
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
