@@ -598,7 +598,7 @@ def incremental_erasure(spark: SparkSession, requests_dir: str,
 
 def streaming_static_enrich(spark: SparkSession, events_dir: str,
                             dim_df, checkpoint_dir: str,
-                            query_name: str):
+                            query_name: str, out_dir: str | None = None):
     """Y-series stream-STATIC enrichment join: the live purchase
     stream joined against a broadcast dimension (the canonical
     "enrich the firehose with reference data" topology — the
@@ -608,9 +608,13 @@ def streaming_static_enrich(spark: SparkSession, events_dir: str,
     there is no join state, no watermark requirement, and nothing to
     evict — the streaming plan is the batch broadcast join replayed
     per batch, which is why the drained output equals the batch join
-    exactly (the oracle's check). Exactly-once: checkpointed
-    AvailableNow drain into an idempotent memory sink (parquet in
-    production)."""
+    exactly (the oracle's check). Sinks: the default memory sink
+    (``out_dir=None``) is the one-shot drain the registered query
+    uses — Spark's memory sink does NOT support checkpoint RECOVERY,
+    so it only drains a fresh checkpoint; pass ``out_dir`` for the
+    parquet sink, whose checkpoint makes re-triggering exactly-once
+    (redelivery emits nothing; a new input file emits only its own
+    rows — pinned in tests/test_streaming.py)."""
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
         .filter(F.col("event_type") == "purchase")
@@ -622,10 +626,14 @@ def streaming_static_enrich(spark: SparkSession, events_dir: str,
     )
     enriched = stream.join(F.broadcast(dim_df), "nkey").select(
         "event_id", "region_name", "cents")
+    writer = enriched.writeStream.outputMode("append")
+    if out_dir is None:
+        writer = writer.format("memory").queryName(query_name)
+    else:
+        writer = (writer.format("parquet").option("path", out_dir)
+                  .queryName(query_name))
     return (
-        enriched.writeStream.outputMode("append")
-        .format("memory").queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+        writer.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -745,3 +745,75 @@ def test_incremental_erasure_with_retention_forgets(spark, tmp_path):
     assert store.read("items").count() == n0 - 5
     gens = store.snapshots("items")
     assert gens == [store._current_gen("items")]
+
+
+def test_static_enrich_equals_batch_and_is_exactly_once(spark, tmp_path):
+    """streaming_static_enrich (the round-9-pool query's engine):
+    (1) the one-shot memory drain emits exactly the batch
+    broadcast-join's rows (the join is stateless, so streaming ==
+    batch row-for-row); (2) on the PARQUET sink — the form whose
+    checkpoint supports recovery; Spark's memory sink refuses it —
+    re-triggering the same checkpoint with no new input emits
+    NOTHING (redelivery is a no-op, the exactly-once contract);
+    (3) a new input file drained through the same checkpoint appends
+    only the new rows."""
+    import datetime as dt
+
+    from bdc_collection_builder_spark.streaming.incremental import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_static_enrich,
+    )
+
+    events_dir = str(tmp_path / "sse_in")
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    batch1 = [
+        (i, ts, i * 7, "purchase" if i % 3 else "view",
+         float(i) + 0.25, "{}")
+        for i in range(1, 61)
+    ]
+    spark.createDataFrame(batch1, EVENTS_STREAM_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(events_dir)
+    dim = spark.createDataFrame(
+        [(k, f"region-{k}") for k in range(25)],
+        "nkey int, region_name string")
+    want = {
+        (i, f"region-{(i * 7) % 25}", round((i + 0.25) * 100))
+        for i, _, _, et, _, _ in batch1 if et == "purchase"
+    }
+
+    # (1) memory one-shot drain == batch join
+    q = streaming_static_enrich(spark, events_dir, dim,
+                                str(tmp_path / "ckpt_mem"), "sse_t1")
+    q.awaitTermination(120)
+    got = {(r.event_id, r.region_name, r.cents) for r in
+           spark.sql("SELECT * FROM sse_t1").collect()}
+    assert got == want and len(got) == 40
+
+    # (2) parquet sink, fresh checkpoint: same rows; then redelivery
+    # through the SAME checkpoint is a no-op
+    ckpt = str(tmp_path / "ckpt_pq")
+    out = str(tmp_path / "sse_out")
+    q2 = streaming_static_enrich(spark, events_dir, dim, ckpt,
+                                 "sse_t2", out_dir=out)
+    q2.awaitTermination(120)
+
+    def sink_rows():
+        return {(r.event_id, r.region_name, r.cents)
+                for r in spark.read.parquet(out).collect()}
+
+    assert sink_rows() == want
+    q3 = streaming_static_enrich(spark, events_dir, dim, ckpt,
+                                 "sse_t3", out_dir=out)
+    q3.awaitTermination(120)
+    assert sink_rows() == want  # nothing duplicated
+
+    # (3) one new file -> exactly its purchase rows append
+    batch2 = [(1000 + i, ts, i, "purchase", 5.0, "{}")
+              for i in range(5)]
+    spark.createDataFrame(batch2, EVENTS_STREAM_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(events_dir)
+    q4 = streaming_static_enrich(spark, events_dir, dim, ckpt,
+                                 "sse_t4", out_dir=out)
+    q4.awaitTermination(120)
+    assert sink_rows() == want | {
+        (1000 + i, f"region-{i % 25}", 500) for i in range(5)}
