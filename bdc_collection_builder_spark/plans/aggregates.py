@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.plans._util import duck_ts, t
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans.registry import query
 
 _TS = duck_ts()
@@ -758,6 +759,11 @@ def a23_copurchase_support(spark, sf_dir):
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
     )
+    # items feeds both sides of the pair self-join, and Catalyst does
+    # NOT reuse the exchange across the differing aliases — persist so
+    # the fact scan + distinct shuffle run once (the dd_prefix round-9
+    # lesson)
+    items = tracked_persist(items)
     a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
     b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
     return (

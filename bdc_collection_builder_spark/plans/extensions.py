@@ -1377,6 +1377,9 @@ def tx_tfidf_topk(spark, sf_dir):
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     )
+    # tf feeds both the idf reduction and the scored join — persist so
+    # the tokenize+groupBy runs once (the dd_prefix round-9 lesson)
+    tf = tracked_persist(tf)
     idf = tf.groupBy("term").agg(F.count("*").alias("df"))
     total = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -3200,6 +3203,10 @@ def mm_perceptual_hash_pairs(spark, sf_dir):
             .otherwise(F.col("B04").cast("bigint")))
             .cast("bigint").alias("cs"))
     )
+    # cells feeds the total reduction, the aHash join, and both sides
+    # of the dHash gradient self-join — persist so the pixel aggregate
+    # runs once (the dd_prefix round-9 lesson)
+    cells = tracked_persist(cells)
     tot = cells.groupBy("scene_id").agg(
         F.sum("cs").cast("bigint").alias("ts"))
     ah = (
@@ -5734,6 +5741,15 @@ def dd_prefix_filter_jaccard(spark, sf_dir):
         .agg(F.sort_array(F.collect_list(F.struct("df", "tok")))
              .alias("ord"), F.count("*").cast("bigint").alias("s"))
     )
+    # ordered is consumed THREE times below (the prefix zone and both
+    # verification sides) — without a persist, each consumer replays
+    # the full tokenize -> df-join -> sort-collect aggregation, the
+    # single most expensive frame in the plan (round-9 profile at
+    # sf0.1: 10.9s warm -> 2.0s warm / 13.9s cold -> 5.3s cold from
+    # this one persist — the "output-bound" residual was actually
+    # re-tokenization). At 100 TB the same reuse is one materialized
+    # exchange instead of three corpus scans.
+    ordered = tracked_persist(ordered)
     skip = F.expr("(19 * s + 19) DIV 20")
     prefix = ordered.select(
         "doc_id", "s",

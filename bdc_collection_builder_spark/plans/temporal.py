@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.plans._util import duck_ts, t
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans.registry import query
 
 _TS = duck_ts()
@@ -934,6 +935,11 @@ def tj_theil_sen_trend(spark, sf_dir):
                  .cast("date").alias("day"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    # daily feeds a/b pair self-join — persist so the
+    # corpus-scale events scan runs once (the dd_prefix
+    # round-9 lesson: every unpersisted consumer re-scans the
+    # fact table)
+    daily = tracked_persist(daily)
     a = daily.select("event_type", F.col("day").alias("d1"),
                      F.col("c").alias("c1"))
     b = daily.select(F.col("event_type").alias("et2"),
@@ -1016,6 +1022,11 @@ def tj_mann_kendall_trend(spark, sf_dir):
                  .cast("date").alias("day"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    # daily feeds nd reduction + a/b pair self-join — persist so the
+    # corpus-scale events scan runs once (the dd_prefix
+    # round-9 lesson: every unpersisted consumer re-scans the
+    # fact table)
+    daily = tracked_persist(daily)
     nd = daily.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_days"))
     a = daily.select("event_type", F.col("day").alias("d1"),
