@@ -6,6 +6,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans.registry import query
 
 
@@ -1457,6 +1458,9 @@ def j27_top_supplier(spark, sf_dir):
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum("rev_tenk").cast("bigint").alias("rev_tenk_sum"))
+    # rev feeds the max reduction AND the winner join — persist so it
+    # computes once (the dd_prefix round-9 lesson)
+    rev = tracked_persist(rev)
     best = rev.agg(F.max("rev_tenk_sum").cast("bigint").alias("max_rev"))
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

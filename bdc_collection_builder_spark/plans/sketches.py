@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from bdc_collection_builder_spark.extensions.dedup import md5_hash60
 from bdc_collection_builder_spark.extensions.text import tokens
 from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans.registry import query
 
 _D = 4       # sketch rows (independent hash functions)
@@ -250,6 +251,9 @@ def sk_kmv_overlap(spark, sf_dir):
         .select("source", md5_hash60(F.col("g")).alias("h"))
         .distinct()
     )
+    # sh feeds the bottom-k window AND both sides of the exact-overlap self-join — persist so it
+    # computes once (the dd_prefix round-9 lesson)
+    sh = tracked_persist(sh)
     w_src = Window.partitionBy("source").orderBy("h")
     sk = (sh.withColumn("rk", F.row_number().over(w_src))
           .filter(F.col("rk") <= _OV_K).drop("rk"))
@@ -484,6 +488,9 @@ def sk_join_cardinality(spark, sf_dir):
         md5_hash60(F.col("user_id").cast("string")).alias("h"))
     mult = keyed.groupBy("event_type", "user_id", "h").agg(
         F.count("*").cast("bigint").alias("c"))
+    # mult feeds side stats, the sketch, and both sides of the exact join — persist so it
+    # computes once (the dd_prefix round-9 lesson)
+    mult = tracked_persist(mult)
     side = mult.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("d"))

@@ -156,6 +156,9 @@ def tj_resample_interpolate(spark, sf_dir):
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     obs = (events.select("user_id", ts_us.alias("ts_us"), "value")
            .groupBy("user_id", "ts_us").agg(F.avg("value").alias("v")))
+    # obs feeds the bounds reduction and both as-of sides — persist so it
+    # computes once (the dd_prefix round-9 lesson)
+    obs = tracked_persist(obs)
     bounds = obs.groupBy("user_id").agg(
         F.expr(f"(min(ts_us) + {_G_US - 1}) div {_G_US}").alias("g0"),
         F.expr(f"max(ts_us) div {_G_US}").alias("g1"))
@@ -778,6 +781,9 @@ def tj_seasonal_naive_eval(spark, sf_dir):
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")).agg(
         F.sum("cents").cast("bigint").alias("cents"))
+    # daily feeds both sides of the day-7 self-join — persist so it
+    # computes once (the dd_prefix round-9 lesson)
+    daily = tracked_persist(daily)
     prev = daily.select(
         F.col("event_type").alias("et"),
         F.date_add(F.col("day"), 7).alias("target_day"),

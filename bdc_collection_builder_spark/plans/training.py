@@ -16,6 +16,7 @@ import math
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.plans._util import t
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans.registry import query
 
 # Tokenization shared with plans/extensions.py oracles (identical
@@ -665,7 +666,13 @@ def tx_kneser_ney_bigram(spark, sf_dir):
                     F.lead("tok").over(w).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
+    # pairs (corpus-scale bigram stream) feeds the bg aggregate AND the scoring join — persist so it
+    # computes once (the dd_prefix round-9 lesson)
+    pairs = tracked_persist(pairs)
     bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # bg feeds the unigram/continuation/total reductions AND the scoring join — persist so it
+    # computes once (the dd_prefix round-9 lesson)
+    bg = tracked_persist(bg)
     un = bg.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("n1f"))
     cont = bg.groupBy("w2").agg(F.count("*").alias("n1p"))

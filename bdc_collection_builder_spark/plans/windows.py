@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.plans._util import duck_ts, t
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans.registry import query
 
 _TS = duck_ts()
@@ -944,6 +945,9 @@ def w20_weekly_churn(spark, sf_dir):
         "user_id",
         F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
         .alias("week")).distinct()
+    # uw feeds the week spine and both churn join sides — persist so it
+    # computes once (the dd_prefix round-9 lesson)
+    uw = tracked_persist(uw)
     weeks = uw.select("week").distinct()
     nxt = weeks.withColumn(
         "next_week",
