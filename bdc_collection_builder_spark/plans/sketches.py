@@ -251,9 +251,6 @@ def sk_kmv_overlap(spark, sf_dir):
         .select("source", md5_hash60(F.col("g")).alias("h"))
         .distinct()
     )
-    # sh feeds the bottom-k window AND both sides of the exact-overlap self-join — persist so it
-    # computes once (the dd_prefix round-9 lesson)
-    sh = tracked_persist(sh)
     w_src = Window.partitionBy("source").orderBy("h")
     sk = (sh.withColumn("rk", F.row_number().over(w_src))
           .filter(F.col("rk") <= _OV_K).drop("rk"))
@@ -488,9 +485,6 @@ def sk_join_cardinality(spark, sf_dir):
         md5_hash60(F.col("user_id").cast("string")).alias("h"))
     mult = keyed.groupBy("event_type", "user_id", "h").agg(
         F.count("*").cast("bigint").alias("c"))
-    # mult feeds side stats, the sketch, and both sides of the exact join — persist so it
-    # computes once (the dd_prefix round-9 lesson)
-    mult = tracked_persist(mult)
     side = mult.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("d"))

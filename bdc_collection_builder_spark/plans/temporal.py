@@ -156,9 +156,6 @@ def tj_resample_interpolate(spark, sf_dir):
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     obs = (events.select("user_id", ts_us.alias("ts_us"), "value")
            .groupBy("user_id", "ts_us").agg(F.avg("value").alias("v")))
-    # obs feeds the bounds reduction and both as-of sides — persist so it
-    # computes once (the dd_prefix round-9 lesson)
-    obs = tracked_persist(obs)
     bounds = obs.groupBy("user_id").agg(
         F.expr(f"(min(ts_us) + {_G_US - 1}) div {_G_US}").alias("g0"),
         F.expr(f"max(ts_us) div {_G_US}").alias("g1"))

@@ -666,9 +666,6 @@ def tx_kneser_ney_bigram(spark, sf_dir):
                     F.lead("tok").over(w).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
-    # pairs (corpus-scale bigram stream) feeds the bg aggregate AND the scoring join — persist so it
-    # computes once (the dd_prefix round-9 lesson)
-    pairs = tracked_persist(pairs)
     bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     # bg feeds the unigram/continuation/total reductions AND the scoring join — persist so it
     # computes once (the dd_prefix round-9 lesson)

@@ -945,9 +945,6 @@ def w20_weekly_churn(spark, sf_dir):
         "user_id",
         F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
         .alias("week")).distinct()
-    # uw feeds the week spine and both churn join sides — persist so it
-    # computes once (the dd_prefix round-9 lesson)
-    uw = tracked_persist(uw)
     weeks = uw.select("week").distinct()
     nxt = weeks.withColumn(
         "next_week",

@@ -126,6 +126,10 @@ HEAVY_QUERIES = [
                                   # (r8 engine swap; stays heavy: the
                                   # 1.5M-row checkpoint+window still
                                   # lands ~12s at sf0.1)
+    "tj_resample_interpolate",    # grid spine + two as-of joins;
+                                  # found at ~6s warm during the
+                                  # round-9 persist measurements —
+                                  # never previously benched
     "dd_edit1_near_pairs",        # FastSS deletion-neighborhood join;
                                   # candidate set is quadratic in
                                   # duplicate-head group size on the
