@@ -642,8 +642,6 @@ def ams_f2_from_counts(per_user):
     and the median-of-16 order statistics bit-exactly against an
     in-process Python mirror. ``per_user`` is (u string, cnt
     bigint)."""
-    from bdc_collection_builder_spark.extensions.dedup import md5_hash60
-
     signs = [
         (1 - 2 * (md5_hash60(F.concat(F.lit(f"{j}:"), F.col("u")))
                   % 2)).cast("bigint")

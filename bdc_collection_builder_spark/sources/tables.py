@@ -88,4 +88,3 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
         .format("parquet")
         .saveAsTable(table_name)
     )
-
