@@ -228,41 +228,65 @@ def _load_all() -> None:
 # dd_cluster_components (min-label CC emitting cluster ids + the
 # min-id survivor rule), with dd_semantic_dedup /
 # cu_semdedup_threshold_curve covering the quantizer-bounded form.
+# ROUND-10 rotation (VERDICT-r9 task 1): ALL 50 slots are deliberate
+# re-checks — the registry froze at 340 and the round-9 rotation left
+# zero never-driver-checked queries. The window leads with the 18
+# remaining round-2 rows (the pool enumerated when px_x10 was chosen
+# over them last round), then 32 of the 46 round-3 rows, drift-risk
+# first per the VERDICT: the s-block codec/stage queries (pure-Python
+# TIFF/HDF4/ZIP/XML/CSV codecs + store seams are the highest-drift
+# surfaces), the r3 session/streaming block (y05), the scalar/geo
+# seams (x08 now-stamps, x13 Karney chain, x15 EPSG, x23/x24 text
+# normalization), temporal (tj_interval_coalesce +
+# tj_resample_interpolate — the BENCH_HEAVY entry whose plan was
+# audited but whose oracle row is 7 rounds old), bag setops
+# (u05-u07), and the float-/logic-risk windows (w05 range frame, w07
+# LOCF, w10 cohort, w11 funnel, w12 latency, w13 EWMA double-math).
+# The 14 round-3 rows left out roll to the ROUND-11 fill pool:
+# a14_pivot_status_matrix, a17_stats_suite, a19_price_histogram,
+# a20_unpivot_measures, a21_hourly_seasonality, dq_expectations,
+# dq_psi_drift, dq_table_profile, lo_compaction_plan,
+# lo_zorder_curve, w06_ntile_buckets, w08_rank_distributions,
+# w09_cumulative_new_users, w15_longest_streak.
+# Done => every oracled query's newest green driver row is <= 7
+# rounds old (the oldest remaining rows become the r4 block).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) the 7 round-9-pool queries, VERDICT risk order
-    "st_stream_static_enrich", "dd_edit1_near_pairs",
-    "dq_dp_laplace_counts", "sk_ams_f2_estimate",
-    "cu_kcenter_coreset", "tj_classical_decomposition",
-    "a24_pivot_status_matrix",
-    # (b) float-risk r2 pixel path (the one non-r1 re-check)
-    "px_x10_quicklook_radiometry",
-    # (c) the 42 round-1 rows, risk-grouped: codec seams first
-    "mm_decode_features", "mm_frame_sample", "mm_media_dedup",
-    # embedding math
-    "ss_brute_force_topk", "ss_lsh_topk", "ss_ivf_topk",
-    "ss_quantize_int8",
-    # dedup family
-    "dd_exact_duplicates", "dd_cluster_components",
-    "dd_minhash_lsh_md5", "dd_simhash_md5",
-    # curation
-    "cu_hash_split", "cu_stratified_sample", "cu_seeded_shuffle",
-    "cu_decontaminate", "cu_token_budget_mix",
-    # text suite
-    "tx_text_stats", "tx_quality_score", "tx_language_id",
-    "tx_fingerprint", "tx_pii_scrub", "tx_repetition_stats",
-    "tx_chunk_documents", "tx_tfidf_topk", "tx_vocabulary_topk",
-    "tx_corpus_curation",
-    # aggregates
-    "a01_status_histogram", "a02_daily_status_histogram",
-    "a03_latest_attempt_per_scene", "a04_distinct_collections",
-    "a05_missing_per_collection", "a07_result_count",
-    "a08_band_min_max", "a09_rollup_hierarchy",
-    "a10_cube_cross_totals", "a12_group_percentiles",
-    "a13_grouping_sets",
-    # filters + flagship
-    "f01_cloud_cover_filter", "f02_bbox_intersects",
-    "f03_temporal_overlap", "f04_restart_filters",
-    "q1_pricing_summary",
+    # (a) the 18 round-2 rows, risk-grouped: filter predicates
+    "f07_asset_projection", "f09_value_clamp",
+    "f11_cog_skip_predicate",
+    # sorts / setops / window
+    "t02_ordered_catalog", "t04_first_element", "t05_top_k",
+    "u03_sorted_union_array", "u04_intersect_scene_sets",
+    "w02_latest_failed",
+    # scalar seams
+    "x02_output_name_rewrite", "x03_dispatch_predicates",
+    "x04_mime_guess", "x06_composite_end_date",
+    "x20_asset_href_math", "x21_collection_identifier",
+    # extension queries
+    "tj_range_error_followups", "cu_pack_sequences",
+    "dd_embedding_near_pairs",
+    # (b) 32 round-3 rows: codec/stage s-block first (highest drift)
+    "s02_download_failover", "s04_archive_validation",
+    "s05_archive_extract", "s06_windowed_raster_scan",
+    "s07_hdf_subdataset_scan", "s08_xml_metadata_scan",
+    "s10_search_memo_cache", "s11_cog_sink_manifest",
+    "s16_sync_diff", "s17_symlink_alias", "s18_jsonl_roundtrip",
+    "s19_csv_roundtrip", "s20_tiff_raster_scan",
+    "s21_zip_archive_validate", "s22_xml_mtd_parse",
+    # session/streaming block
+    "y05_session_window",
+    # scalar/geo seams
+    "x08_now_stamps", "x13_extent_to_wgs84", "x15_epsg_detect",
+    "x23_url_normalize", "x24_fuzzy_id_match",
+    # temporal
+    "tj_interval_coalesce", "tj_resample_interpolate",
+    # bag setops
+    "u05_except_all_bag", "u06_symmetric_difference",
+    "u07_intersect_all_bag",
+    # windows (range frame / LOCF / cohort / funnel / latency / EWMA)
+    "w05_time_range_rolling", "w07_locf_gap_fill",
+    "w10_cohort_retention", "w11_funnel_stages",
+    "w12_conversion_latency", "w13_ewma_smoothing",
 )
 
 

@@ -473,16 +473,72 @@ def test_driver_window_rotation_round8():
 
 
 def test_driver_window_rotation_round9():
-    """VERDICT-r8 task 1: round 9's driver window must be the 7
-    round-9-pool queries (never driver-checked; judge pre-verified
-    all 7 green under the driver's own harness) in the VERDICT's
-    risk order, followed by 43 DELIBERATE RE-CHECKS — the OLDEST
-    rows in the CORRECTNESS history: all 42 oracled queries whose
-    only green row is round 1, plus the float-risk round-2 pixel
-    path px_x10_quicklook_radiometry. Fails if anyone perturbs the
-    rotation before the driver runs it. Done => cumulative 335/335
-    oracled queries driver-checked at least once — verification
-    debt zero."""
+    """Round-9 window, now HISTORY (the driver ran it — 50/50 green in
+    CORRECTNESS_r09.json): the recorded window must be exactly what
+    VERDICT-r8 ordered — the 7 round-9-pool queries (never
+    driver-checked before round 9) plus 43 deliberate re-checks (all
+    42 round-1-only oracled rows + the float-risk r2 pixel path
+    px_x10_quicklook_radiometry). Landing it made verification debt
+    zero: cumulative 335/335 oracled queries driver-checked."""
+    import json
+    import os
+
+    pool_7 = {
+        "st_stream_static_enrich", "dd_edit1_near_pairs",
+        "dq_dp_laplace_counts", "sk_ams_f2_estimate",
+        "cu_kcenter_coreset", "tj_classical_decomposition",
+        "a24_pivot_status_matrix",
+    }
+    recheck_43 = {
+        "px_x10_quicklook_radiometry",
+        "mm_decode_features", "mm_frame_sample", "mm_media_dedup",
+        "ss_brute_force_topk", "ss_lsh_topk", "ss_ivf_topk",
+        "ss_quantize_int8",
+        "dd_exact_duplicates", "dd_cluster_components",
+        "dd_minhash_lsh_md5", "dd_simhash_md5",
+        "cu_hash_split", "cu_stratified_sample", "cu_seeded_shuffle",
+        "cu_decontaminate", "cu_token_budget_mix",
+        "tx_text_stats", "tx_quality_score", "tx_language_id",
+        "tx_fingerprint", "tx_pii_scrub", "tx_repetition_stats",
+        "tx_chunk_documents", "tx_tfidf_topk", "tx_vocabulary_topk",
+        "tx_corpus_curation",
+        "a01_status_histogram", "a02_daily_status_histogram",
+        "a03_latest_attempt_per_scene", "a04_distinct_collections",
+        "a05_missing_per_collection", "a07_result_count",
+        "a08_band_min_max", "a09_rollup_hierarchy",
+        "a10_cube_cross_totals", "a12_group_percentiles",
+        "a13_grouping_sets",
+        "f01_cloud_cover_filter", "f02_bbox_intersects",
+        "f03_temporal_overlap", "f04_restart_filters",
+        "q1_pricing_summary",
+    }
+    assert len(pool_7) == 7 and len(recheck_43) == 43
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r9_path = os.path.join(root, "CORRECTNESS_r09.json")
+    if not os.path.exists(r9_path):
+        pytest.skip("CORRECTNESS_r09.json not present in this checkout")
+    r9 = json.load(open(r9_path))
+    assert set(r9.keys()) == pool_7 | recheck_43
+    checked: set[str] = set()
+    for i in range(1, 9):
+        path = os.path.join(root, f"CORRECTNESS_r0{i}.json")
+        if os.path.exists(path):
+            checked |= set(json.load(open(path)).keys())
+    if len(checked) < 200:
+        pytest.skip("CORRECTNESS history not present in this checkout")
+    assert not pool_7 & checked, pool_7 & checked
+    assert recheck_43 <= checked, recheck_43 - checked
+
+
+def test_driver_window_rotation_round10():
+    """VERDICT-r9 task 1: round 10's driver window is ALL re-checks
+    (the registry froze at 340; round 9 cleared the last
+    never-driver-checked queries). It must be exactly the 18
+    remaining round-2 rows followed by 32 of the 46 round-3 rows,
+    drift-risk ordered (codec/stage s-block first). Fails if anyone
+    perturbs the rotation before the driver runs it. Done => every
+    oracled query's newest green driver row is <= 7 rounds old."""
     import json
     import os
 
@@ -506,44 +562,42 @@ def test_driver_window_rotation_round9():
                  if not QUERY_REGISTRY[n].oracle]
     assert not rows_only, rows_only
 
-    pool_7 = (
-        "st_stream_static_enrich", "dd_edit1_near_pairs",
-        "dq_dp_laplace_counts", "sk_ams_f2_estimate",
-        "cu_kcenter_coreset", "tj_classical_decomposition",
-        "a24_pivot_status_matrix",
-    )
-    # order matters for the 7 (never-checked, risk-ranked per
-    # VERDICT-r8); the 43 fills are order-free re-checks
-    assert _DRIVER_PRIORITY[:7] == pool_7
-    recheck_43 = set(_DRIVER_PRIORITY[7:])
-    assert len(recheck_43) == 43
-
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     history: dict[str, int] = {}
-    for i in range(1, 9):
+    for i in range(1, 10):
         path = os.path.join(root, f"CORRECTNESS_r0{i}.json")
         if os.path.exists(path):
-            for name in json.load(open(path)):
+            for name, row in json.load(open(path)).items():
+                if isinstance(row, dict) and row.get("err"):
+                    continue
                 history[name] = max(history.get(name, 0), i)
     if len(history) < 200:
         pytest.skip("CORRECTNESS history not present in this checkout")
-    # the 7 really are never driver-checked
-    assert not set(pool_7) & set(history), set(pool_7) & set(history)
-    # the 43 really are the OLDEST rows: every round-1-only oracled
-    # query is in the window, and the single non-r1 entry is the
-    # chosen float-risk r2 pixel path
+    # the leading 18 are EXACTLY the oracled queries whose newest
+    # green row is round 2 (the pool enumerated when round 9 chose
+    # px_x10 over them)
+    r2_rows = {n for n, r in history.items()
+               if r == 2 and n in QUERY_REGISTRY
+               and QUERY_REGISTRY[n].oracle}
+    assert set(_DRIVER_PRIORITY[:18]) == r2_rows, (
+        set(_DRIVER_PRIORITY[:18]) ^ r2_rows)
+    # the 32 fills all come from the round-3 block (the next-oldest
+    # rows); the 14 left out are enumerated in the registry comment
+    # as the round-11 fill pool
+    for name in _DRIVER_PRIORITY[18:]:
+        assert history.get(name) == 3, (name, history.get(name))
+    r3_rows = {n for n, r in history.items()
+               if r == 3 and n in QUERY_REGISTRY
+               and QUERY_REGISTRY[n].oracle}
+    assert set(_DRIVER_PRIORITY[18:]) <= r3_rows
+    leftover = r3_rows - set(_DRIVER_PRIORITY)
+    assert len(r3_rows) == 46 and len(leftover) == 14, (
+        len(r3_rows), sorted(leftover))
+    # nothing older than the window remains: no oracled query's
+    # newest green row predates round 2
     oracled = {n for n, q in QUERY_REGISTRY.items() if q.oracle}
-    r1_only = {n for n, r in history.items() if r == 1 and n in oracled}
-    assert r1_only <= recheck_43, r1_only - recheck_43
-    extra = recheck_43 - r1_only
-    assert extra == {"px_x10_quicklook_radiometry"}, extra
-    assert history["px_x10_quicklook_radiometry"] == 2
-    # after this round lands 50/50, every oracled query has a driver
-    # row: nothing registered before this rotation is left unchecked
-    never = oracled - set(history) - set(pool_7)
-    assert not never, (
-        f"oracled queries neither driver-checked nor in the "
-        f"round-9 window: {never}")
+    stale = {n for n in oracled if history.get(n, 0) < 2}
+    assert not stale, stale
 
 
 def test_oracles_nonvacuous_at_sf0_01():
