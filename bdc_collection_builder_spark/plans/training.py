@@ -1066,7 +1066,16 @@ def tx_cdc_chunk_dedup(spark, sf_dir):
     bpos = F.filter(
         F.sequence(F.lit(1), F.length(text)),
         lambda i: F.ascii(F.substr(text, i, F.lit(1))) % 17 == 0)
-    b = F.concat(F.array(F.lit(0)), bpos, F.array(F.length(text)))
+    # The boundary array MUST be materialized as a column before the
+    # chunk transform references it: higher-order-function lambdas are
+    # interpreted (no whole-stage codegen, no common-subexpression
+    # elimination), so an inlined `b` would re-run the O(len)
+    # filter+sequence scan for EVERY element_at — O(len x boundaries)
+    # per doc instead of O(len). Round-10 census caught exactly that:
+    # 8.5s -> 0.3s at sf0.001 for the chunking stage alone.
+    docs = docs.withColumn(
+        "b", F.concat(F.array(F.lit(0)), bpos, F.array(F.length(text))))
+    b = F.col("b")
     chunks = F.transform(
         F.sequence(F.lit(2), F.size(b)),
         lambda k: F.substr(

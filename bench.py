@@ -83,23 +83,17 @@ BENCH_QUERIES = [
     # comparable)
     "tk_viterbi_em_counts",      # EM E-step argmax backtrace (16-way union)
     "s29_schema_evolution_timetravel",  # ADD COLUMN + snapshot reads
-]
-
-# FROZEN-v2 transition (VERDICT-r8 What's-wrong #3): the 51-entry
-# suite above predates rounds 7-8, so ~60 newer queries were benched
-# only if they hit the >5s heavy list. These 10 round-7/8
-# representatives extend it to the FROZEN-v2 suite (61 entries).
-# For ONE transition round both totals are reported — "value" stays
-# the old-51 sum (comparable with BENCH_r08), "value_v2" is the
-# 61-entry sum that becomes the headline next round. Judge-suggested
-# members, with two documented substitutions: gr_strongly_connected
-# stays in BENCH_HEAVY (8.3s > the 5s suite ceiling) -> replaced by
-# gr_clustering_coefficient (the round-7 triangle/wedge graph rep);
-# lo_dynamic_partition_pruning's first call per (process, sf_dir)
-# pays an O(table) partitioned rewrite into a module cache, so its
-# max/min spread would trip the noisy flag every round -> replaced
-# by tj_mann_kendall_trend (the round-7 integer-stat temporal rep).
-BENCH_V2_ADDITIONS = [
+    # FROZEN-v2 members (VERDICT-r8 What's-wrong #3): 10 round-7/8
+    # representatives, reported as "value_v2" for the one round-9
+    # transition round and folded into the headline here (VERDICT-r9
+    # task 2). Judge-suggested, with two documented substitutions:
+    # gr_strongly_connected stays in BENCH_HEAVY (8s > the 5s suite
+    # ceiling) -> replaced by gr_clustering_coefficient (the round-7
+    # triangle/wedge graph rep); lo_dynamic_partition_pruning's first
+    # call per (process, sf_dir) pays an O(table) partitioned rewrite
+    # into a module cache, so its max/min spread would trip the noisy
+    # flag every round -> replaced by tj_mann_kendall_trend (the
+    # round-7 integer-stat temporal rep).
     "dd_hamming_near_pairs",     # pigeonhole segment-blocked join
     "sql01_shared_ansi_text",    # shared-ANSI-text dialect seam
     "tx_heaps_vocab_growth",     # vocab-growth log-log regression
@@ -110,17 +104,26 @@ BENCH_V2_ADDITIONS = [
     "st_incremental_near_dedup",  # streaming LSH dedup drain
     "gr_clustering_coefficient",  # triangle/wedge ratios
     "tj_mann_kendall_trend",     # integer S-statistic trend test
+    # round-10 graduates (VERDICT-r9 task 2): both ex-heavies landed
+    # under the 5s ceiling after the round-9 persist fix and warm-path
+    # measurement, so they join the comparable suite. "value" is
+    # therefore BENCH_r09's value_v2 membership + these two.
+    "dd_prefix_filter_jaccard",  # exact AllPairs + per-pair verify
+                                 # (13.6s -> 2.7s after the ordered-
+                                 # tokens tracked_persist, round 9)
+    "dd_edit1_near_pairs",       # FastSS deletion-neighborhood join
+                                 # (7.3s cold / 1.3s warm — bench
+                                 # sessions are warm by design)
 ]
 
 # BENCH_HEAVY (VERDICT-r7 What's-wrong #4): known >5s queries, measured
 # ONCE per round and reported under a separate "heavy" key — NOT part
-# of the frozen comparable 51-entry suite or its totals, so tail-cost
+# of the frozen comparable suite or its totals, so tail-cost
 # regressions become diff-able round-over-round without perturbing the
 # headline comparability. Single cold run each (a median-of-5 would
 # dominate the bench wall for queries this size; round-over-round
 # deltas >2x are still unambiguous at this magnitude).
 HEAVY_QUERIES = [
-    "dd_prefix_filter_jaccard",   # exact AllPairs + per-pair verify
     "gr_strongly_connected",      # FW-BW SCC, frontier fixpoints
     "dd_exact_substring_maxlen",  # sorted-neighbor-LCP ExactSubstr
                                   # (r8 engine swap; stays heavy: the
@@ -130,16 +133,16 @@ HEAVY_QUERIES = [
                                   # found at ~6s warm during the
                                   # round-9 persist measurements —
                                   # never previously benched
-    "dd_edit1_near_pairs",        # FastSS deletion-neighborhood join;
-                                  # candidate set is quadratic in
-                                  # duplicate-head group size on the
-                                  # template corpus — 7.3s COLD
-                                  # (round-9 budget check, first
-                                  # query of a fresh session) but
-                                  # 1.3s in bench's warmed session;
-                                  # candidate to graduate into the
-                                  # v2 suite next round
 ]
+
+# Census triage (VERDICT-r9 task 3): every registered query gets ONE
+# warm run per round (see the census block in main); any census entry
+# over 5s must either be promoted into BENCH_HEAVY or recorded here
+# with a reason, or the round-close checklist fails
+# (tests/test_artifacts.py::test_census_has_no_untriaged_tail reads
+# the committed BENCH_FULL.json). Reasons must explain why the cost
+# is the workload, not a plan defect.
+CENSUS_TRIAGED: dict[str, str] = {}
 
 
 def materialize(df) -> None:
@@ -183,7 +186,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     times: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name in BENCH_QUERIES + BENCH_V2_ADDITIONS:
+    for name in BENCH_QUERIES:
         fn = QUERY_REGISTRY[name].spark_fn
         samples = []
         for _ in range(n_runs):
@@ -227,13 +230,33 @@ def main() -> None:
         heavy[name] = round(time.perf_counter() - start, 3)
         spark.catalog.clearCache()
 
-    # Transition-round totals: "value" keeps the exact BENCH_r08
-    # membership (old 51 queries + 3 proxies) so the round-over-round
-    # delta stays apples-to-apples; "value_v2" adds the 10 FROZEN-v2
-    # entries and becomes the headline total next round.
-    v2_set = set(BENCH_V2_ADDITIONS)
-    total = round(sum(t for n, t in times.items() if n not in v2_set), 3)
-    total_v2 = round(sum(times.values()), 3)
+    # Census (VERDICT-r9 task 3): ONE warm run of every registered
+    # query not already measured above, registry order, cache cleared
+    # between runs. This exists to catch unknown >5s tails by process
+    # — tj_resample_interpolate sat at ~7s for rounds without anyone
+    # noticing because only suite/heavy members were ever timed. The
+    # census is NOT round-over-round comparable (single run, no
+    # median); it feeds exactly one signal: the untriaged->5s gate
+    # below. The five store-seam queries (s27/s33-s36) stay out of
+    # the SUITE because their module-level outcome caches make only
+    # the first in-process invocation measure the engine — but the
+    # census IS a single first invocation, so their numbers here are
+    # honest build costs.
+    census: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_CENSUS", "1") != "0":
+        measured = set(times) | set(heavy)
+        for name in QUERY_REGISTRY:
+            if name in measured:
+                continue
+            fn = QUERY_REGISTRY[name].spark_fn
+            start = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            census[name] = round(time.perf_counter() - start, 3)
+            spark.catalog.clearCache()
+    census_over5s = sorted(
+        n for n, t in census.items() if t > 5.0 and n not in CENSUS_TRIAGED)
+
+    total = round(sum(times.values()), 3)
     # Contention self-report (VERDICT-r6 What's-wrong #1): round 6's
     # driver machine was contended — j10 median 3.99s with spread min
     # 1.40s on a plan unchanged since r5 — and the total read as a 17%
@@ -241,25 +264,29 @@ def main() -> None:
     # max/min spread exceeds 2.5 is flagged `noisy`; the suite also
     # reports `clean_queries_total` (sum over un-flagged queries) so a
     # contaminated round self-identifies instead of crying regression.
-    # Estimator and suite membership are unchanged — comparability
-    # holds.
     noisy = {n for n, s in spread.items()
              if s["min"] > 0 and s["max"] / s["min"] > 2.5}
     for n in spread:
         spread[n]["noisy"] = n in noisy
     clean_total = round(sum(t for n, t in times.items()
-                            if n not in noisy and n not in v2_set), 3)
-    clean_total_v2 = round(sum(t for n, t in times.items()
-                               if n not in noisy), 3)
+                            if n not in noisy), 3)
     # Per-query delta vs the LATEST recorded round: surfaces
     # regressions query-by-query instead of letting suite growth mask
-    # them. Noisy queries are EXCLUDED from the delta — their medians
-    # are contaminated, so a delta on them is noise, not signal.
+    # them (per VERDICT-r9, per-query deltas with noisy exclusion are
+    # the only round-over-round signal this machine supports — suite
+    # totals swing ±15% on identical code). Noisy queries are
+    # EXCLUDED — their medians are contaminated. Delta source
+    # (ADVICE-r9): the compact line carries 1-dp medians, so reading
+    # them back gives deltas a ±0.05s quantization floor; when the
+    # committed BENCH_FULL.json is the SAME run as the newest
+    # BENCH_r{N}.json (2-dp totals match — the driver commits both
+    # together), prefer its 3-dp map.
     here = os.path.dirname(os.path.abspath(__file__))
     recorded = sorted(f for f in os.listdir(here)
                       if f.startswith("BENCH_r") and f.endswith(".json"))
     deltas: dict[str, float] = {}
     prev_round = None
+    delta_source = None
     # Walk newest→oldest: a driver record can have "parsed": null when
     # its stdout tail capture truncated (BENCH_r04), so fall back to
     # the newest round that actually parsed.
@@ -268,61 +295,89 @@ def main() -> None:
             with open(os.path.join(here, fname)) as fh:
                 doc = json.load(fh)
             # the driver wraps the bench line under "parsed"
-            prev = (doc.get("parsed", doc) or {}).get("queries", {})
+            parsed = doc.get("parsed", doc) or {}
+            prev = parsed.get("queries", {})
         except (json.JSONDecodeError, OSError):
             continue
         if prev:
             prev_round = fname.removesuffix(".json")
+            delta_source = "compact_1dp"
+            try:
+                with open(os.path.join(here, "BENCH_FULL.json")) as fh:
+                    prev_full = json.load(fh)
+                full_q = prev_full.get("queries", {})
+                # same-run check: every shared query's 3-dp median
+                # rounds to the compact line's 1-dp value
+                if full_q and all(
+                        abs(full_q.get(n, 1e9) - v) <= 0.05 + 1e-9
+                        for n, v in prev.items() if n in full_q):
+                    prev = {**prev, **{n: t for n, t in full_q.items()
+                                       if n in prev}}
+                    delta_source = "full_3dp"
+            except (json.JSONDecodeError, OSError):
+                pass
             deltas = {n: round(t - prev[n], 3)
                       for n, t in times.items()
                       if n in prev and n not in noisy}
             break
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Full record (spread + per-query deltas) goes to a FILE and a
-    # PRECEDING stdout line; the driver's tail capture keeps only the
-    # last ~2000 chars of stdout, and the one-line-with-everything
-    # format outgrew that in round 4 ("parsed": null). The LAST line
-    # is a compact summary — totals + per-query medians only — sized
-    # well under the capture window so BENCH_r{N}.json parses again.
+    # Full record (spread + census + per-query deltas) goes to a FILE
+    # and a PRECEDING stdout line; the driver's tail capture keeps
+    # only the last ~2000 chars of stdout, and the
+    # one-line-with-everything format outgrew that in round 4
+    # ("parsed": null). The LAST line is a compact summary sized under
+    # the capture window so BENCH_r{N}.json parses.
     full = {
         "metric": "headline_query_suite_wall",
         "value": total,
         "clean_queries_total": clean_total,
-        "value_v2": total_v2,
-        "clean_queries_total_v2": clean_total_v2,
-        "v2_additions": BENCH_V2_ADDITIONS,
-        "suite": "frozen51+v2-transition",
+        # One-round comparability note (VERDICT-r9 task 2): this
+        # 63-entry suite is BENCH_r09's value_v2 membership plus the
+        # two graduates dd_prefix_filter_jaccard + dd_edit1_near_pairs.
+        "suite": "frozen-v2-63",
         "noisy_queries": sorted(noisy),
         "unit": "sec",
         "n": n_runs,
         "queries": times,
         "heavy": heavy,
+        "census": census,
+        "census_over5s_untriaged": census_over5s,
+        "census_triaged": CENSUS_TRIAGED,
         "query_spread": spread,
         "delta_vs_prev": deltas,
+        "delta_source": delta_source,
         "prev_round": prev_round,
         "sf": sf_val,
     }
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full))
-    # Compact-line budget: the driver's stdout tail keeps exactly 2000
-    # chars and parses the LAST line; the 10 v2 additions pushed the
-    # 3-dp everything-included shape to ~2100 chars (the round-4
-    # "parsed": null failure mode). The compact line therefore carries
-    # 1-dp per-query medians (sub-0.1s resolution lives in the
-    # committed BENCH_FULL.json, same 3-dp record as always) and drops
-    # the fields recoverable from there (n, noisy_count,
-    # clean_queries_total_v2) — ~1930 chars, ~70 of headroom.
-    print(json.dumps({
+    # Compact line: leads with the strongest round-over-round signal
+    # (top non-noisy per-query regressions, 2-dp from the 3-dp delta
+    # source) per VERDICT-r9 What's-wrong #2, then the census gate,
+    # totals, and 1-dp medians (3-dp lives in the committed
+    # BENCH_FULL.json). The 3 proxies stay in the totals but are
+    # dropped from the compact queries map for budget (full record
+    # has them). A length guard trims delta entries before ever
+    # letting the line outgrow the driver's 2000-char tail capture.
+    worst = dict(sorted(((n, round(d, 2)) for n, d in deltas.items()),
+                        key=lambda kv: -kv[1])[:3])
+    compact = {
         "metric": "headline_query_suite_wall",
         "value": round(total, 2),
         "clean_queries_total": round(clean_total, 2),
-        "value_v2": round(total_v2, 2),
+        "delta_worst": worst,
+        "census_over5s": census_over5s,
         "unit": "sec",
-        "queries": {n: round(t, 1) for n, t in times.items()},
+        "queries": {n: round(t, 1) for n, t in times.items()
+                    if not n.startswith("proxy_")},
         "heavy": {n: round(t, 2) for n, t in heavy.items()},
         "sf": sf_val,
-    }, separators=(",", ":")))
+    }
+    while (len(json.dumps(compact, separators=(",", ":"))) > 1950
+           and compact["delta_worst"]):
+        compact["delta_worst"].popitem()
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
