@@ -619,6 +619,70 @@ def upsert_ivf_index(spark, path: str, incoming: DataFrame,
         assigned.unpersist()
 
 
+def delete_from_ivf_index(spark, path: str, keys: DataFrame,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Erasure from a :func:`build_ivf_index` layout — the GDPR
+    counterpart of :func:`upsert_ivf_index` (the erasure worker's
+    contract, applied to the ANN index instead of the catalog):
+    remove the requested vectors and rewrite ONLY the centroid
+    partitions they live in. ``keys`` carries (id, vector) — erasure
+    requests originate from the indexed row, so the vector is in
+    hand — and because the on-disk quantizer is immutable between
+    rebuilds, re-quantizing the key re-derives its partition EXACTLY
+    (the same determinism the upsert's idempotence anti-join relies
+    on). The rewrite is therefore O(touched partitions), never
+    O(corpus): untouched partitions keep their inodes, probes keep
+    their static PartitionFilter.
+
+    Idempotent: a redelivered delete re-quantizes to the same
+    partitions and rewrites content-identical files (a no-op at the
+    data level), so at-least-once delivery is safe. A partition whose
+    every vector is deleted emits NO rows through the dynamic
+    partition overwrite — Spark leaves such directories in place, so
+    they are dropped explicitly (a table format would write a delete
+    manifest; on object stores this is the same one-prefix delete)."""
+    import shutil
+
+    cent = spark.read.parquet(f"{path}/centroids").select(
+        F.col("centroid_id").cast("int").alias("cid"),
+        F.col("centroid").alias("cent_vec")
+    ).withColumn("cent_norm", norm(F.col("cent_vec")))
+    assigned = _assign_nearest(keys, _seeded_carr(cent), id_col, vec_col)
+    assigned.persist()
+    try:
+        touched = sorted(
+            r[0] for r in assigned.select("centroid_id")
+            .distinct().collect())  # driver-sized: #centroids bound
+        if not touched:
+            return
+        # Materialize the survivors BEFORE the overwrite: the plan
+        # reads the same path it rewrites (Spark refuses a lazy
+        # self-overwrite), and the kept-partition set must reflect the
+        # PRE-write state — dynamic overwrite only touches partitions
+        # that emit rows, so a fully-emptied partition's old files
+        # would otherwise survive and its staleness would be invisible
+        # to a post-write read. Checkpoint size is the touched
+        # partitions' survivors — the rows being rewritten anyway.
+        remaining = (
+            spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("centroid_id").isin(touched))
+            .join(assigned.select(id_col), id_col, "left_anti")
+        ).localCheckpoint(eager=True)
+        kept = {r[0] for r in remaining.select("centroid_id")
+                .distinct().collect()}
+        (remaining.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("centroid_id").parquet(f"{path}/vectors"))
+        for cid in touched:
+            if cid not in kept:
+                shutil.rmtree(
+                    f"{path}/vectors/centroid_id={cid}",
+                    ignore_errors=True)
+    finally:
+        assigned.unpersist()
+
+
 def ivf_index_topk(spark, path: str, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "query_id",

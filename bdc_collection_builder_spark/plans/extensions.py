@@ -6049,3 +6049,74 @@ def cu_kcenter_coreset(spark, sf_dir):
                 F.least("mind", dist2_to(top.v)).alias("mind"))
     return spark.createDataFrame(
         centers, "rank bigint, vec_id bigint, radius2 bigint")
+
+
+@query(
+    "ss_ivf_delete_erasure",
+    survey=("SS-ivf", "Y3", "S15"),
+    oracle=f"""
+        WITH cent AS (
+            SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec,
+                   sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
+                     AS cnorm
+            FROM embeddings WHERE vec_id < 16
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY
+                             {_DOT_SQL.format(a='e.embedding', b='c.cvec')}
+                             / (sqrt({_DOT_SQL.format(a='e.embedding',
+                                                      b='e.embedding')})
+                                * c.cnorm) DESC, c.cid
+                       ) AS rnk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rnk = 1
+        )
+        SELECT cid AS centroid_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(vec_id) AS BIGINT) AS id_sum
+        FROM assign WHERE vec_id % 7 <> 3
+        GROUP BY cid
+    """,
+)
+def ss_ivf_delete_erasure(spark, sf_dir):
+    """ANN index ERASURE (extensions/similarity.py
+    delete_from_ivf_index) — the GDPR path the erasure worker
+    (streaming/incremental.py incremental_erasure) already provides
+    for tables, completed for the persisted IVF index (VERDICT-r9
+    task 6): build the seeded index over the full embedding corpus,
+    erase every vec_id % 7 == 3 vector, then REDELIVER the same
+    delete batch — which must be a byte-level no-op (the frozen
+    quantizer re-derives each key's partition deterministically, so
+    both passes rewrite the same touched partitions to the same
+    content). Only touched centroid partitions are rewritten;
+    untouched ones keep their inodes and probes keep their static
+    PartitionFilter.
+
+    The returned per-centroid inventory (count + id checksum) equals
+    the from-scratch assignment of the corpus MINUS the erased ids —
+    proving the in-place delete converges to the batch rebuild,
+    the same identity ss_ivf_incremental_upsert pins for appends.
+    The fully-emptied-partition edge (dynamic overwrite leaves a
+    zero-survivor partition's old files in place unless dropped) is
+    pinned separately in tests/test_new_ops_properties.py."""
+    from bdc_collection_builder_spark.extensions.similarity import (
+        build_ivf_index_seeded,
+        delete_from_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = scratch_dir("bdc_ivf_delete_")
+    build_ivf_index_seeded(emb, path)
+    erase = emb.filter(F.col("vec_id") % 7 == 3)
+    delete_from_ivf_index(spark, path, erase)
+    delete_from_ivf_index(spark, path, erase)  # redelivery: must no-op
+    return (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+        .agg(F.count("*").cast("bigint").alias("n_vectors"),
+             F.sum("vec_id").cast("bigint").alias("id_sum"))
+    )

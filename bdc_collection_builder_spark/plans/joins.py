@@ -1867,3 +1867,115 @@ def j35_idle_rich_customers(spark, sf_dir):
              F.sum("bal_cents").cast("bigint")
              .alias("totacctbal_cents"))
     )
+
+
+@query(
+    "j36_min_cost_supplier",
+    survey=("J5", "J6", "J3"),
+    oracle="""
+        WITH offer AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS cost_cents
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        rsupp AS (
+            SELECT s_suppkey, s_name,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT p.p_partkey, p.p_brand, r.s_name, r.acctbal_cents,
+               r.n_name, o.cost_cents
+        FROM part p
+        JOIN offer o ON p.p_partkey = o.l_partkey
+        JOIN rsupp r ON o.l_suppkey = r.s_suppkey
+        WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'
+          AND o.cost_cents = (
+              SELECT min(o2.cost_cents)
+              FROM offer o2 JOIN rsupp r2 ON o2.l_suppkey = r2.s_suppkey
+              WHERE o2.l_partkey = p.p_partkey)
+    """,
+)
+def j36_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — minimum-cost supplier: for each qualifying
+    part, every EUROPE supplier offering it at that part's MINIMUM
+    cost among EUROPE suppliers (the reference's cheapest-provider
+    selection per collection, the get_provider_order cost tiebreak).
+    This is the classic correlated-scalar-subquery decorrelation the
+    registry lacked a named twin for (VERDICT-r9 task 6): the oracle
+    keeps the textbook correlated `= (SELECT min ...)` form; the
+    Spark plan decorrelates it to ONE window min partitioned by the
+    correlation key (partkey) with an equality filter — ties all
+    qualify (Q2's spec semantics), which row_number greatest-per-group
+    twins (j05) deliberately break, and the grouping key is per-part,
+    which the global-scalar twin (j27's Q15 max) doesn't exercise.
+    The testdata has no partsupp table, so the offer relation is
+    derived: min observed lineitem price per (part, supplier) — the
+    join/decorrelation shape is Q2's exactly.
+
+    Costs compare as exact int64 cents (house exactness style), so
+    the min-equality is never a float equality.
+
+    100 TB: the fact table shuffles once for the (part, supplier)
+    offer aggregate — pre-pruned by a semi-join against the filtered
+    part keys (restricting to surviving groups before the window
+    cannot change any group's min) and by the broadcast region
+    supplier filter, so the window runs over offers of selected parts
+    only, partition-parallel on partkey. Supplier/nation/region and
+    the part dim attach by broadcast; no self-join, no second fact
+    scan — the textbook form reads the fact table twice.
+
+    Reference anchor: provider-priority cost ordering
+    (collection_builder get_provider_order, celery tasks download
+    dispatch)."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_brand")
+    region = t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    nation = t(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    rsupp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name",
+                F.round(F.col("s_acctbal") * 100).cast("bigint")
+                .alias("acctbal_cents"),
+                "n_name")
+    )
+    offer = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey"), F.col("l_suppkey"),
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                .alias("cents"))
+        # prune BEFORE the offer aggregate: only selected parts'
+        # groups can reach the output, and dropping a whole group
+        # never changes another group's min
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cents").cast("bigint").alias("cost_cents"))
+        # region filter must apply INSIDE the correlated min too —
+        # join it before the window, exactly mirroring the oracle's
+        # o2 JOIN r2
+        .join(F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        offer.withColumn(
+            "min_cost", F.min("cost_cents").over(w).cast("bigint"))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+    )
+    return (
+        best.join(F.broadcast(part),
+                  best["l_partkey"] == part["p_partkey"])
+        .select("p_partkey", "p_brand", "s_name", "acctbal_cents",
+                "n_name", "cost_cents")
+    )

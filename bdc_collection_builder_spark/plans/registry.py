@@ -250,6 +250,22 @@ def _load_all() -> None:
 # w09_cumulative_new_users, w15_longest_streak.
 # Done => every oracled query's newest green driver row is <= 7
 # rounds old (the oldest remaining rows become the r4 block).
+# VERDICT-r9 task 6 (new-operator pool) resolved by inventory, per
+# the round-7 dedup discipline: TPC-H Q4 was listed as missing but
+# ALREADY EXISTS — j29_order_priority_checking is the Q4 shape
+# (EXISTS -> left_semi + per-priority count), registered since round
+# 7; NOT re-added. TPC-H Q9's components (multi-way star join,
+# pattern filter, per-nation-year profit agg) each have named twins
+# (j22/j23, f-family, a02) — the composition adds no new shape; NOT
+# added. Registered (both genuinely new, both oracled, green at
+# sf0.001 + sf0.01): j36_min_cost_supplier (Q2's correlated
+# per-group scalar-min decorrelation with ties-keep-all — j05 is
+# row_number top-1, j27 is a GLOBAL scalar max; neither exercises
+# the per-group min-equality join-back) and ss_ivf_delete_erasure
+# (partition-pruned idempotent DELETE from the persisted IVF index —
+# upsert covered append only; completes the GDPR story the erasure
+# worker tells for tables). Both join the ROUND-11 driver pool; they
+# do not displace the frozen round-10 window below.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) the 18 round-2 rows, risk-grouped: filter predicates
     "f07_asset_projection", "f09_value_clamp",

@@ -1160,3 +1160,50 @@ def test_ams_f2_matches_python_mirror_on_planted_counts(spark):
     assert r.f2_exact == f2
     assert r.f2_est_x2 == est_x2
     assert r.err_ppm == abs(est_x2 - 2 * f2) * 1000000 // (2 * f2)
+
+
+def test_ivf_delete_drops_fully_emptied_partition(spark, tmp_path):
+    """delete_from_ivf_index edge pin: dynamic partition overwrite
+    only rewrites partitions that emit survivor rows, so a centroid
+    partition whose EVERY vector is erased would keep its old files
+    unless the engine drops it explicitly. Plant two far-apart
+    centroids, erase all of one partition plus part of the other,
+    and require: the emptied partition's directory is gone, the
+    survivors are exact, and a redelivered delete is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.extensions.similarity import (
+        build_ivf_index_seeded,
+        delete_from_ivf_index,
+    )
+
+    # seeded quantizer = first 2 vectors by id; +1/-1 axes separate
+    # cleanly, ids 0,2,4 land on centroid 0 and 1,3,5 on centroid 1
+    vecs = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0])
+            for i in range(6)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index_seeded(emb, path, n_centroids=2)
+    assert sorted(
+        r.vec_id for r in
+        spark.read.parquet(f"{path}/vectors").collect()) == list(range(6))
+
+    # erase ALL of centroid 1 (odd ids) and one vector of centroid 0
+    erase = emb.filter((F.col("vec_id") % 2 == 1)
+                       | (F.col("vec_id") == 4))
+    delete_from_ivf_index(spark, path, erase)
+    assert not os.path.exists(f"{path}/vectors/centroid_id=1")
+    survivors = sorted(
+        r.vec_id for r in
+        spark.read.parquet(f"{path}/vectors").collect())
+    assert survivors == [0, 2]
+
+    # redelivery: same keys, same result, no error on the gone dir
+    delete_from_ivf_index(spark, path, erase)
+    survivors2 = sorted(
+        r.vec_id for r in
+        spark.read.parquet(f"{path}/vectors").collect())
+    assert survivors2 == [0, 2]

@@ -594,10 +594,15 @@ def test_driver_window_rotation_round10():
     assert len(r3_rows) == 46 and len(leftover) == 14, (
         len(r3_rows), sorted(leftover))
     # nothing older than the window remains: no oracled query's
-    # newest green row predates round 2
+    # newest green row predates round 2. Queries with NO history row
+    # are the round-10 registrations (VERDICT-r9 task 6) — they join
+    # the round-11 driver pool, not this window.
     oracled = {n for n, q in QUERY_REGISTRY.items() if q.oracle}
-    stale = {n for n in oracled if history.get(n, 0) < 2}
+    stale = {n for n in oracled if n in history and history[n] < 2}
     assert not stale, stale
+    never = oracled - set(history)
+    assert never <= {"j36_min_cost_supplier", "ss_ivf_delete_erasure"}, (
+        never)
 
 
 def test_oracles_nonvacuous_at_sf0_01():
