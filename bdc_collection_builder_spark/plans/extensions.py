@@ -4817,12 +4817,59 @@ def _lcp_expr(a: str, b: str) -> str:
     strings (0 when ``b`` is NULL): the first mismatching character
     position minus one, or the shorter length when one is a prefix of
     the other. Pure codegen HOF — O(min-length) char compares, no
-    Python."""
+    Python. The hot path uses the chunked variant below; this form
+    stays as the readable reference (and the property tests pin the
+    two byte-equivalent)."""
     n = f"least(length({a}), length({b}))"
     return (f"CASE WHEN {b} IS NULL THEN 0 ELSE coalesce("
             f"array_min(filter(sequence(1, {n}), "
             f"i -> substring({a}, i, 1) <> substring({b}, i, 1))) - 1, "
             f"{n}) END")
+
+
+_LCP_CHUNK = 8   # 8 chunks x 8 chars cover the 64-char head cap
+
+
+def _lcp_chunks_expr(col: str) -> str:
+    """The 8-chunk split of a <=64-char head, for the chunked LCP:
+    transform over a LITERAL 0..7 sequence (constant-sized — no
+    data-sized expression is inlined into the lambda, the CDC
+    lesson). Chunks past the string's end are ''."""
+    return (f"transform(sequence(0, {_LCP_CHUNK - 1}), "
+            f"j -> substring({col}, j * {_LCP_CHUNK} + 1, {_LCP_CHUNK}))")
+
+
+def _lcp_kchunks_expr(ca: str, cb: str, b: str) -> str:
+    """Count of leading EQUAL 8-char chunks (0..8; NULL when the
+    neighbor ``b`` is NULL). One string-equality per chunk — a
+    memcmp-like compare with no per-char allocation."""
+    return (f"CASE WHEN {b} IS NULL THEN NULL ELSE coalesce("
+            f"array_min(filter(sequence(1, {_LCP_CHUNK}), "
+            f"i -> element_at({ca}, i) <> element_at({cb}, i))), "
+            f"{_LCP_CHUNK + 1}) - 1 END")
+
+
+def _lcp_from_chunks_expr(a: str, b: str, ca: str, cb: str,
+                          k: str) -> str:
+    """LCP given materialized chunk arrays and the leading-equal-chunk
+    count ``k`` (a COLUMN — never recomputed inside the lambda): all
+    chunks equal means the heads are identical (LCP = shorter length);
+    otherwise 8k plus a <=8-char charwise scan inside the first
+    differing chunk. Byte-equivalent to :func:`_lcp_expr` (pinned in
+    tests/test_new_ops_properties.py) at ~1/6 the allocation count:
+    the profile-first pass on dd_exact_substring_maxlen (VERDICT-r9
+    task 5) showed the per-char HOF was ~6s of the 8.5s wall at
+    sf0.1 — not the sort or the checkpoint."""
+    sa = f"element_at({ca}, {k} + 1)"
+    sb = f"element_at({cb}, {k} + 1)"
+    m = f"least(length({sa}), length({sb}))"
+    within = (f"CASE WHEN {m} = 0 THEN 0 ELSE coalesce("
+              f"array_min(filter(sequence(1, {m}), "
+              f"i -> substring({sa}, i, 1) <> substring({sb}, i, 1))) - 1, "
+              f"{m}) END")
+    return (f"CASE WHEN {b} IS NULL THEN 0 "
+            f"WHEN {k} = {_LCP_CHUNK} THEN least(length({a}), length({b})) "
+            f"ELSE {_LCP_CHUNK} * {k} + {within} END")
 
 
 def exact_substring_stats_sorted(docs):
@@ -4894,15 +4941,26 @@ def exact_substring_stats_sorted(docs):
         "pid",
         F.lag("lk.g").over(w_edge).alias("patch_pg"),
         F.lead("fk.g").over(w_edge).alias("patch_ng"))
+    # Chunked LCP on materialized columns: chunk arrays and the
+    # leading-equal-chunk counts are real columns (multi-referenced
+    # non-cheap aliases survive CollapseProject), so nothing O(head)
+    # is re-evaluated inside a lambda — the naive per-char form
+    # (_lcp_expr) measured ~6s of the 8.5s query wall at sf0.1.
     per_pos = (
         lagged.join(F.broadcast(patch), "pid")
         .select(
             "doc_id",
             F.coalesce("pg", "patch_pg").alias("pg"),
             F.coalesce("ng", "patch_ng").alias("ng"), "g")
-        .select("doc_id", F.expr(
-            f"greatest({_lcp_expr('g', 'pg')}, "
-            f"{_lcp_expr('g', 'ng')})").alias("ml"))
+        .withColumn("gc", F.expr(_lcp_chunks_expr("g")))
+        .withColumn("pgc", F.expr(_lcp_chunks_expr("pg")))
+        .withColumn("ngc", F.expr(_lcp_chunks_expr("ng")))
+        .withColumn("kp", F.expr(_lcp_kchunks_expr("gc", "pgc", "pg")))
+        .withColumn("kn", F.expr(_lcp_kchunks_expr("gc", "ngc", "ng")))
+        .select("doc_id", F.greatest(
+            F.expr(_lcp_from_chunks_expr("g", "pg", "gc", "pgc", "kp")),
+            F.expr(_lcp_from_chunks_expr("g", "ng", "gc", "ngc", "kn")),
+        ).alias("ml"))
     )
     return (
         per_pos.groupBy("doc_id")

@@ -125,10 +125,15 @@ BENCH_QUERIES = [
 # deltas >2x are still unambiguous at this magnitude).
 HEAVY_QUERIES = [
     "gr_strongly_connected",      # FW-BW SCC, frontier fixpoints
-    "dd_exact_substring_maxlen",  # sorted-neighbor-LCP ExactSubstr
-                                  # (r8 engine swap; stays heavy: the
-                                  # 1.5M-row checkpoint+window still
-                                  # lands ~12s at sf0.1)
+    "dd_exact_substring_maxlen",  # sorted-neighbor-LCP ExactSubstr.
+                                  # Round-10 profile-first pass: the
+                                  # 11.5s residual was NOT the
+                                  # checkpoint+window (~2.6s) but the
+                                  # per-char LCP HOF (~6s); the
+                                  # chunked LCP cut it to ~5s warm at
+                                  # sf0.1. Kept heavy this round
+                                  # (borderline vs the 5s bar);
+                                  # graduation is a round-11 call.
     "tj_resample_interpolate",    # grid spine + two as-of joins;
                                   # found at ~6s warm during the
                                   # round-9 persist measurements —

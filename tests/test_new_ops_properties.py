@@ -1207,3 +1207,61 @@ def test_ivf_delete_drops_fully_emptied_partition(spark, tmp_path):
         r.vec_id for r in
         spark.read.parquet(f"{path}/vectors").collect())
     assert survivors2 == [0, 2]
+
+
+def test_chunked_lcp_matches_naive_on_seams(spark):
+    """The chunked LCP (materialized 8x8 chunk arrays + charwise tail)
+    must be byte-equivalent to the naive per-char form it replaced,
+    across every seam class: equality, mismatch at the very first
+    char, mismatches straddling chunk boundaries (7/8/9, 63/64),
+    prefix-of cases ending exactly ON a chunk boundary, empty and
+    NULL neighbors, and non-ASCII chars."""
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.plans.extensions import (
+        _lcp_chunks_expr,
+        _lcp_expr,
+        _lcp_from_chunks_expr,
+        _lcp_kchunks_expr,
+    )
+
+    a64 = "x" * 64
+    cases = [
+        ("abc", "abc"), ("abc", "abd"), ("abc", "xbc"), ("abc", ""),
+        ("abc", None), ("", ""), ("a", "ab"), ("ab", "a"),
+        ("x" * 8, "x" * 8), ("x" * 8, "x" * 7), ("x" * 7 + "y", "x" * 8),
+        ("x" * 9, "x" * 8 + "z"), ("x" * 16, "x" * 15 + "q"),
+        (a64, a64), (a64, "x" * 63 + "y"), (a64, "x" * 63),
+        (a64[:32] + "p" + a64[33:], a64),
+        ("héllo wörld", "héllo wqrld"), ("héllo", "héllo wörld"),
+        ("x" * 24, "x" * 24 + "tail"[:0]),
+    ]
+    df = spark.createDataFrame(cases, "g string, pg string")
+    out = (
+        df.withColumn("gc", F.expr(_lcp_chunks_expr("g")))
+        .withColumn("pgc", F.expr(_lcp_chunks_expr("pg")))
+        .withColumn("kp", F.expr(_lcp_kchunks_expr("gc", "pgc", "pg")))
+        .select(
+            "g", "pg",
+            F.expr(_lcp_expr("g", "pg")).alias("naive"),
+            F.expr(_lcp_from_chunks_expr("g", "pg", "gc", "pgc", "kp"))
+            .alias("chunked"))
+        .collect())
+
+    def true_lcp(a, b):
+        if b is None:
+            return 0
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    for r in out:
+        assert r.chunked == true_lcp(r.g, r.pg), (r.g, r.pg, r.chunked)
+        # the naive reference form only contracts NON-EMPTY strings
+        # (sorted-neighbor heads are always >= 1 char); hold it to
+        # its contract, the chunked form to the full domain
+        if r.g and (r.pg is None or r.pg):
+            assert r.naive == r.chunked, (r.g, r.pg, r.naive, r.chunked)
