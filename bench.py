@@ -74,7 +74,18 @@ BENCH_QUERIES = [
     # round-4 fourth-wave additions
     "j22_bilateral_trade_flow",  # Q7 shape (5-way star, nation-pair prune)
     "j20_last_shipper_waiting",  # Q21 shape (decorrelated to one window)
-    "st_stream_outer_join",      # watermarked outer-join state eviction
+    "st_stream_outer_join",      # watermarked outer-join state eviction.
+                                 # r9's +0.30s (2.50->2.80) flag was
+                                 # settled in round 10 (VERDICT-r9
+                                 # task 4): the r8->r9 code diff is
+                                 # byte-identical except scratch-dir
+                                 # provenance, and an 8-run same-
+                                 # session measurement landed 2.81-
+                                 # 2.99s (median 2.95) — both round
+                                 # values sit inside the machine's
+                                 # day-to-day band. Verdict: harness
+                                 # noise, plan unchanged; the r4
+                                 # 8-partition state sizing stands.
     "dq_gini_concentration",     # rank-identity Gini (window, no self-join)
     "tk_bpe_train_rounds",       # 3 chained BPE merge rounds
     "ss_kmeans_train_rounds",    # 2 Lloyd rounds, fixed-point updates
