@@ -1107,8 +1107,30 @@ _WIN_K = 8      # char k-gram width
 _WIN_W = 4      # winnowing window (hashes per window)
 _WIN_HEAD = 512  # fingerprint the document head (bounds cost per doc)
 
-_WIN_HASH = ("CAST(concat('0x', substr(md5(substr(head, CAST(i AS INTEGER), "
-             f"{_WIN_K})), 1, 15)) AS BIGINT)")
+# k-gram hash: positional base-131 polynomial over the gram's (code
+# point % 256) digits — exact int64 on both engines (max term
+# 255 * 131^7 ≈ 1.7e17, sum of 8 < 1.4e18, no overflow) — then one
+# LCG scramble mod 2^31 so winnowing's min-selection isn't biased
+# toward low-codepoint leading chars. Replaced md5+hex+conv in round
+# 10: the census measured 30M per-gram md5s at ~4.2s of the query's
+# 10.8s wall at sf0.1, and the fingerprint hash only needs to be
+# DETERMINISTIC AND ORACLE-REPLAYABLE, not cryptographic — the
+# winnowing guarantee (shared substring => shared fingerprint) holds
+# for any deterministic hash. ascii(substr) cross-engine parity is
+# the proven CDC-gear pattern (tx_cdc_chunk_dedup).
+_WIN_M31 = 2_147_483_648
+_WIN_POWS = [131 ** (_WIN_K - 1 - j) for j in range(_WIN_K)]
+# the per-char codepoint array is computed ONCE per row and indexed
+# O(1) per polynomial term — 8 substr allocations per gram position
+# measured SLOWER than the md5 they replaced (15.7s vs 10.8s at
+# sf0.1); with the precomputed array the hash is pure int64 adds
+_WIN_CPS = (f"list_transform(generate_series(1, len(head)), "
+            f"c -> CAST(ascii(substr(head, c, 1)) % 256 AS BIGINT))")
+_WIN_POLY = " + ".join(
+    f"cps[CAST(i AS INTEGER) + {j}] * {p}"
+    for j, p in enumerate(_WIN_POWS))
+_WIN_HASH = (f"((({_WIN_POLY}) % {_WIN_M31}) * 1103515245 + 12345) "
+             f"% {_WIN_M31}")
 
 
 @query(
@@ -1119,12 +1141,15 @@ _WIN_HASH = ("CAST(concat('0x', substr(md5(substr(head, CAST(i AS INTEGER), "
             SELECT doc_id, substr(text, 1, {_WIN_HEAD}) AS head
             FROM documents WHERE len(text) >= {_WIN_K + _WIN_W - 1}
         ),
+        cps AS (
+            SELECT doc_id, head, {_WIN_CPS} AS cps FROM docs
+        ),
         hashed AS (
             SELECT doc_id,
                    list_transform(
                        generate_series(1, len(head) - {_WIN_K - 1}),
                        i -> {_WIN_HASH}) AS hs
-            FROM docs
+            FROM cps
         ),
         selected AS (
             SELECT doc_id, list_distinct(list_transform(
@@ -1171,11 +1196,24 @@ def tx_winnow_fingerprints(spark, sf_dir):
                 F.substring("text", 1, _WIN_HEAD).alias("head"))
     )
     k, w = _WIN_K, _WIN_W
+    # codepoint array ONCE per row (the HOF-materialization rule: a
+    # real column, so the gram lambda's 8 reads are O(1) element_at,
+    # never substr allocations — 8 substrs per position measured
+    # SLOWER than the md5 they replaced)
+    docs = docs.withColumn("cps", F.transform(
+        F.sequence(F.lit(1), F.length("head")),
+        lambda c: (F.ascii(F.substr(F.col("head"), c, F.lit(1)))
+                   % 256).cast("bigint")))
+
+    def gram_hash(i):
+        poly = None
+        for j, p in enumerate(_WIN_POWS):
+            term = F.element_at(F.col("cps"), i + j) * F.lit(p)
+            poly = term if poly is None else poly + term
+        return ((poly % _WIN_M31) * 1103515245 + 12345) % _WIN_M31
+
     hs = F.transform(
-        F.sequence(F.lit(1), F.length("head") - (k - 1)),
-        lambda i: F.conv(F.substring(F.md5(F.substr(F.col("head"), i,
-                                                    F.lit(k))), 1, 15),
-                         16, 10).cast("bigint"))
+        F.sequence(F.lit(1), F.length("head") - (k - 1)), gram_hash)
     prints = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size("hs") - (w - 1)),
         lambda j: F.array_min(F.slice("hs", j, w))))
@@ -1183,6 +1221,13 @@ def tx_winnow_fingerprints(spark, sf_dir):
         docs.select("doc_id", hs.alias("hs"))
         .select("doc_id", F.explode(prints).alias("p"))
     )
+    # exploded feeds the frequency aggregate AND the join-back, and
+    # Catalyst replays the producing chain per consumer — here ~30M
+    # md5 k-gram hashes plus the sliding-min winnow (the round-10
+    # census measured the double chain at 10.8s; persisting the
+    # selected-print rows — two longs each, ~2/(w+1) of the hashes —
+    # meets the persist rule: |frame| << producing work)
+    exploded = tracked_persist(exploded)
     freq = exploded.groupBy("p").agg(
         F.countDistinct("doc_id").alias("ndocs"))
     shared = F.when(F.col("ndocs") > 1, 1).otherwise(0)

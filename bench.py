@@ -149,7 +149,27 @@ HEAVY_QUERIES = [
                                   # found at ~6s warm during the
                                   # round-9 persist measurements —
                                   # never previously benched
+    "tx_winnow_fingerprints",     # promoted by the round-10 census
+                                  # (its first catch at sf0.1): found
+                                  # at 10.8s, cut to ~5s by swapping
+                                  # the 30M per-gram md5s for an
+                                  # exact-int64 polynomial over a
+                                  # once-per-row codepoint array plus
+                                  # a measured-win persist of the
+                                  # selected prints; the residual is
+                                  # a genuine 60k-doc x 505-gram
+                                  # winnow + corpus print join
 ]
+
+# Census triage reasons (see CENSUS_TRIAGED contract above).
+_BLOB_TRIAGE = (
+    "constant-size synthetic raster (4 scenes x 16x16 px, "
+    "SF-independent): the ~5-6s wall is star-contraction round "
+    "overhead (a fixed number of tiny Spark jobs), not a data-scale "
+    "tail — sf0.001 and sf0.1 census times are within 2s of each "
+    "other. Not promoted to BENCH_HEAVY because its cost cannot "
+    "regress with data; round-over-round tracking would only "
+    "re-measure scheduler latency.")
 
 # Census triage (VERDICT-r9 task 3): every registered query gets ONE
 # warm run per round (see the census block in main); any census entry
@@ -158,7 +178,9 @@ HEAVY_QUERIES = [
 # (tests/test_artifacts.py::test_census_has_no_untriaged_tail reads
 # the committed BENCH_FULL.json). Reasons must explain why the cost
 # is the workload, not a plan defect.
-CENSUS_TRIAGED: dict[str, str] = {}
+CENSUS_TRIAGED: dict[str, str] = {
+    "px_blob_labeling": _BLOB_TRIAGE,
+}
 
 
 def materialize(df) -> None:
