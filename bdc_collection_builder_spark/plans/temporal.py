@@ -146,11 +146,17 @@ def tj_resample_interpolate(spark, sf_dir):
     primitive (TimescaleDB ``time_bucket_gapfill`` + ``interpolate``
     shape) satellite revisit series need. Grid points span only the
     observed range per user, so both bracketing observations always
-    exist; the brackets come from ONE backward and ONE forward as-of
-    join (union + ranking window each — never a range cross-product),
-    and the spine explodes from per-user bounds, all partition-parallel
-    on user_id at any scale."""
-    from bdc_collection_builder_spark.operators.temporal import asof_join
+    exist; BOTH brackets come from one obs-union-spine frame shuffled
+    ONCE on user_id — an ascending carry-forward window takes the last
+    observation at-or-before each grid point, a descending one takes
+    the first at-or-after (the second window re-sorts locally but
+    never re-shuffles), and filtering back to spine rows replaces the
+    bracket join entirely. The previous two-as-of-join form paid that
+    union+sort twice plus a grid-sized equi-join (round-10 profile:
+    6.9s -> ~3.1s warm at sf0.1, where the 10-min spine is 63x
+    the observation count). The spine explodes from per-user bounds,
+    all partition-parallel on user_id at any scale."""
+    from pyspark.sql import Window
 
     events = t(spark, sf_dir, "events")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -163,20 +169,39 @@ def tj_resample_interpolate(spark, sf_dir):
              .select("user_id",
                      F.explode(F.sequence("g0", "g1")).alias("i"))
              .select("user_id", (F.col("i") * _G_US).alias("t_us")))
-    back = asof_join(
-        spine, obs.select("user_id", "ts_us", F.col("v").alias("vb")),
-        on=["user_id"], left_ts="t_us", right_ts="ts_us",
-        right_values=["vb"], direction="backward", matched_ts_col="tb")
-    fwd = asof_join(
-        spine, obs.select("user_id", "ts_us", F.col("v").alias("vf")),
-        on=["user_id"], left_ts="t_us", right_ts="ts_us",
-        right_values=["vf"], direction="forward", matched_ts_col="tf")
-    frac = ((F.col("t_us") - F.col("tb")).cast("double")
+    # obs rows sort BEFORE a coincident grid point in BOTH directions
+    # (is_spine breaks the tie), so an observation exactly ON the grid
+    # is its own backward and forward bracket — tb = tf = t_us, the
+    # exact-hit branch below, matching both engines' inclusive as-of.
+    u = obs.select(
+        "user_id", F.col("ts_us").alias("t"),
+        F.col("ts_us").alias("ot"), "v",
+        F.lit(0).alias("is_spine"),
+    ).unionByName(spine.select(
+        "user_id", F.col("t_us").alias("t"),
+        F.lit(None).cast("bigint").alias("ot"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_spine")))
+    w_asc = (Window.partitionBy("user_id")
+             .orderBy(F.col("t").asc(), F.col("is_spine").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_desc = (Window.partitionBy("user_id")
+              .orderBy(F.col("t").desc(), F.col("is_spine").asc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    bracketed = (
+        u.withColumn("tb", F.last("ot", ignorenulls=True).over(w_asc))
+        .withColumn("vb", F.last("v", ignorenulls=True).over(w_asc))
+        .withColumn("tf", F.last("ot", ignorenulls=True).over(w_desc))
+        .withColumn("vf", F.last("v", ignorenulls=True).over(w_desc))
+        .filter(F.col("is_spine") == 1)
+    )
+    frac = ((F.col("t") - F.col("tb")).cast("double")
             / (F.col("tf") - F.col("tb")).cast("double"))
     interp = F.when(F.col("tb") == F.col("tf"), F.col("vb")).otherwise(
         F.col("vb") + (F.col("vf") - F.col("vb")) * frac)
-    return (back.join(fwd, ["user_id", "t_us"])
-            .select("user_id", "t_us", F.round(interp, 4).alias("v_interp")))
+    return bracketed.select(
+        "user_id", F.col("t").alias("t_us"),
+        F.round(interp, 4).alias("v_interp"))
 
 
 @query(

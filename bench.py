@@ -145,10 +145,17 @@ HEAVY_QUERIES = [
                                   # sf0.1. Kept heavy this round
                                   # (borderline vs the 5s bar);
                                   # graduation is a round-11 call.
-    "tj_resample_interpolate",    # grid spine + two as-of joins;
-                                  # found at ~6s warm during the
-                                  # round-9 persist measurements —
-                                  # never previously benched
+    "tj_resample_interpolate",    # grid spine + dual-direction
+                                  # bracket windows. Round-10
+                                  # profile-first pass: the two
+                                  # as-of joins each re-paid the
+                                  # union+sort of the 6.3M-row spine
+                                  # plus a grid-sized equi-join;
+                                  # both brackets now come from ONE
+                                  # shuffle (asc + desc carry-
+                                  # forward windows) — 6.9s -> ~3.1s
+                                  # warm. Kept heavy this round;
+                                  # graduation is a round-11 call.
     "tx_winnow_fingerprints",     # promoted by the round-10 census
                                   # (its first catch at sf0.1): found
                                   # at 10.8s, cut to ~5s by swapping
