@@ -1228,8 +1228,11 @@ def tx_winnow_fingerprints(spark, sf_dir):
     # selected-print rows — two longs each, ~2/(w+1) of the hashes —
     # meets the persist rule: |frame| << producing work)
     exploded = tracked_persist(exploded)
+    # (doc_id, p) rows are already distinct — array_distinct ran per
+    # doc before the explode — so count(*) == countDistinct(doc_id)
+    # without the distinct-expand phase
     freq = exploded.groupBy("p").agg(
-        F.countDistinct("doc_id").alias("ndocs"))
+        F.count("*").alias("ndocs"))
     shared = F.when(F.col("ndocs") > 1, 1).otherwise(0)
     return (
         exploded.join(freq, "p")
