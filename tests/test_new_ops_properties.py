@@ -1315,3 +1315,55 @@ def test_j36_min_cost_ties_keep_all(spark, sf_dir):
     expected = {r.l_partkey: r["count"] for r in winners}
     got = {pk: len(pairs) for pk, pairs in per_part.items()}
     assert got == expected
+
+
+def test_chunked_lcp_matches_python_on_random_pairs(spark):
+    """Seeded random fuzz over the chunked LCP: 400 string pairs from
+    a 3-char alphabet (maximizing long shared prefixes and boundary
+    collisions) in one batch, compared against a Python ground truth."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bdc_collection_builder_spark.plans.extensions import (
+        _lcp_chunks_expr,
+        _lcp_from_chunks_expr,
+        _lcp_kchunks_expr,
+    )
+
+    rng = random.Random(20260816)
+    cases = []
+    for _ in range(400):
+        n = rng.randint(0, 64)
+        a = "".join(rng.choice("abz") for _ in range(n))
+        if rng.random() < 0.5:
+            # mutate a shared prefix: forces mismatches at random depths
+            m = rng.randint(0, 64)
+            b = (a[:rng.randint(0, len(a))]
+                 + "".join(rng.choice("abz") for _ in range(m)))[:64]
+        else:
+            b = None if rng.random() < 0.1 else "".join(
+                rng.choice("abz") for _ in range(rng.randint(0, 64)))
+        cases.append((a, b))
+    df = spark.createDataFrame(cases, "g string, pg string")
+    out = (
+        df.withColumn("gc", F.expr(_lcp_chunks_expr("g")))
+        .withColumn("pgc", F.expr(_lcp_chunks_expr("pg")))
+        .withColumn("kp", F.expr(_lcp_kchunks_expr("gc", "pgc", "pg")))
+        .select("g", "pg",
+                F.expr(_lcp_from_chunks_expr("g", "pg", "gc", "pgc", "kp"))
+                .alias("chunked"))
+        .collect())
+
+    def true_lcp(a, b):
+        if b is None:
+            return 0
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    for r in out:
+        assert r.chunked == true_lcp(r.g, r.pg), (r.g, r.pg, r.chunked)
