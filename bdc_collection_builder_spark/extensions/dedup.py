@@ -581,9 +581,11 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
     )
 
     def star(e: DataFrame, large: bool) -> DataFrame:
-        # m(u) = min over closed neighborhood (neighbors ∪ self)
-        mins = (e.groupBy("u")
-                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        # m(u) = min over closed neighborhood (neighbors ∪ self);
+        # min(v) then least with the grouping key itself — one agg
+        # buffer, not two (first(u) == u under groupBy(u))
+        mins = (e.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least(F.col("u"), F.col("mv")).alias("m")))
         half = e.filter(F.col("v") > F.col("u")) if large \
             else e.filter(F.col("v") <= F.col("u"))
         relinked = (half.join(mins, "u")
@@ -601,6 +603,13 @@ def connected_components_star(edges: DataFrame, src: str = "doc_a",
     prev_count = e.count()
     for _ in range(max_iter):
         note_rounds(1)
+        # Per-star materialization is LOAD-BEARING, not just lineage
+        # hygiene: star() consumes its input twice (the mins groupBy
+        # and the half filter), so an unmaterialized large-star output
+        # would replay its whole plan per consumer. Fusing the two
+        # stars into one materialized round was measured in round 10
+        # (same-session A/B at sf0.1): neutral-to-worse
+        # (dd_survivorship warm 5.5s -> 6.3s) — keep the checkpoint.
         e = star(e, large=True).localCheckpoint(eager=True)
         e = star(e, large=False).localCheckpoint(eager=True)
         n = e.count()

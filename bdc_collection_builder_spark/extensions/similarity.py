@@ -326,10 +326,57 @@ def multiprobe_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _ivf_seeded_assign(carr: DataFrame, df: DataFrame, idc: str,
+                       vec_col: str, prefix: str, n: int) -> DataFrame:
+    """n nearest centroid ids per vector (cosine, ties -> low cid)."""
+    vec = F.col(f"{prefix}_vec")
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (dot(vec, c["cent_vec"])
+             / (F.col(f"{prefix}_norm") * c["cent_norm"])).alias("sim"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    # ascending sort on (sim, negcid), reversed -> sim DESC, cid ASC
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return (
+        df.select(F.col(idc), F.col(vec_col).alias(f"{prefix}_vec"),
+                  norm(F.col(vec_col)).alias(f"{prefix}_norm"))
+        .crossJoin(F.broadcast(carr))
+        .select(idc, f"{prefix}_vec", f"{prefix}_norm",
+                F.explode(F.transform(top, lambda s: -s["negcid"]))
+                .alias("centroid_id"))
+    )
+
+
+def ivf_seeded_assignment(corpus: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          n_centroids: int = 16):
+    """The corpus half of :func:`ivf_topk_seeded`'s probe plan —
+    ``(carr, c)`` where ``carr`` is the one-row broadcast centroid
+    array and ``c`` the corpus rows tagged with their nearest centroid
+    — exposed so sweep queries (the nprobe recall curve) can compute
+    the assignment ONCE (and persist it) instead of re-running the
+    argmax scan per arm. Expressions are byte-identical to the
+    previous inline form."""
+    cent = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"),
+                norm(F.col(vec_col)).alias("cent_norm")))
+    # One row holding all centroids, ordered by cid (array_sort on the
+    # struct sorts by its first field) — deterministic regardless of
+    # collect_list's arrival order.
+    carr = cent.agg(F.array_sort(F.collect_list(
+        F.struct("cid", "cent_vec", "cent_norm"))).alias("cents"))
+    c = _ivf_seeded_assign(carr, spread(corpus), id_col, vec_col, "c", 1)
+    return carr, c
+
+
 def ivf_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id", n_centroids: int = 16,
-                    nprobe: int = 4) -> DataFrame:
+                    nprobe: int = 4, assignment=None) -> DataFrame:
     """IVF top-k with a data-derived coarse quantizer: the first
     ``n_centroids`` corpus vectors (by id) serve as centroids, joined
     as a broadcast dimension instead of baked-in literals.
@@ -345,41 +392,17 @@ def ivf_topk_seeded(corpus: DataFrame, queries: DataFrame, k: int = 5,
     broadcast array row and each vector argmax-scans it in a projection
     (the window/join formulation would shuffle corpus x n_centroids
     rows). Ties break toward the lower centroid id, matching the
-    oracle's ORDER BY sim DESC, cid."""
-    cent = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"),
-                norm(F.col(vec_col)).alias("cent_norm")))
-    # One row holding all centroids, ordered by cid (array_sort on the
-    # struct sorts by its first field) — deterministic regardless of
-    # collect_list's arrival order.
-    carr = cent.agg(F.array_sort(F.collect_list(
-        F.struct("cid", "cent_vec", "cent_norm"))).alias("cents"))
+    oracle's ORDER BY sim DESC, cid.
 
-    def assign(df: DataFrame, idc: str, prefix: str, n: int) -> DataFrame:
-        """n nearest centroid ids per vector (cosine, ties -> low cid)."""
-        vec = F.col(f"{prefix}_vec")
-        scored = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (dot(vec, c["cent_vec"])
-                 / (F.col(f"{prefix}_norm") * c["cent_norm"])).alias("sim"),
-                (-c["cid"]).alias("negcid"),
-            ),
-        )
-        # ascending sort on (sim, negcid), reversed -> sim DESC, cid ASC
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return (
-            df.select(F.col(idc), F.col(vec_col).alias(f"{prefix}_vec"),
-                      norm(F.col(vec_col)).alias(f"{prefix}_norm"))
-            .crossJoin(F.broadcast(carr))
-            .select(idc, f"{prefix}_vec", f"{prefix}_norm",
-                    F.explode(F.transform(top, lambda s: -s["negcid"]))
-                    .alias("centroid_id"))
-        )
-
-    c = assign(spread(corpus), id_col, "c", 1)
-    q = assign(queries, query_id_col, "q", nprobe)
+    ``assignment``: pass the ``(carr, c)`` pair from
+    :func:`ivf_seeded_assignment` to reuse one corpus-to-centroid
+    assignment across several probe configurations (the nprobe sweep)
+    instead of re-running the argmax scan per call."""
+    if assignment is None:
+        assignment = ivf_seeded_assignment(
+            corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids)
+    carr, c = assignment
+    q = _ivf_seeded_assign(carr, queries, query_id_col, vec_col, "q", nprobe)
     scored = (
         c.join(F.broadcast(q), "centroid_id")
         .filter(F.col(id_col) != F.col(query_id_col))

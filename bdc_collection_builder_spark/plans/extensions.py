@@ -4039,6 +4039,7 @@ def ss_ivf_probe_recall_curve(spark, sf_dir):
     recall in nprobe is asserted by an invariant test, NOT assumed."""
     from bdc_collection_builder_spark.extensions.similarity import (
         brute_force_topk,
+        ivf_seeded_assignment,
         ivf_topk_seeded,
     )
     from bdc_collection_builder_spark.functions.persist import (
@@ -4050,9 +4051,17 @@ def ss_ivf_probe_recall_curve(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding")
     exact = tracked_persist(
         brute_force_topk(emb, queries, k=5).select("query_id", "vec_id"))
+    # The corpus-to-centroid argmax scan is identical across the four
+    # arms — compute it once and persist (round-10, guide §2.4/§5:
+    # the sweep multiplies only the probe-join work; previously each
+    # arm re-ran the full corpus assignment, 4x the scan + 16-dot
+    # argmax per vector).
+    carr, c = ivf_seeded_assignment(emb)
+    assignment = (carr, tracked_persist(c))
     arms = []
     for np_ in _PROBE_SWEEP:
-        approx = ivf_topk_seeded(emb, queries, k=5, nprobe=np_).select(
+        approx = ivf_topk_seeded(emb, queries, k=5, nprobe=np_,
+                                 assignment=assignment).select(
             F.col("query_id").alias("qi"), F.col("vec_id").alias("vi"))
         arms.append(
             exact.join(approx, (F.col("query_id") == F.col("qi"))

@@ -1143,6 +1143,12 @@ def st_stateful_sessionize(spark, sf_dir):
     load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
         events_dir)
     qname = f"sessions_{uuid.uuid4().hex[:8]}"
+    # NOT given the 8-partition state sizing of the stream-join
+    # queries: measured in round 10 (same-session A/B at sf0.1), 8
+    # partitions cost ~15% here — the drain's wall is the
+    # applyInPandasWithState pandas compute over the event volume,
+    # which WANTS the parallelism, not the per-partition state-commit
+    # overhead that dominates the tiny-state stream-stream joins.
     q = streaming_sessionize(spark, events_dir, f"{scratch}/ckpt",
                              queryName=qname)
     q.awaitTermination(300)
@@ -1251,9 +1257,20 @@ def st_incremental_near_dedup(spark, sf_dir):
      .select((F.col("doc_id") + 1000000).alias("doc_id"),
              F.concat("text", F.lit(" xy zz wq")).alias("text"))
      .coalesce(1).write.mode("append").parquet(f"{scratch}/in"))
-    q = incremental_near_dedup(spark, f"{scratch}/in", f"{scratch}/state",
-                               f"{scratch}/out", f"{scratch}/ckpt")
-    q.awaitTermination(300)
+    # See st_stream_stream_join: each micro-batch runs several joins,
+    # distincts and three idempotent-append actions over a batch-sized
+    # frame; at this batch keyspace 8 shuffle partitions suffice —
+    # production sizes the per-batch shuffle to batch volume, not the
+    # relational default.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = incremental_near_dedup(spark, f"{scratch}/in",
+                                   f"{scratch}/state",
+                                   f"{scratch}/out", f"{scratch}/ckpt")
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (
         spark.read.parquet(f"{scratch}/out")
         .select((F.col("doc_id") % 1000000).alias("cluster_rep"))
