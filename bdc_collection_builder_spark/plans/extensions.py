@@ -2626,11 +2626,12 @@ def dd_containment_pairs(spark, sf_dir):
     resemblance-based MinHash structurally under-scores (the extended
     twin here has Jaccard ~0.6 to its source but containment 1.0, and
     the output carries both so the gap is visible). Candidates come
-    from a shared-shingle equi-join, NEVER all pairs, with a
+    from per-shingle posting lists, NEVER all pairs, with a
     frequent-shingle cut (df > {{maxdf}} docs) that both removes
-    boilerplate shingles and bounds the join's per-key fan-out — the
-    anti-skew guarantee at 100 TB where a stop-phrase shingle would
-    otherwise fan a single key across the corpus. Synthetic
+    boilerplate shingles and bounds the per-shingle pair fan-out to
+    maxdf²/2 — the anti-skew guarantee at 100 TB where a stop-phrase
+    shingle would otherwise fan a single key across the corpus.
+    Synthetic
     containment twins (per-doc unique filler appended to every 40th
     doc) make the expected answer analytic for the oracle."""
     from bdc_collection_builder_spark.extensions.text import tokens
@@ -2654,17 +2655,37 @@ def dd_containment_pairs(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.slice("tk", i + 1, 5)))))
             .alias("sh"))
     )
-    rare = sh.groupBy("sh").agg(
-        F.countDistinct("doc_id").alias("df")).filter(
-        F.col("df") <= _CONT_MAXDF).select("sh")
-    inc = tracked_persist(sh.join(rare, "sh"))
-    sizes = inc.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = inc.alias("a"), inc.alias("b")
+    # ONE shuffle of the shingle table replaces the previous
+    # rare-filter + join-back + self-join chain (which computed the
+    # shingle explode twice and exchanged the incidence table three
+    # more times): group by shingle, keep the rare ones (count ==
+    # countDistinct because array_distinct ran per doc before the
+    # explode), and carry the ≤ maxdf posting list in-row. Pairs are
+    # then a combinations HOF over each posting list (fan-out bounded
+    # by maxdf²/2 per shingle — the same anti-skew cap as before) and
+    # sizes fall out of re-exploding the lists; both consumers read
+    # the persisted grouped frame, never the corpus again
+    # (guide §2.3 aggregate-before-shuffle + §2.4 remove shuffles).
+    grouped = tracked_persist(
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= _CONT_MAXDF)
+        .select("ds"))
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("sz")))
+    ds, nd = F.col("ds"), F.size("ds")
+    combos = F.when(nd >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), nd - 1),
+        lambda i: F.transform(
+            F.slice(ds, i + 1, nd - i),
+            lambda y: F.struct(F.element_at(ds, i).alias("id_a"),
+                               y.alias("id_b"))),
+    ))).otherwise(F.array().cast("array<struct<id_a:bigint,id_b:bigint>>"))
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"),
-                 F.col("b.doc_id").alias("id_b"))
+        grouped.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"),
+                 F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"),

@@ -181,25 +181,38 @@ def tk_pmi_cooccurrence(spark, sf_dir):
     per-doc vocabulary incidence is ≤ k tokens, so pairs are generated
     INSIDE each doc's sorted array with a combinations HOF (≤ k²/2 per
     doc, bounded by construction, never corpus-quadratic) — no pair
-    self-join at all. Two corpus-scale shuffles (token df, per-doc
-    incidence sets); the pair aggregate runs on the capped k²/2 key
-    space."""
+    self-join at all. ONE corpus-scale shuffle (the token df
+    aggregate, with map-side partial aggregation over per-doc distinct
+    tokens); the incidence set is a map-side array_intersect with the
+    collected top-k literals, and the pair aggregate runs on the
+    capped k²/2 key space."""
     docs = t(spark, sf_dir, "documents")
+    # Per-doc DISTINCT tokens first (array_distinct is the map-side
+    # dedup), so document frequency is a plain count with partial
+    # aggregation — the previous countDistinct shuffled every raw
+    # token occurrence and dedup'd reduce-side (guide §2.3: aggregate
+    # before you shuffle).
     toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    df = toks.groupBy("tok").agg(
-        F.countDistinct("doc_id").alias("df"))
-    top = df.orderBy(F.col("df").desc(), "tok").limit(100)
-    # ONE shuffle builds the deduped per-doc vocab set (collect_set is
-    # the distinct); the earlier formulation's incidence-distinct +
-    # doc_id self-join spent three corpus-scale shuffles on the same
-    # result. Pairs then come from a combinations HOF over the sorted
-    # array — map-side, codegen'd, output bounded by k²/2 per doc.
-    doc_sets = (
-        toks.join(F.broadcast(top.select("tok")), "tok")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("tok")).alias("ts"))
-    )
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # The top-100 vocabulary is a CAP-BOUNDED dimension: collect it
+    # once and bake it in as literals. The previous broadcast-join
+    # form consumed the `top` subplan three times (incidence filter +
+    # the two df attach joins) and Catalyst replayed the corpus-scale
+    # df aggregate for each — three extra full shuffles for 100 rows
+    # (guide §2.4: remove shuffles outright).
+    top100 = df.orderBy(F.col("df").desc(), "tok").limit(100).collect()
+    top_lit = F.array(*[F.lit(r["tok"]) for r in top100])
+    # Per-doc vocab set = array_intersect with the literal top-100:
+    # map-side, NO shuffle — replaces the explode + broadcast join +
+    # collect_set regroup (one full corpus exchange gone). Pairs then
+    # come from a combinations HOF over the sorted array — map-side,
+    # output bounded by k²/2 per doc.
+    doc_sets = docs.select(
+        "doc_id",
+        F.array_sort(F.array_intersect(
+            F.array_distinct(tokens(F.col("text"))), top_lit)).alias("ts"))
     ts, sz = F.col("ts"), F.size("ts")
     pair_arr = F.when(sz >= 2, F.flatten(F.transform(
         F.sequence(F.lit(1), sz - 1),
@@ -215,8 +228,14 @@ def tk_pmi_cooccurrence(spark, sf_dir):
                  F.col("p.tok_b").alias("tok_b"))
         .agg(F.count("*").alias("n_docs_both"))
     )
-    da = top.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
-    db = top.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    # df attach from the already-collected rows — a 100-row local
+    # frame, never a replay of the corpus aggregate.
+    top_local = spark.createDataFrame(
+        [(r["tok"], r["df"]) for r in top100], "tok string, df long")
+    da = top_local.select(F.col("tok").alias("tok_a"),
+                          F.col("df").alias("df_a"))
+    db = top_local.select(F.col("tok").alias("tok_b"),
+                          F.col("df").alias("df_b"))
     return (
         pairs.join(F.broadcast(da), "tok_a").join(F.broadcast(db), "tok_b")
         .select(

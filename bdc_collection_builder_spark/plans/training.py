@@ -1081,12 +1081,21 @@ def tx_cdc_chunk_dedup(spark, sf_dir):
         lambda k: F.substr(
             text, F.element_at(b, k - 1) + 1,
             F.element_at(b, k) - F.element_at(b, k - 1)))
+    # Downstream (the frequency aggregate AND the join-back) needs
+    # only (doc_id, doc_len, chunk_len, h): project the chunk TEXT
+    # away before anything shuffles (guide §2.3/§8 — shuffle
+    # metadata, never the payload), and persist the ~32-byte-per-row
+    # metadata frame so the boundary scan + chunking + md5 chain runs
+    # once instead of once per consumer (the winnow persist rule:
+    # |frame| << producing work).
     sized = (
         docs.select("doc_id", F.length(text).alias("doc_len"),
                     F.explode(chunks).alias("chunk"))
         .filter(F.length("chunk") >= _CDC_MIN)
-        .withColumn("h", F.md5("chunk"))
+        .select("doc_id", "doc_len", F.length("chunk").alias("clen"),
+                F.md5("chunk").alias("h"))
     )
+    sized = tracked_persist(sized)
     freq = sized.groupBy("h").agg(
         F.countDistinct("doc_id").alias("ndocs"))
     dup = F.when(F.col("ndocs") > 1, 1).otherwise(0)
@@ -1097,7 +1106,7 @@ def tx_cdc_chunk_dedup(spark, sf_dir):
             F.count("*").alias("n_chunks"),
             F.sum(dup).cast("bigint").alias("n_dup_chunks"),
             F.round(
-                F.sum(F.when(F.col("ndocs") > 1, F.length("chunk"))
+                F.sum(F.when(F.col("ndocs") > 1, F.col("clen"))
                       .otherwise(0)).cast("double")
                 / F.first("doc_len"), 6).alias("dup_char_ratio"))
     )
