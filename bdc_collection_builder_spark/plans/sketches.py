@@ -246,14 +246,22 @@ def sk_kmv_overlap(spark, sf_dir):
             F.sequence(F.lit(0), F.size(tk) - _OV_SH),
             lambda i: F.concat_ws(" ", F.slice(tk, i + 1, _OV_SH))),
     ).otherwise(F.array().cast("array<string>"))
-    sh = (
+    # The distinct (source, h) frame feeds THREE consumers (the
+    # bottom-k window and both sides of the exact-overlap self-join),
+    # and the sketch `sk` three more (pair discovery + both union
+    # legs): without persists every consumer replays the corpus-scale
+    # tokenize + 5-gram explode + md5 + distinct chain. Both frames
+    # are 16-byte (source, hash) rows — |frame| << producing work, the
+    # round's persist rule (guide §5 persist-on-reuse).
+    sh = tracked_persist(
         tok_df.select("source", F.explode(F.array_distinct(grams)).alias("g"))
         .select("source", md5_hash60(F.col("g")).alias("h"))
         .distinct()
     )
     w_src = Window.partitionBy("source").orderBy("h")
-    sk = (sh.withColumn("rk", F.row_number().over(w_src))
-          .filter(F.col("rk") <= _OV_K).drop("rk"))
+    sk = tracked_persist(
+        sh.withColumn("rk", F.row_number().over(w_src))
+        .filter(F.col("rk") <= _OV_K).drop("rk"))
     pairs = (
         sk.alias("a").join(sk.alias("b"), "h")
         .filter(F.col("a.source") < F.col("b.source"))
