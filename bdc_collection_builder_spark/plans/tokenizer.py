@@ -1042,29 +1042,46 @@ def tk_viterbi_em_counts(spark, sf_dir):
         edges.join(best.select("w", "best"), "w")
         .withColumn("rk", F.row_number().over(wp))
         .filter(F.col("rk") == 1)
-        # renamed so the walk join below can never resolve both sides
-        # to the same attribute (Spark warns 'trivially true w == w'
-        # when two branches share lineage — that silently degrades the
-        # join to the position condition alone)
         .select(F.col("w").alias("pw"), "ej", "ei", "piece")
-    ).localCheckpoint(eager=True)
-
-    walk = best.select("w", F.col("l").alias("pos"))
-    pieces = []
-    note_rounds(_VIT_CAP)
-    for _ in range(_VIT_CAP):
-        step = (
-            walk.filter(F.col("pos") > 0)
-            .join(pred, (F.col("w") == F.col("pw"))
-                  & (F.col("ej") == F.col("pos")))
-            .select("w", F.col("ei").alias("pos"), "piece")
-        )
-        step = step.localCheckpoint(eager=True)
-        pieces.append(step.select("w", "piece"))
-        walk = step.select("w", "pos")
-    path = pieces[0]
-    for p in pieces[1:]:
-        path = path.unionByName(p)
+    )
+    # The backtrack used to run _VIT_CAP sequential rounds, each a
+    # checkpointed |dict|-row join — 16 barrier stages whose wall is
+    # scheduling, not data (guide §2.4: remove shuffles outright). The
+    # per-word predecessor rows instead fold into ONE map (ej ->
+    # (ei, piece); keys are unique by the rk = 1 argmax) and the walk
+    # happens map-side inside a single bounded aggregate() HOF: start
+    # at pos = l, follow the map up to _VIT_CAP steps (piece lengths
+    # are >= 1, so a capped word finishes in <= l <= _VIT_CAP steps),
+    # appending each step's piece. A missing map entry stops the walk
+    # exactly where the old inner join dropped the row. Identical
+    # pieces, identical multiplicities; one groupBy + one join replace
+    # 16 join+checkpoint rounds.
+    note_rounds(1)
+    pm = pred.groupBy("pw").agg(
+        F.map_from_entries(F.collect_list(F.struct(
+            F.col("ej").cast("int").alias("k"),
+            F.struct(F.col("ei").cast("int").alias("ei"),
+                     F.col("piece").alias("piece")).alias("v"))))
+        .alias("pm"))
+    walk_sql = f"""
+        aggregate(
+            sequence(1, {_VIT_CAP}),
+            named_struct('pos', CAST(l AS INT),
+                         'ps', CAST(array() AS ARRAY<STRING>)),
+            (acc, x) -> IF(acc.pos > 0
+                           AND element_at(pm, acc.pos) IS NOT NULL,
+                named_struct(
+                    'pos', element_at(pm, acc.pos).ei,
+                    'ps', array_append(acc.ps,
+                                       element_at(pm, acc.pos).piece)),
+                acc),
+            acc -> acc.ps)
+    """
+    path = (
+        best.select("w", "l")
+        .join(pm, F.col("w") == F.col("pw"))
+        .select("w", F.explode(F.expr(walk_sql)).alias("piece"))
+    )
     counted = (
         path.join(wcap.select("w", "cnt"), "w")
         .groupBy("piece")
