@@ -4968,10 +4968,20 @@ def exact_substring_stats_sorted(docs):
               .withColumn("pid", F.spark_partition_id())
               .localCheckpoint(eager=True))
     win = Window.partitionBy("pid").orderBy("g", "doc_id", "off")
-    lagged = ranged.select(
-        "doc_id", "pid", "g",
+    # Chunk each head ONCE, below the window, and lag/lead the chunk
+    # ARRAY alongside the head: a neighbor's chunk array is by
+    # definition the neighbor row's own `gc`, so re-chunking `pg` and
+    # `ng` per row (as the first chunked-LCP cut did) evaluated the
+    # 8-substring split 3x per row. All four window functions share
+    # one window spec — a single WindowExec pass — at the cost of the
+    # sort buffer carrying the ~2x-wider row (measured win below).
+    chunked = ranged.withColumn("gc", F.expr(_lcp_chunks_expr("g")))
+    lagged = chunked.select(
+        "doc_id", "pid", "g", "gc",
         F.lag("g").over(win).alias("pg"),
-        F.lead("g").over(win).alias("ng"))
+        F.lead("g").over(win).alias("ng"),
+        F.lag("gc").over(win).alias("pgc0"),
+        F.lead("gc").over(win).alias("ngc0"))
     # Boundary patch: each partition's first row lacks its true
     # predecessor (the previous non-empty partition's last head) and
     # the last row its successor. The edge frame is ONE row per
@@ -4982,24 +4992,36 @@ def exact_substring_stats_sorted(docs):
     edge = ranged.groupBy("pid").agg(F.min(key).alias("fk"),
                                      F.max(key).alias("lk"))
     w_edge = Window.orderBy("pid")  # #partitions rows — config-sized
+    # Patch chunks computed here, at partition granularity (one row
+    # per partition), so boundary rows coalesce a precomputed array
+    # instead of re-chunking per row.
     patch = edge.select(
         "pid",
         F.lag("lk.g").over(w_edge).alias("patch_pg"),
         F.lead("fk.g").over(w_edge).alias("patch_ng"))
+    patch = patch.select(
+        "pid", "patch_pg", "patch_ng",
+        F.expr(_lcp_chunks_expr("patch_pg")).alias("patch_pgc"),
+        F.expr(_lcp_chunks_expr("patch_ng")).alias("patch_ngc"))
     # Chunked LCP on materialized columns: chunk arrays and the
     # leading-equal-chunk counts are real columns (multi-referenced
     # non-cheap aliases survive CollapseProject), so nothing O(head)
     # is re-evaluated inside a lambda — the naive per-char form
     # (_lcp_expr) measured ~6s of the 8.5s query wall at sf0.1.
+    # coalesce(lag(gc), patch_pgc) == chunks(coalesce(lag(g),
+    # patch_pg)) row-for-row: lag(gc) is non-NULL exactly when lag(g)
+    # is (heads are never NULL), and the patch arrays are the chunk
+    # split of the patch heads — so the LCP inputs are byte-identical
+    # to the re-chunking form this replaces (pinned by the seam tests
+    # + 400-pair fuzz, which run the full engine).
     per_pos = (
         lagged.join(F.broadcast(patch), "pid")
         .select(
-            "doc_id",
+            "doc_id", "g", "gc",
             F.coalesce("pg", "patch_pg").alias("pg"),
-            F.coalesce("ng", "patch_ng").alias("ng"), "g")
-        .withColumn("gc", F.expr(_lcp_chunks_expr("g")))
-        .withColumn("pgc", F.expr(_lcp_chunks_expr("pg")))
-        .withColumn("ngc", F.expr(_lcp_chunks_expr("ng")))
+            F.coalesce("ng", "patch_ng").alias("ng"),
+            F.coalesce("pgc0", "patch_pgc").alias("pgc"),
+            F.coalesce("ngc0", "patch_ngc").alias("ngc"))
         .withColumn("kp", F.expr(_lcp_kchunks_expr("gc", "pgc", "pg")))
         .withColumn("kn", F.expr(_lcp_kchunks_expr("gc", "ngc", "ng")))
         .select("doc_id", F.greatest(
