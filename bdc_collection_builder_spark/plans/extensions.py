@@ -2794,9 +2794,15 @@ def dd_survivorship(spark, sf_dir):
     corpus = docs.unionByName(near)
     pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
     comps = connected_components_star(pairs)
-    quality = corpus.select("doc_id", logreg_quality(F.col("text")).alias("q"))
+    # Membership decides BEFORE the quality features evaluate: joining
+    # comps into the corpus first and scoring the joined rows runs the
+    # (tokenize-heavy) logreg features over component members only —
+    # the inner join discarded every other corpus row's score anyway
+    # (guide §1.2 per-task work; same rows, same values).
     return (
-        comps.join(quality, "doc_id")
+        comps.join(corpus, "doc_id")
+        .select("component_id", "doc_id",
+                logreg_quality(F.col("text")).alias("q"))
         .groupBy("component_id")
         .agg(
             F.count("*").cast("bigint").alias("n_members"),
