@@ -659,12 +659,15 @@ def delete_from_ivf_index(spark, path: str, keys: DataFrame,
     their static PartitionFilter.
 
     Idempotent: a redelivered delete re-quantizes to the same
-    partitions and rewrites content-identical files (a no-op at the
-    data level), so at-least-once delivery is safe. A partition whose
-    every vector is deleted emits NO rows through the dynamic
-    partition overwrite — Spark leaves such directories in place, so
-    they are dropped explicitly (a table format would write a delete
-    manifest; on object stores this is the same one-prefix delete)."""
+    partitions and rewrites content-identical partitions (a no-op at
+    the data level), so at-least-once delivery is safe. The rewrite
+    stages the survivors into a sibling directory and swaps the
+    touched partition dirs in — a partition whose every vector is
+    deleted simply stages nothing, so its directory is removed and
+    never replaced (a table format would express the same swap as a
+    manifest commit; on object stores the rename is a copy, which is
+    the usual caveat)."""
+    import os
     import shutil
 
     cent = spark.read.parquet(f"{path}/centroids").select(
@@ -679,29 +682,34 @@ def delete_from_ivf_index(spark, path: str, keys: DataFrame,
             .distinct().collect())  # driver-sized: #centroids bound
         if not touched:
             return
-        # Materialize the survivors BEFORE the overwrite: the plan
-        # reads the same path it rewrites (Spark refuses a lazy
-        # self-overwrite), and the kept-partition set must reflect the
-        # PRE-write state — dynamic overwrite only touches partitions
-        # that emit rows, so a fully-emptied partition's old files
-        # would otherwise survive and its staleness would be invisible
-        # to a post-write read. Checkpoint size is the touched
-        # partitions' survivors — the rows being rewritten anyway.
+        # Survivors are materialized exactly ONCE, by the staged
+        # write itself: it reads the touched partitions while they
+        # are still untouched (Spark refuses a lazy self-overwrite,
+        # and the swap below happens only after the write finishes).
+        # The previous form localCheckpoint'ed the survivors and then
+        # dynamic-overwrote from the checkpoint — every rewritten row
+        # materialized TWICE, plus a kept-partition collect to find
+        # fully-emptied partitions; the swap makes that edge
+        # structural (no staged dir -> the target dir is removed and
+        # nothing moves in).
         remaining = (
             spark.read.parquet(f"{path}/vectors")
             .filter(F.col("centroid_id").isin(touched))
             .join(assigned.select(id_col), id_col, "left_anti")
-        ).localCheckpoint(eager=True)
-        kept = {r[0] for r in remaining.select("centroid_id")
-                .distinct().collect()}
-        (remaining.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("centroid_id").parquet(f"{path}/vectors"))
-        for cid in touched:
-            if cid not in kept:
-                shutil.rmtree(
-                    f"{path}/vectors/centroid_id={cid}",
-                    ignore_errors=True)
+        )
+        staging = f"{path}/.vectors_rewrite"
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            (remaining.write.mode("overwrite")
+             .partitionBy("centroid_id").parquet(staging))
+            for cid in touched:
+                dst = f"{path}/vectors/centroid_id={cid}"
+                src = f"{staging}/centroid_id={cid}"
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.isdir(src):
+                    os.rename(src, dst)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     finally:
         assigned.unpersist()
 
