@@ -245,6 +245,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     if engine_neutral:
         sh = tracked_persist(shingles(docs, text_col, id_col, k))
         sig = minhash_signatures_from_shingles(sh, n_hashes, "md5")
+        # sig (one row per doc, 32 longs) feeds BOTH sides of the banded
+        # self-join; without the persist the 32-min aggregate over the
+        # whole shingle table replays once per side (|frame| << producing
+        # work, the round-10 persist rule)
+        sig = tracked_persist(sig)
     else:
         # Production path: collapse each shingle string to its xxhash64
         # ONCE, inside the per-doc array (shingles(hashed=True)) — the
@@ -257,6 +262,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         # oracle recomputes every intermediate from them.
         sh = tracked_persist(shingles(docs, text_col, id_col, k, hashed=True))
         sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
+        # same both-sides-of-the-self-join reuse as the md5 branch
+        sig = tracked_persist(sig)
 
     candidates = lsh_candidates(sig, bands, rows_per_band,
                                 engine_neutral)
@@ -331,8 +338,12 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     exactly on ≥1 quarter (pigeonhole), so candidates come from
     4 equi-joins, not a cross join."""
     bits = 60 if engine_neutral else 64
-    sig = simhash_signatures(docs, text_col, id_col, bits,
-                             "md5" if engine_neutral else "xxhash64")
+    # sig (one long per doc) feeds both sides of the quarter self-join;
+    # persist so the 64-vote corpus aggregate computes once, not per side
+    # (|frame| << producing work, the round-10 persist rule)
+    sig = tracked_persist(simhash_signatures(
+        docs, text_col, id_col, bits,
+        "md5" if engine_neutral else "xxhash64"))
     qbits = bits // 4
     quarters = sig.select(
         "doc_id", "simhash",

@@ -600,12 +600,24 @@ def gr_kcore_peeling(spark, sf_dir):
     converged peel is a fixed point, so extra rounds are no-ops),
     survivors reported with their within-core degree.
 
-    Per round: the edge table semi-joins the surviving set on BOTH
-    endpoints (two hash joins on ids) and one map-side-combined count
-    — the standard distributed peel; the symmetrized edge table
-    persists once across rounds and :func:`iterate` truncates lineage
-    every 2 rounds."""
-    nodes, edges, _ = citation_edges(spark, sf_dir)
+    Per round: the peel iterates on the INDUCED edge set itself —
+    degrees come from one map-side-combined count over the current
+    edge table, and the survivors filter the SAME table on both
+    endpoints to produce the next round's edges (round-10 rewrite,
+    guide §2.4: the old form re-joined the FULL symmetrized edge
+    table against the survivor set every round, so each round cost
+    two joins over the whole graph; the induced form's per-round work
+    is proportional to the SURVIVING edges, which only shrink).
+    Equivalence: survivors are monotone decreasing, so filtering the
+    already-filtered edge table equals filtering the original —
+    e_r = und induced on s_r by induction, and the round's degree
+    count over e_{r-1} is exactly the old count over und ⋈ s_{r-1}²
+    (every edge endpoint is a node by construction in
+    :func:`citation_edges`). Per-round eager truncation is
+    load-bearing: the edge frame feeds the degree aggregate AND both
+    endpoint filters, so an unmaterialized round would replay its
+    producing plan three times per subsequent round."""
+    _nodes, edges, _ = citation_edges(spark, sf_dir)
     und = tracked_persist(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"),
@@ -613,26 +625,20 @@ def gr_kcore_peeling(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
         .distinct())
 
-    def step(surv: DataFrame, _i: int) -> DataFrame:
-        alive = (
-            und.join(surv.select(F.col("doc_id").alias("src")), "src")
-            .join(surv.select(F.col("doc_id").alias("dst")), "dst")
+    def estep(e: DataFrame, _i: int) -> DataFrame:
+        surv = (
+            e.groupBy("src").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
         )
         return (
-            alive.groupBy("src").agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select(F.col("src").alias("doc_id"))
+            e.join(surv, "src")
+            .join(surv.select(F.col("src").alias("dst")), "dst")
         )
 
-    final = iterate(nodes.select("doc_id"), step, _KCORE_ROUNDS,
-                    checkpoint_every=2)
-    core = tracked_persist(final)
-    alive = (
-        und.join(core.select(F.col("doc_id").alias("src")), "src")
-        .join(core.select(F.col("doc_id").alias("dst")), "dst")
-    )
+    final_e = iterate(und, estep, _KCORE_ROUNDS, checkpoint_every=1)
     return (
-        alive.groupBy("src").agg(
+        final_e.groupBy("src").agg(
             F.count("*").cast("bigint").alias("core_degree"))
         .select(F.col("src").alias("doc_id"), "core_degree")
     )

@@ -1367,3 +1367,84 @@ def test_chunked_lcp_matches_python_on_random_pairs(spark):
 
     for r in out:
         assert r.chunked == true_lcp(r.g, r.pg), (r.g, r.pg, r.chunked)
+
+
+def test_kcore_induced_edge_peel_matches_reference(spark, sf_dir):
+    """Round-10 rewrite proof: gr_kcore_peeling now iterates on the
+    INDUCED edge set (per-round work proportional to surviving edges)
+    instead of re-joining the full symmetrized edge table against the
+    survivor set each round. Survivor sets are monotone decreasing, so
+    the two formulations are equivalent — this pins that equivalence
+    against a direct Python peel of the same graph."""
+    from collections import defaultdict
+
+    from bdc_collection_builder_spark.plans.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        citation_edges,
+    )
+
+    _nodes, edges, _n = citation_edges(spark, sf_dir)
+    adj = defaultdict(set)
+    for r in edges.collect():
+        if r.src != r.dst:
+            adj[r.src].add(r.dst)
+            adj[r.dst].add(r.src)
+    surv = set(adj)
+    for _ in range(_KCORE_ROUNDS):
+        surv = {u for u in surv if len(adj[u] & surv) >= _KCORE_K}
+    expect = {u: len(adj[u] & surv) for u in surv}
+    expect = {u: d for u, d in expect.items() if d > 0}
+
+    got = {r.doc_id: r.core_degree
+           for r in rows(spark, sf_dir, "gr_kcore_peeling")}
+    assert got == expect
+
+
+def test_bloom_fpr_counts_match_python(spark, sf_dir):
+    """sk_bloom_fpr_eval's counts pinned against a direct Python Bloom
+    filter over the same shingle sets (added while measuring a
+    map-side-probe rewrite in round 10 — the rewrite measured as a
+    LOSS and was reverted, but the end-to-end pin keeps value)."""
+    import hashlib
+    import re
+
+    from bdc_collection_builder_spark.plans.extensions import _BLOOM_M
+    from bdc_collection_builder_spark.sources.tables import load_table
+
+    def shingle_set(text: str, k: int = 5) -> set[str]:
+        toks = [w for w in re.split(r"\s+", text.lower()) if w]
+        if len(toks) < k:
+            return set()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def h60_hi(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[15:30], 16)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    bench_sh: set[str] = set()
+    train_sh: set[str] = set()
+    for r in docs:
+        (bench_sh if r.doc_id % 17 == 0 else train_sh).update(
+            shingle_set(r.text))
+    bits: set[int] = set()
+    for s in bench_sh:
+        r1, r2 = h60(s) % _BLOOM_M, h60_hi(s) % _BLOOM_M
+        bits.update((r1 + i * r2) % _BLOOM_M for i in range(3))
+    n_flagged = n_fp = 0
+    for s in train_sh:
+        r1, r2 = h60(s) % _BLOOM_M, h60_hi(s) % _BLOOM_M
+        if all((r1 + i * r2) % _BLOOM_M in bits for i in range(3)):
+            n_flagged += 1
+            if s not in bench_sh:
+                n_fp += 1
+
+    out = rows(spark, sf_dir, "sk_bloom_fpr_eval")[0]
+    assert out.n_probed == len(train_sh)
+    assert out.n_members == len(train_sh & bench_sh)
+    assert out.n_flagged == n_flagged
+    assert out.n_false_positives == n_fp
