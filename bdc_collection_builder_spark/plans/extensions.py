@@ -2933,28 +2933,37 @@ def cu_filter_funnel(spark, sf_dir):
     the corpus went — each document attributed to the FIRST filter
     stage that would drop it (language → length → quality → exact-dup
     survivorship), with per-stage counts and corpus share. One scan
-    computes every stage predicate, one md5 aggregate finds exact-dup
-    keepers (min doc_id canonical, broadcast back), one bounded-key
-    aggregate groups the attribution — no per-stage rescans, so the
-    funnel report costs one corpus pass at any scale. The stage
+    computes every stage predicate, a min-window over md5(text) finds
+    exact-dup keepers (min doc_id canonical) on the same pass, one
+    bounded-key aggregate groups the attribution — no per-stage
+    rescans, so the funnel report costs one corpus pass at any scale. The stage
     predicates are the registered operators' own expressions
     (tx_language_id, tx_quality_score, dd_exact_duplicates), so the
     report stays consistent with what the pipeline actually drops."""
     from bdc_collection_builder_spark.extensions import text as tx
 
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    canon = (docs.groupBy(F.md5("text").alias("h"))
-             .agg(F.min("doc_id").alias("keeper")))
+    # Round 10 (guide §2.3/§2.4): the old groupBy(md5) + join-back
+    # scanned the corpus text twice and shuffled the md5-keyed join
+    # probe; the exact-dup keeper is now a min-window over md5(text)
+    # computed alongside the (already per-row) stage features, so ONE
+    # text scan feeds everything and the only corpus-scale shuffle
+    # carries (doc_id, hash, 3 small feature columns) — metadata, not
+    # text.
     feats = (
-        docs.withColumn("h", F.md5("text"))
-        .join(canon, "h")
-        .select(
+        docs.select(
             "doc_id",
+            F.md5("text").alias("h"),
             tx.language_id(F.col("text")).alias("lang_pred"),
             F.length("text").alias("n_chars"),
             tx.quality_score(F.col("text")).alias("quality"),
-            (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
         )
+        .withColumn("keeper",
+                    F.min("doc_id").over(Window.partitionBy("h")))
+        .select("doc_id", "lang_pred", "n_chars", "quality",
+                (F.col("doc_id") != F.col("keeper")).alias("is_dup"))
     )
     stage = (
         F.when(F.col("lang_pred") != "en", "lang")
@@ -2963,9 +2972,13 @@ def cu_filter_funnel(spark, sf_dir):
         .when(F.col("is_dup"), "exact_dup")
         .otherwise("kept")
     )
-    grouped = (feats.select(stage.alias("stage"))
-               .groupBy("stage")
-               .agg(F.count("*").cast("bigint").alias("n_docs")))
+    # <=5 rows, corpus-scale producer, consumed by the total AND the
+    # output — without the persist the whole funnel pipeline ran twice
+    # (round 10; the persist rule: |frame| << producing work).
+    grouped = tracked_persist(
+        feats.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").cast("bigint").alias("n_docs")))
     tot = grouped.agg(F.sum("n_docs").alias("tot"))
     return (
         grouped.crossJoin(F.broadcast(tot))
@@ -4138,22 +4151,31 @@ def tx_ngram_novelty(spark, sf_dir):
     ingesting; complements dd_* near-dup pairs, which catch pairwise
     redundancy but not gradual n-gram exhaustion).
 
-    Plan: one distinct-shingle explode (map-side), one groupBy(sh)
-    for the min-owner, one join back + per-doc aggregate — the same
-    two-shuffle shape as tx_span_dedup; novelty is one IEEE division
-    of exact int64 counts.
+    Plan: one distinct-shingle explode (map-side), one shuffle on the
+    shingle that computes the min-owner as a WINDOW over the same
+    partitioning (round 10, guide §2.4: the old groupBy(sh) +
+    join-back replayed the whole tokenize+explode subtree for the
+    probe side — two corpus passes for one statistic), then the
+    per-doc aggregate; novelty is one IEEE division of exact int64
+    counts.
 
-    100 TB: never all-pairs; the min-owner aggregate combines
-    map-side; frequent shingles don't skew (min is cheap regardless
-    of group size). Order sensitivity is BY DESIGN (doc_id = arrival
-    order), making the metric reproducible."""
+    100 TB: never all-pairs; the window min is one pass over each
+    shingle partition — the same key the old SMJ join would have
+    shuffled on anyway, minus the second corpus scan and the join.
+    Order sensitivity is BY DESIGN (doc_id = arrival order), making
+    the metric reproducible."""
+    from pyspark.sql import Window
+
     from bdc_collection_builder_spark.extensions.dedup import shingles
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     sh3 = shingles(docs, k=3)
-    first = sh3.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    owned = sh3.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("shingle"))
+        .alias("first_doc"))
     return (
-        sh3.join(first, "shingle")
+        owned
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_shingles"),
              F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
@@ -4642,7 +4664,15 @@ def ss_ndcg_eval(spark, sf_dir):
                  lambda acc, r: acc + F.element_at(
                      F.expr(_NDCG_DISC_SPARK), r.cast("int"))).alias("dcg"))
     )
-    qids = truth.select("query_id").distinct()
+    # Round 10 (guide §1.2): reading qids off `truth` replayed the
+    # whole brute-force corpus pass just to list the 8 query ids —
+    # but distinct(truth.query_id) == the query-id set whenever the
+    # corpus is non-empty (TakeOrdered returns min(k, n) >= 1 rows
+    # per query), so read it from the 8-row queries frame instead.
+    # (tracked_persist(truth) was measured as a LOSS here — the
+    # eager materialization barrier costs more than the replay at
+    # every paired sample; the dimension-side read beats both.)
+    qids = queries.select("query_id")
     return (
         qids.join(per_q, "query_id", "left")
         .select("query_id",

@@ -73,18 +73,22 @@ def tx_span_dedup(spark, sf_dir):
     runs ONCE: the raw span stream collapses immediately into the
     distinct ``(span_hash, doc_id, multiplicity)`` table (map-side
     combined partial agg — the only shuffle that carries span volume);
-    ``ndocs`` and the per-doc profile both derive from that collapsed
-    table, so the tokenize+md5 subtree is never re-evaluated and the
-    join-back moves multiplicities, not spans. Both post-collapse
-    shuffles are AQE-coalesced, and the ndocs equi-join is AQE
-    skew-splittable (boilerplate spans shared by millions of docs are
-    the expected hot keys at 100 TB). The span table is ~L×(doc bytes)
+    ``ndocs`` is a count(*) WINDOW over span_hash on that collapsed
+    table (round 10, guide §2.4: the old groupBy(span_hash) +
+    join-back form CLAIMED the subtree was shared, but Catalyst
+    replayed the whole tokenize+md5 explode for both consumers — the
+    committed before-plan shows two Generates over two document
+    scans; the window form provably evaluates it once and drops the
+    join). The window repartitions the hash-and-counts rows only —
+    spans never move twice. The span table is ~L×(doc bytes)
     for overlap L=8, the same blow-up the published pipelines accept;
     cutting it needs the suffix-array sidecar, which is the documented
     non-Spark path.
     Reference anchor: collection_builder's scene-level F10 dedup
     (celery/tasks.py download dedup) generalized to sub-document spans.
     """
+    from pyspark.sql import Window
+
     from bdc_collection_builder_spark.extensions.text import tokens
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -104,13 +108,13 @@ def tx_span_dedup(spark, sf_dir):
     )
     per_doc_span = spans.groupBy("span_hash", "doc_id").agg(
         F.count("*").alias("cnt"))
-    counts = per_doc_span.groupBy("span_hash").agg(
-        F.count("*").alias("ndocs"))
+    joined = per_doc_span.withColumn(
+        "ndocs", F.count("*").over(Window.partitionBy("span_hash")))
     dup = (F.col("ndocs") > 1).cast("long")
     dup_cnt = F.sum(F.col("cnt") * dup)
     tot_cnt = F.sum("cnt")
     return (
-        per_doc_span.join(counts, "span_hash")
+        joined
         .groupBy("doc_id")
         .agg(
             tot_cnt.cast("bigint").alias("n_spans"),

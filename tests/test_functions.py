@@ -603,6 +603,45 @@ def test_hll_rollup_merge_equals_single_pass(spark, sf_dir):
         assert a18[et].n_days == twin[et].n_days, et
 
 
+def test_filter_funnel_keeper_window_attribution(spark):
+    """The round-10 min-window keeper reproduces the agg+join-back
+    exact-dup semantics: the LOWEST doc_id of a byte-identical text
+    group is kept, every other member attributes to exact_dup (when
+    no earlier stage claims it first), and the pct column still sums
+    to 1 after the grouped persist."""
+    from bdc_collection_builder_spark.plans.registry import (
+        QUERY_REGISTRY,
+        all_queries,
+    )
+
+    all_queries()
+    fn = QUERY_REGISTRY["cu_filter_funnel"].spark_fn
+
+    import tempfile
+
+    # Passes every pre-dup stage: 20..20000 chars, stopword-rich
+    # ('en' + quality >= 0.6), alphanumeric, short words.
+    good = ("the data is in the table and the rows are in the file "
+            "and they all have the same shape as before")
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            (5, good),                   # dup group member, NOT keeper
+            (2, good),                   # keeper (min doc_id)
+            (9, good),                   # dup group member
+            (7, "the and of it"),        # 'en' but < 20 chars -> length
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .withColumn("lang", F.lit("en")) \
+            .withColumn("source", F.lit("s")) \
+            .withColumn("n_chars", F.length("text")) \
+            .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r.stage: r for r in fn(spark, d).collect()}
+        assert out["kept"].n_docs == 1        # doc 2 only
+        assert out["exact_dup"].n_docs == 2   # docs 5 and 9
+        assert out["length"].n_docs == 1      # doc 7
+        assert abs(sum(r.pct for r in out.values()) - 1.0) < 1e-6
+
+
 def test_span_dedup_edges(spark):
     """Documents shorter than the 8-token window drop out entirely;
     a span duplicated only WITHIN one document does not count as
