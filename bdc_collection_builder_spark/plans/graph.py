@@ -425,6 +425,10 @@ def gr_hits_hubs_authorities(spark, sf_dir):
     e = tracked_persist(edges)
 
     def l2_attach(df):
+        # df (node-sized, produced by an edge join + aggregate) feeds
+        # the normalizer AND the output — unpersisted, each half-step
+        # computed its pull twice (round 10, the persist rule).
+        df = tracked_persist(df)
         nrm = df.agg(
             F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("nrm"))
         return (df.crossJoin(F.broadcast(nrm))
