@@ -1770,9 +1770,14 @@ def j32_important_part_value(spark, sf_dir):
     so a TPC-H-style heavy-hitter cutoff would be vacuous).
 
     The global (total, n_parts) is a one-row aggregate attached by
-    broadcast cross-join (the house scalar-attach pattern) — the
-    per-part table is aggregated ONCE and reused for both the total
-    and the filter, so lineitem is scanned exactly once. The
+    broadcast cross-join (the house scalar-attach pattern). NOTE
+    (round 10): Catalyst REPLAYS the per-part aggregate (and its
+    lineitem scan) for the one-row total — the two consumers do not
+    share it. A tracked_persist fix measured as a consistent local
+    LOSS (0.47→0.56 s min, both sweep sessions) because the replay is
+    one map-side-combined shuffle, cheaper than the materialization
+    barrier at this scale; at larger scale the persist trade flips,
+    which is recorded in OPTIMIZATION_r10.md's scalar-attach sweep. The
     predicate is exact integer arithmetic carried in decimal(38,0)
     on the Spark side — matching DuckDB's hugeint sum semantics and
     immune to int64 overflow when total_cents x n_parts crosses
