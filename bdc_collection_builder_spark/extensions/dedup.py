@@ -425,27 +425,32 @@ def embedding_near_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
 
     planes = _hyperplanes(n_tables, n_bits, dim, seed)
     keys = hash_buckets(vec_col, planes)
+    # (A candidate persist of the signature frame measured as a local
+    # LOSS — the cache write of corpus × (vec + key array) rows costs
+    # more than replaying the hashing scan twice; reverted.)
     bucketed = spread(embeddings).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
         F.posexplode(keys).alias("table_id", "bucket"))
     left = (bucketed.filter(F.col("vid") % left_stride == 0)
             if left_stride > 1 else bucketed)
-    cand = (
+    # Score + threshold at the collision site so the dedup exchange
+    # carries (id_a, id_b, cosine) for MATCHING pairs only — the old
+    # form shuffled both 64-float vectors for every candidate
+    # collision (guide §2.3). Duplicate collisions score identically,
+    # so filter-then-dedup equals the old dedup-then-filter.
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
+                                                 * F.col("b.nrm"))
+    return (
         left.alias("a").join(
             bucketed.alias("b"),
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vid") < F.col("b.vid")))
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
-                F.col("a.vec").alias("v_a"), F.col("b.vec").alias("v_b"),
-                F.col("a.nrm").alias("n_a"), F.col("b.nrm").alias("n_b"))
-        .distinct()
-    )
-    sim = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
-    return (
-        cand.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
+                F.round(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

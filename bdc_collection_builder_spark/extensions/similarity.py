@@ -211,16 +211,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     c = bucketize(spread(corpus), id_col, "c")
     q = bucketize(queries, query_id_col, "q")
-    candidates = (
+    # Score at the collision site — map-side, before any exchange — so
+    # the dedup shuffle carries (query_id, vec_id, cosine) instead of
+    # both dim-float vectors per candidate row (guide §2.3: shuffle
+    # metadata, not payloads). A pair colliding in several tables
+    # recomputes one cheap dot product per collision, but the cosine is
+    # identical on every copy, so the key-dedup stays deterministic
+    # (the ivf_topk_seeded form).
+    scored = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, "q_vec", "c_vec", "q_norm", "c_norm")
-        .distinct()
-    )
-    scored = candidates.select(
-        query_id_col, id_col,
-        F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine"),
+        .select(
+            query_id_col, id_col,
+            F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine"))
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col))
@@ -307,16 +312,16 @@ def multiprobe_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              F.col("e.table_id").alias("table_id"),
              F.col("e.bucket").alias("bucket"))
 
-    candidates = (
+    # Same shape as lsh_topk: score before the dedup exchange so only
+    # (query_id, vec_id, cosine) shuffles, never the vectors.
+    scored = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, "q_vec", "c_vec", "q_norm", "c_norm")
-        .distinct()
-    )
-    scored = candidates.select(
-        query_id_col, id_col,
-        F.round(dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine"),
+        .select(
+            query_id_col, id_col,
+            F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm")), 6).alias("cosine"))
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col))

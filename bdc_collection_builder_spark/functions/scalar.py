@@ -78,14 +78,25 @@ def composite_end(start: Column, step: int) -> Column:
 
 # --- X18/X19: JSON args merge across task hops (tasks.py:86-89) ----------
 
-def merge_args(existing_json: Column, updates: dict[str, str]) -> Column:
-    """Shallow dict.update over a JSON-string args column: parse to map,
-    map_concat (right wins), re-encode."""
+def merge_args_map(existing_json: Column, updates: dict[str, str]) -> Column:
+    """Shallow dict.update over a JSON-string args column, kept as a
+    map: parse, drop the keys being updated, map_concat (right wins).
+    Consumers that project fields out of the merged args should read
+    THIS form — re-encoding to JSON only to re-parse it is a per-row
+    to_json+from_json identity roundtrip (map<string,string> survives
+    it byte-for-byte) that the optimizer does not elide."""
     parsed = F.from_json(existing_json, "map<string,string>")
     update_map = F.create_map(
         *[x for k, v in updates.items() for x in (F.lit(k), F.lit(v))]
     )
-    return F.to_json(F.map_concat(F.map_filter(parsed, lambda k, _: ~k.isin(*updates)), update_map))
+    return F.map_concat(
+        F.map_filter(parsed, lambda k, _: ~k.isin(*updates)), update_map)
+
+
+def merge_args(existing_json: Column, updates: dict[str, str]) -> Column:
+    """Shallow dict.update over a JSON-string args column: parse to map,
+    map_concat (right wins), re-encode — the cross-hop wire format."""
+    return F.to_json(merge_args_map(existing_json, updates))
 
 
 # --- X21: collection identifier (controller.py:236-238) ------------------

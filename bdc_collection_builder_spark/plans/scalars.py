@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from bdc_collection_builder_spark.functions.persist import tracked_persist
 from bdc_collection_builder_spark.plans._util import duck_ts, t
 from bdc_collection_builder_spark.plans.registry import query
 
@@ -217,19 +218,26 @@ def x06_composite_end_date(spark, sf_dir):
 )
 def x18_json_args_merge(spark, sf_dir):
     """X18/X19 — JSON args decode + shallow merge across task hops
-    (tasks.py:86-89): from_json → map_concat → project merged fields."""
-    from bdc_collection_builder_spark.functions.scalar import merge_args
+    (tasks.py:86-89): from_json → map_concat → project merged fields.
+
+    The merged args stay a MAP end to end: the old form re-encoded via
+    merge_args (to_json) and re-parsed per consumer, and because the
+    pushed-down filter and both projections each inlined the whole
+    chain, every row paid 6 from_json + 2 to_json evaluations. The
+    map-valued merge is the identical value (to_json∘from_json is the
+    identity on map<string,string>), computed once per row."""
+    from bdc_collection_builder_spark.functions.scalar import merge_args_map
 
     events = t(spark, sf_dir, "events")
     merged = events.withColumn(
-        "args", merge_args(F.col("props"), {"stage": "download", "attempt": "1"}))
-    parsed = F.from_json(F.col("args"), "map<string,string>")
+        "m", merge_args_map(F.col("props"),
+                            {"stage": "download", "attempt": "1"}))
     return (
         merged.select(
             "event_id",
-            parsed.getItem("k").cast("bigint").alias("k"),
-            parsed.getItem("stage").alias("stage"),
-            parsed.getItem("attempt").cast("int").alias("attempt"),
+            F.col("m").getItem("k").cast("bigint").alias("k"),
+            F.col("m").getItem("stage").alias("stage"),
+            F.col("m").getItem("attempt").cast("int").alias("attempt"),
         )
         .filter(F.col("k") > 50)
     )
@@ -467,7 +475,11 @@ def x24_fuzzy_id_match(spark, sf_dir):
         F.concat(F.lit("S2A_"), F.col("o_orderpriority"), F.lit("_"),
                  (F.col("o_orderkey") % 300).cast("string"))
         .alias("scene_id")).distinct()
-    b = ids.withColumn("bucket", F.substring("scene_id", 1, 6))
+    # the deduped id dimension (≤ #priorities × 300 rows) feeds both
+    # self-join sides; unpersisted, the orders scan + distinct replays
+    # twice (round's persist rule: tiny frame, corpus-scale producer)
+    b = tracked_persist(
+        ids.withColumn("bucket", F.substring("scene_id", 1, 6)))
     a_side = b.select(F.col("scene_id").alias("id_a"), "bucket")
     b_side = b.select(F.col("scene_id").alias("id_b"), "bucket")
     return (

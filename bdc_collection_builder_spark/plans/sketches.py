@@ -491,6 +491,17 @@ def sk_join_cardinality(spark, sf_dir):
     keyed = t(spark, sf_dir, "events").select(
         "event_type", "user_id",
         md5_hash60(F.col("user_id").cast("string")).alias("h"))
+    # Persist experiments REJECTED by measurement (round-10 session 3):
+    # the static plan replays the events scan + md5 + groupBy for every
+    # consumer of mult/sk (12 parquet scans in the explain), which made
+    # both frames look like textbook persist-rule wins — but persisting
+    # mult+sk measured worse at 7 of 8 paired positions, and the
+    # minimal sk-only persist still lost at all 6 alternating-A/B
+    # positions (old sorted [1.775..2.461] vs new [1.902..2.381], same
+    # session). AQE's runtime exchange reuse already deduplicates the
+    # replayed shuffles, so the persist only adds an eager
+    # materialization barrier — the ndcg/sk_bloom lesson again: trust
+    # the measurement, not the plan-text replay count.
     mult = keyed.groupBy("event_type", "user_id", "h").agg(
         F.count("*").cast("bigint").alias("c"))
     side = mult.groupBy("event_type").agg(
