@@ -438,7 +438,12 @@ def embedding_near_pairs_lsh(embeddings: DataFrame, id_col: str = "vec_id",
     # carries (id_a, id_b, cosine) for MATCHING pairs only — the old
     # form shuffled both 64-float vectors for every candidate
     # collision (guide §2.3). Duplicate collisions score identically,
-    # so filter-then-dedup equals the old dedup-then-filter.
+    # so filter-then-dedup equals the old dedup-then-filter. Trade
+    # (ADVICE-r10): exact-direction duplicates collide in all tables,
+    # so the hottest pairs pay up to n_tables x the 64-float dot in
+    # exchange for the smaller shuffle — measured a win at dim=64 /
+    # current table counts; re-measure if dim or n_tables grows
+    # substantially.
     sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm")
                                                  * F.col("b.nrm"))
     return (

@@ -225,7 +225,10 @@ def x18_json_args_merge(spark, sf_dir):
     pushed-down filter and both projections each inlined the whole
     chain, every row paid 6 from_json + 2 to_json evaluations. The
     map-valued merge is the identical value (to_json∘from_json is the
-    identity on map<string,string>), computed once per row."""
+    identity on map<string,string>), computed once per consumer group
+    — 2 evaluations per row (the pushed-down filter still inlines the
+    chain separately from the shared `m` projection, see the recorded
+    after-plan), down from 8."""
     from bdc_collection_builder_spark.functions.scalar import merge_args_map
 
     events = t(spark, sf_dir, "events")

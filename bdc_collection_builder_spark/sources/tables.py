@@ -81,6 +81,18 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
     lever for iterative catalog⋈ledger work. Requires a warehouse
     (saveAsTable); plain path-based parquet cannot carry bucket specs.
     """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    # A managed-table location can survive from a previous session
+    # whose catalog is gone (an interrupted run); overwrite mode can't
+    # reclaim it and saveAsTable fails with LOCATION_ALREADY_EXISTS,
+    # so drop both the catalog entry and any orphaned directory (the
+    # same restart-safety pattern as lo_dynamic_partition_pruning).
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table_name}", ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)

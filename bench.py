@@ -125,6 +125,15 @@ BENCH_QUERIES = [
     "dd_edit1_near_pairs",       # FastSS deletion-neighborhood join
                                  # (7.3s cold / 1.3s warm — bench
                                  # sessions are warm by design)
+    # round-11 graduates (VERDICT-r10 task 6): the round-10 rewrites
+    # brought both ex-heavies to/under the 5s bar on quiet runs
+    # (driver run: 5.84s / 3.38s), so they join the comparable suite
+    # and get median-of-5 treatment. First round in "queries" — the
+    # driver will see them as new_in_bench, same as the r10 graduates.
+    "dd_exact_substring_maxlen",  # chunked-LCP sorted-neighbor dedup
+                                  # (11.5s -> ~5s, round-10 rewrite)
+    "tj_resample_interpolate",    # single-shuffle dual-bracket as-of
+                                  # (7.4s -> ~3s, round-10 rewrite)
 ]
 
 # BENCH_HEAVY (VERDICT-r7 What's-wrong #4): known >5s queries, measured
@@ -136,26 +145,9 @@ BENCH_QUERIES = [
 # deltas >2x are still unambiguous at this magnitude).
 HEAVY_QUERIES = [
     "gr_strongly_connected",      # FW-BW SCC, frontier fixpoints
-    "dd_exact_substring_maxlen",  # sorted-neighbor-LCP ExactSubstr.
-                                  # Round-10 profile-first pass: the
-                                  # 11.5s residual was NOT the
-                                  # checkpoint+window (~2.6s) but the
-                                  # per-char LCP HOF (~6s); the
-                                  # chunked LCP cut it to ~5s warm at
-                                  # sf0.1. Kept heavy this round
-                                  # (borderline vs the 5s bar);
-                                  # graduation is a round-11 call.
-    "tj_resample_interpolate",    # grid spine + dual-direction
-                                  # bracket windows. Round-10
-                                  # profile-first pass: the two
-                                  # as-of joins each re-paid the
-                                  # union+sort of the 6.3M-row spine
-                                  # plus a grid-sized equi-join;
-                                  # both brackets now come from ONE
-                                  # shuffle (asc + desc carry-
-                                  # forward windows) — 6.9s -> ~3.1s
-                                  # warm. Kept heavy this round;
-                                  # graduation is a round-11 call.
+    # dd_exact_substring_maxlen and tj_resample_interpolate graduated
+    # to BENCH_QUERIES in round 11 (VERDICT-r10 task 6) after the
+    # round-10 rewrites brought them to/under the 5s bar.
     "dd_cluster_components_star", # promoted by the round-10 closing
                                   # census: data-scale star-contraction
                                   # CC (quiet-day ~3.7s, floors ~5.4s
@@ -433,10 +425,12 @@ def main() -> None:
         "metric": "headline_query_suite_wall",
         "value": total,
         "clean_queries_total": clean_total,
-        # One-round comparability note (VERDICT-r9 task 2): this
-        # 63-entry suite is BENCH_r09's value_v2 membership plus the
-        # two graduates dd_prefix_filter_jaccard + dd_edit1_near_pairs.
-        "suite": "frozen-v2-63",
+        # One-round comparability note (VERDICT-r10 task 6): this
+        # 65-entry suite is r10's frozen-v2-63 plus the two round-11
+        # graduates dd_exact_substring_maxlen + tj_resample_interpolate
+        # (ex-BENCH_HEAVY), so "value" grows by their ~9s; per-query
+        # medians remain the comparable signal.
+        "suite": "frozen-v2-65",
         "noisy_queries": sorted(noisy),
         "unit": "sec",
         "n": n_runs,
@@ -455,31 +449,55 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full))
-    # Compact line: leads with the strongest round-over-round signal
-    # (top non-noisy per-query regressions, 2-dp from the 3-dp delta
-    # source) per VERDICT-r9 What's-wrong #2, then the census gate,
-    # totals, and 1-dp medians (3-dp lives in the committed
-    # BENCH_FULL.json). The 3 proxies stay in the totals but are
-    # dropped from the compact queries map for budget (full record
-    # has them). A length guard trims delta entries before ever
-    # letting the line outgrow the driver's 2000-char tail capture.
-    worst = dict(sorted(((n, round(d, 2)) for n, d in deltas.items()),
-                        key=lambda kv: -kv[1])[:3])
+    # Compact line — the ONE line the driver parses (its stdout tail
+    # capture keeps only the last 2000 chars). Round-11 contract fix
+    # (VERDICT-r10 What's-wrong #1/#2, Next-round item 1):
+    #   * the 3 BASELINE proxies are BACK in the compact queries map
+    #     (r10 trimmed them "for budget" and the driver recorded them
+    #     as dropped_from_bench — a reporting regression);
+    #   * `noisy_min` maps every noisy-flagged suite entry (max/min
+    #     spread > 2.5) to its per-query MIN — the contention-robust
+    #     estimator (contention only ever adds time) — so a storm-
+    #     contaminated median is visible AND replaceable downstream.
+    # The 65-entry queries map is ~1.8k chars on its own, so the line
+    # can no longer also carry heavy/clean_queries_total/delta_worst
+    # (the r10 line was 1984 chars with 60 entries and no proxies —
+    # at the capture limit already). Those moved to (a) the committed
+    # BENCH_FULL.json (3-dp, everything, always) and (b) a short
+    # "heavy" JSON line printed immediately BEFORE the compact line:
+    # the driver parses only the last line, but its 2000-char tail
+    # still shows the heavy line on quiet runs. A length guard keeps
+    # the compact line itself under 1980 chars by trimming the
+    # least-noisy noisy_min entries first (the worst spreads are the
+    # medians most in need of a replacement estimator).
+    print(json.dumps(
+        {"heavy": {n: round(t, 2) for n, t in heavy.items()}},
+        separators=(",", ":")))
+    noisy_min = {n: round(spread[n]["min"], 1) for n in sorted(noisy)}
     compact = {
         "metric": "headline_query_suite_wall",
         "value": round(total, 2),
-        "clean_queries_total": round(clean_total, 2),
-        "delta_worst": worst,
-        "census_over5s": census_over5s,
         "unit": "sec",
-        "queries": {n: round(t, 1) for n, t in times.items()
-                    if not n.startswith("proxy_")},
-        "heavy": {n: round(t, 2) for n, t in heavy.items()},
+        "queries": {n: round(t, 1) for n, t in times.items()},
+        "noisy_min": noisy_min,
         "sf": sf_val,
     }
-    while (len(json.dumps(compact, separators=(",", ":"))) > 1950
-           and compact["delta_worst"]):
-        compact["delta_worst"].popitem()
+    # the census gate list is empty on every passing round (the
+    # committed BENCH_FULL.json + test_artifacts enforce it); spend
+    # the ~20 chars on it only when it actually fires
+    if census_over5s:
+        compact["census_over5s"] = census_over5s
+
+    def _clen() -> int:
+        return len(json.dumps(compact, separators=(",", ":")))
+
+    trim_order = sorted(
+        noisy_min,
+        key=lambda n: spread[n]["max"] / max(spread[n]["min"], 1e-9))
+    while _clen() > 1980 and trim_order:
+        compact["noisy_min"].pop(trim_order.pop(0))
+    while _clen() > 1980 and compact.get("census_over5s"):
+        compact["census_over5s"].pop()
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 

@@ -1448,3 +1448,72 @@ def test_bloom_fpr_counts_match_python(spark, sf_dir):
     assert out.n_members == len(train_sh & bench_sh)
     assert out.n_flagged == n_flagged
     assert out.n_false_positives == n_fp
+
+
+def test_winnow_fingerprints_python_mirror(spark, sf_dir):
+    """VERDICT-r10 item 8: the round-10 md5 -> base-131 polynomial swap
+    changed tx_winnow_fingerprints' output values with the DuckDB
+    oracle rewritten in the same commit, so the oracle proved
+    self-consistency, not preservation. This test is the independent
+    cross-engine pin: a pure-Python winnow (hash, sliding min,
+    distinct, cross-doc frequency) over the same parquet must
+    reproduce every row of the Spark query."""
+    from collections import Counter
+
+    import duckdb
+
+    K, W, HEAD, M31 = 8, 4, 512, 2_147_483_648
+    POWS = [131 ** (K - 1 - j) for j in range(K)]
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+
+    prints_by_doc: dict[int, list[int]] = {}
+    for doc_id, text in docs:
+        if text is None or len(text) < K + W - 1:
+            continue
+        head = text[:HEAD]
+        cps = [ord(c) % 256 for c in head]
+        hs = [
+            ((sum(cps[i + j] * POWS[j] for j in range(K)) % M31)
+             * 1103515245 + 12345) % M31
+            for i in range(len(head) - (K - 1))
+        ]
+        seen: set[int] = set()
+        sel = []
+        for j in range(len(hs) - (W - 1)):
+            m = min(hs[j:j + W])
+            if m not in seen:
+                seen.add(m)
+                sel.append(m)
+        prints_by_doc[doc_id] = sel
+
+    freq: Counter = Counter()
+    for ps in prints_by_doc.values():
+        freq.update(ps)
+
+    out = rows(spark, sf_dir, "tx_winnow_fingerprints")
+    assert len(out) == len(prints_by_doc)
+    for r in out:
+        ps = prints_by_doc[r.doc_id]
+        n_shared = sum(1 for p in ps if freq[p] > 1)
+        assert r.n_prints == len(ps)
+        assert r.n_shared == n_shared
+        assert abs(r.shared_ratio - n_shared / len(ps)) <= 1e-6
+
+
+def test_ndcg_qids_on_degenerate_corpus(spark, tmp_path):
+    """VERDICT-r10 item 8: ss_ndcg_eval reads its query-id list from
+    the 8-row queries frame (round 10 removed the brute-force replay
+    that the old distinct(truth.query_id) form paid). The two forms
+    agree whenever every query has at least one candidate (any corpus
+    with >= 2 embeddings — every benched SF); on the degenerate
+    single-embedding corpus truth is EMPTY and the defined behavior is
+    one zero-score row per query, not zero rows. Pin it."""
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int")
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = rows(spark, str(tmp_path), "ss_ndcg_eval")
+    assert [(r.query_id, r.n_hits, float(r.dcg), float(r.ndcg_at_10))
+            for r in out] == [(0, 0, 0.0, 0.0)]
