@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.extensions.text import tokens
-from bdc_collection_builder_spark.functions.persist import tracked_persist
+from bdc_collection_builder_spark.functions.persist import (
+    ab_tracked_persist,
+    tracked_persist,
+)
 from bdc_collection_builder_spark.functions.rounds import note_rounds
 
 
@@ -249,7 +252,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         # self-join; without the persist the 32-min aggregate over the
         # whole shingle table replays once per side (|frame| << producing
         # work, the round-10 persist rule)
-        sig = tracked_persist(sig)
+        sig = ab_tracked_persist("minhash_sig", sig)
     else:
         # Production path: collapse each shingle string to its xxhash64
         # ONCE, inside the per-doc array (shingles(hashed=True)) — the
@@ -263,7 +266,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         sh = tracked_persist(shingles(docs, text_col, id_col, k, hashed=True))
         sig = minhash_signatures_from_shingles(sh, n_hashes, "prehashed")
         # same both-sides-of-the-self-join reuse as the md5 branch
-        sig = tracked_persist(sig)
+        sig = ab_tracked_persist("minhash_sig", sig)
 
     candidates = lsh_candidates(sig, bands, rows_per_band,
                                 engine_neutral)
