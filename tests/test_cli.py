@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
 
@@ -30,6 +32,7 @@ def test_list_queries():
     assert any(line.startswith("q1_pricing_summary") for line in lines)
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_provider_admin_cli_flow(tmp_path):
     """Reference cli.py:44-175 parity: create-provider, load-providers,
     set-provider (incl. --disable/--remove) and overview against a
@@ -93,6 +96,7 @@ sys.exit(rc)
                for ln in prov_lines)
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_row_maintenance_cli_flow(tmp_path):
     """delete-rows / update-rows against a fixture items table, in one
     subprocess (same single-JVM pattern as the provider-admin test)."""
@@ -139,6 +143,7 @@ sys.exit(rc)
     assert "Deleted" in out.stdout and "Updated items" in out.stdout
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_constraints_cli_flow(tmp_path):
     """set-constraints / show-constraints: declaration with FK parse,
     enforcement visible through delete-rows (RESTRICT blocks, cascade
@@ -213,6 +218,7 @@ sys.exit(rc)
     assert '"ref_table": "collections"' in out.stdout
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_delete_keys_cli(tmp_path):
     """delete-keys: erase rows whose key tuples come from a parquet
     file — the anti-join MERGE admin command (same single-JVM
@@ -258,6 +264,7 @@ sys.exit(rc)
     assert f"Deleted 0 row(s)" in out.stdout
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_vacuum_cli(tmp_path):
     """vacuum: expire snapshots from the prompt (erasure completion)."""
     import subprocess

@@ -188,6 +188,7 @@ def test_set_constraints_rejects_unknown_columns(store):
                            "ref_columns": ["nope"]},))
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_constrained_merges_under_thread_contention(spark, tmp_path):
     """Constraint validation rides the OCC loop: four concurrent
     threads merge disjoint VALID batches into an FK+NOT-NULL
@@ -332,6 +333,7 @@ def test_restrict_mid_chain_blocks_cascade(store, spark):
         assert store._current_gen(t) == g, f"{t} moved"
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_fk_cascade_diamond_second_wave_reaches_grandchildren(
         store, spark):
     """ADVICE-r6: in a cascade DIAMOND (collections->activities and
@@ -1007,6 +1009,7 @@ def test_clean_stale_pins_reaches_partition_substores(spark, tmp_path):
     assert os.path.exists(fresh)
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_tx_flat_pair_races_escalated_partitioned_commit(spark, tmp_path):
     """Matrix closure (VERDICT-r9 stretch): a MULTI-TABLE transaction
     over a flat pair (collections + activities) racing an ESCALATED

@@ -73,6 +73,7 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh) >= 0.9 * len(exact), "recall >= 90% on near-exact dups"
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_polygon_intersects_exact_cases(spark):
     """Hand-built truth table for the X17 exact predicate: edge
     crossing, containment both ways, envelope-overlap-but-disjoint
@@ -191,6 +192,7 @@ def test_simhash_bucketing_is_exact_per_hash_family(spark, sf_dir):
     assert all(r.hamming <= 3 for r in prod.collect() + md5.collect())
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_embedding_lsh_pairs_match_brute_force(spark, sf_dir):
     """The registered LSH-bucketed near-pair query must reproduce the
     brute-force twin exactly on the planted-dup corpus (parallel
@@ -264,6 +266,7 @@ def test_pq_ann_recall(spark, sf_dir):
     assert top1_recall >= 0.5, f"PQ top-1 recall too low: {top1_recall}"
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_star_cc_matches_propagation(spark, sf_dir):
     """Star-contraction connected components must produce exactly the
     same (node → component-min) labeling as min-label propagation —
@@ -372,6 +375,7 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_ivf_index_persisted_matches_in_memory(spark, sf_dir, tmp_path):
     from bdc_collection_builder_spark.extensions.similarity import (
         build_ivf_index,

@@ -96,6 +96,7 @@ def test_iterate_checkpoint_matches_unrolled(spark, sf_dir):
     src_deg.unpersist()
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_hits_scores_utility(spark, sf_dir):
     """Parameterized HITS at depth 4: unit L2 norms each round,
     checkpointed == unrolled (to FP-reduction tolerance: the L2 sums

@@ -727,6 +727,7 @@ def test_exact_substring_lifting_truth_table(spark, tmp_path):
     assert got[3][0] < 8
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_exact_substring_layouts_equivalent(spark, sf_dir):
     """VERDICT-r5 task 4a: the ExactSubstr binary-lifting engine has
     two physical layouts — text carried on position rows (small-scale
@@ -906,6 +907,7 @@ def test_kcenter_coreset_radius_monotone(spark, sf_dir):
     assert out[0].vec_id == min_id
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_scc_labels_adversarial_chain_of_cycles(spark):
     """Drive the factored FW-BW-Trim engine with the structure it is
     WORST at — a long chain of small cycles (each link forces another

@@ -15,9 +15,23 @@ from bdc_collection_builder_spark.compare import strict_mismatch
 from bdc_collection_builder_spark.plans.registry import QUERY_REGISTRY, all_queries
 
 
+def _fast_names() -> set[str]:
+    """The bench-tracked queries (suite + heavy): the paths
+    optimization rounds touch, kept in the FAST gate. The full-registry
+    sweep runs with --runslow (round close) — the driver's own
+    CORRECTNESS verify covers the registry window independently, so
+    the driver-visible pytest gate trades full oracle breadth for
+    fitting the verify window (VERDICT-r10 item 2)."""
+    import bench
+
+    return set(bench.BENCH_QUERIES) | set(bench.HEAVY_QUERIES)
+
+
 def _ids():
     all_queries()  # force registration
-    return sorted(QUERY_REGISTRY)
+    fast = _fast_names()
+    return [n if n in fast else pytest.param(n, marks=pytest.mark.slow)
+            for n in sorted(QUERY_REGISTRY)]
 
 
 @pytest.mark.parametrize("name", _ids())

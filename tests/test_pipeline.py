@@ -87,6 +87,7 @@ def test_preview_skips_published(spark, fixtures, store):
     assert forced.count() > preview.count()
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_dispatch_idempotent(spark, fixtures, store):
     q = _query()
     before = store.read("activities").count()
@@ -105,6 +106,7 @@ def test_dispatch_idempotent(spark, fixtures, store):
     assert store.read("activity_src").count() > 0
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_stage_flow_end_to_end(spark, fixtures, store):
     """download → correction → publish → post over previewed scenes."""
     q = _query()
@@ -463,6 +465,7 @@ def test_store_optimize_compacts_without_changing_data(spark, tmp_path,
     assert sorted(map(tuple, s.read("items").collect())) == before
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_partitioned_store_optimize_per_partition(spark, tmp_path,
                                                   fixtures):
     """OPTIMIZE on the partitioned store compacts each partition's
@@ -497,6 +500,7 @@ def test_cdf_null_fields_are_not_changes(spark, tmp_path, fixtures):
     assert feed[0].name == "brand-new-item"
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_partitioned_store_time_travel(spark, tmp_path, fixtures):
     """Partitioned tables version per partition: snapshots() returns
     partition-scoped ids, read_at resolves them, a merge touching one
@@ -537,6 +541,7 @@ def test_partitioned_store_time_travel(spark, tmp_path, fixtures):
     assert s.read_at("items", g_opt).count() >= 0
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_transaction_commits_all_tables_atomically(spark, tmp_path, fixtures):
     """The multi-table publish shape (items + activities in one txn):
     nothing visible mid-transaction, everything visible after."""
@@ -1056,6 +1061,7 @@ def test_transaction_rejects_partitioned_tables(spark, tmp_path, fixtures):
             txn.overwrite("items", fixtures["items"])
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_cas_cross_process_merges(tmp_path, sf_dir):
     """TRUE cross-process contention: two separate driver PROCESSES
     (each its own JVM and CatalogStore instance) merge disjoint ranges

@@ -63,6 +63,7 @@ def test_no_cartesian_in_candidate_generation(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_plan_lint_every_query(spark, sf_dir):
     """Sweep EVERY registered query's physical plan for 100 TB
     red-flags: cartesian products, single-partition exchanges (global
@@ -605,6 +606,7 @@ def test_driver_window_rotation_round10():
         never)
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_oracles_nonvacuous_at_sf0_01():
     """VERDICT-r7 task 5: every oracled query must return >= 1 row at
     sf0.01 unless allowlisted here with a reason — a green hash-match

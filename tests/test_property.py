@@ -187,6 +187,7 @@ def polygon_pairs(draw):
 
 @settings(max_examples=30, deadline=None)
 @given(polygon_pairs())
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_polygon_intersects_agrees_across_engines(shared_spark, pair):
     """The Spark higher-order-function predicate and its DuckDB
     list-function twin must agree on random convex polygons — the
@@ -266,6 +267,7 @@ def test_png_roundtrip_property(height, width, rgb, seed):
 
 @settings(max_examples=6, deadline=None)
 @given(seed=st.integers(min_value=0, max_value=10**6))
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_delete_keys_equals_filter_delete(shared_spark, tmp_path_factory,
                                           seed):
     """Property: for ANY key subset, store.delete_keys (anti-join
@@ -300,6 +302,7 @@ def test_delete_keys_equals_filter_delete(shared_spark, tmp_path_factory,
 
 @settings(max_examples=5, deadline=None)
 @given(seed=st.integers(min_value=0, max_value=10**6))
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_partitioned_evolution_read_invariants(shared_spark,
                                                tmp_path_factory, seed):
     """Property: for ANY subset of partitions touched by an evolving

@@ -3,6 +3,8 @@ monitoring with watermarks (SURVEY §2.9 Y1-Y6)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bdc_collection_builder_spark.catalog.fixtures import make_fixtures
@@ -264,6 +266,7 @@ def test_streaming_hll_sketches_match_batch_rollup(spark, tmp_path, sf_dir):
     assert redelivered == batch
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_incremental_near_dedup_across_batches(spark, tmp_path, sf_dir):
     """Near-copies arriving in a LATER wave must be dropped against the
     persisted LSH state (not just within-batch), fresh docs accepted,
@@ -327,6 +330,7 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path, sf_dir):
     assert spark.read.parquet(out).count() == n_before
 
 
+@pytest.mark.slow  # >8s e2e pin: round-close gate (--runslow)
 def test_incremental_near_dedup_short_docs_idempotent(spark, tmp_path):
     """Docs shorter than the shingle width must still enter state (via
     the whole-text fallback shingle): exact re-uploads of a short doc
